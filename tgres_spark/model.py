@@ -1,0 +1,102 @@
+"""SeriesFrame: the canonical long-format time-series relation.
+
+The reference (tgres) models a series as a DS with RRAs holding a
+round-robin ``map[slot]value`` (rrd/rra.go:68-74). Spark-first, a
+series set is ONE long relation::
+
+    name: string   -- series identity (reference serde.Ident "name")
+    t:    bigint   -- epoch seconds, end-of-interval label
+    value: double  -- NaN/NULL = unknown (reference uses NaN)
+
+Why long format: one partitioning scheme `(date(t), hash(name) % B)`
+serves every operator — per-series window functions never shuffle
+across series, cross-series combines shuffle only on `t` after
+partition pruning. At 100 TB this is the difference between a
+map-side-heavy plan and a full-table shuffle.
+
+Columns are BIGINT epochs (not timestamps) end-to-end so results hash
+identically across Spark and the DuckDB oracle regardless of timezone
+or timestamp-precision handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NAME, T, VALUE = "name", "t", "value"
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver hands us ITS session, which lacks our session.py confs;
+    # nanos timestamps are unreadable without this (runtime-settable).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet → SeriesFrame: event_type is the series name.
+
+    Mirrors how tgres receives one datapoint per (ident, time, value)
+    (receiver/receiver.go QueueDataPoint).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias(NAME),
+        epoch_s("ts").alias(T),
+        F.col("value").cast("double").alias(VALUE),
+    )
+
+
+def epoch_s(col: str) -> Column:
+    """Timestamp column (read as bigint nanos, see session.py) → epoch
+    seconds. SQL DIV = exact integer division; double math would lose
+    precision above 2^53 ns."""
+    return F.expr(f"CAST(`{col}` DIV 1000000000 AS BIGINT)")
+
+
+# DuckDB-side equivalent of series_from_events, spliced into oracle SQL.
+# epoch_ns → bigint nanos; // is exact integer division, matching epoch_s.
+EVENTS_SERIES_SQL = (
+    "SELECT event_type AS name, epoch_ns(ts) // 1000000000 AS t, "
+    "CAST(value AS DOUBLE) AS value FROM events"
+)
+
+
+def dsum(col: str | Column) -> Column:
+    """Order-independent sum: exact DECIMAL(38,6) accumulation.
+
+    Double summation order differs between Spark and DuckDB (and across
+    partitionings of the same Spark job); decimal accumulation is exact,
+    so the result is bit-identical everywhere. Use for every additive
+    aggregate that feeds a correctness-checked output.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)"))
+
+
+def fsum(col: str | Column) -> Column:
+    """dsum cast back to double (matches oracle CAST(SUM(...) AS DOUBLE))."""
+    return dsum(col).cast("double")
+
+
+def favg(col: str | Column) -> Column:
+    """Order-independent mean: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (dsum(c) / F.count(c)).cast("double")
+
+
+def oracle_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def oracle_davg(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) / COUNT({expr}) AS DOUBLE)"
+    )
+
+
+def r6(col: Column) -> Column:
+    """Round a double output to 6 decimals — the cross-engine contract for
+    any value produced by non-associative float math (stddev, products)."""
+    return F.round(col, 6)

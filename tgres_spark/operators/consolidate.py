@@ -1,0 +1,213 @@
+"""RRD-style consolidation: SeriesFrame → fixed-step archive.
+
+Reference semantics (rrd/rra.go:179-253, rrd/pdp.go:96-141):
+
+- A datapoint at time t with predecessor at time p represents the
+  interval (p, t]; its weight is the interval's duration.
+- WMEAN = duration-weighted mean; MIN/MAX/LAST ignore weights but need
+  duration > 0; NaN contributes nothing (pdp.go AddValue*).
+- Heartbeat: an interval longer than hb is *unknown* — it still spans
+  time but contributes no known duration (rrd/ds.go updateRange).
+- XFF (rra.go:232-237): if known_duration/step < xff the slot is NULL.
+- Slots are labeled by their END time (rra.go movePdpToDps).
+
+Spark-first shape: a single window `lag(t) over (partition by name
+order by t)` computes interval durations (no shuffle beyond the one
+hash partition by name), then one groupBy((name, slot)) — partial
+aggregation map-side, one shuffle, no Python. Deviation from the
+reference, documented: an interval crossing a slot boundary is
+attributed wholly to the slot of its endpoint rather than split
+pro-rata (exact splitting needs an explode per crossed slot; at normal
+step≫sample-interval ratios the difference vanishes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import NAME, T, VALUE
+
+CFS = ("wmean", "min", "max", "last", "avg", "sum", "count")
+
+
+def slot_end(step: int, t_col: str = T):
+    """End-of-slot label: slot covering t is (k*step, (k+1)*step]."""
+    return (F.floor((F.col(t_col) - 1) / step) * step + step).cast("bigint")
+
+
+def consolidate(
+    sf: DataFrame,
+    step: int,
+    cf: str = "wmean",
+    xff: float = 0.0,
+    heartbeat: int | None = None,
+) -> DataFrame:
+    """Consolidate a SeriesFrame to a fixed step with consolidation
+    function ``cf`` ∈ {wmean,min,max,last,avg,sum,count}.
+
+    Returns (name, t, value) where t = slot end, ordered-agnostic.
+    """
+    cf = cf.lower()
+    if cf not in CFS:
+        raise ValueError(f"unknown consolidation function: {cf}")
+
+    w = Window.partitionBy(NAME).orderBy(T)
+    prev_t = F.lag(T).over(w)
+    # first point of a series has no predecessor: weight 1s (the
+    # reference seeds a DS at its first point; ds.go processDataPoint)
+    dur = F.coalesce((F.col(T) - prev_t).cast("double"), F.lit(1.0))
+    if heartbeat is not None:
+        # interval longer than heartbeat → value unknown for that span
+        known_val = F.when(dur <= float(heartbeat), F.col(VALUE))
+    else:
+        known_val = F.col(VALUE)
+
+    pts = sf.select(
+        F.col(NAME),
+        F.col(T),
+        slot_end(step).alias("slot"),
+        known_val.alias("v"),
+        dur.alias("dur"),
+    )
+
+    if cf == "last":
+        # Deterministic "last": max value at the latest known t (ties on
+        # t are real in point data; max(v) is the cross-engine tie-break).
+        nn = pts.where(F.col("v").isNotNull())
+        wmax = Window.partitionBy(NAME, "slot")
+        nn = nn.withColumn("tmax", F.max(T).over(wmax))
+        agg = (
+            nn.where(F.col(T) == F.col("tmax"))
+            .groupBy(NAME, "slot")
+            .agg(F.max("v").alias("cv"), F.sum("dur").alias("known"))
+        )
+        if xff > 0.0:
+            # xff needs the full known-duration, not just the last row's
+            full = pts.groupBy(NAME, "slot").agg(
+                F.sum(
+                    F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0)
+                ).alias("known_full")
+            )
+            agg = agg.join(full, [NAME, "slot"]).withColumn(
+                "cv",
+                F.when(
+                    F.col("known_full") / float(step) >= float(xff), F.col("cv")
+                ),
+            )
+        return agg.select(
+            F.col(NAME), F.col("slot").alias(T), F.col("cv").alias(VALUE)
+        )
+
+    known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
+    if cf == "wmean":
+        num = F.sum(F.when(F.col("v").isNotNull(), F.col("v").cast("decimal(38,6)") * F.col("dur").cast("decimal(38,6)")))
+        val = F.when(known_dur > 0.0, (num / known_dur).cast("double"))
+    elif cf == "avg":
+        val = F.when(
+            F.count("v") > 0,
+            (F.sum(F.col("v").cast("decimal(38,6)")) / F.count("v")).cast("double"),
+        )
+    elif cf == "sum":
+        val = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+    elif cf == "min":
+        val = F.min("v")
+    elif cf == "max":
+        val = F.max("v")
+    else:  # count
+        val = F.count("v").cast("double")
+
+    agg = pts.groupBy(NAME, "slot").agg(
+        val.alias("cv"), known_dur.alias("known")
+    )
+    if xff > 0.0:
+        agg = agg.withColumn(
+            "cv",
+            F.when(F.col("known") / float(step) >= float(xff), F.col("cv")),
+        )
+    return agg.select(
+        F.col(NAME), F.col("slot").alias(T), F.col("cv").alias(VALUE)
+    )
+
+
+def consolidate_last(sf: DataFrame, step: int) -> DataFrame:
+    """LAST consolidation done order-correctly: the value at the max t
+    of each slot (pdp.go:136-141 — last non-NaN wins)."""
+    nn = sf.where(F.col(VALUE).isNotNull())
+    agg = nn.groupBy(NAME, slot_end(step).alias("slot")).agg(
+        F.max_by(VALUE, T).alias(VALUE)
+    )
+    return agg.select(NAME, F.col("slot").alias(T), VALUE)
+
+
+def oracle_consolidate_sql(
+    base_sql: str,
+    step: int,
+    cf: str = "wmean",
+    xff: float = 0.0,
+    heartbeat: int | None = None,
+) -> str:
+    """DuckDB SQL equivalent of consolidate() over ``base_sql``
+    (a SELECT producing name,t,value)."""
+    hb = (
+        f"CASE WHEN dur <= {heartbeat} THEN value END"
+        if heartbeat is not None
+        else "value"
+    )
+    slot = f"CAST(FLOOR((t - 1) / {step}) * {step} + {step} AS BIGINT)"
+    inner = (
+        "SELECT name, t, value, "
+        "COALESCE(CAST(t - LAG(t) OVER (PARTITION BY name ORDER BY t) AS DOUBLE), 1.0) AS dur "
+        f"FROM ({base_sql})"
+    )
+    pts = f"SELECT name, t, slot, {hb} AS v, dur FROM (SELECT *, {slot} AS slot FROM ({inner}))"
+    if cf == "last":
+        nn = f"SELECT * FROM ({pts}) WHERE v IS NOT NULL"
+        wt = (
+            f"SELECT name, slot, t, v, dur, "
+            f"MAX(t) OVER (PARTITION BY name, slot) AS tmax FROM ({nn})"
+        )
+        sel = (
+            f"SELECT name, slot AS t, MAX(v) AS value FROM ({wt}) "
+            f"WHERE t = tmax GROUP BY name, slot"
+        )
+        if xff > 0.0:
+            known_full = (
+                f"SELECT name, slot, SUM(CASE WHEN v IS NOT NULL THEN dur ELSE 0.0 END) AS known_full "
+                f"FROM ({pts}) GROUP BY name, slot"
+            )
+            sel = (
+                f"SELECT l.name AS name, l.t AS t, "
+                f"CASE WHEN k.known_full / {float(step)} >= {float(xff)} THEN l.value END AS value "
+                f"FROM ({sel}) l JOIN ({known_full}) k ON l.name = k.name AND l.t = k.slot"
+            )
+        return sel
+
+    known = "SUM(CASE WHEN v IS NOT NULL THEN dur ELSE 0.0 END)"
+    if cf == "wmean":
+        val = (
+            f"CASE WHEN {known} > 0.0 THEN "
+            "CAST(SUM(CASE WHEN v IS NOT NULL THEN CAST(v AS DECIMAL(38,6)) * CAST(dur AS DECIMAL(38,6)) END) "
+            f"/ {known} AS DOUBLE) END"
+        )
+    elif cf == "avg":
+        val = "CASE WHEN COUNT(v) > 0 THEN CAST(SUM(CAST(v AS DECIMAL(38,6))) / COUNT(v) AS DOUBLE) END"
+    elif cf == "sum":
+        val = "CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
+    elif cf == "min":
+        val = "MIN(v)"
+    elif cf == "max":
+        val = "MAX(v)"
+    elif cf == "count":
+        val = "CAST(COUNT(v) AS DOUBLE)"
+    else:
+        raise ValueError(cf)
+    xff_wrap = (
+        f"CASE WHEN {known} / {float(step)} >= {float(xff)} THEN {val} END"
+        if xff > 0.0
+        else val
+    )
+    return (
+        f"SELECT name, slot AS t, {xff_wrap} AS value FROM ({pts}) "
+        f"GROUP BY name, slot"
+    )

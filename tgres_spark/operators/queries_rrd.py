@@ -1,0 +1,83 @@
+"""SURVEY §2.1 — RRD core queries over the events-derived SeriesFrame.
+
+Reference parity: rrd/rra.go (consolidation + xff), rrd/pdp.go
+(weighted mean / min / max / last), rrd/ds.go (heartbeat).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import EVENTS_SERIES_SQL, series_from_events
+from ..registry import register
+from .consolidate import consolidate, oracle_consolidate_sql
+
+STEP = 3600  # 1h slots over the events table
+
+
+def _cf_query(cf: str, **kw):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return consolidate(series_from_events(spark, sf_dir), STEP, cf=cf, **kw)
+
+    return q
+
+
+register(
+    "rrd_consolidate_wmean",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "wmean"),
+)(_cf_query("wmean"))
+
+register(
+    "rrd_consolidate_min",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "min"),
+)(_cf_query("min"))
+
+register(
+    "rrd_consolidate_max",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "max"),
+)(_cf_query("max"))
+
+register(
+    "rrd_consolidate_last",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "last"),
+)(_cf_query("last"))
+
+register(
+    "rrd_xff",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "wmean", xff=0.5),
+)(_cf_query("wmean", xff=0.5))
+
+register(
+    "rrd_heartbeat_gaps",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "wmean", heartbeat=120),
+)(_cf_query("wmean", heartbeat=120))
+
+
+@register(
+    "rrd_multi_rra",
+    sql=" UNION ALL ".join(
+        f"SELECT '{cf}:{step}' || '/' || name AS name, t, value FROM ("
+        + oracle_consolidate_sql(EVENTS_SERIES_SQL, step, cf)
+        + ")"
+        for cf, step in (("wmean", 600), ("max", 3600), ("min", 86400))
+    ),
+)
+def rrd_multi_rra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One series set fanned into three RRAs (rrd/ds.go: DS holds many
+    RRAs updated from the same PDP stream)."""
+    from pyspark.sql import functions as F
+
+    sf = series_from_events(spark, sf_dir)
+    parts = []
+    for cf, step in (("wmean", 600), ("max", 3600), ("min", 86400)):
+        c = consolidate(sf, step, cf=cf)
+        parts.append(
+            c.select(
+                F.concat(F.lit(f"{cf}:{step}/"), F.col("name")).alias("name"),
+                "t",
+                "value",
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
