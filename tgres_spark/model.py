@@ -83,7 +83,7 @@ def fsum(col: str | Column) -> Column:
 def favg(col: str | Column) -> Column:
     """Order-independent mean: exact decimal sum / count, as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return (dsum(c) / F.count(c)).cast("double")
+    return dsum(c).cast("double") / F.count(c)
 
 
 def oracle_dsum(expr: str) -> str:
@@ -92,7 +92,7 @@ def oracle_dsum(expr: str) -> str:
 
 def oracle_davg(expr: str) -> str:
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) / COUNT({expr}) AS DOUBLE)"
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
     )
 
 

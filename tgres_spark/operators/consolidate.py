@@ -106,7 +106,7 @@ def consolidate(
     elif cf == "avg":
         val = F.when(
             F.count("v") > 0,
-            (F.sum(F.col("v").cast("decimal(38,6)")) / F.count("v")).cast("double"),
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count("v"),
         )
     elif cf == "sum":
         val = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
@@ -191,7 +191,7 @@ def oracle_consolidate_sql(
             f"/ {known} AS DOUBLE) END"
         )
     elif cf == "avg":
-        val = "CASE WHEN COUNT(v) > 0 THEN CAST(SUM(CAST(v AS DECIMAL(38,6))) / COUNT(v) AS DOUBLE) END"
+        val = "CASE WHEN COUNT(v) > 0 THEN CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v) END"
     elif cf == "sum":
         val = "CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
     elif cf == "min":

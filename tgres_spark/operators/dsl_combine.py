@@ -1,0 +1,293 @@
+"""Graphite DSL combine functions — collapse many series into one.
+
+Reference: dsl/funcs.go COMBINE block + series/seriesslice.go
+(Sum/Avg/Max/Min/Prod/Quantile/Range/Diff over the per-timestamp
+"current values" of the aligned slice).
+
+Spark shape: one `groupBy(t)` over the aligned SeriesFrame — a single
+shuffle on t, partial aggregation map-side. Null values are ignored
+(a NaN contributes nothing in the reference); a timestamp with no
+known values yields NULL.
+
+Determinism: sums/avgs accumulate in DECIMAL(38,6); products fold a
+sorted array so both engines multiply in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import NAME, T, VALUE
+
+
+def _combine(df: DataFrame, out_name: str, agg: Column) -> DataFrame:
+    return (
+        df.groupBy(T)
+        .agg(agg.cast("double").alias(VALUE))
+        .select(F.lit(out_name).alias(NAME), F.col(T), F.col(VALUE))
+    )
+
+
+def _combine_sql(base: str, out_name: str, agg: str) -> str:
+    return (
+        f"SELECT '{out_name}' AS name, t, CAST(({agg}) AS DOUBLE) AS value "
+        f"FROM ({base}) GROUP BY t"
+    )
+
+
+def sum_series(df, label="sumSeries()"):
+    return _combine(df, label, F.sum(F.col(VALUE).cast("decimal(38,6)")))
+
+
+def sum_series_sql(base, label="sumSeries()"):
+    return _combine_sql(base, label, "SUM(CAST(value AS DECIMAL(38,6)))")
+
+
+def average_series(df, label="averageSeries()"):
+    agg = F.when(
+        F.count(VALUE) > 0,
+        F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE),
+    )
+    return _combine(df, label, agg)
+
+
+def average_series_sql(base, label="averageSeries()"):
+    return _combine_sql(
+        base,
+        label,
+        "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END",
+    )
+
+
+def min_series(df, label="minSeries()"):
+    return _combine(df, label, F.min(VALUE))
+
+
+def min_series_sql(base, label="minSeries()"):
+    return _combine_sql(base, label, "MIN(value)")
+
+
+def max_series(df, label="maxSeries()"):
+    return _combine(df, label, F.max(VALUE))
+
+
+def max_series_sql(base, label="maxSeries()"):
+    return _combine_sql(base, label, "MAX(value)")
+
+
+def range_of_series(df, label="rangeOfSeries()"):
+    return _combine(df, label, F.max(VALUE) - F.min(VALUE))
+
+
+def range_of_series_sql(base, label="rangeOfSeries()"):
+    return _combine_sql(base, label, "MAX(value) - MIN(value)")
+
+
+def count_series(df, label="countSeries()"):
+    # reference counts series present, not known values (dslCountSeries)
+    return _combine(df, label, F.count("*").cast("double"))
+
+
+def count_series_sql(base, label="countSeries()"):
+    return _combine_sql(base, label, "CAST(COUNT(*) AS DOUBLE)")
+
+
+def multiply_series(df, label="multiplySeries()"):
+    # sorted fold → identical FP multiply order in Spark and DuckDB
+    arr = F.array_sort(F.collect_list(VALUE))
+    prod = F.when(
+        F.size(arr) > 0,
+        F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * x),
+    )
+    return _combine(df, label, prod)
+
+
+def multiply_series_sql(base, label="multiplySeries()"):
+    agg = (
+        "CASE WHEN COUNT(value) > 0 THEN "
+        "list_reduce(list_prepend(1.0, list_sort(list(value) FILTER (WHERE value IS NOT NULL))), "
+        "(acc, x) -> acc * x) END"
+    )
+    return _combine_sql(base, label, agg)
+
+
+def percentile_of_series(df, p: float, label=None):
+    """p-th percentile across series at each t, go-metrics method
+    (series/seriesslice.go:241-261): pos=p*(n+1), linear interp."""
+    label = label or f"percentileOfSeries({p:g})"
+    return _combine(df, label, _quantile_agg(p))
+
+
+def percentile_of_series_sql(base, p: float, label=None):
+    label = label or f"percentileOfSeries({p:g})"
+    return _combine_sql(base, label, _quantile_agg_sql(p))
+
+
+def _quantile_agg(p: float) -> Column:
+    """go-metrics Quantile over the known values in the group, built
+    from a sorted array (deterministic in both engines)."""
+    arr = F.array_sort(F.collect_list(VALUE))
+    n = F.size(arr)
+    pos = F.lit(float(p)) * (n + 1).cast("double")
+    lower = F.element_at(arr, F.floor(pos).cast("int"))
+    upper = F.element_at(arr, (F.floor(pos) + 1).cast("int"))
+    interp = lower + (pos - F.floor(pos)) * (upper - lower)
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when(pos < 1.0, F.element_at(arr, 1)).otherwise(
+            F.when(pos >= n.cast("double"), F.element_at(arr, n)).otherwise(interp)
+        )
+    )
+
+
+def _quantile_agg_sql(p: float) -> str:
+    arr = "list_sort(list(value) FILTER (WHERE value IS NOT NULL))"
+    return (
+        "CASE WHEN COUNT(value) = 0 THEN NULL "
+        f"WHEN {float(p)!r} * (COUNT(value) + 1) < 1.0 THEN list_min({arr}) "
+        f"WHEN {float(p)!r} * (COUNT(value) + 1) >= COUNT(value) THEN list_max({arr}) "
+        f"ELSE {arr}[CAST(FLOOR({float(p)!r} * (COUNT(value) + 1)) AS BIGINT)] "
+        f"+ ({float(p)!r} * (COUNT(value) + 1) - FLOOR({float(p)!r} * (COUNT(value) + 1))) "
+        f"* ({arr}[CAST(FLOOR({float(p)!r} * (COUNT(value) + 1)) AS BIGINT) + 1] "
+        f"- {arr}[CAST(FLOOR({float(p)!r} * (COUNT(value) + 1)) AS BIGINT)]) END"
+    )
+
+
+def diff_series(df, label="diffSeries()"):
+    """First series minus the rest; 'first' = lexicographically smallest
+    name (the reference iterates a sorted map; deterministic here)."""
+    agg = (
+        F.min_by(VALUE, NAME)
+        - (F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") - F.min_by(VALUE, NAME))
+    )
+    return _combine(df, label, agg)
+
+
+def diff_series_sql(base, label="diffSeries()"):
+    agg = (
+        "MIN_BY(value, name) - (CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) - MIN_BY(value, name))"
+    )
+    return _combine_sql(base, label, agg)
+
+
+def divide_series(df, dividend_name: str, divisor_name: str, label=None):
+    """dividend/divisor at each t (dslDivideSeries); null divisor-0."""
+    label = label or f"divideSeries({dividend_name},{divisor_name})"
+    num = F.max(F.when(F.col(NAME) == dividend_name, F.col(VALUE)))
+    den = F.max(F.when(F.col(NAME) == divisor_name, F.col(VALUE)))
+    agg = F.when(den != 0.0, num / den)
+    return _combine(df, label, agg)
+
+
+def divide_series_sql(base, dividend_name: str, divisor_name: str, label=None):
+    label = label or f"divideSeries({dividend_name},{divisor_name})"
+    num = f"MAX(CASE WHEN name = '{dividend_name}' THEN value END)"
+    den = f"MAX(CASE WHEN name = '{divisor_name}' THEN value END)"
+    return _combine_sql(base, label, f"CASE WHEN ({den}) <> 0.0 THEN ({num}) / ({den}) END")
+
+
+def as_percent(df, label_fmt="asPercent(%s)"):
+    """Each series as percent of the per-t total (dslAsPercent)."""
+    from pyspark.sql import Window
+
+    tot = F.sum(F.col(VALUE).cast("decimal(38,6)")).over(
+        Window.partitionBy(T)
+    ).cast("double")
+    v = F.when(tot != 0.0, F.col(VALUE) / tot * 100.0)
+    return df.select(
+        F.format_string(label_fmt, F.col(NAME)).alias(NAME), F.col(T),
+        v.cast("double").alias(VALUE),
+    )
+
+
+def as_percent_sql(base, label_fmt="asPercent(%s)"):
+    tot = "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY t) AS DOUBLE)"
+    return (
+        f"SELECT printf('{label_fmt}', name) AS name, t, "
+        f"CAST(CASE WHEN ({tot}) <> 0.0 THEN value / ({tot}) * 100.0 END AS DOUBLE) AS value "
+        f"FROM ({base})"
+    )
+
+
+def weighted_average(df, avg_suffix: str, weight_suffix: str, node: int = 0):
+    """sum(avg_i*weight_i)/sum(weight_i) pairing series by name node
+    (dslWeightedAverage). Series named '<key>.<suffix>'."""
+    parts = F.split(F.col(NAME), r"\.")
+    key = F.element_at(parts, node + 1)
+    suffix = F.element_at(parts, F.size(parts))
+    avg_v = F.max(F.when(suffix == avg_suffix, F.col(VALUE)))
+    wt_v = F.max(F.when(suffix == weight_suffix, F.col(VALUE)))
+    per_key = (
+        df.groupBy(T, key.alias("k"))
+        .agg(avg_v.alias("a"), wt_v.alias("w"))
+        .groupBy(T)
+        .agg(
+            F.when(
+                F.sum(F.col("w").cast("decimal(38,6)")).cast("double") != 0.0,
+                F.sum((F.col("a") * F.col("w")).cast("decimal(38,6)")).cast("double")
+                / F.sum(F.col("w").cast("decimal(38,6)")).cast("double"),
+            ).alias(VALUE)
+        )
+    )
+    return per_key.select(
+        F.lit(f"weightedAverage({avg_suffix},{weight_suffix})").alias(NAME),
+        F.col(T),
+        F.col(VALUE).cast("double").alias(VALUE),
+    )
+
+
+def weighted_average_sql(base, avg_suffix: str, weight_suffix: str, node: int = 0):
+    inner = (
+        "SELECT t, string_split(name, '.')[{n}] AS k, "
+        "MAX(CASE WHEN string_split(name, '.')[len(string_split(name, '.'))] = '{a}' THEN value END) AS a, "
+        "MAX(CASE WHEN string_split(name, '.')[len(string_split(name, '.'))] = '{w}' THEN value END) AS w "
+        "FROM ({b}) GROUP BY 1, 2"
+    ).format(n=node + 1, a=avg_suffix, w=weight_suffix, b=base)
+    sw = "CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)"
+    saw = "CAST(SUM(CAST(a * w AS DECIMAL(38,6))) AS DOUBLE)"
+    return (
+        f"SELECT 'weightedAverage({avg_suffix},{weight_suffix})' AS name, t, "
+        f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
+        f"FROM ({inner}) GROUP BY t"
+    )
+
+
+def group_by_node(df, node: int, func: str = "sum"):
+    """Aggregate series sharing the node-th dot-component (dslGroupByNode)."""
+    key = F.element_at(F.split(F.col(NAME), r"\."), node + 1)
+    if func == "sum":
+        agg = F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double")
+    elif func == "avg":
+        agg = F.when(
+            F.count(VALUE) > 0,
+            (F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE)),
+        )
+    elif func == "max":
+        agg = F.max(VALUE)
+    elif func == "min":
+        agg = F.min(VALUE)
+    else:
+        raise ValueError(func)
+    return (
+        df.groupBy(key.alias(NAME), F.col(T))
+        .agg(agg.cast("double").alias(VALUE))
+        .select(NAME, T, VALUE)
+    )
+
+
+def group_by_node_sql(base, node: int, func: str = "sum"):
+    key = f"string_split(name, '.')[{node + 1}]"
+    if func == "sum":
+        agg = "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+    elif func == "avg":
+        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
+    elif func == "max":
+        agg = "MAX(value)"
+    elif func == "min":
+        agg = "MIN(value)"
+    else:
+        raise ValueError(func)
+    return (
+        f"SELECT {key} AS name, t, CAST({agg} AS DOUBLE) AS value "
+        f"FROM ({base}) GROUP BY 1, 2"
+    )

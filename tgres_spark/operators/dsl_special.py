@@ -1,0 +1,187 @@
+"""Graphite DSL special functions — aliasing, generated series, sorts.
+
+Reference: dsl/funcs.go SPECIAL block + dsl/aliasseries.go.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import NAME, T, VALUE
+
+
+def alias(df, new_name: str) -> DataFrame:
+    return df.select(
+        F.lit(new_name).alias(NAME), F.col(T), F.col(VALUE)
+    )
+
+
+def alias_sql(base, new_name: str) -> str:
+    return f"SELECT '{new_name}' AS name, t, value FROM ({base})"
+
+
+def alias_by_metric(df) -> DataFrame:
+    """Last dot-component of the name (dslAliasByMetric)."""
+    parts = F.split(F.col(NAME), r"\.")
+    return df.select(
+        F.element_at(parts, F.size(parts)).alias(NAME), F.col(T), F.col(VALUE)
+    )
+
+
+def alias_by_metric_sql(base) -> str:
+    return (
+        "SELECT string_split(name, '.')[len(string_split(name, '.'))] AS name, "
+        f"t, value FROM ({base})"
+    )
+
+
+def alias_by_node(df, *nodes: int) -> DataFrame:
+    """Join the given dot-components (dslAliasByNode)."""
+    parts = F.split(F.col(NAME), r"\.")
+    comps = [F.element_at(parts, n + 1) for n in nodes]
+    return df.select(
+        F.concat_ws(".", *comps).alias(NAME), F.col(T), F.col(VALUE)
+    )
+
+
+def alias_by_node_sql(base, *nodes: int) -> str:
+    comps = " || '.' || ".join(
+        f"string_split(name, '.')[{n + 1}]" for n in nodes
+    )
+    return f"SELECT {comps} AS name, t, value FROM ({base})"
+
+
+def alias_sub(df, search: str, replace: str) -> DataFrame:
+    """Regex substitution on names (dslAliasSub)."""
+    return df.select(
+        F.regexp_replace(NAME, search, replace).alias(NAME),
+        F.col(T),
+        F.col(VALUE),
+    )
+
+
+def alias_sub_sql(base, search: str, replace: str) -> str:
+    return (
+        f"SELECT regexp_replace(name, '{search}', '{replace}') AS name, t, value "
+        f"FROM ({base})"
+    )
+
+
+def constant_line(spark: SparkSession, value: float, t0: int, t1: int, step: int) -> DataFrame:
+    """A flat series over [t0, t1] (dslConstantLine). Generated with
+    sequence() — no driver-side loop, scales to any range."""
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(t0), F.lit(t1), F.lit(step))).alias(T)
+    ).select(
+        F.lit(f"constantLine({value:g})").alias(NAME),
+        F.col(T).cast("bigint"),
+        F.lit(float(value)).alias(VALUE),
+    )
+
+
+def constant_line_sql(value: float, t0: int, t1: int, step: int) -> str:
+    return (
+        f"SELECT 'constantLine({value:g})' AS name, CAST(r AS BIGINT) AS t, "
+        f"CAST({float(value)!r} AS DOUBLE) AS value "
+        f"FROM range({t0}, {t1 + 1}, {step}) AS _(r)"
+    )
+
+
+def time_stack(df, shift_s: int, start: int, end: int) -> DataFrame:
+    """N time-shifted copies of the series (dslTimeStack): one copy per
+    k in [start, end], shifted k*shift_s forward."""
+    ks = F.explode(F.sequence(F.lit(start), F.lit(end))).alias("k")
+    e = df.select(F.col(NAME), F.col(T), F.col(VALUE), ks)
+    return e.select(
+        F.format_string(
+            f'timeStack(%s,"{shift_s}s",%d)', F.col(NAME), F.col("k")
+        ).alias(NAME),
+        (F.col(T) + F.col("k") * int(shift_s)).alias(T),
+        F.col(VALUE),
+    )
+
+
+def time_stack_sql(base, shift_s: int, start: int, end: int) -> str:
+    return (
+        f"SELECT printf('timeStack(%s,\"{shift_s}s\",%d)', name, k) AS name, "
+        f"t + k * {int(shift_s)} AS t, value "
+        f"FROM ({base}), (SELECT UNNEST(range({start}, {end + 1})) AS k)"
+    )
+
+
+def sort_by(df, stat: str, ascending: bool = False) -> DataFrame:
+    """sortByTotal/sortByMaxima/sortByMinima/sortByName: deterministic
+    series ordering surfaced as a rank prefix (a relation has no row
+    order; the rank materializes the reference's sort for comparison)."""
+    from pyspark.sql import Window
+
+    from .dsl_filter import _stat
+
+    if stat == "name":
+        s = df.select(NAME).distinct().withColumn("stat", F.lit(0.0))
+    else:
+        s = _stat(df, stat)
+    order = (
+        [F.col("stat").asc_nulls_last(), F.col(NAME).asc()]
+        if ascending
+        else [F.col("stat").desc_nulls_last(), F.col(NAME).asc()]
+    )
+    if stat == "name":
+        order = [F.col(NAME).asc()]
+    ranked = s.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    return (
+        df.join(F.broadcast(ranked.select(NAME, "rank")), NAME)
+        .select(
+            F.format_string("%d:%s", F.col("rank"), F.col(NAME)).alias(NAME),
+            F.col(T),
+            F.col(VALUE),
+        )
+    )
+
+
+def sort_by_sql(base, stat: str, ascending: bool = False) -> str:
+    from .dsl_filter import _stat_sql
+
+    if stat == "name":
+        s = f"SELECT DISTINCT name, 0.0 AS stat FROM ({base})"
+        order = "name ASC"
+    else:
+        s = _stat_sql(base, stat)
+        direction = "ASC" if ascending else "DESC"
+        order = f"stat {direction} NULLS LAST, name ASC"
+    ranked = f"SELECT name, ROW_NUMBER() OVER (ORDER BY {order}) AS rank FROM ({s})"
+    return (
+        f"SELECT printf('%d:%s', r.rank, b.name) AS name, b.t AS t, b.value AS value "
+        f"FROM ({base}) b JOIN ({ranked}) r ON b.name = r.name"
+    )
+
+
+def sinusoid(spark: SparkSession, amplitude: float, t0: int, t1: int, step: int) -> DataFrame:
+    """sin over wall-clock (dslSinusoid) — engine-generated, rows-only
+    (float trig differs across engines at ulp level)."""
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(t0), F.lit(t1), F.lit(step))).alias(T)
+    ).select(
+        F.lit(f"sinusoid({amplitude:g})").alias(NAME),
+        F.col(T).cast("bigint"),
+        (F.lit(float(amplitude)) * F.sin(F.col(T).cast("double") / 3600.0)).alias(VALUE),
+    )
+
+
+def random_walk(spark: SparkSession, name: str, t0: int, t1: int, step: int) -> DataFrame:
+    """Deterministic pseudo-random walk (dslRandomWalk uses rand; we
+    derive increments from a hash of t so runs are reproducible)."""
+    from pyspark.sql import Window
+
+    ts = spark.range(1).select(
+        F.explode(F.sequence(F.lit(t0), F.lit(t1), F.lit(step))).alias(T)
+    )
+    inc = (F.conv(F.substring(F.md5(F.col(T).cast("string")), 1, 4), 16, 10).cast("double") / 65535.0) - 0.5
+    stepped = ts.select(F.col(T).cast("bigint").alias(T), inc.alias("inc"))
+    w = Window.orderBy(T).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return stepped.select(
+        F.lit(name).alias(NAME),
+        F.col(T),
+        F.sum("inc").over(w).alias(VALUE),
+    )
