@@ -1,0 +1,99 @@
+"""Protocol parsing + statsd flush semantics (statsd/statsd.go tests
+and aggregator.go Flush behavior)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tgres_spark.aggregator import statsd_flush
+from tgres_spark.sources.graphite import parse_graphite_lines
+from tgres_spark.sources.statsd import parse_statsd_packets
+
+
+def test_graphite_parse_good_and_bad(spark):
+    lines = spark.createDataFrame(
+        [("web.a.hits 1.50 100",), ("bad",), ("x y z",), ("m 2 200 extra",)],
+        "line string",
+    )
+    rows = parse_graphite_lines(lines).collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "web.a.hits"
+    assert rows[0]["t"] == 100 and rows[0]["value"] == 1.5
+
+
+def test_statsd_parse_variants(spark):
+    pk = spark.createDataFrame(
+        [
+            (1, "gorets:1|c"),
+            (2, "glork:320|ms"),
+            (3, "gaugor:333|g"),
+            (4, "gaugor:+10|g"),
+            (5, "gaugor:-4|g"),
+            (6, "sampled:5|c|@0.1"),
+            (7, "bad packet"),
+            (8, "nope:x|c"),
+        ],
+        "t long, packet string",
+    )
+    rows = {r["t"]: r for r in parse_statsd_packets(pk).collect()}
+    assert rows[1]["metric"] == "c" and rows[1]["value"] == 1.0
+    assert rows[2]["metric"] == "ms"
+    assert rows[3]["delta"] is False
+    assert rows[4]["delta"] is True and rows[4]["value"] == 10.0
+    assert rows[5]["delta"] is True and rows[5]["value"] == -4.0
+    assert rows[6]["sample"] == 0.1
+    assert 7 not in rows and 8 not in rows
+
+
+def test_statsd_flush_counter_rate_and_sampling(spark):
+    # two counters in one 60s window; @0.5 doubles the increment;
+    # rate = (1/1 + 5/0.5) / 60
+    pk = spark.createDataFrame(
+        [(10, "c1:1|c"), (20, "c1:5|c|@0.5")], "t long, packet string"
+    )
+    out = statsd_flush(parse_statsd_packets(pk), 60)
+    r = {x["name"]: x for x in out.collect()}
+    assert math.isclose(r["stats.c1"]["value"], 11.0 / 60.0)
+    assert r["stats.c1"]["t"] == 60
+
+
+def test_statsd_flush_gauge_set_and_delta(spark):
+    pk = spark.createDataFrame(
+        [(10, "g1:100|g"), (20, "g1:50|g"), (30, "g1:+7|g"), (40, "g1:-2|g")],
+        "t long, packet string",
+    )
+    out = statsd_flush(parse_statsd_packets(pk), 60)
+    r = {x["name"]: x for x in out.collect()}
+    # last set (50) + deltas (+7-2) = 55
+    assert r["stats.gauges.g1"]["value"] == 55.0
+
+
+def test_statsd_flush_timer_stats(spark):
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
+    pk = spark.createDataFrame(
+        [(i + 1, f"tm:{v}|ms") for i, v in enumerate(vals)],
+        "t long, packet string",
+    )
+    out = statsd_flush(parse_statsd_packets(pk), 60)
+    r = {x["name"]: x["value"] for x in out.collect()}
+    assert r["stats.timers.tm.count"] == 10.0
+    assert r["stats.timers.tm.lower"] == 10.0
+    assert r["stats.timers.tm.upper"] == 100.0
+    assert math.isclose(r["stats.timers.tm.sum"], 550.0)
+    assert math.isclose(r["stats.timers.tm.mean"], 55.0)
+    # threshold 90: idx = floor(0.9*10+0.5)-1 = 8 → upper_90 = 90
+    assert r["stats.timers.tm.upper_90"] == 90.0
+    assert math.isclose(r["stats.timers.tm.sum_90"], 450.0)
+    assert math.isclose(r["stats.timers.tm.mean_90"], 50.0)
+
+
+def test_statsd_flush_windows_are_separate(spark):
+    pk = spark.createDataFrame(
+        [(10, "c1:60|c"), (70, "c1:120|c")], "t long, packet string"
+    )
+    out = statsd_flush(parse_statsd_packets(pk), 60)
+    r = {(x["name"], x["t"]): x["value"] for x in out.collect()}
+    assert math.isclose(r[("stats.c1", 60)], 1.0)
+    assert math.isclose(r[("stats.c1", 120)], 2.0)

@@ -1,0 +1,207 @@
+"""Statsd-style flush aggregation over fixed windows.
+
+Reference: aggregator/aggregator.go Flush (aggregator.go:155-211) and
+statsd.go AggregatorCmd routing:
+
+- counter (CmdAdd): sum(value / sample) per flush window, emitted as a
+  per-second rate over the window.
+- gauge set (CmdSetGauge): last value in the window; gauge delta
+  (CmdAddGauge): running sum of deltas applied to the last set value.
+- timer (CmdAppend): per window over the sorted sample list —
+  count, lower, upper, sum, mean, and for each threshold p:
+  idx = floor(p/100*n + .5) - 1, upper_p = sorted[idx],
+  sum_p = sum(sorted[..idx]), mean_p = sum_p/(idx+1).
+
+Deviation (documented): aggregator.go:185-187 fills ``cumul`` with
+``cumul[n] += v`` on a fresh slice, so its ".sum" is really the max
+sample — a bug. We implement the statsd-standard cumulative sum.
+
+Spark shape: one groupBy (name, window) with conditional aggregates —
+single shuffle; timers build a sorted array and left-fold partial
+sums so both engines sum in the same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .model import NAME, T, VALUE
+from .operators.consolidate import slot_end
+
+THRESHOLD = 90  # reference default Thresholds: []int{90}
+
+
+def statsd_flush(parsed: DataFrame, flush_s: int = 60, prefix: str = "stats") -> DataFrame:
+    """(t, name, value, metric, sample, delta) → flushed SeriesFrame.
+
+    One output series per counter/gauge, eight per timer (suffixes).
+    """
+    counters = _flush_counters(parsed, flush_s, prefix)
+    gauges = _flush_gauges(parsed, flush_s, prefix)
+    timers = _flush_timers(parsed, flush_s, prefix)
+    return counters.unionAll(gauges).unionAll(timers)
+
+
+def _flush_counters(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
+    c = parsed.where(F.col("metric") == "c")
+    rate = (
+        F.sum((F.col(VALUE) / F.col("sample")).cast("decimal(38,6)")).cast("double")
+        / float(flush_s)
+    )
+    return (
+        c.groupBy(F.col(NAME), slot_end(flush_s).alias("slot"))
+        .agg(rate.alias("v"))
+        .select(
+            F.concat(F.lit(prefix + "."), F.col(NAME)).alias(NAME),
+            F.col("slot").alias(T),
+            F.col("v").alias(VALUE),
+        )
+    )
+
+
+def flush_counters_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> str:
+    slot = f"CAST(FLOOR((t - 1) / {flush_s}) * {flush_s} + {flush_s} AS BIGINT)"
+    return (
+        f"SELECT '{prefix}.' || name AS name, {slot} AS t, "
+        f"CAST(SUM(CAST(value / sample AS DECIMAL(38,6))) AS DOUBLE) / {float(flush_s)!r} AS value "
+        f"FROM ({parsed_sql}) WHERE metric = 'c' GROUP BY name, {slot}"
+    )
+
+
+def _flush_gauges(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
+    """Non-delta gauges: last set value per window (ties → max value,
+    same cross-engine tie-break as consolidate cf=last). Delta gauges
+    ride on top as a cumulative adjustment within the window."""
+    from pyspark.sql import Window
+
+    g = parsed.where(F.col("metric") == "g")
+    sets = g.where(~F.col("delta"))
+    pts = sets.select(
+        NAME, F.col(T), slot_end(flush_s).alias("slot"), F.col(VALUE).alias("v")
+    )
+    wmax = Window.partitionBy(NAME, "slot")
+    last_set = (
+        pts.withColumn("tmax", F.max(T).over(wmax))
+        .where(F.col(T) == F.col("tmax"))
+        .groupBy(NAME, "slot")
+        .agg(F.max("v").alias("base"))
+    )
+    deltas = (
+        g.where(F.col("delta"))
+        .groupBy(F.col(NAME), slot_end(flush_s).alias("slot"))
+        .agg(F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double").alias("d"))
+    )
+    j = last_set.join(deltas, [NAME, "slot"], "full")
+    return j.select(
+        F.concat(F.lit(prefix + ".gauges."), F.col(NAME)).alias(NAME),
+        F.col("slot").alias(T),
+        (F.coalesce(F.col("base"), F.lit(0.0)) + F.coalesce(F.col("d"), F.lit(0.0))).alias(VALUE),
+    )
+
+
+def flush_gauges_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> str:
+    slot = f"CAST(FLOOR((t - 1) / {flush_s}) * {flush_s} + {flush_s} AS BIGINT)"
+    sets = (
+        f"SELECT name, slot, MAX(v) AS base FROM ("
+        f"SELECT name, t, {slot} AS slot, value AS v, "
+        f"MAX(t) OVER (PARTITION BY name, {slot}) AS tmax "
+        f"FROM ({parsed_sql}) WHERE metric = 'g' AND NOT delta"
+        f") WHERE t = tmax GROUP BY name, slot"
+    )
+    deltas = (
+        f"SELECT name, {slot} AS slot, "
+        f"CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS d "
+        f"FROM ({parsed_sql}) WHERE metric = 'g' AND delta GROUP BY name, {slot}"
+    )
+    return (
+        f"SELECT '{prefix}.gauges.' || COALESCE(s.name, d.name) AS name, "
+        f"COALESCE(s.slot, d.slot) AS t, "
+        f"COALESCE(s.base, 0.0) + COALESCE(d.d, 0.0) AS value "
+        f"FROM ({sets}) s FULL JOIN ({deltas}) d ON s.name = d.name AND s.slot = d.slot"
+    )
+
+
+def _flush_timers(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
+    t_ = parsed.where(F.col("metric") == "ms")
+    arr = F.array_sort(F.collect_list(VALUE))
+    n = F.size(arr)
+    idx = F.floor(F.lit(THRESHOLD / 100.0) * n.cast("double") + 0.5).cast("int") - 1
+    head = F.slice(arr, 1, idx + 1)
+    lfold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    wide = t_.groupBy(F.col(NAME), slot_end(flush_s).alias("slot")).agg(
+        n.cast("double").alias("count"),
+        F.element_at(arr, 1).alias("lower"),
+        F.element_at(arr, n).alias("upper"),
+        lfold(arr).alias("sum"),
+        (lfold(arr) / n.cast("double")).alias("mean"),
+        F.when(idx >= 0, F.element_at(arr, idx + 1)).alias(f"upper_{THRESHOLD}"),
+        F.when(idx >= 0, lfold(head)).alias(f"sum_{THRESHOLD}"),
+        F.when(idx >= 0, lfold(head) / (idx + 1).cast("double")).alias(
+            f"mean_{THRESHOLD}"
+        ),
+    )
+    suffixes = [
+        "count", "lower", "upper", "sum", "mean",
+        f"upper_{THRESHOLD}", f"sum_{THRESHOLD}", f"mean_{THRESHOLD}",
+    ]
+    stack = ", ".join(f"'{s}', `{s}`" for s in suffixes)
+    return wide.selectExpr(
+        "name", "slot", f"stack({len(suffixes)}, {stack}) AS (suffix, value)"
+    ).select(
+        F.concat(
+            F.lit(prefix + ".timers."), F.col(NAME), F.lit("."), F.col("suffix")
+        ).alias(NAME),
+        F.col("slot").alias(T),
+        F.col(VALUE).cast("double").alias(VALUE),
+    )
+
+
+def flush_timers_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> str:
+    slot = f"CAST(FLOOR((t - 1) / {flush_s}) * {flush_s} + {flush_s} AS BIGINT)"
+    arr = "list_sort(list(value))"
+    n = f"len({arr})"
+    idx = f"CAST(FLOOR({THRESHOLD / 100.0!r} * {n} + 0.5) AS BIGINT) - 1"
+    fold = "list_reduce(list_prepend(0.0, {a}), (acc, x) -> acc + x)"
+    foldall = fold.format(a=arr)
+    foldhead = fold.format(a=f"list_slice({arr}, 1, ({idx}) + 1)")
+    wide = (
+        f"SELECT name, {slot} AS slot, "
+        f"CAST({n} AS DOUBLE) AS \"count\", {arr}[1] AS lower, {arr}[{n}] AS upper, "
+        f"{foldall} AS \"sum\", {foldall} / {n} AS mean, "
+        f"CASE WHEN ({idx}) >= 0 THEN {arr}[({idx}) + 1] END AS upper_{THRESHOLD}, "
+        f"CASE WHEN ({idx}) >= 0 THEN {foldhead} END AS sum_{THRESHOLD}, "
+        f"CASE WHEN ({idx}) >= 0 THEN {foldhead} / (({idx}) + 1) END AS mean_{THRESHOLD} "
+        f"FROM ({parsed_sql}) WHERE metric = 'ms' GROUP BY name, {slot}"
+    )
+    pieces = []
+    for s in (
+        "count", "lower", "upper", "sum", "mean",
+        f"upper_{THRESHOLD}", f"sum_{THRESHOLD}", f"mean_{THRESHOLD}",
+    ):
+        pieces.append(
+            f"SELECT '{prefix}.timers.' || name || '.{s}' AS name, slot AS t, "
+            f"CAST(\"{s}\" AS DOUBLE) AS value FROM w"
+        )
+    return f"WITH w AS ({wide}) " + " UNION ALL ".join(pieces)
+
+
+def paced_metrics(sf: DataFrame, pace_s: int, kind: str = "sum") -> DataFrame:
+    """receiver/pacedmetric.go: rate-limit a firehose to ≤1 datapoint
+    per pace interval per name — 'sum' accumulates, 'gauge' is a
+    time-weighted mean (ClockPdp)."""
+    from .operators.consolidate import consolidate
+
+    if kind == "sum":
+        return consolidate(sf, pace_s, cf="sum")
+    if kind == "gauge":
+        return consolidate(sf, pace_s, cf="wmean")
+    raise ValueError(kind)
+
+
+def paced_metrics_sql(base_sql: str, pace_s: int, kind: str = "sum") -> str:
+    from .operators.consolidate import oracle_consolidate_sql
+
+    return oracle_consolidate_sql(
+        base_sql, pace_s, "sum" if kind == "sum" else "wmean"
+    )

@@ -1,0 +1,148 @@
+"""SURVEY §2.7 — ingest protocol parsing + statsd flush queries.
+
+Protocol lines are synthesized deterministically from the events
+table (identical printf in Spark and DuckDB), parsed back by the real
+parsers, and aggregated by the real flush logic — so the oracle
+exercises parse→aggregate end-to-end, malformed-line handling
+included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..aggregator import (
+    flush_counters_sql,
+    flush_gauges_sql,
+    flush_timers_sql,
+    paced_metrics,
+    paced_metrics_sql,
+    statsd_flush,
+)
+from ..model import EVENTS_SERIES_SQL, epoch_s, load_table, series_from_events
+from ..registry import register
+from ..sources.graphite import parse_graphite_lines, parse_graphite_lines_sql
+from ..sources.statsd import parse_statsd_packets, parse_statsd_packets_sql
+
+FLUSH = 60
+
+
+# --- graphite line protocol ------------------------------------------------
+
+def graphite_lines(spark, sf_dir):
+    """events → protocol lines, with a deterministic sprinkle of
+    malformed lines the parser must reject."""
+    ev = load_table(spark, sf_dir, "events")
+    good = F.format_string(
+        "web.%s.hits %.2f %d",
+        F.col("event_type"),
+        F.col("value"),
+        epoch_s("ts"),
+    )
+    line = F.when(F.col("event_id") % 97 == 0, F.lit("not a metric")).otherwise(good)
+    return ev.select(line.alias("line"))
+
+
+GRAPHITE_LINES_SQL = (
+    "SELECT CASE WHEN event_id % 97 = 0 THEN 'not a metric' ELSE "
+    "printf('web.%s.hits %.2f %d', event_type, value, epoch_ns(ts) // 1000000000) "
+    "END AS line FROM events"
+)
+
+
+@register(
+    "graphite_line_parse",
+    sql=parse_graphite_lines_sql(GRAPHITE_LINES_SQL),
+)
+def graphite_line_parse(spark, sf_dir):
+    return parse_graphite_lines(graphite_lines(spark, sf_dir))
+
+
+# --- statsd ----------------------------------------------------------------
+
+def statsd_packets(spark, sf_dir):
+    """events → statsd packets: clicks/views = counters (views sampled
+    at 0.5), errors/signups = timers, purchases = gauges (every third a
+    +delta); every 97th packet malformed."""
+    ev = load_table(spark, sf_dir, "events")
+    metric = (
+        F.when(F.col("event_type").isin("click", "view"), "c")
+        .when(F.col("event_type").isin("error", "signup"), "ms")
+        .otherwise("g")
+    )
+    sign = F.when(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0), "+"
+    ).otherwise("")
+    sample = F.when(F.col("event_type") == "view", "|@0.50").otherwise("")
+    good = F.concat(
+        F.lit("app."), F.col("event_type"),
+        F.lit(":"), sign, F.format_string("%.2f", F.col("value")),
+        F.lit("|"), metric, sample,
+    )
+    pkt = F.when(F.col("event_id") % 97 == 0, F.lit("oops|nope")).otherwise(good)
+    return ev.select(epoch_s("ts").alias("t"), pkt.alias("packet"))
+
+
+STATSD_PACKETS_SQL = (
+    "SELECT epoch_ns(ts) // 1000000000 AS t, "
+    "CASE WHEN event_id % 97 = 0 THEN 'oops|nope' ELSE "
+    "'app.' || event_type || ':' || "
+    "(CASE WHEN event_type = 'purchase' AND event_id % 3 = 0 THEN '+' ELSE '' END) || "
+    "printf('%.2f', value) || '|' || "
+    "(CASE WHEN event_type IN ('click', 'view') THEN 'c' "
+    " WHEN event_type IN ('error', 'signup') THEN 'ms' ELSE 'g' END) || "
+    "(CASE WHEN event_type = 'view' THEN '|@0.50' ELSE '' END) "
+    "END AS packet FROM events"
+)
+
+PARSED_SQL = parse_statsd_packets_sql(STATSD_PACKETS_SQL)
+
+
+@register(
+    "statsd_parse",
+    sql=(
+        "SELECT t, name, value, metric, sample, "
+        f"CAST(delta AS BIGINT) AS delta FROM ({PARSED_SQL})"
+    ),
+)
+def statsd_parse(spark, sf_dir):
+    p = parse_statsd_packets(statsd_packets(spark, sf_dir))
+    return p.withColumn("delta", F.col("delta").cast("bigint"))
+
+
+def _parsed(spark, sf_dir):
+    return parse_statsd_packets(statsd_packets(spark, sf_dir))
+
+
+@register("statsd_flush_counters", sql=flush_counters_sql(PARSED_SQL, FLUSH))
+def statsd_flush_counters(spark, sf_dir):
+    from ..aggregator import _flush_counters
+
+    return _flush_counters(_parsed(spark, sf_dir), FLUSH, "stats")
+
+
+@register("statsd_flush_gauges", sql=flush_gauges_sql(PARSED_SQL, FLUSH))
+def statsd_flush_gauges(spark, sf_dir):
+    from ..aggregator import _flush_gauges
+
+    return _flush_gauges(_parsed(spark, sf_dir), FLUSH, "stats")
+
+
+@register("statsd_flush_timers", sql=flush_timers_sql(PARSED_SQL, FLUSH))
+def statsd_flush_timers(spark, sf_dir):
+    from ..aggregator import _flush_timers
+
+    return _flush_timers(_parsed(spark, sf_dir), FLUSH, "stats")
+
+
+@register("statsd_flush_all", sql=None)  # union shape exercised via parts above
+def statsd_flush_all(spark, sf_dir):
+    return statsd_flush(_parsed(spark, sf_dir), FLUSH, "stats")
+
+
+@register(
+    "paced_metric",
+    sql=paced_metrics_sql(EVENTS_SERIES_SQL, 300, "sum"),
+)
+def paced_metric(spark, sf_dir):
+    return paced_metrics(series_from_events(spark, sf_dir), 300, "sum")

@@ -35,6 +35,7 @@ def register(key: str, sql: str | None = None):
 _QUERY_MODULES = [
     "tgres_spark.operators.queries_rrd",
     "tgres_spark.operators.queries_dsl",
+    "tgres_spark.operators.queries_ingest",
 ]
 
 
