@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set: the tgres write path (multi-RRA rollup), the DSL read path
+(sum/moving/percentile over the archive), statsd parse→flush, the
+relational spine (q1/q3/q5/q6), sessionization, and the LLM-pipeline
+headliners (minhash LSH dedup, brute-force ANN, text quality).
+Each timing includes full materialization (count) but not session
+startup; a warmup pass primes the JVM + parquet footer caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "rrd_multi_rra",
+    "dsl_sumSeries",
+    "dsl_movingAverage",
+    "dsl_percentileOfSeries",
+    "statsd_flush_timers",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from tgres_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("tgres_spark_bench")
+    qs = e.queries()
+    # warmup: prime JVM, parquet footers, codegen caches
+    qs["tpch_q6"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

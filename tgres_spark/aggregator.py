@@ -124,12 +124,19 @@ def flush_gauges_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> st
 
 def _flush_timers(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
     t_ = parsed.where(F.col("metric") == "ms")
-    arr = F.array_sort(F.collect_list(VALUE))
+    # ONE aggregate buffer (the sorted sample list); every stat is a
+    # cheap post-projection on it — not six parallel collect_lists.
+    grouped = t_.groupBy(F.col(NAME), slot_end(flush_s).alias("slot")).agg(
+        F.array_sort(F.collect_list(VALUE)).alias("arr")
+    )
+    arr = F.col("arr")
     n = F.size(arr)
     idx = F.floor(F.lit(THRESHOLD / 100.0) * n.cast("double") + 0.5).cast("int") - 1
     head = F.slice(arr, 1, idx + 1)
     lfold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
-    wide = t_.groupBy(F.col(NAME), slot_end(flush_s).alias("slot")).agg(
+    wide = grouped.select(
+        NAME,
+        "slot",
         n.cast("double").alias("count"),
         F.element_at(arr, 1).alias("lower"),
         F.element_at(arr, n).alias("upper"),

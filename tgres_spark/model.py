@@ -48,10 +48,22 @@ def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def epoch_s(col: str) -> Column:
-    """Timestamp column (read as bigint nanos, see session.py) → epoch
-    seconds. SQL DIV = exact integer division; double math would lose
-    precision above 2^53 ns."""
+def epoch_s(col: str, df: DataFrame | None = None) -> Column:
+    """Time column → epoch seconds bigint.
+
+    Two parquet flavors exist in the testdata: TIMESTAMP(NANOS) reads
+    as bigint nanos (nanosAsLong, see session.py) — exact integer DIV;
+    TIMESTAMP(MICROS) reads as timestamp_ntz — floor of epoch micros
+    (to_unix_timestamp would round through the session timezone; NTZ
+    micros DIV stays timezone-free and matches DuckDB's epoch_ns//1e9).
+    Pass ``df`` to resolve the column's type; defaults to the nanos
+    bigint form."""
+    if df is not None:
+        dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
+        if dt.startswith("timestamp"):
+            return F.expr(
+                f"CAST(unix_micros(to_utc_timestamp(`{col}`, 'UTC')) DIV 1000000 AS BIGINT)"
+            )
     return F.expr(f"CAST(`{col}` DIV 1000000000 AS BIGINT)")
 
 

@@ -308,3 +308,22 @@ def _sinusoid(spark, sf_dir):
 @register("dsl_randomWalk")  # rows-only: generated series
 def _random_walk(spark, sf_dir):
     return ds.random_walk(spark, "randomWalk", T0, T0 + 7 * 86400, STEP)
+
+
+# --- Holt-Winters (rows-only: iterative recurrence + optimizer) ------------
+from . import holtwinters as hw  # noqa: E402
+
+
+@register("dsl_holtWintersForecast")
+def _hw_forecast(spark, sf_dir):
+    return hw.holt_winters_forecast(base(spark, sf_dir), 24, 24)
+
+
+@register("dsl_holtWintersConfidenceBands")
+def _hw_bands(spark, sf_dir):
+    return hw.holt_winters_confidence_bands(base(spark, sf_dir), 24, 24)
+
+
+@register("dsl_holtWintersAberration")
+def _hw_aberration(spark, sf_dir):
+    return hw.holt_winters_aberration(base(spark, sf_dir), 24)

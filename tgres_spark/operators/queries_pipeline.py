@@ -1,0 +1,69 @@
+"""SURVEY §2.8 — LLM-data-pipeline queries on documents/embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..model import load_table
+from ..pipeline import dedup as dd
+from ..pipeline import multimodal as mm
+from ..pipeline import similarity as sim
+from ..pipeline import textstats as tx
+from ..registry import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+register("dedup_exact", sql=dd.DEDUP_EXACT_SQL)(
+    lambda s, d: dd.dedup_exact(_docs(s, d))
+)
+register("dedup_minhash_lsh", sql=dd.dedup_minhash_lsh_sql())(
+    lambda s, d: dd.dedup_minhash_lsh(_docs(s, d))
+)
+register("dedup_simhash", sql=dd.dedup_simhash_sql())(
+    lambda s, d: dd.dedup_simhash(_docs(s, d))
+)
+register("dedup_ngram_jaccard", sql=dd.dedup_ngram_jaccard_sql())(
+    lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d))
+)
+register("ann_cosine_topk", sql=sim.ann_cosine_topk_sql())(
+    lambda s, d: sim.ann_cosine_topk(_emb(s, d))
+)
+register("ann_lsh_buckets")(  # rows-only: seeded-numpy hyperplanes
+    lambda s, d: sim.ann_lsh_buckets(_emb(s, d))
+)
+register("ann_ivf_search")(  # rows-only: iterative k-means centroids
+    lambda s, d: sim.ann_ivf_search(_emb(s, d))
+)
+register("text_langid", sql=tx.text_langid_sql())(
+    lambda s, d: tx.text_langid(_docs(s, d))
+)
+register("text_quality", sql=tx.text_quality_sql())(
+    lambda s, d: tx.text_quality(_docs(s, d))
+)
+register("text_tokens", sql=tx.text_tokens_sql())(
+    lambda s, d: tx.text_tokens(_docs(s, d))
+)
+register("text_fingerprint", sql=tx.text_fingerprint_sql())(
+    lambda s, d: tx.text_fingerprint(_docs(s, d))
+)
+
+
+@register("mm_decode_stub")  # rows-only: mapInPandas plumbing w/ fake decode
+def mm_decode_stub(spark, sf_dir):
+    media = mm.synthesize_media(_docs(spark, sf_dir))
+    return mm.decode_and_featurize(media)
+
+
+@register("mm_frame_sample")  # rows-only: JVM-side frame explode
+def mm_frame_sample(spark, sf_dir):
+    media = mm.synthesize_media(_docs(spark, sf_dir))
+    return mm.frame_sample(media).withColumn(
+        "frame_idx", F.col("frame_idx").cast("bigint")
+    )

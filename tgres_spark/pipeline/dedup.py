@@ -1,0 +1,348 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's surface (SURVEY §2.8): exact hash dedup,
+MinHash+LSH banding, SimHash hamming buckets, n-gram Jaccard joins.
+
+Cross-engine determinism trick used throughout: md5 hex strings are
+identical in Spark and DuckDB, and the lexicographic MIN of fixed-
+width lowercase hex equals the numeric min — so MinHash signatures,
+band keys and fingerprints never need hex→int conversion.
+
+Scale posture: everything is explode → groupBy/join on hashed keys.
+The LSH band join is the classic way to avoid the O(n²) pair blowup:
+candidates only form within a band bucket. Band keys are md5s —
+uniformly distributed, so the shuffle is skew-free by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+# --- shared text prep ------------------------------------------------------
+
+def words(col):
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+WORDS_SQL = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def shingles_of(w, k: int = 3):
+    """k-word shingles from an ALREADY-MATERIALIZED words array column.
+
+    Critical: pass a bound column, not the words() expression — Spark
+    does not common-subexpression-eliminate inside higher-order-function
+    lambdas, so an inlined split would recompute the full regex split
+    for every element (O(words²) per doc; measured 12s vs 1s at sf0.1).
+    """
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.sequence(F.lit(1), F.lit(0))
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        ),
+    )
+
+
+def shingles(col, k: int = 3):
+    """Convenience wrapper for small inputs; hot paths should project
+    words() to a column and call shingles_of (see docstring there)."""
+    return shingles_of(words(col), k)
+
+
+def shingles_sql(c: str, k: int = 3) -> str:
+    w = WORDS_SQL.format(c=c)
+    joined = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, CASE WHEN len(__w) >= {k} THEN len(__w) - {k - 2} ELSE 1 END), "
+        f"i -> {joined})".replace("__w", f"({w})")
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Group identical texts by md5; keeper = lowest doc_id.
+    One groupBy — at 100 TB this is a single skew-free shuffle on a
+    uniform 128-bit key."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .select("h", "n_dups", "keeper_id")
+    )
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<string>): per seed i, min md5('<i>:'+shingle).
+
+    No dedup of (doc, shingle) pairs: MIN is idempotent under
+    duplicates, and skipping the distinct removes an entire shuffle of
+    the exploded shingle relation — the largest intermediate in the
+    whole pipeline. Map-side partial aggregation collapses each
+    partition to one 16-column row per doc before the only shuffle."""
+    sh = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id", F.explode(shingles_of(F.col("w"))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def minhash_signatures_sql() -> str:
+    sh = (
+        f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh FROM documents"
+    )
+    aggs = ", ".join(
+        f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    cols = ", ".join(f"h{i}" for i in range(N_HASHES))
+    return (
+        f"SELECT doc_id, [{cols}] AS sig FROM "
+        f"(SELECT doc_id, {aggs} FROM ({sh}) GROUP BY doc_id)"
+    )
+
+
+def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
+    """LSH-banded candidate pairs with estimated Jaccard = fraction of
+    matching minhash components. Returns (doc_a, doc_b, est_sim).
+
+    The signature relation is persisted: it feeds the band explode AND
+    both sides of the similarity rejoin — without it the whole
+    shingle→md5 pipeline runs three times. Signatures are tiny
+    (16 hex strings per doc), so this caches gigabytes per 100 TB of
+    raw text, not terabytes."""
+    sig = minhash_signatures(docs).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * ROWS_PER_BAND + j + 1)
+                                    for j in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N_HASHES)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.element_at("sig_a", i) == F.element_at("sig_b", i), 1).otherwise(0),
+    ) / float(N_HASHES)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.cast("double").alias("est_sim"))
+    )
+
+
+def dedup_minhash_lsh_sql() -> str:
+    sig = minhash_signatures_sql()
+    sep = " || '|' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({sep.join(f'sig[{b * ROWS_PER_BAND + j + 1}]' for j in range(ROWS_PER_BAND))}) AS key "
+        f"FROM s"
+        for b in range(N_BANDS)
+    )
+    est = (
+        f"list_sum(list_transform(range(1, {N_HASHES + 1}), "
+        f"i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {float(N_HASHES)!r}"
+    )
+    return (
+        f"WITH s AS ({sig}), bands AS ({band_rows}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "WHERE a.doc_id < b.doc_id) "
+        f"SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, CAST({est} AS DOUBLE) AS est_sim "
+        "FROM pairs p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id"
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over word md5s: bit b of the hash is the sign of
+    Σ±1 over tokens (bit b of the token's first 4 hex chars). 16 bits
+    keeps the bit-extraction SQL-expressible in both engines; the
+    construction generalizes to 64."""
+    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    # hex char → value via ascii math ('0'-'9' → 48..57, 'a'-'f' → 97..102)
+    def _hexval(i):
+        a = F.ascii(F.substring(F.md5("w"), i + 1, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    nib = [_hexval(i) for i in range(4)]
+    bit_cols = []
+    for b in range(SIMHASH_BITS):
+        v = nib[b // 4]
+        bitval = F.shiftright(v, b % 4).bitwiseAND(F.lit(1))
+        bit_cols.append(
+            F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"b{b}")
+        )
+    sums = w.groupBy("doc_id").agg(*bit_cols)
+    h = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        h = term if h is None else h + term
+    return sums.select("doc_id", h.cast("bigint").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    w = f"SELECT doc_id, UNNEST({WORDS_SQL.format(c='text')}) AS w FROM documents"
+    nib = [
+        f"(CASE WHEN ascii(substr(md5(w), {i + 1}, 1)) >= 97 "
+        f"THEN ascii(substr(md5(w), {i + 1}, 1)) - 87 "
+        f"ELSE ascii(substr(md5(w), {i + 1}, 1)) - 48 END)"
+        for i in range(4)
+    ]
+    bit_aggs = ", ".join(
+        f"SUM(CASE WHEN (({nib[b // 4]} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    h = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT doc_id, CAST({h} AS BIGINT) AS simhash FROM "
+        f"(SELECT doc_id, {bit_aggs} FROM ({w}) GROUP BY doc_id)"
+    )
+
+
+def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs bucketed by the high byte of the simhash, kept
+    when full hamming distance ≤ max_hamming. (Bucketing by prefix is
+    the standard recall/cost trade — documented approximation.)"""
+    sh = simhash(docs).withColumn(
+        "bucket", F.shiftright(F.col("simhash").cast("int"), 8)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+    )
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    sh = simhash_sql()
+    return (
+        f"WITH s AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM ({sh})) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM s a JOIN s b ON a.bucket = b.bucket "
+        f"WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Word-bigram Jaccard similarity join, blocked by language (pairs
+    only form within a lang — the blocking key that keeps the join from
+    going quadratic). Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    grams = (
+        docs.select("doc_id", "lang", words(F.col("text")).alias("w"))
+        .select(
+            "doc_id", "lang", F.explode(shingles_of(F.col("w"), k=2)).alias("g")
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), ["lang", "g"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", jac.cast("double").alias("jaccard"))
+    )
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.2) -> str:
+    grams = (
+        f"SELECT DISTINCT doc_id, lang, UNNEST({shingles_sql('text', 2)}) AS g "
+        "FROM documents"
+    )
+    return (
+        f"WITH grams AS ({grams}), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
+        "FROM grams a JOIN grams b ON a.lang = b.lang AND a.g = b.g "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "CAST(inter / (na.n + nb.n - inter) AS DOUBLE) AS jaccard "
+        "FROM inter JOIN counts na ON inter.doc_a = na.doc_id "
+        "JOIN counts nb ON inter.doc_b = nb.doc_id "
+        f"WHERE inter / (na.n + nb.n - inter) >= {float(threshold)!r}"
+    )

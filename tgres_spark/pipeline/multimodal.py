@@ -1,0 +1,94 @@
+"""Multimodal column plumbing (SURVEY §2.8): images/audio/video as
+opaque binary columns + typed metadata, processed via mapInPandas.
+
+The decode/resize/frame-sample kernels require image/audio libraries
+that are not in this environment — the *decode step* is a clearly
+marked deterministic fake (or NotImplementedError for real codecs),
+but the Spark-side plumbing is real and tested: schema, Arrow batch
+shape, partition-preserving mapInPandas, and the metadata contract.
+
+At 100 TB this is the pattern for any media pipeline: binary payload
+stays columnar (parquet BYTE_ARRAY), kernels run per Arrow batch, and
+the partitioning key (e.g. content hash bucket) keeps decode work
+even across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_frames int"
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media: payload bytes derived from the text
+    hash; metadata typed per kind. Stands in for reading a real
+    (id, bytes, metadata) parquet/table."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.unhex(F.concat(F.md5("text"), F.md5(F.reverse("text"))))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.when(kind == "image", (F.col("doc_id") % 512 + 32).cast("int")).alias("width"),
+        F.when(kind == "image", (F.col("doc_id") % 256 + 32).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(kind == "video", (F.col("doc_id") % 300 + 1).cast("int")).alias("n_frames"),
+    )
+
+
+def decode_and_featurize(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """mapInPandas feature extraction: per Arrow batch, 'decode' each
+    payload and emit a small typed feature row. The real-codec path is
+    stubbed (no PIL/ffmpeg in this container)."""
+
+    def fn(batches):
+        for pdf in batches:
+            if use_real_codecs:
+                raise NotImplementedError(
+                    "real decode needs PIL/soundfile/ffmpeg; not in container"
+                )
+            feats = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                checksum = hashlib.md5(payload).hexdigest()
+                feats.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(payload),
+                        "mean_byte": float(arr.mean()) if len(arr) else 0.0,
+                        "checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(feats)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, kind string, n_bytes long, mean_byte double, "
+            "checksum string"
+        ),
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    index — the explode happens JVM-side; only decode would be Python."""
+    v = media.where(F.col("kind") == "video")
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return v.select(
+        "media_id", F.explode(frames).alias("frame_idx")
+    )

@@ -1,0 +1,188 @@
+"""Text analysis operators (SURVEY §2.8): language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure column expressions — language ID and quality scores run
+inside whole-stage codegen over the raw text column, no Python.
+Formulas are written to be expressible identically in DuckDB so every
+operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import WORDS_SQL, words
+
+# tiny per-language stopword marker lists (public knowledge)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def _marker_count(wcol, markers):
+    return F.size(F.filter(wcol, lambda x: x.isin(*markers)))
+
+
+def text_langid(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, confidence): argmax of stopword-marker hit
+    ratios; 'und' (undetermined) when nothing matches. Ties broken by
+    language code order — deterministic in both engines."""
+    w = words(F.col("text"))
+    n = F.size(w)
+    scores = [
+        (_marker_count(w, m) / F.when(n > 0, n).otherwise(1).cast("double")).alias(
+            f"s_{lang}"
+        )
+        for lang, m in LANG_MARKERS.items()
+    ]
+    d = docs.select("doc_id", n.alias("n"), *scores)
+    best = None
+    for lang in LANG_MARKERS:
+        cand = F.struct(F.col(f"s_{lang}").alias("score"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(
+            (cand["score"] > best["score"]), cand
+        ).otherwise(best)
+    return d.select(
+        "doc_id",
+        F.when(best["score"] > 0.0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["score"].cast("double").alias("confidence"),
+    )
+
+
+def text_langid_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    score = {
+        lang: (
+            f"len(list_filter({w}, x -> x IN ({', '.join(repr(m) for m in ms)}))) "
+            f"/ CAST(CASE WHEN len({w}) > 0 THEN len({w}) ELSE 1 END AS DOUBLE)"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best_score = f"s_{langs[0]}"
+    best_lang = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN s_{lang} > ({best_score}) THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN s_{lang} > ({best_score}) THEN s_{lang} ELSE {best_score} END"
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return (
+        f"SELECT doc_id, CASE WHEN ({best_score}) > 0.0 THEN ({best_lang}) "
+        f"ELSE 'und' END AS pred_lang, CAST({best_score} AS DOUBLE) AS confidence "
+        f"FROM (SELECT doc_id, {inner} FROM documents)"
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, punct_ratio, stop_ratio, score):
+    the standard cheap quality signals for corpus filtering."""
+    w = words(F.col("text"))
+    n = F.size(w)
+    nch = F.length("text")
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n > 0, word_chars.cast("double") / n).otherwise(0.0)
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_ratio = F.when(nch > 0, punct.cast("double") / nch).otherwise(0.0)
+    stops = _marker_count(w, LANG_MARKERS["en"])
+    stop_ratio = F.when(n > 0, stops.cast("double") / n).otherwise(0.0)
+    score = (
+        F.when((n >= 20) & (n <= 1000), 0.4).otherwise(0.0)
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.1).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_wl.cast("double").alias("mean_word_len"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        stop_ratio.cast("double").alias("stop_ratio"),
+        score.cast("double").alias("score"),
+    )
+
+
+def text_quality_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    n = f"len({w})"
+    word_chars = f"list_sum(list_transform({w}, x -> len(x)))"
+    mean_wl = f"CASE WHEN {n} > 0 THEN CAST({word_chars} AS DOUBLE) / {n} ELSE 0.0 END"
+    punct = "len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+    punct_ratio = (
+        f"CASE WHEN len(text) > 0 THEN CAST({punct} AS DOUBLE) / len(text) ELSE 0.0 END"
+    )
+    en = ", ".join(repr(m) for m in LANG_MARKERS["en"])
+    stops = f"len(list_filter({w}, x -> x IN ({en})))"
+    stop_ratio = f"CASE WHEN {n} > 0 THEN CAST({stops} AS DOUBLE) / {n} ELSE 0.0 END"
+    score = (
+        f"(CASE WHEN {n} >= 20 AND {n} <= 1000 THEN 0.4 ELSE 0.0 END) + "
+        f"(CASE WHEN ({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0 THEN 0.3 ELSE 0.0 END) + "
+        f"(CASE WHEN ({punct_ratio}) < 0.2 THEN 0.2 ELSE 0.0 END) + "
+        f"(CASE WHEN ({stop_ratio}) > 0.01 THEN 0.1 ELSE 0.0 END)"
+    )
+    return (
+        f"SELECT doc_id, CAST({n} AS BIGINT) AS n_words, "
+        f"CAST({mean_wl} AS DOUBLE) AS mean_word_len, "
+        f"CAST({punct_ratio} AS DOUBLE) AS punct_ratio, "
+        f"CAST({stop_ratio} AS DOUBLE) AS stop_ratio, "
+        f"CAST({score} AS DOUBLE) AS score FROM documents"
+    )
+
+
+def text_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, sub_tokens): whitespace tokens and a BPE-ish
+    upper bound — ceil(len/4) subword pieces per word (the rule of
+    thumb for byte-pair vocabularies)."""
+    w = words(F.col("text"))
+    sub = F.aggregate(
+        F.transform(w, lambda x: F.ceil(F.length(x) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("ws_tokens"),
+        sub.cast("bigint").alias("sub_tokens"),
+    )
+
+
+def text_tokens_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"SELECT doc_id, CAST(len({w}) AS BIGINT) AS ws_tokens, "
+        f"CAST(list_sum(list_transform({w}, x -> CAST(CEIL(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS sub_tokens "
+        "FROM documents"
+    )
+
+
+def text_fingerprint(docs: DataFrame, chunk: int = 64) -> DataFrame:
+    """(doc_id, n_chunks, fingerprint): md5 per fixed-size chunk, doc
+    fingerprint = lexicographic min of chunk hashes (winnowing-lite —
+    stable under chunk reordering and cheap to dedup on)."""
+    n_chunks = F.ceil(F.length("text") / float(chunk)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.sequence(F.lit(0), F.lit(-1))
+    )
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.substring(F.col("text"), i * chunk + 1, chunk))
+    )
+    return docs.select(
+        "doc_id",
+        n_chunks.cast("bigint").alias("n_chunks"),
+        F.array_min(hashes).alias("fingerprint"),
+    )
+
+
+def text_fingerprint_sql(chunk: int = 64) -> str:
+    n = f"CAST(CEIL(len(text) / {float(chunk)!r}) AS INT)"
+    hashes = (
+        f"list_transform(range(0, {n}), i -> md5(substr(text, i * {chunk} + 1, {chunk})))"
+    )
+    return (
+        f"SELECT doc_id, CAST({n} AS BIGINT) AS n_chunks, "
+        f"list_min({hashes}) AS fingerprint FROM documents"
+    )

@@ -36,6 +36,8 @@ _QUERY_MODULES = [
     "tgres_spark.operators.queries_rrd",
     "tgres_spark.operators.queries_dsl",
     "tgres_spark.operators.queries_ingest",
+    "tgres_spark.operators.queries_pipeline",
+    "tgres_spark.tpch",
 ]
 
 

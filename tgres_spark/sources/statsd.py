@@ -24,26 +24,29 @@ def parse_statsd_packets(pk: DataFrame, col: str = "packet") -> DataFrame:
     has a ``t`` column (the reference stamps at receive time).
     """
     c = F.trim(F.col(col))
-    name = F.regexp_extract(c, _RX, 1)
-    value = F.regexp_extract(c, _RX, 2)
-    metric = F.regexp_extract(c, _RX, 3)
-    sample = F.regexp_extract(c, _RX, 5)
-    delta = F.regexp_extract(c, _RX, 2).rlike(r"^[+-]")
     keep = [f for f in pk.columns if f != col]
-    out = pk.select(
+    # one rlike validates the grammar; one split extracts the fields —
+    # 5 regexp_extracts over the same pattern cost ~5x (no CSE across
+    # separate expressions in codegen)
+    parts = F.split(c, r"[:|]")
+    valid = c.rlike(_RX)
+    value_s = F.element_at(parts, 2)
+    sample_s = F.element_at(parts, 4)
+    out = pk.where(valid).select(
         *keep,
-        F.when(name != "", name).alias("name"),
-        F.when(value != "", value).try_cast("double").alias("value"),
-        F.when(metric != "", metric).alias("metric"),
+        F.element_at(parts, 1).alias("name"),
+        value_s.try_cast("double").alias("value"),
+        F.element_at(parts, 3).alias("metric"),
         F.coalesce(
-            F.when(sample != "", sample).try_cast("double"), F.lit(1.0)
+            F.when(
+                F.size(parts) >= 4, F.substring(sample_s, 2, 64).try_cast("double")
+            ),
+            F.lit(1.0),
         ).alias("sample"),
-        delta.alias("delta"),
+        value_s.rlike(r"^[+-]").alias("delta"),
     )
     return out.where(
-        F.col("name").isNotNull()
-        & F.col("value").isNotNull()
-        & F.col("metric").isNotNull()
+        F.col("value").isNotNull()
         & (F.col("sample") >= 0.0)
         & (F.col("sample") <= 1.0)
     )

@@ -1,0 +1,278 @@
+"""Relational analytics spine (SURVEY §2.9): TPC-H-shaped queries on
+the testdata star schema + event sessionization/funnel.
+
+These exercise the join/agg machinery at bench scale and document the
+100 TB join strategy: dimension tables (region/nation/supplier/
+customer/part) are broadcast — lineitem/orders never shuffle for the
+dim side; only the orders⋈lineitem fact join shuffles, on the
+uniformly distributed order key. Aggregates use exact decimal sums
+(order-independent) so results hash-match DuckDB.
+
+Timestamps are bigint nanos (see session.py); date predicates compare
+against epoch-second literals computed from the same ISO dates in
+both engines.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import epoch_s, load_table
+from .registry import register
+
+
+def _epoch(date: str) -> int:
+    return int(
+        _dt.datetime.fromisoformat(date).replace(tzinfo=_dt.timezone.utc).timestamp()
+    )
+
+
+def _dec(c) -> F.Column:
+    return c.cast("decimal(38,6)")
+
+
+@register(
+    "tpch_q1",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE epoch_ns(l_shipdate) // 1000000000 <= {cut}
+GROUP BY l_returnflag, l_linestatus
+""".format(cut=_epoch("1998-09-02")),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(epoch_s("l_shipdate", li) <= _epoch("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(_dec(disc)).cast("double").alias("sum_disc_price"),
+        F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    sql="""
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  epoch_ns(o_orderdate) // 1000000000 AS o_orderdate_s, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND epoch_ns(o_orderdate) // 1000000000 < {cut}
+  AND epoch_ns(l_shipdate) // 1000000000 > {cut}
+GROUP BY l_orderkey, epoch_ns(o_orderdate) // 1000000000, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""".format(cut=_epoch("1995-03-15")),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = _epoch("1995-03-15")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.where(epoch_s("o_orderdate", orders) < cut)
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.where(epoch_s("l_shipdate", li) > cut)
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(
+            "l_orderkey",
+            epoch_s("o_orderdate", j).alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_dec(rev)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate_s", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    sql="""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_ns(o_orderdate) // 1000000000 >= {lo}
+  AND epoch_ns(o_orderdate) // 1000000000 < {hi}
+GROUP BY n_name
+""".format(lo=_epoch("1996-01-01"), hi=_epoch("1997-01-01")),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = _epoch("1996-01-01"), _epoch("1997-01-01")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.where(
+        (epoch_s("o_orderdate", orders) >= lo)
+        & (epoch_s("o_orderdate", orders) < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name").agg(F.sum(_dec(rev)).cast("double").alias("revenue"))
+
+
+@register(
+    "tpch_q6",
+    sql="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE epoch_ns(l_shipdate) // 1000000000 >= {lo}
+  AND epoch_ns(l_shipdate) // 1000000000 < {hi}
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".format(lo=_epoch("1996-01-01"), hi=_epoch("1997-01-01")),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = _epoch("1996-01-01"), _epoch("1997-01-01")
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (epoch_s("l_shipdate", li) >= lo)
+        & (epoch_s("l_shipdate", li) < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "events_sessionize",
+    sql="""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events
+), marked AS (
+  SELECT user_id, t,
+    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+         OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, t,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  MIN(t) AS session_start, MAX(t) - MIN(t) AS duration_s
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): the canonical stateful
+    event-stream op, done with two windows — no Python, one shuffle
+    on user_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_s("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("t").over(w)
+    new_s = F.when(prev.isNull() | (F.col("t") - prev > 1800), 1).otherwise(0)
+    sess = e.withColumn("new_session", new_s).withColumn(
+        "session_id", F.sum("new_session").over(run)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("session_start"),
+        (F.max("t") - F.min("t")).alias("duration_s"),
+    )
+
+
+@register(
+    "events_funnel",
+    sql="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t FROM events
+), stage1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+), stage2 AS (
+  SELECT e.user_id, MIN(t) AS t2 FROM e JOIN stage1 ON e.user_id = stage1.user_id
+  WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id
+), stage3 AS (
+  SELECT e.user_id, MIN(t) AS t3 FROM e JOIN stage2 ON e.user_id = stage2.user_id
+  WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM stage1) AS n_view,
+  (SELECT COUNT(*) FROM stage2) AS n_view_click,
+  (SELECT COUNT(*) FROM stage3) AS n_view_click_purchase
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-stage min-time joins.
+    Each stage is a semi-join on user_id (broadcastable: one row per
+    user)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_s("ts").alias("t")
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.join(F.broadcast(s1), "user_id")
+        .where((F.col("event_type") == "click") & (F.col("t") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.join(F.broadcast(s2), "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("t") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return spark.range(1).select(
+        F.lit(s1.count()).alias("n_view"),
+        F.lit(s2.count()).alias("n_view_click"),
+        F.lit(s3.count()).alias("n_view_click_purchase"),
+    )
