@@ -1,0 +1,62 @@
+"""Streaming ingest = batch semantics on the same data (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tgres_spark.operators.consolidate import consolidate
+from tgres_spark.sources.graphite import parse_graphite_lines
+from tgres_spark.streaming.ingest import run_file_pipeline
+
+
+def test_file_pipeline_matches_batch(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    in_dir.mkdir()
+    lines = []
+    for name in ("web.a", "web.b"):
+        for i in range(50):
+            lines.append(f"{name} {i * 1.5:.1f} {1000 + i * 10}")
+    lines.append("malformed junk")
+    (in_dir / "drop1.txt").write_text("\n".join(lines[:40]) + "\n")
+    # sentinel far in the future: pushes the watermark past every real
+    # slot so append mode flushes them (its own slot stays buffered)
+    (in_dir / "drop2.txt").write_text("\n".join(lines[40:]) + "\nzz.sentinel 0.0 99999\n")
+
+    run_file_pipeline(
+        spark, str(in_dir), str(out_dir), str(ckpt), step_s=60, watermark_s=10
+    )
+    got = spark.read.parquet(str(out_dir)).where(~F.col("name").contains("sentinel"))
+    assert got.columns == ["name", "t", "value"]
+
+    # batch reference: same parse + avg consolidation at 60s
+    batch_lines = spark.createDataFrame([(x,) for x in lines], "line string")
+    parsed = parse_graphite_lines(batch_lines)
+    expect = consolidate(parsed, 60, cf="avg")
+    g = {(r["name"], r["t"]): round(r["value"], 9) for r in got.collect()}
+    e = {(r["name"], r["t"]): round(r["value"], 9) for r in expect.collect()}
+    assert g == e
+
+
+def test_streaming_is_incremental(spark, tmp_path):
+    # second run with a new file only appends new slots (checkpointed)
+    in_dir = tmp_path / "in2"
+    out_dir = tmp_path / "out2"
+    ckpt = tmp_path / "ckpt2"
+    in_dir.mkdir()
+    # sentinels advance the watermark just past each run's own slots —
+    # a far-future sentinel would mark later runs' data as late/dropped
+    (in_dir / "a.txt").write_text("m.one 1.0 1000\nm.one 3.0 1010\nzz.s 0.0 2000\n")
+    run_file_pipeline(spark, str(in_dir), str(out_dir), str(ckpt), step_s=60, watermark_s=10)
+    n1 = spark.read.parquet(str(out_dir)).count()
+    (in_dir / "b.txt").write_text("m.one 5.0 5000\nzz.s 0.0 6000\n")
+    run_file_pipeline(spark, str(in_dir), str(out_dir), str(ckpt), step_s=60, watermark_s=10)
+    df = spark.read.parquet(str(out_dir))
+    assert df.count() > n1
+    vals = {r["t"]: r["value"] for r in df.where(F.col("name") == "m.one").collect()}
+    assert vals[1020] == 2.0  # (1+3)/2 — first batch slot unchanged
+    assert vals[5040] == 5.0  # new slot from second file
+    assert os.path.isdir(str(ckpt))

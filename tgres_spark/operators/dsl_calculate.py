@@ -18,11 +18,12 @@ from ..model import NAME, T, VALUE
 from .dsl_combine import _quantile_agg, _quantile_agg_sql
 from .dsl_transform import _map_sql, _relabel
 
-_W = Window.partitionBy(NAME).orderBy(T)
-
-
 def _frame(points: int):
-    return _W.rowsBetween(-(int(points) - 1), Window.currentRow)
+    return (
+        Window.partitionBy(NAME)
+        .orderBy(T)
+        .rowsBetween(-(int(points) - 1), Window.currentRow)
+    )
 
 
 def _frame_sql(points: int) -> str:

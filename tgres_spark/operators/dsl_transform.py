@@ -18,8 +18,14 @@ from pyspark.sql import functions as F
 
 from ..model import NAME, T, VALUE
 
-_W = Window.partitionBy(NAME).orderBy(T)
-_WALL = Window.partitionBy(NAME)
+def _w():
+    # lazy: Window specs need an active SparkContext in Spark 4, and
+    # these modules import before the test session exists
+    return Window.partitionBy(NAME).orderBy(T)
+
+
+def _wall():
+    return Window.partitionBy(NAME)
 
 
 def _relabel(df: DataFrame, fmt: str, *, value: Column) -> DataFrame:
@@ -152,7 +158,7 @@ def remove_below_value_sql(base, n: float):
 # --- per-series ordered ----------------------------------------------------
 
 def derivative(df):  # diff vs previous point (funcs.go:1178-1203)
-    v = F.col(VALUE) - F.lag(VALUE).over(_W)
+    v = F.col(VALUE) - F.lag(VALUE).over(_w())
     return _relabel(df, "derivative(%s)", value=v)
 
 
@@ -163,7 +169,7 @@ def derivative_sql(base):
 
 
 def non_negative_derivative(df):
-    d = F.col(VALUE) - F.lag(VALUE).over(_W)
+    d = F.col(VALUE) - F.lag(VALUE).over(_w())
     return _relabel(df, "nonNegativeDerivative(%s)", value=F.when(d >= 0.0, d))
 
 
@@ -176,8 +182,8 @@ def non_negative_derivative_sql(base):
 
 def per_second(df):
     # rate vs wall-clock gap between points (Graphite perSecond)
-    dt = (F.col(T) - F.lag(T).over(_W)).cast("double")
-    d = F.col(VALUE) - F.lag(VALUE).over(_W)
+    dt = (F.col(T) - F.lag(T).over(_w())).cast("double")
+    d = F.col(VALUE) - F.lag(VALUE).over(_w())
     v = F.when((d >= 0.0) & (dt > 0.0), d / dt)
     return _relabel(df, "perSecond(%s)", value=v)
 
@@ -194,7 +200,7 @@ def per_second_sql(base):
 
 def integral(df):  # running sum, resets never (funcs.go:1205-1231)
     v = F.sum(F.col(VALUE).cast("decimal(38,6)")).over(
-        _W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return _relabel(df, "integral(%s)", value=v.cast("double"))
 
@@ -208,7 +214,7 @@ def integral_sql(base):
 
 
 def delay(df, steps: int):
-    v = F.lag(VALUE, int(steps)).over(_W)
+    v = F.lag(VALUE, int(steps)).over(_w())
     return _relabel(df, f"delay(%s,{steps})", value=v)
 
 
@@ -222,7 +228,7 @@ def delay_sql(base, steps: int):
 def keep_last_value(df, limit: int | None = None):
     """Fill nulls with the last known value (funcs.go dslKeepLastValue).
     ``limit`` caps how many consecutive unknowns may be filled."""
-    run = _W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     last = F.last(VALUE, ignorenulls=True).over(run)
     if limit is None:
         v = F.coalesce(F.col(VALUE), last)
@@ -233,8 +239,8 @@ def keep_last_value(df, limit: int | None = None):
         NAME,
         T,
         VALUE,
-        F.row_number().over(_W).alias("rn"),
-        F.when(F.col(VALUE).isNotNull(), F.row_number().over(_W)).alias("krn"),
+        F.row_number().over(_w()).alias("rn"),
+        F.when(F.col(VALUE).isNotNull(), F.row_number().over(_w())).alias("krn"),
     )
     s2 = s1.select(
         NAME,
@@ -272,7 +278,7 @@ def keep_last_value_sql(base, limit: int | None = None):
 
 
 def changed(df):  # 1 when value differs from previous point (funcs.go dslChanged)
-    prev = F.lag(VALUE).over(_W)
+    prev = F.lag(VALUE).over(_w())
     v = F.when(
         prev.isNotNull() & F.col(VALUE).isNotNull() & (F.col(VALUE) != prev), 1.0
     ).otherwise(0.0)
@@ -306,7 +312,7 @@ def time_shift_sql(base, shift_s: int):
 
 
 def offset_to_zero(df):  # subtract per-series min (funcs.go dslOffsetToZero)
-    v = F.col(VALUE) - F.min(VALUE).over(_WALL)
+    v = F.col(VALUE) - F.min(VALUE).over(_wall())
     return _relabel(df, "offsetToZero(%s)", value=v)
 
 

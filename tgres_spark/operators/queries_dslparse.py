@@ -1,0 +1,88 @@
+"""SURVEY §2.6 — end-to-end Graphite expression parsing queries.
+
+The whole point of tgres's dsl package: a target STRING goes in, a
+series set comes out. These queries run real expressions through
+parse → glob fetch → function dispatch → DataFrame plan, and the
+oracle replays the equivalent SQL composition — so the parser and
+evaluator are themselves under the correctness gate.
+"""
+
+from __future__ import annotations
+
+from ..dsl.evaluator import DslContext, evaluate
+from ..dsl.find import find, find_sql
+from ..operators import dsl_calculate as dc
+from ..operators import dsl_combine as db
+from ..operators import dsl_transform as dt
+from ..registry import register
+from .queries_dsl import DOTTED_SQL, dotted
+
+CATALOG_SQL = DOTTED_SQL
+
+
+def _ctx(spark, sf_dir):
+    return DslContext(dotted(spark, sf_dir))
+
+
+@register(
+    "dsl_expression_parser",
+    sql=dc.moving_average_sql(
+        db.sum_series_sql(
+            f"SELECT * FROM ({CATALOG_SQL}) WHERE regexp_matches(name, '^app\\.[^.]*\\.rate$')"
+        ),
+        5,
+    ),
+)
+def dsl_expression_parser(spark, sf_dir):
+    return evaluate(_ctx(spark, sf_dir), "movingAverage(sumSeries(app.*.rate), 5)")
+
+
+@register(
+    "dsl_expression_nested",
+    sql=dt.absolute_sql(
+        dt.offset_sql(
+            f"SELECT * FROM ({CATALOG_SQL}) WHERE regexp_matches(name, '^app\\.(click|view)\\.rate$')",
+            -50.0,
+        )
+    ),
+)
+def dsl_expression_nested(spark, sf_dir):
+    return evaluate(_ctx(spark, sf_dir), "absolute(offset(app.{click,view}.rate, -50))")
+
+
+@register(
+    "dsl_expression_filter_chain",
+    sql=dc.n_percentile_sql(
+        (
+            # highestAverage(..., 2) replay
+            "SELECT b.* FROM ({base}) b WHERE b.name IN ("
+            "SELECT name FROM (SELECT name, ROW_NUMBER() OVER "
+            "(ORDER BY stat DESC NULLS LAST, name ASC) AS rn FROM "
+            "(SELECT name, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS stat "
+            "FROM ({base}) GROUP BY name)) WHERE rn <= 2)"
+        ).format(base=CATALOG_SQL),
+        95.0,
+    ),
+)
+def dsl_expression_filter_chain(spark, sf_dir):
+    return evaluate(
+        _ctx(spark, sf_dir), "nPercentile(highestAverage(app.*.rate, 2), 95)"
+    )
+
+
+@register(
+    "find_glob",
+    sql=find_sql(f"SELECT DISTINCT name FROM ({CATALOG_SQL})", "app.*"),
+)
+def find_glob(spark, sf_dir):
+    catalog = dotted(spark, sf_dir).select("name").distinct()
+    return find(catalog, "app.*")
+
+
+@register(
+    "find_glob_leaf",
+    sql=find_sql(f"SELECT DISTINCT name FROM ({CATALOG_SQL})", "app.{click,error}.*"),
+)
+def find_glob_leaf(spark, sf_dir):
+    catalog = dotted(spark, sf_dir).select("name").distinct()
+    return find(catalog, "app.{click,error}.*")

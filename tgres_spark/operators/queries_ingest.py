@@ -146,3 +146,27 @@ def statsd_flush_all(spark, sf_dir):
 )
 def paced_metric(spark, sf_dir):
     return paced_metrics(series_from_events(spark, sf_dir), 300, "sum")
+
+
+@register("streaming_ingest_pipeline")  # rows-only: availableNow streaming run
+def streaming_ingest_pipeline(spark, sf_dir):
+    """End-to-end Structured Streaming drive: events → graphite lines
+    on disk → readStream → parse → watermarked consolidate → parquet.
+    Returns the archived slots (final open slot withheld by the
+    watermark, as documented in streaming/ingest.py)."""
+    import tempfile
+
+    from ..streaming.ingest import run_file_pipeline
+
+    work = tempfile.mkdtemp(prefix="tgres_stream_")
+    in_dir = f"{work}/in"
+    out_dir = f"{work}/out"
+    import os
+
+    os.makedirs(in_dir)
+    lines = graphite_lines(spark, sf_dir)
+    lines.coalesce(4).write.mode("overwrite").text(in_dir)
+    run_file_pipeline(
+        spark, in_dir, out_dir, f"{work}/ckpt", step_s=3600, watermark_s=60
+    )
+    return spark.read.parquet(out_dir)

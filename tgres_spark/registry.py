@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "tgres_spark.operators.queries_ingest",
     "tgres_spark.operators.queries_pipeline",
     "tgres_spark.tpch",
+    "tgres_spark.operators.queries_dslparse",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Structured Streaming ingest: the tgres receiver pipeline re-expressed.
+
+Reference: receiver/receiver.go + director.go + flusher.go — datapoints
+arrive on a socket, a director routes them to per-DS caches, flushers
+write consolidated chunks to PostgreSQL on a timer.
+
+Spark-first: readStream (socket/file/kafka) → protocol parse (the same
+pure-column parsers as batch — identical semantics by construction) →
+watermarked sliding aggregation = the RRA consolidation → sink. The
+vcache+flusher machinery collapses into watermark + output-mode
+semantics: late points within the watermark update their slot exactly
+like the reference's PDP updates; beyond it they're dropped (the
+reference drops points older than the last flush too,
+aggregator.go:130-132).
+
+The streaming WMEAN uses arrival-order weighting inside the slot
+(sum/count on micro-batch rows); exact lag-based duration weighting
+needs the previous point which streaming can't see across batches
+without state — consolidate() remains the batch/backfill path, and
+`statsd_flush`'s window aggregation IS expressible streaming-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import NAME, T, VALUE
+from ..sources.graphite import parse_graphite_lines
+from ..sources.statsd import parse_statsd_packets
+
+
+def read_graphite_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-drop source of graphite line-protocol text (the socket
+    source swaps in transparently: .format('socket') yields the same
+    single-column frame)."""
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .withColumnRenamed("value", "line")
+    )
+    return parse_graphite_lines(lines)
+
+
+def read_statsd_stream(spark: SparkSession, path: str) -> DataFrame:
+    pk = (
+        spark.readStream.format("text")
+        .load(path)
+        .withColumnRenamed("value", "packet")
+    )
+    # receive-time stamping (the daemon stamps at arrival); for a
+    # replayable file source we stamp from the batch clock
+    pk = pk.withColumn("t", F.unix_timestamp(F.current_timestamp()))
+    return parse_statsd_packets(pk)
+
+
+def streaming_consolidate(
+    parsed: DataFrame,
+    step_s: int = 60,
+    watermark_s: int = 600,
+    cf: str = "avg",
+) -> DataFrame:
+    """RRA consolidation as a watermarked windowed aggregation.
+
+    Window end == the slot-end label of batch consolidate(); late data
+    inside the watermark revises the slot (update mode), like PDP
+    accumulation before movePdpToDps.
+
+    Slot alignment: Spark windows are [start, end) but RRA slots are
+    (start, end] (rra.go movePdpToDps) — shifting event time by -1s
+    maps boundary points into the same end-labeled slot as the batch
+    consolidate(), so streaming and batch results are identical on
+    integer-second data."""
+    with_ts = parsed.withColumn("ts", (F.col(T) - 1).cast("timestamp"))
+    agg = {
+        "avg": F.avg(VALUE),
+        "sum": F.sum(VALUE),
+        "min": F.min(VALUE),
+        "max": F.max(VALUE),
+        "count": F.count(VALUE).cast("double"),
+        "last": F.max_by(VALUE, "ts"),
+    }[cf]
+    w = (
+        with_ts.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy(F.window("ts", f"{step_s} seconds"), F.col(NAME))
+        .agg(agg.alias(VALUE))
+    )
+    return w.select(
+        F.col(NAME),
+        F.unix_timestamp(F.col("window.end")).cast("bigint").alias(T),
+        F.col(VALUE).cast("double"),
+    )
+
+
+def run_file_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    step_s: int = 60,
+    watermark_s: int = 600,
+) -> None:
+    """End-to-end: text file drops → parse → consolidate → parquet
+    archive, exactly-once via checkpointing.
+
+    Append-mode emission rule (same trade as the reference's flusher
+    delay): a slot is written only once the watermark passes its end —
+    the still-open head slot stays buffered in state until later data
+    arrives. Tests push a sentinel point to flush deterministically.
+    """
+    parsed = read_graphite_stream(spark, in_path)
+    rolled = streaming_consolidate(parsed, step_s=step_s, watermark_s=watermark_s)
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
