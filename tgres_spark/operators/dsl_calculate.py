@@ -159,7 +159,12 @@ def _quantile_from_sorted_sql(arr: str, p: float) -> str:
 def n_percentile(df, p: float):
     """Every point replaced by the series' p-th percentile — a flat
     line per series (dslNPercentile)."""
-    thr = df.groupBy(NAME).agg(_quantile_agg(p / 100.0).alias("thr"))
+    # round(6): the linear interpolation is a*b+c shaped — compilers
+    # may fuse it (FMA) differently per engine, so full precision is
+    # not portable for long series
+    thr = df.groupBy(NAME).agg(
+        F.round(_quantile_agg(p / 100.0), 6).alias("thr")
+    )
     j = df.join(F.broadcast(thr), NAME, "left")
     return j.select(
         F.format_string(f"nPercentile(%s,{p:g})", F.col(NAME)).alias(NAME),
@@ -169,7 +174,7 @@ def n_percentile(df, p: float):
 
 
 def n_percentile_sql(base, p: float):
-    q = _quantile_agg_sql(p / 100.0)
+    q = f"ROUND({_quantile_agg_sql(p / 100.0)}, 6)"
     thr = f"SELECT name, {q} AS thr FROM ({base}) GROUP BY name"
     return (
         f"SELECT printf('nPercentile(%s,{p:g})', b.name) AS name, b.t AS t, "

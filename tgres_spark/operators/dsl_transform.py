@@ -78,11 +78,24 @@ def invert_sql(base):
 
 
 def pow_(df, exp: float):
-    return _relabel(df, f"pow(%s,{exp:g})", value=F.pow(F.col(VALUE), F.lit(float(exp))))
+    # small integer exponents: exact multiply chain (identical IEEE ops
+    # in both engines); libm pow differs in the last ulp and round()
+    # can't mask values that straddle a rounding boundary
+    if float(exp).is_integer() and 1 <= exp <= 4:
+        v = F.col(VALUE)
+        for _ in range(int(exp) - 1):
+            v = v * F.col(VALUE)
+    else:
+        v = F.round(F.pow(F.col(VALUE), F.lit(float(exp))), 6)
+    return _relabel(df, f"pow(%s,{exp:g})", value=v)
 
 
 def pow_sql(base, exp: float):
-    return _map_sql(base, f"pow(%s,{exp:g})", f"POW(value, {float(exp)!r})")
+    if float(exp).is_integer() and 1 <= exp <= 4:
+        v = " * ".join(["value"] * int(exp))
+    else:
+        v = f"ROUND(POW(value, {float(exp)!r}), 6)"
+    return _map_sql(base, f"pow(%s,{exp:g})", v)
 
 
 def square_root(df):
@@ -95,7 +108,10 @@ def square_root_sql(base):
 
 
 def logarithm(df, base_n: float = 10.0):
-    v = F.when(F.col(VALUE) > 0.0, F.log(float(base_n), F.col(VALUE)))
+    # libm log differs across engines in the last ulp — round(9)
+    v = F.when(
+        F.col(VALUE) > 0.0, F.round(F.log(float(base_n), F.col(VALUE)), 9)
+    )
     return _relabel(df, f"logarithm(%s,{base_n:g})", value=v)
 
 
@@ -103,7 +119,7 @@ def logarithm_sql(base, base_n: float = 10.0):
     return _map_sql(
         base,
         f"logarithm(%s,{base_n:g})",
-        f"CASE WHEN value > 0.0 THEN LN(value) / LN({float(base_n)!r}) END",
+        f"CASE WHEN value > 0.0 THEN ROUND(LN(value) / LN({float(base_n)!r}), 9) END",
     )
 
 

@@ -90,12 +90,14 @@ def text_quality(docs: DataFrame) -> DataFrame:
     punct_ratio = F.when(nch > 0, punct.cast("double") / nch).otherwise(0.0)
     stops = _marker_count(w, LANG_MARKERS["en"])
     stop_ratio = F.when(n > 0, stops.cast("double") / n).otherwise(0.0)
+    # weights sum as INTEGERS then divide once: double 0.4+0.3+0.2+0.1
+    # is 0.9999999999999999 while DuckDB's decimal literals give 1.0
     score = (
-        F.when((n >= 20) & (n <= 1000), 0.4).otherwise(0.0)
-        + F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 0.3).otherwise(0.0)
-        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
-        + F.when(stop_ratio > 0.01, 0.1).otherwise(0.0)
-    )
+        F.when((n >= 20) & (n <= 1000), 4).otherwise(0)
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 3).otherwise(0)
+        + F.when(punct_ratio < 0.2, 2).otherwise(0)
+        + F.when(stop_ratio > 0.01, 1).otherwise(0)
+    ).cast("double") / 10.0
     return docs.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),
@@ -119,10 +121,10 @@ def text_quality_sql() -> str:
     stops = f"len(list_filter({w}, x -> x IN ({en})))"
     stop_ratio = f"CASE WHEN {n} > 0 THEN CAST({stops} AS DOUBLE) / {n} ELSE 0.0 END"
     score = (
-        f"(CASE WHEN {n} >= 20 AND {n} <= 1000 THEN 0.4 ELSE 0.0 END) + "
-        f"(CASE WHEN ({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0 THEN 0.3 ELSE 0.0 END) + "
-        f"(CASE WHEN ({punct_ratio}) < 0.2 THEN 0.2 ELSE 0.0 END) + "
-        f"(CASE WHEN ({stop_ratio}) > 0.01 THEN 0.1 ELSE 0.0 END)"
+        f"CAST((CASE WHEN {n} >= 20 AND {n} <= 1000 THEN 4 ELSE 0 END) + "
+        f"(CASE WHEN ({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0 THEN 3 ELSE 0 END) + "
+        f"(CASE WHEN ({punct_ratio}) < 0.2 THEN 2 ELSE 0 END) + "
+        f"(CASE WHEN ({stop_ratio}) > 0.01 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0"
     )
     return (
         f"SELECT doc_id, CAST({n} AS BIGINT) AS n_words, "
