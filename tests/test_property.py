@@ -1,0 +1,105 @@
+"""Property tests (hypothesis) for the pure-Python surfaces."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tgres_spark.dsl.parser import Call, Literal, Pattern, glob_to_regex, parse
+from tgres_spark.operators.holtwinters import hw_initial_seasonal, hw_smooth
+from tgres_spark.sources.whisper import parse_whisper_bytes, write_whisper_bytes
+
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+segment = st.from_regex(r"[a-z0-9_]{1,6}", fullmatch=True)
+dotted = st.lists(segment, min_size=1, max_size=4).map(".".join)
+
+
+@given(dotted)
+def test_patterns_parse_to_themselves(name):
+    node = parse(name)
+    # bare words parse as Pattern; fully-numeric words and booleans
+    # resolve as literals (numbers win the graphite ambiguity)
+    if name in ("true", "false") or re.fullmatch(
+        r"-?\d+(\.\d+)?([eE][+-]?\d+)?", name
+    ):
+        assert isinstance(node, Literal)
+    else:
+        assert isinstance(node, Pattern) and node.text == name
+
+
+@given(ident, dotted, st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_calls_parse_structurally(fn, pat, num):
+    node = parse(f"{fn}({pat}, {num!r})")
+    assert isinstance(node, Call) and node.func == fn
+    assert len(node.args) == 2
+    assert isinstance(node.args[1], Literal)
+    assert math.isclose(node.args[1].value, float(repr(num)), rel_tol=1e-6)
+
+
+@given(st.lists(segment, min_size=1, max_size=4))
+def test_glob_matches_exact_name(parts):
+    name = ".".join(parts)
+    assert re.match(glob_to_regex(name), name)
+
+
+@given(st.lists(segment, min_size=2, max_size=4), st.integers(0, 3))
+def test_glob_star_matches_any_one_segment(parts, which):
+    which = which % len(parts)
+    pattern = ".".join("*" if i == which else p for i, p in enumerate(parts))
+    name = ".".join(parts)
+    assert re.match(glob_to_regex(pattern), name)
+    # star must NOT swallow an extra segment
+    longer = ".".join(parts[:which] + ["x", "y"] + parts[which + 1 :])
+    if longer.count(".") != name.count("."):
+        assert not re.match(glob_to_regex(pattern), longer)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2**31 - 1),
+            st.floats(-1e9, 1e9, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(1, 3600),
+)
+def test_whisper_roundtrip(points, spp):
+    blob = write_whisper_bytes([(spp, points)])
+    rows = parse_whisper_bytes("m", blob)
+    expect = [("m", spp, ts, v) for ts, v in points if ts != 0]
+    assert len(rows) == len(expect)
+    for got, want in zip(sorted(rows), sorted(expect)):
+        assert got[:3] == want[:3]
+        assert math.isclose(got[3], want[3], rel_tol=1e-12) or (
+            got[3] == want[3]
+        )
+
+
+@given(
+    st.integers(2, 6),
+    st.integers(3, 10),
+    st.floats(0.01, 0.99),
+    st.floats(0.01, 0.99),
+    st.floats(0.01, 0.99),
+)
+@settings(max_examples=25, deadline=None)
+def test_hw_smooth_shapes_and_sse(n_seasons, slen, a, b, g):
+    i = np.arange(n_seasons * slen, dtype=float)
+    data = 100.0 + 5.0 * np.sin(2 * np.pi * i / slen) + 0.1 * i
+    seasonal = hw_initial_seasonal(data, slen)
+    out, dev, sse = hw_smooth(data, slen, 0.1, seasonal, slen, a, b, g)
+    assert len(out) == len(data) + slen
+    assert len(dev) == len(out)
+    assert sse >= 0 and np.isfinite(sse)
+
+
+@given(st.floats(1.000001, 10.0), st.floats(0.01, 0.99))
+def test_hw_smooth_rejects_bad_alpha(bad, ok):
+    _, _, sse = hw_smooth(np.ones(20), 5, 0.0, np.ones(5), 0, bad, ok, ok)
+    assert sse > 1e18

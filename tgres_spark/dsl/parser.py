@@ -37,16 +37,19 @@ class Call:
     args: list
 
 
+_WORD_CHARS = r"[A-Za-z0-9_*?\[\]\-:.]"
 _TOKEN = re.compile(
-    r"""
+    rf"""
     (?P<ws>\s+)
-  | (?P<num>-?\d+\.\d+|-?\d+)
+  | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?(?!{_WORD_CHARS}|\{{))
   | (?P<str>'[^']*'|"[^"]*")
   | (?P<sym>[(),])
-  | (?P<word>(?:[A-Za-z0-9_*?\[\]\-:.]|\{[^}]*\})+)
+  | (?P<word>(?:{_WORD_CHARS}|\{{[^}}]*\}})+)
     """,
     re.VERBOSE,
 )
+
+_NUMERIC_WORD = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?")
 
 
 def tokenize(src: str) -> list[tuple[str, str]]:
@@ -112,6 +115,10 @@ class Parser:
                 return Literal(True)
             if text == "false":
                 return Literal(False)
+            if _NUMERIC_WORD.fullmatch(text):
+                # a digits-only "pattern" is a number (same ambiguity
+                # exists in graphite; numbers win)
+                return Literal(float(text))
             return Pattern(text)
         raise SyntaxError(f"unexpected token {self.peek()}")
 

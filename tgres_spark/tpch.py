@@ -271,8 +271,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("t").alias("t3"))
     )
-    return spark.range(1).select(
-        F.lit(s1.count()).alias("n_view"),
-        F.lit(s2.count()).alias("n_view_click"),
-        F.lit(s3.count()).alias("n_view_click_purchase"),
+    # single distributed plan — no driver-side .count() round-trips
+    funnel = (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
     )
