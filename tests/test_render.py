@@ -1,0 +1,54 @@
+"""Render/find JSON payload parity (http/graphite.go shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def catalog(spark):
+    rows = []
+    for name in ("web.h1.hits", "web.h2.hits"):
+        for t in range(60, 360, 60):
+            rows.append((name, t, float(t)))
+    return spark.createDataFrame(rows, "name string, t long, value double")
+
+
+def test_render_json_shape(catalog):
+    from tgres_spark.render import render_json
+
+    out = json.loads(render_json(catalog, ["sumSeries(web.*.hits)"]))
+    assert len(out) == 1
+    assert out[0]["target"] == "sumSeries()"
+    pts = out[0]["datapoints"]
+    assert pts[0] == [120.0, 60] and pts[-1] == [600.0, 300]
+
+
+def test_render_multiple_targets(catalog):
+    from tgres_spark.render import render_df
+
+    df = render_df(catalog, ["web.h1.hits", "scale(web.h2.hits, 2)"])
+    tgts = {r["target"] for r in df.select("target").distinct().collect()}
+    assert tgts == {"web.h1.hits", "scale(web.h2.hits, 2)"}
+
+
+def test_render_respects_range(catalog):
+    from tgres_spark.render import render_df
+
+    df = render_df(catalog, ["web.h1.hits"], t_from=120, t_to=240)
+    ts = sorted(r["t"] for r in df.collect())
+    assert ts == [120, 180, 240]
+
+
+def test_find_json_tree(catalog):
+    from tgres_spark.render import find_json
+
+    nodes = json.loads(find_json(catalog, "web.*"))
+    assert {n["id"] for n in nodes} == {"web.h1", "web.h2"}
+    assert all(n["leaf"] == 0 and n["expandable"] == 1 for n in nodes)
+    leaves = json.loads(find_json(catalog, "web.h1.*"))
+    assert leaves == [
+        {"text": "hits", "id": "web.h1.hits", "leaf": 1, "expandable": 0}
+    ]

@@ -293,6 +293,56 @@ def keep_last_value_sql(base, limit: int | None = None):
     return f"SELECT printf('keepLastValue(%s)', name) AS name, t, CAST(({v}) AS DOUBLE) AS value FROM ({s2})"
 
 
+def interpolate(df):
+    """Linear interpolation across NULL gaps (graphite interpolate):
+    a gap between known neighbors (t0,v0)..(t1,v1) fills with the
+    line through them; leading/trailing gaps stay NULL.
+
+    Two window passes (prev-known, next-known), both partitioned by
+    name — no extra shuffle beyond the per-series hash."""
+    run_b = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run_f = _w().rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last(VALUE, ignorenulls=True).over(run_b)
+    prev_t = F.last(
+        F.when(F.col(VALUE).isNotNull(), F.col(T)), ignorenulls=True
+    ).over(run_b)
+    next_v = F.first(VALUE, ignorenulls=True).over(run_f)
+    next_t = F.first(
+        F.when(F.col(VALUE).isNotNull(), F.col(T)), ignorenulls=True
+    ).over(run_f)
+    frac = (F.col(T) - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    filled = F.when(F.col(VALUE).isNotNull(), F.col(VALUE)).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return _relabel(df, "interpolate(%s)", value=filled)
+
+
+def interpolate_sql(base):
+    run_b = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    run_f = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    w = "PARTITION BY name ORDER BY t"
+    inner = (
+        "SELECT name, t, value, "
+        f"LAST_VALUE(value IGNORE NULLS) OVER ({w} {run_b}) AS prev_v, "
+        f"LAST_VALUE(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER ({w} {run_b}) AS prev_t, "
+        f"FIRST_VALUE(value IGNORE NULLS) OVER ({w} {run_f}) AS next_v, "
+        f"FIRST_VALUE(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER ({w} {run_f}) AS next_t "
+        f"FROM ({base})"
+    )
+    v = (
+        "CASE WHEN value IS NOT NULL THEN value "
+        "WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t > prev_t "
+        "THEN prev_v + (next_v - prev_v) * (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)) END"
+    )
+    return (
+        f"SELECT printf('interpolate(%s)', name) AS name, t, "
+        f"CAST(({v}) AS DOUBLE) AS value FROM ({inner})"
+    )
+
+
 def changed(df):  # 1 when value differs from previous point (funcs.go dslChanged)
     prev = F.lag(VALUE).over(_w())
     v = F.when(

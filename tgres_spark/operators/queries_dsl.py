@@ -154,6 +154,11 @@ _reg(
 )
 _reg(
     "dsl_interpolate",
+    lambda s, d: dt.interpolate(hb_base(s, d)),
+    dt.interpolate_sql(HB_SQL),
+)
+_reg(
+    "dsl_keepLastValue_limited",
     lambda s, d: dt.keep_last_value(hb_base(s, d), limit=2),
     dt.keep_last_value_sql(HB_SQL, limit=2),
 )

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RX = r"^([^:]+):([+-]?[0-9.]+)\|(c|g|ms)(\|@([0-9.]+))?$"
+# Java-regex (Spark) validation uses possessive quantifiers — no
+# backtracking; the DuckDB oracle keeps the plain form (RE2 is linear).
+_RX = r"^([^:]++):([+-]?+[0-9.]++)\|(c|g|ms)(\|@([0-9.]++))?+$"
+_RX_RE2 = r"^([^:]+):([+-]?[0-9.]+)\|(c|g|ms)(\|@([0-9.]+))?$"
 
 
 def parse_statsd_packets(pk: DataFrame, col: str = "packet") -> DataFrame:
@@ -53,7 +56,7 @@ def parse_statsd_packets(pk: DataFrame, col: str = "packet") -> DataFrame:
 
 
 def parse_statsd_packets_sql(pk_sql: str, col: str = "packet", extra: str = "t") -> str:
-    rx = r"^([^:]+):([+-]?[0-9.]+)\|(c|g|ms)(\|@([0-9.]+))?$"
+    rx = _RX_RE2
     inner = (
         f"SELECT {extra}, "
         f"NULLIF(regexp_extract(trim({col}), '{rx}', 1), '') AS name, "
