@@ -87,17 +87,21 @@ def filter_by_stat_sql(base, stat: str, op: str, n: float) -> str:
 
 def rank_series(df, stat: str, n: int, highest: bool) -> DataFrame:
     """highestCurrent/highestMax/lowestAverage... family: keep n series
-    by stat; ties broken by name ascending (deterministic both engines)."""
-    from pyspark.sql import Window
+    by stat; ties broken by name ascending (deterministic both engines).
 
+    orderBy().limit(n) compiles to TakeOrderedAndProject — a
+    distributed partial top-k per partition then a driver merge of n
+    rows. An unpartitioned row_number() window would drag every
+    series' stat row into one partition (fatal at millions of series).
+    """
     s = _stat(df, stat)
     order = (
         [F.col("stat").desc_nulls_last(), F.col(NAME).asc()]
         if highest
         else [F.col("stat").asc_nulls_last(), F.col(NAME).asc()]
     )
-    ranked = s.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
-    return _keep(df, ranked.where(F.col("rn") <= int(n)))
+    winners = s.orderBy(*order).limit(int(n))
+    return _keep(df, winners)
 
 
 def rank_series_sql(base, stat: str, n: int, highest: bool) -> str:
@@ -112,14 +116,10 @@ def rank_series_sql(base, stat: str, n: int, highest: bool) -> str:
 
 
 def limit_series(df, n: int) -> DataFrame:
-    """First n series by name order (dslLimit operates on the sorted map)."""
-    from pyspark.sql import Window
-
+    """First n series by name order (dslLimit operates on the sorted
+    map). Distributed top-k, not a single-partition window."""
     names = df.select(NAME).distinct()
-    ranked = names.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col(NAME).asc()))
-    )
-    return _keep(df, ranked.where(F.col("rn") <= int(n)))
+    return _keep(df, names.orderBy(F.col(NAME).asc()).limit(int(n)))
 
 
 def limit_series_sql(base, n: int) -> str:
@@ -152,18 +152,13 @@ def most_deviant(df, n: int) -> DataFrame:
     """n series with the highest population variance (dslMostDeviant).
     Variance computed as E[x²]−E[x]² in exact decimal in both engines —
     stddev_pop's internal algorithm differs between engines."""
-    from pyspark.sql import Window
-
     ex2 = F.sum((F.col(VALUE) * F.col(VALUE)).cast("decimal(38,6)")).cast("double") / F.count(VALUE)
     ex = F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE)
     s = df.groupBy(NAME).agg((ex2 - ex * ex).alias("stat"))
-    ranked = s.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("stat").desc_nulls_last(), F.col(NAME).asc())
-        ),
-    )
-    return _keep(df, ranked.where(F.col("rn") <= int(n)))
+    winners = s.orderBy(
+        F.col("stat").desc_nulls_last(), F.col(NAME).asc()
+    ).limit(int(n))
+    return _keep(df, winners)
 
 
 def most_deviant_sql(base, n: int) -> str:
