@@ -227,9 +227,13 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         suffixed = both.withColumn(NAME, F.col(NAME))  # names carry suffixes
         _ = parts
         return db.weighted_average(suffixed, "avg", "weight", node)
-    if f in ("groupByNode", "sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+    if f in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
+        positions = [int(_num(x)) for x in a[1:]]
+        func = "avg" if f.startswith("average") else "sum"
+        return db.group_without_nodes(s0(), positions, func)
+    if f == "groupByNode":
         node = int(_num(a[1]))
-        func = _str(a[2]) if len(a) > 2 else ("avg" if "average" in f else "sum")
+        func = _str(a[2]) if len(a) > 2 else "sum"
         return db.group_by_node(s0(), node, func)
 
     rank = {

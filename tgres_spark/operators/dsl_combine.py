@@ -252,6 +252,55 @@ def weighted_average_sql(base, avg_suffix: str, weight_suffix: str, node: int = 
     )
 
 
+def group_without_nodes(df, positions: list[int], func: str = "sum"):
+    """sumSeriesWithWildcards/averageSeriesWithWildcards semantics:
+    REMOVE the given dot-positions from each name and aggregate series
+    that collapse to the same remainder (graphite's rule — the
+    wildcard position is the one dropped, dslSumSeriesWithWildcards)."""
+    parts = F.split(F.col(NAME), r"\.")
+    n = F.size(parts)
+    keep = F.filter(
+        F.transform(parts, lambda x, i: F.struct(x.alias("s"), i.alias("i"))),
+        lambda p: ~p["i"].isin([int(x) for x in positions]),
+    )
+    key = F.array_join(F.transform(keep, lambda p: p["s"]), ".")
+    _ = n
+    if func == "sum":
+        agg = F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double")
+    elif func == "avg":
+        agg = F.when(
+            F.count(VALUE) > 0,
+            F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE),
+        )
+    else:
+        raise ValueError(func)
+    return (
+        df.groupBy(key.alias(NAME), F.col(T))
+        .agg(agg.cast("double").alias(VALUE))
+        .select(NAME, T, VALUE)
+    )
+
+
+def group_without_nodes_sql(base, positions: list[int], func: str = "sum"):
+    parts = "string_split(name, '.')"
+    pos = ", ".join(str(int(x) + 1) for x in positions)  # 1-based
+    key = (
+        f"array_to_string(list_transform(list_filter("
+        f"list_transform({parts}, (x, i) -> {{'s': x, 'i': i}}), "
+        f"p -> p.i NOT IN ({pos})), p -> p.s), '.')"
+    )
+    if func == "sum":
+        agg = "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+    elif func == "avg":
+        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
+    else:
+        raise ValueError(func)
+    return (
+        f"SELECT {key} AS name, t, CAST({agg} AS DOUBLE) AS value "
+        f"FROM ({base}) GROUP BY 1, 2"
+    )
+
+
 def group_by_node(df, node: int, func: str = "sum"):
     """Aggregate series sharing the node-th dot-component (dslGroupByNode)."""
     key = F.element_at(F.split(F.col(NAME), r"\."), node + 1)

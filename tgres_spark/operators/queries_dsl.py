@@ -97,13 +97,13 @@ _reg(
 )
 _reg(
     "dsl_sumSeriesWithWildcards",
-    lambda s, d: db.group_by_node(dotted(s, d), 1, "sum"),
-    db.group_by_node_sql(DOTTED_SQL, 1, "sum"),
+    lambda s, d: db.group_without_nodes(dotted(s, d), [1], "sum"),
+    db.group_without_nodes_sql(DOTTED_SQL, [1], "sum"),
 )
 _reg(
     "dsl_averageSeriesWithWildcards",
-    lambda s, d: db.group_by_node(dotted(s, d), 1, "avg"),
-    db.group_by_node_sql(DOTTED_SQL, 1, "avg"),
+    lambda s, d: db.group_without_nodes(dotted(s, d), [1], "avg"),
+    db.group_without_nodes_sql(DOTTED_SQL, [1], "avg"),
 )
 _reg(
     "dsl_groupByNode",
