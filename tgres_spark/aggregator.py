@@ -29,17 +29,24 @@ from pyspark.sql import functions as F
 from .model import NAME, T, VALUE
 from .operators.consolidate import slot_end
 
-THRESHOLD = 90  # reference default Thresholds: []int{90}
+THRESHOLDS = (90,)  # reference default Thresholds: []int{90}
 
 
-def statsd_flush(parsed: DataFrame, flush_s: int = 60, prefix: str = "stats") -> DataFrame:
+def statsd_flush(
+    parsed: DataFrame,
+    flush_s: int = 60,
+    prefix: str = "stats",
+    thresholds: tuple[int, ...] = THRESHOLDS,
+) -> DataFrame:
     """(t, name, value, metric, sample, delta) → flushed SeriesFrame.
 
-    One output series per counter/gauge, eight per timer (suffixes).
+    One output series per counter/gauge; 5 + 3·len(thresholds) per
+    timer (count/lower/upper/sum/mean + upper_p/sum_p/mean_p per
+    configured percentile, mirroring aggregator.State.Thresholds).
     """
     counters = _flush_counters(parsed, flush_s, prefix)
     gauges = _flush_gauges(parsed, flush_s, prefix)
-    timers = _flush_timers(parsed, flush_s, prefix)
+    timers = _flush_timers(parsed, flush_s, prefix, thresholds)
     return counters.unionAll(gauges).unionAll(timers)
 
 
@@ -122,7 +129,12 @@ def flush_gauges_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> st
     )
 
 
-def _flush_timers(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
+def _flush_timers(
+    parsed: DataFrame,
+    flush_s: int,
+    prefix: str,
+    thresholds: tuple[int, ...] = THRESHOLDS,
+) -> DataFrame:
     t_ = parsed.where(F.col("metric") == "ms")
     # ONE aggregate buffer (the sorted sample list); every stat is a
     # cheap post-projection on it — not six parallel collect_lists.
@@ -131,27 +143,27 @@ def _flush_timers(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
     )
     arr = F.col("arr")
     n = F.size(arr)
-    idx = F.floor(F.lit(THRESHOLD / 100.0) * n.cast("double") + 0.5).cast("int") - 1
-    head = F.slice(arr, 1, idx + 1)
     lfold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
-    wide = grouped.select(
-        NAME,
-        "slot",
+    cols = [
         n.cast("double").alias("count"),
         F.element_at(arr, 1).alias("lower"),
         F.element_at(arr, n).alias("upper"),
         lfold(arr).alias("sum"),
         (lfold(arr) / n.cast("double")).alias("mean"),
-        F.when(idx >= 0, F.element_at(arr, idx + 1)).alias(f"upper_{THRESHOLD}"),
-        F.when(idx >= 0, lfold(head)).alias(f"sum_{THRESHOLD}"),
-        F.when(idx >= 0, lfold(head) / (idx + 1).cast("double")).alias(
-            f"mean_{THRESHOLD}"
-        ),
-    )
-    suffixes = [
-        "count", "lower", "upper", "sum", "mean",
-        f"upper_{THRESHOLD}", f"sum_{THRESHOLD}", f"mean_{THRESHOLD}",
     ]
+    suffixes = ["count", "lower", "upper", "sum", "mean"]
+    for th in thresholds:
+        idx = F.floor(F.lit(th / 100.0) * n.cast("double") + 0.5).cast("int") - 1
+        head = F.slice(arr, 1, idx + 1)
+        cols += [
+            F.when(idx >= 0, F.element_at(arr, idx + 1)).alias(f"upper_{th}"),
+            F.when(idx >= 0, lfold(head)).alias(f"sum_{th}"),
+            F.when(idx >= 0, lfold(head) / (idx + 1).cast("double")).alias(
+                f"mean_{th}"
+            ),
+        ]
+        suffixes += [f"upper_{th}", f"sum_{th}", f"mean_{th}"]
+    wide = grouped.select(NAME, "slot", *cols)
     stack = ", ".join(f"'{s}', `{s}`" for s in suffixes)
     return wide.selectExpr(
         "name", "slot", f"stack({len(suffixes)}, {stack}) AS (suffix, value)"
@@ -164,28 +176,40 @@ def _flush_timers(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
     )
 
 
-def flush_timers_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> str:
+def flush_timers_sql(
+    parsed_sql: str,
+    flush_s: int,
+    prefix: str = "stats",
+    thresholds: tuple[int, ...] = THRESHOLDS,
+) -> str:
     slot = f"CAST(FLOOR((t - 1) / {flush_s}) * {flush_s} + {flush_s} AS BIGINT)"
     arr = "list_sort(list(value))"
     n = f"len({arr})"
-    idx = f"CAST(FLOOR({THRESHOLD / 100.0!r} * {n} + 0.5) AS BIGINT) - 1"
     fold = "list_reduce(list_prepend(0.0, {a}), (acc, x) -> acc + x)"
     foldall = fold.format(a=arr)
-    foldhead = fold.format(a=f"list_slice({arr}, 1, ({idx}) + 1)")
+    stat_sql = [
+        f"CAST({n} AS DOUBLE) AS \"count\"",
+        f"{arr}[1] AS lower",
+        f"{arr}[{n}] AS upper",
+        f"{foldall} AS \"sum\"",
+        f"{foldall} / {n} AS mean",
+    ]
+    suffixes = ["count", "lower", "upper", "sum", "mean"]
+    for th in thresholds:
+        idx = f"CAST(FLOOR({th / 100.0!r} * {n} + 0.5) AS BIGINT) - 1"
+        foldhead = fold.format(a=f"list_slice({arr}, 1, ({idx}) + 1)")
+        stat_sql += [
+            f"CASE WHEN ({idx}) >= 0 THEN {arr}[({idx}) + 1] END AS upper_{th}",
+            f"CASE WHEN ({idx}) >= 0 THEN {foldhead} END AS sum_{th}",
+            f"CASE WHEN ({idx}) >= 0 THEN {foldhead} / (({idx}) + 1) END AS mean_{th}",
+        ]
+        suffixes += [f"upper_{th}", f"sum_{th}", f"mean_{th}"]
     wide = (
-        f"SELECT name, {slot} AS slot, "
-        f"CAST({n} AS DOUBLE) AS \"count\", {arr}[1] AS lower, {arr}[{n}] AS upper, "
-        f"{foldall} AS \"sum\", {foldall} / {n} AS mean, "
-        f"CASE WHEN ({idx}) >= 0 THEN {arr}[({idx}) + 1] END AS upper_{THRESHOLD}, "
-        f"CASE WHEN ({idx}) >= 0 THEN {foldhead} END AS sum_{THRESHOLD}, "
-        f"CASE WHEN ({idx}) >= 0 THEN {foldhead} / (({idx}) + 1) END AS mean_{THRESHOLD} "
-        f"FROM ({parsed_sql}) WHERE metric = 'ms' GROUP BY name, {slot}"
+        f"SELECT name, {slot} AS slot, " + ", ".join(stat_sql)
+        + f" FROM ({parsed_sql}) WHERE metric = 'ms' GROUP BY name, {slot}"
     )
     pieces = []
-    for s in (
-        "count", "lower", "upper", "sum", "mean",
-        f"upper_{THRESHOLD}", f"sum_{THRESHOLD}", f"mean_{THRESHOLD}",
-    ):
+    for s in suffixes:
         pieces.append(
             f"SELECT '{prefix}.timers.' || name || '.{s}' AS name, slot AS t, "
             f"CAST(\"{s}\" AS DOUBLE) AS value FROM w"

@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "tgres_spark.operators.queries_pipeline",
     "tgres_spark.tpch",
     "tgres_spark.operators.queries_dslparse",
+    "tgres_spark.operators.queries_dsspec",
 ]
 
 

@@ -280,3 +280,34 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "events_props_extract",
+    sql="""
+SELECT event_type,
+  COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+""",
+)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON props parsed JVM-side
+    (get_json_object — no Python), filtered and aggregated. The
+    standard shape for event payloads at scale; the JSON path predicate
+    stays in whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        )
+    )
