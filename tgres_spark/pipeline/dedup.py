@@ -95,7 +95,13 @@ DEDUP_EXACT_SQL = (
 # --- MinHash + LSH ---------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<string>): per seed i, min md5('<i>:'+shingle).
+    """(doc_id, sig array<string>): 16 32-bit minhash components.
+
+    Hash budget: 4 salted md5s per shingle, each sliced into 4
+    8-hex-char (32-bit) pieces — 16 independent-enough components at a
+    quarter of the hashing cost of 16 full md5s (the standard 32-bit
+    minhash construction). Lexicographic min of fixed-width hex is
+    numeric min, so Spark and DuckDB agree with no hex→int step.
 
     No dedup of (doc, shingle) pairs: MIN is idempotent under
     duplicates, and skipping the distinct removes an entire shuffle of
@@ -105,10 +111,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     sh = docs.select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id", F.explode(shingles_of(F.col("w"))).alias("sh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
+    salts = ["", "a:", "b:", "c:"]
+    aggs = []
+    for i in range(N_HASHES):
+        salt, piece = salts[i // 4], i % 4
+        h = F.md5(F.concat(F.lit(salt), F.col("sh")))
+        aggs.append(F.min(F.substring(h, piece * 8 + 1, 8)).alias(f"h{i}"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
@@ -119,13 +127,17 @@ def minhash_signatures_sql() -> str:
     sh = (
         f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh FROM documents"
     )
-    aggs = ", ".join(
-        f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(N_HASHES)
-    )
+    salts = ["", "a:", "b:", "c:"]
+    aggs = []
+    for i in range(N_HASHES):
+        salt, piece = salts[i // 4], i % 4
+        aggs.append(
+            f"MIN(substr(md5('{salt}' || sh), {piece * 8 + 1}, 8)) AS h{i}"
+        )
     cols = ", ".join(f"h{i}" for i in range(N_HASHES))
     return (
         f"SELECT doc_id, [{cols}] AS sig FROM "
-        f"(SELECT doc_id, {aggs} FROM ({sh}) GROUP BY doc_id)"
+        f"(SELECT doc_id, {', '.join(aggs)} FROM ({sh}) GROUP BY doc_id)"
     )
 
 
