@@ -60,3 +60,37 @@ def test_streaming_is_incremental(spark, tmp_path):
     assert vals[1020] == 2.0  # (1+3)/2 — first batch slot unchanged
     assert vals[5040] == 5.0  # new slot from second file
     assert os.path.isdir(str(ckpt))
+
+
+def test_statsd_stream_matches_batch_counters(spark, tmp_path):
+    from tgres_spark.aggregator import statsd_flush
+    from tgres_spark.sources.statsd import parse_statsd_packets
+    from tgres_spark.streaming.ingest import run_statsd_file_pipeline
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    lines = [
+        "10 c1:1|c", "20 c1:5|c|@0.5", "70 c1:60|c", "95 c2:2|c",
+        "100 bad packet", "200 zz:0|c",  # sentinel advances watermark past slot 120
+    ]
+    (in_dir / "p.txt").write_text("\n".join(lines) + "\n")
+    run_statsd_file_pipeline(
+        spark, str(in_dir), str(tmp_path / "sout"), str(tmp_path / "sck"),
+        flush_s=60, watermark_s=10,
+    )
+    got = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in spark.read.parquet(str(tmp_path / "sout")).collect()
+        if "zz" not in r["name"]
+    }
+    pk = spark.createDataFrame(
+        [(int(x.split(" ", 1)[0]), x.split(" ", 1)[1]) for x in lines],
+        "t long, packet string",
+    )
+    batch = statsd_flush(parse_statsd_packets(pk), 60)
+    expect = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in batch.collect()
+        if r["name"].startswith("stats.c")
+    }
+    assert got == expect

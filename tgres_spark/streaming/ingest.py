@@ -122,3 +122,56 @@ def run_file_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def run_statsd_file_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    flush_s: int = 60,
+    watermark_s: int = 600,
+) -> None:
+    """Streaming statsd counters: packets → parse → per-window rate —
+    the aggworker/flusher loop (receiver/aggworker.go) as one
+    watermarked aggregation. Timers/gauges follow the same shape; the
+    batch `statsd_flush` stays the backfill authority (its sorted-list
+    percentile stats need the full window, which append-mode emission
+    guarantees here too).
+
+    Input files carry `t packet` lines so replays are deterministic
+    (the live socket path stamps at arrival instead)."""
+    raw = (
+        spark.readStream.format("text").load(in_path)
+        .withColumnRenamed("value", "line")
+    )
+    parts = F.split(F.col("line"), " ", 2)
+    pk = raw.select(
+        F.element_at(parts, 1).try_cast("bigint").alias("t"),
+        F.element_at(parts, 2).alias("packet"),
+    ).where(F.col("t").isNotNull())
+    parsed = parse_statsd_packets(pk)
+    counters = parsed.where(F.col("metric") == "c").withColumn(
+        "ts", (F.col(T) - 1).cast("timestamp")
+    )
+    rate = (
+        counters.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy(F.window("ts", f"{flush_s} seconds"), F.col(NAME))
+        .agg(
+            (F.sum(F.col(VALUE) / F.col("sample")) / float(flush_s)).alias(VALUE)
+        )
+        .select(
+            F.concat(F.lit("stats."), F.col(NAME)).alias(NAME),
+            F.unix_timestamp(F.col("window.end")).cast("bigint").alias(T),
+            F.col(VALUE).cast("double"),
+        )
+    )
+    q = (
+        rate.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
