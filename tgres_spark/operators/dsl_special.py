@@ -158,30 +158,59 @@ def sort_by_sql(base, stat: str, ascending: bool = False) -> str:
 
 
 def sinusoid(spark: SparkSession, amplitude: float, t0: int, t1: int, step: int) -> DataFrame:
-    """sin over wall-clock (dslSinusoid) — engine-generated, rows-only
-    (float trig differs across engines at ulp level)."""
+    """sin over wall-clock (dslSinusoid). round(9) absorbs the ulp-level
+    libm sin differences between engines (SURVEY §6)."""
     return spark.range(1).select(
         F.explode(F.sequence(F.lit(t0), F.lit(t1), F.lit(step))).alias(T)
     ).select(
         F.lit(f"sinusoid({amplitude:g})").alias(NAME),
         F.col(T).cast("bigint"),
-        (F.lit(float(amplitude)) * F.sin(F.col(T).cast("double") / 3600.0)).alias(VALUE),
+        F.round(
+            F.lit(float(amplitude)) * F.sin(F.col(T).cast("double") / 3600.0), 9
+        ).alias(VALUE),
+    )
+
+
+def sinusoid_sql(amplitude: float, t0: int, t1: int, step: int) -> str:
+    return (
+        f"SELECT 'sinusoid({amplitude:g})' AS name, CAST(r AS BIGINT) AS t, "
+        f"ROUND({float(amplitude)!r} * SIN(CAST(r AS DOUBLE) / 3600.0), 9) AS value "
+        f"FROM range({t0}, {t1 + 1}, {step}) AS _(r)"
     )
 
 
 def random_walk(spark: SparkSession, name: str, t0: int, t1: int, step: int) -> DataFrame:
     """Deterministic pseudo-random walk (dslRandomWalk uses rand; we
-    derive increments from a hash of t so runs are reproducible)."""
+    derive increments from md5(t) so runs are reproducible AND
+    cross-engine: the increment is the ascii-sum of the first 4 hex
+    chars scaled to [-0.5, 0.5)-ish, exact in both engines; the
+    cumulative sum runs in t-order so the FP sequence is identical."""
     from pyspark.sql import Window
 
     ts = spark.range(1).select(
         F.explode(F.sequence(F.lit(t0), F.lit(t1), F.lit(step))).alias(T)
     )
-    inc = (F.conv(F.substring(F.md5(F.col(T).cast("string")), 1, 4), 16, 10).cast("double") / 65535.0) - 0.5
+    h = F.md5(F.col(T).cast("string"))
+    asum = sum(
+        (F.ascii(F.substring(h, i + 1, 1)) for i in range(1, 4)),
+        F.ascii(F.substring(h, 1, 1)),
+    )
+    inc = asum.cast("double") / 408.0 - 0.5  # ascii sums span ~[192, 408]
     stepped = ts.select(F.col(T).cast("bigint").alias(T), inc.alias("inc"))
     w = Window.orderBy(T).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return stepped.select(
         F.lit(name).alias(NAME),
         F.col(T),
         F.sum("inc").over(w).alias(VALUE),
+    )
+
+
+def random_walk_sql(name: str, t0: int, t1: int, step: int) -> str:
+    h = "md5(CAST(r AS VARCHAR))"
+    asum = " + ".join(f"ascii(substr({h}, {i}, 1))" for i in range(1, 5))
+    return (
+        f"SELECT '{name}' AS name, CAST(r AS BIGINT) AS t, "
+        f"SUM(CAST(({asum}) AS DOUBLE) / 408.0 - 0.5) OVER "
+        f"(ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value "
+        f"FROM range({t0}, {t1 + 1}, {step}) AS _(r)"
     )

@@ -305,12 +305,15 @@ _reg(
 )
 
 
-@register("dsl_sinusoid")  # rows-only: trig ulp differences across engines
+@register("dsl_sinusoid", sql=ds.sinusoid_sql(10.0, T0, T0 + 7 * 86400, STEP))
 def _sinusoid(spark, sf_dir):
     return ds.sinusoid(spark, 10.0, T0, T0 + 7 * 86400, STEP)
 
 
-@register("dsl_randomWalk")  # rows-only: generated series
+@register(
+    "dsl_randomWalk",
+    sql=ds.random_walk_sql("randomWalk", T0, T0 + 7 * 86400, STEP),
+)
 def _random_walk(spark, sf_dir):
     return ds.random_walk(spark, "randomWalk", T0, T0 + 7 * 86400, STEP)
 

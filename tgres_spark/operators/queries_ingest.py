@@ -135,7 +135,18 @@ def statsd_flush_timers(spark, sf_dir):
     return _flush_timers(_parsed(spark, sf_dir), FLUSH, "stats")
 
 
-@register("statsd_flush_all", sql=None)  # union shape exercised via parts above
+@register(
+    "statsd_flush_all",
+    sql=(
+        flush_counters_sql(PARSED_SQL, FLUSH)
+        + " UNION ALL "
+        + flush_gauges_sql(PARSED_SQL, FLUSH)
+        # timers SQL starts with a CTE — wrap as a derived table
+        + " UNION ALL SELECT * FROM ("
+        + flush_timers_sql(PARSED_SQL, FLUSH)
+        + ")"
+    ),
+)
 def statsd_flush_all(spark, sf_dir):
     return statsd_flush(_parsed(spark, sf_dir), FLUSH, "stats")
 

@@ -61,7 +61,13 @@ def mm_decode_stub(spark, sf_dir):
     return mm.decode_and_featurize(media)
 
 
-@register("mm_frame_sample")  # rows-only: JVM-side frame explode
+@register(
+    "mm_frame_sample",
+    sql=(
+        "SELECT doc_id AS media_id, UNNEST(range(0, (doc_id % 300 + 1), 30)) AS frame_idx "
+        "FROM documents WHERE doc_id % 3 = 2"
+    ),
+)
 def mm_frame_sample(spark, sf_dir):
     media = mm.synthesize_media(_docs(spark, sf_dir))
     return mm.frame_sample(media).withColumn(
