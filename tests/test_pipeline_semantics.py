@@ -1,0 +1,115 @@
+"""Semantic unit tests for the LLM-pipeline operators: known inputs
+with obvious right answers (the oracle gate checks engine parity;
+these check the MATH)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "completely different content about spark shuffles and parquet files"
+    rows = [
+        (1, a, "en", "s1", len(a)),
+        (2, a, "en", "s2", len(a)),      # exact duplicate of 1
+        (3, b, "en", "s3", len(b)),      # near-duplicate of 1
+        (4, c, "en", "s4", len(c)),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    from tgres_spark.pipeline.dedup import dedup_exact
+
+    out = {r["keeper_id"]: r["n_dups"] for r in dedup_exact(docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_identical_docs_have_sim_1(docs):
+    from tgres_spark.pipeline.dedup import dedup_minhash_lsh
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in dedup_minhash_lsh(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    if (1, 3) in pairs:  # near-dup likely but not guaranteed by LSH
+        assert pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_identical_docs_have_hamming_0(docs):
+    from tgres_spark.pipeline.dedup import dedup_simhash
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_jaccard_of_duplicate_is_1(docs):
+    from tgres_spark.pipeline.dedup import dedup_ngram_jaccard
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ann_finds_identical_vector_first(spark):
+    from tgres_spark.pipeline.similarity import ann_cosine_topk
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    other = [0.0, 1.0] + [0.0] * (dim - 2)
+    mixed = [0.7, 0.7] + [0.0] * (dim - 2)
+    rows = [(0, base, 0), (10, base, 0), (20, mixed, 1), (30, other, 2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann_cosine_topk(emb, n_queries=1, k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor_id"] == 10  # the identical vector
+    assert math.isclose(ranked[0]["cos"], 1.0, abs_tol=1e-9)
+    assert ranked[1]["neighbor_id"] == 20  # 45° away
+    assert ranked[2]["neighbor_id"] == 30  # orthogonal
+
+
+def test_langid_detects_clear_languages(spark):
+    from tgres_spark.pipeline.textstats import text_langid
+
+    rows = [
+        (1, "the cat and the dog sat in the garden of the house", "en", "s", 1),
+        (2, "der hund und die katze das ist und der haus und die", "de", "s", 1),
+        (3, "le chat et la maison les arbres et des fleurs le jour", "fr", "s", 1),
+        (4, "xyzzy plugh qwerty", "zz", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text_langid(docs).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_stable_and_chunked(spark):
+    from tgres_spark.pipeline.textstats import text_fingerprint
+
+    txt = "z" * 130  # 3 chunks of 64
+    docs = spark.createDataFrame(
+        [(1, txt, "en", "s", 130), (2, txt, "en", "s", 130)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: (r["n_chunks"], r["fingerprint"]) for r in text_fingerprint(docs).collect()}
+    assert out[1][0] == 3
+    assert out[1] == out[2]  # identical text → identical fingerprint

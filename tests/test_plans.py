@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — the scale properties SCALE.md
+claims, asserted on .explain output so they can't silently rot.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs(spark):
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_tpch_joins_broadcast_dims(spark, qs):
+    p = plan_of(qs["tpch_q3"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_scans_prune_columns_and_push_filters(spark, qs):
+    p = plan_of(qs["tpch_q6"](spark, SF))
+    assert "PushedFilters: [" in p and "GreaterThanOrEqual(l_discount" in p
+    # projection pruning: the lineitem scan must not read all 11 columns
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(s.count(",") <= 3 for s in schemas), schemas
+
+
+def test_rank_uses_distributed_topk(spark, qs):
+    p = plan_of(qs["dsl_highestCurrent"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+
+
+def test_series_window_partitions_by_name(spark, qs):
+    p = plan_of(qs["dsl_movingAverage"](spark, SF))
+    # the moving window must be partitioned (no global-sort window)
+    assert "SinglePartition" not in p
+
+
+def test_filter_semi_join_broadcasts_winners(spark, qs):
+    p = plan_of(qs["dsl_maximumAbove"](spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_consolidate_reads_pruned_schema(spark, qs):
+    import re
+
+    p = plan_of(qs["rrd_consolidate_wmean"](spark, SF))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    # events has 6 columns; the series projection needs only 3
+    assert schemas and all(s.count(",") == 2 for s in schemas), schemas
+
+
+def test_minhash_join_keys_are_hashes(spark, qs):
+    # the LSH pair join must join on (band, key), never cross-join
+    p = plan_of(qs["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
