@@ -35,7 +35,9 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q6",
     "events_sessionize",
+    "dsl_expression_parser",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
 ]
