@@ -291,6 +291,8 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         return ds.alias_sub(s0(), _str(a[1]), _str(a[2]))
     if f == "color":  # charting metadata — identity on data
         return s0()
+    if f == "cactiStyle":
+        return ds.cacti_style(s0())
     if f == "constantLine":
         if ctx.t_from is None or ctx.t_to is None:
             raise ValueError("constantLine needs a time range on the context")

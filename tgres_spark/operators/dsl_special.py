@@ -214,3 +214,39 @@ def random_walk_sql(name: str, t0: int, t1: int, step: int) -> str:
         f"(ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value "
         f"FROM range({t0}, {t1 + 1}, {step}) AS _(r)"
     )
+
+
+def cacti_style(df) -> DataFrame:
+    """Append "Current/Max/Min" stats to each series name
+    (funcs.go:329 marks cactiStyle TODO "should be easy" — it is):
+    one broadcast join of the tiny per-series stats relation."""
+    from .dsl_filter import _stat
+
+    cur = _stat(df, "current").withColumnRenamed("stat", "cur")
+    mx = _stat(df, "max").withColumnRenamed("stat", "mx")
+    mn = _stat(df, "min").withColumnRenamed("stat", "mn")
+    stats = cur.join(mx, NAME).join(mn, NAME)
+    j = df.join(F.broadcast(stats), NAME)
+    # round BEFORE formatting: Java %.2f rounds half-up, C printf
+    # half-even — pre-rounded values format identically
+    label = F.format_string(
+        "%s Current:%.2f Max:%.2f Min:%.2f",
+        F.col(NAME), F.round("cur", 2), F.round("mx", 2), F.round("mn", 2),
+    )
+    return j.select(label.alias(NAME), F.col(T), F.col(VALUE))
+
+
+def cacti_style_sql(base) -> str:
+    from .dsl_filter import _stat_sql
+
+    cur = _stat_sql(base, "current").replace(" AS stat", " AS cur", 1)
+    mx = _stat_sql(base, "max").replace(" AS stat", " AS mx", 1)
+    mn = _stat_sql(base, "min").replace(" AS stat", " AS mn", 1)
+    return (
+        "SELECT printf('%s Current:%.2f Max:%.2f Min:%.2f', b.name, ROUND(s.cur, 2), ROUND(s.mx, 2), ROUND(s.mn, 2)) AS name, "
+        "b.t AS t, b.value AS value "
+        f"FROM ({base}) b "
+        f"JOIN (SELECT c.name, c.cur, x.mx, n.mn FROM ({cur}) c "
+        f"JOIN ({mx}) x ON c.name = x.name JOIN ({mn}) n ON c.name = n.name) s "
+        "ON b.name = s.name"
+    )

@@ -283,6 +283,7 @@ for _key, _stat, _asc in [
 
 # --- §2.6 special ----------------------------------------------------------
 _reg("dsl_alias", lambda s, d: ds.alias(base(s, d), "renamed"), ds.alias_sql(BASE_SQL, "renamed"))
+_reg("dsl_cactiStyle", lambda s, d: ds.cacti_style(base(s, d)), ds.cacti_style_sql(BASE_SQL))
 _reg(
     "dsl_aliasByMetric",
     lambda s, d: ds.alias_by_metric(dotted(s, d)),
