@@ -32,7 +32,11 @@ FLUSH = 60
 def graphite_lines(spark, sf_dir):
     """events → protocol lines, with a deterministic sprinkle of
     malformed lines the parser must reject."""
-    ev = load_table(spark, sf_dir, "events")
+    # repartition BEFORE the projection: the single-file testdata would
+    # otherwise format+parse the whole stream on one core
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     good = F.format_string(
         "web.%s.hits %.2f %d",
         F.col("event_type"),
@@ -40,6 +44,9 @@ def graphite_lines(spark, sf_dir):
         epoch_s("ts"),
     )
     line = F.when(F.col("event_id") % 97 == 0, F.lit("not a metric")).otherwise(good)
+    # the testdata is one small parquet file = one input partition; a
+    # real protocol firehose is parallel, so spread the synthesized
+    # stream before the parse (cheap narrow-ish shuffle, unlocks cores)
     return ev.select(line.alias("line"))
 
 
@@ -64,7 +71,9 @@ def statsd_packets(spark, sf_dir):
     """events → statsd packets: clicks/views = counters (views sampled
     at 0.5), errors/signups = timers, purchases = gauges (every third a
     +delta); every 97th packet malformed."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     metric = (
         F.when(F.col("event_type").isin("click", "view"), "c")
         .when(F.col("event_type").isin("error", "signup"), "ms")
