@@ -52,3 +52,14 @@ def test_find_json_tree(catalog):
     assert leaves == [
         {"text": "hits", "id": "web.h1.hits", "leaf": 1, "expandable": 0}
     ]
+
+
+def test_render_max_points_consolidates(catalog):
+    from tgres_spark.render import render_df
+
+    # 5 points over 240s; maxDataPoints=2 → ~120s step consolidation
+    df = render_df(catalog, ["web.h1.hits"], t_from=60, t_to=300, max_points=2)
+    rows = sorted(df.collect(), key=lambda r: r["t"])
+    assert len(rows) <= 3  # consolidated well below the raw 5 points
+    ts = [r["t"] for r in rows]
+    assert all(t % 120 == 0 for t in ts)  # 120s slot ends

@@ -130,16 +130,6 @@ def consolidate(
     )
 
 
-def consolidate_last(sf: DataFrame, step: int) -> DataFrame:
-    """LAST consolidation done order-correctly: the value at the max t
-    of each slot (pdp.go:136-141 — last non-NaN wins)."""
-    nn = sf.where(F.col(VALUE).isNotNull())
-    agg = nn.groupBy(NAME, slot_end(step).alias("slot")).agg(
-        F.max_by(VALUE, T).alias(VALUE)
-    )
-    return agg.select(NAME, F.col("slot").alias(T), VALUE)
-
-
 def oracle_consolidate_sql(
     base_sql: str,
     step: int,

@@ -14,12 +14,10 @@ name so Spark and DuckDB pick the same winners.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..model import NAME, T, VALUE
-
-_STATS: dict[str, tuple[Column, str]] = {}
 
 
 def _stat(df: DataFrame, stat: str) -> DataFrame:
