@@ -130,6 +130,90 @@ def consolidate(
     )
 
 
+def consolidate_multi(
+    sf: DataFrame,
+    archives: list[tuple[str, int]],
+    heartbeat: int | None = None,
+) -> DataFrame:
+    """Fan one SeriesFrame into several archives sharing ONE duration
+    pass — the reference's shape exactly: a single PDP stream feeds
+    every RRA of a DS (rrd/ds.go updateRRAs). Interval durations are
+    step-independent, so the lag window computes once (and persists)
+    while each (cf, step) pair adds only its own groupBy.
+
+    Output names are prefixed `<cf>:<step>/` like rrd_multi_rra."""
+    w = Window.partitionBy(NAME).orderBy(T)
+    dur = F.coalesce((F.col(T) - F.lag(T).over(w)).cast("double"), F.lit(1.0))
+    if heartbeat is not None:
+        known_val = F.when(dur <= float(heartbeat), F.col(VALUE))
+    else:
+        known_val = F.col(VALUE)
+    pts = sf.select(
+        F.col(NAME), F.col(T), known_val.alias("v"), dur.alias("dur")
+    ).persist()
+
+    outs = []
+    for cf, step in archives:
+        renamed = pts.select(
+            F.col(NAME), F.col(T), F.col("v").alias(VALUE), "dur"
+        )
+        # reuse the single-archive agg logic on the precomputed pts by
+        # faking the lag pass: _agg_from_pts below consumes (v, dur)
+        agg = _agg_from_pts(renamed, step, cf)
+        outs.append(
+            agg.select(
+                F.concat(F.lit(f"{cf}:{step}/"), F.col(NAME)).alias(NAME),
+                T,
+                VALUE,
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, outs)
+
+
+def _agg_from_pts(pts: DataFrame, step: int, cf: str) -> DataFrame:
+    """Aggregation stage of consolidate() over a precomputed
+    (name, t, value, dur) relation."""
+    p = pts.select(
+        NAME, T, slot_end(step).alias("slot"), F.col(VALUE).alias("v"), "dur"
+    )
+    if cf == "last":
+        nn = p.where(F.col("v").isNotNull())
+        wmax = Window.partitionBy(NAME, "slot")
+        nn = nn.withColumn("tmax", F.max(T).over(wmax))
+        agg = (
+            nn.where(F.col(T) == F.col("tmax"))
+            .groupBy(NAME, "slot")
+            .agg(F.max("v").alias("cv"))
+        )
+        return agg.select(NAME, F.col("slot").alias(T), F.col("cv").alias(VALUE))
+    known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
+    if cf == "wmean":
+        num = F.sum(
+            F.when(
+                F.col("v").isNotNull(),
+                F.col("v").cast("decimal(38,6)") * F.col("dur").cast("decimal(38,6)"),
+            )
+        )
+        val = F.when(known_dur > 0.0, (num / known_dur).cast("double"))
+    elif cf == "min":
+        val = F.min("v")
+    elif cf == "max":
+        val = F.max("v")
+    elif cf == "sum":
+        val = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+    elif cf == "count":
+        val = F.count("v").cast("double")
+    else:
+        val = F.when(
+            F.count("v") > 0,
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count("v"),
+        )
+    agg = p.groupBy(NAME, "slot").agg(val.alias("cv"))
+    return agg.select(NAME, F.col("slot").alias(T), F.col("cv").alias(VALUE))
+
+
 def oracle_consolidate_sql(
     base_sql: str,
     step: int,

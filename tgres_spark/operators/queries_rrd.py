@@ -6,8 +6,6 @@ Reference parity: rrd/rra.go (consolidation + xff), rrd/pdp.go
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..model import EVENTS_SERIES_SQL, series_from_events
@@ -65,19 +63,12 @@ register(
     ),
 )
 def rrd_multi_rra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One series set fanned into three RRAs (rrd/ds.go: DS holds many
-    RRAs updated from the same PDP stream)."""
-    from pyspark.sql import functions as F
+    """One series set fanned into three RRAs sharing a single duration
+    pass (rrd/ds.go: DS holds many RRAs updated from the same PDP
+    stream — consolidate_multi mirrors that plan shape)."""
+    from .consolidate import consolidate_multi
 
-    sf = series_from_events(spark, sf_dir)
-    parts = []
-    for cf, step in (("wmean", 600), ("max", 3600), ("min", 86400)):
-        c = consolidate(sf, step, cf=cf)
-        parts.append(
-            c.select(
-                F.concat(F.lit(f"{cf}:{step}/"), F.col("name")).alias("name"),
-                "t",
-                "value",
-            )
-        )
-    return reduce(DataFrame.unionAll, parts)
+    return consolidate_multi(
+        series_from_events(spark, sf_dir),
+        [("wmean", 600), ("max", 3600), ("min", 86400)],
+    )
