@@ -47,6 +47,20 @@ def test_statsd_parse_variants(spark):
     assert 7 not in rows and 8 not in rows
 
 
+def test_statsd_name_with_pipe(spark):
+    """The grammar's name pattern is [^:]+ — a '|' inside the name is
+    legal. Splitting must happen after the FIRST ':' only, or the
+    fields shift (the cross-engine divergence ADVICE r1 flagged)."""
+    pk = spark.createDataFrame(
+        [(1, "a|b:1|c"), (2, "a|b:5|ms|@0.2")], "t long, packet string"
+    )
+    rows = {r["t"]: r for r in parse_statsd_packets(pk).collect()}
+    assert rows[1]["name"] == "a|b" and rows[1]["metric"] == "c"
+    assert rows[1]["value"] == 1.0 and rows[1]["sample"] == 1.0
+    assert rows[2]["name"] == "a|b" and rows[2]["metric"] == "ms"
+    assert rows[2]["sample"] == 0.2
+
+
 def test_statsd_flush_counter_rate_and_sampling(spark):
     # two counters in one 60s window; @0.5 doubles the increment;
     # rate = (1/1 + 5/0.5) / 60

@@ -56,6 +56,88 @@ def test_simhash_identical_docs_have_hamming_0(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_pigeonhole_matches_bruteforce(spark):
+    """The 4-table blocking must find EXACTLY the pairs a brute-force
+    all-pairs hamming scan finds (pigeonhole guarantees recall for
+    hamming ≤ 3; the post-filter guarantees precision)."""
+    import random
+
+    from tgres_spark.pipeline.dedup import SIMHASH_CHUNKS, dedup_simhash, simhash
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for d in range(60):
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(40)), "en", "s", 1))
+    # near-dups: same long text, one token changed → few bit flips
+    base = " ".join(rng.choice(vocab) for _ in range(200))
+    rows.append((100, base, "en", "s", 1))
+    rows.append((101, base + " extraword", "en", "s", 1))
+    rows.append((102, base, "en", "s", 1))  # exact dup of 100
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sh = {r["doc_id"]: [r[f"q{j}"] for j in range(SIMHASH_CHUNKS)]
+          for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): sum(bin(sh[a][j] ^ sh[b][j]).count("1") for j in range(SIMHASH_CHUNKS))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+    }
+    expect = {p: h for p, h in brute.items() if h <= 3}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup_simhash(docs).collect()}
+    assert got == expect
+    assert got[(100, 102)] == 0  # the exact dup is in there
+
+
+def test_simhash_candidates_grow_linearly(spark):
+    """Scale regression: with N distinct random docs the blocked
+    candidate-pair count must stay O(N) (4 tables × 65536 uniform
+    buckets → expected 4·N²/2/65536 ≪ N at these sizes), where the old
+    256-bucket scheme was already ≈2·N at N=1000."""
+    import random
+
+    from tgres_spark.pipeline.dedup import simhash, simhash_candidates
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(2000)]
+
+    def mk(n):
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(30)), "en", "s", 1)
+            for d in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    for n in (400, 800):
+        cand = simhash_candidates(simhash(mk(n))).count()
+        assert cand <= n, f"candidate blowup: {cand} pairs for {n} docs"
+
+
+def test_ngram_jaccard_df_cap_bounds_stop_grams(spark):
+    """A corpus where every doc shares one ubiquitous bigram must not
+    explode the candidate join: the df cap drops the stop-gram, so
+    unrelated docs form NO pairs while true near-dups (sharing rare
+    grams) survive."""
+    from tgres_spark.pipeline.dedup import dedup_ngram_jaccard
+
+    rows = []
+    for d in range(40):
+        # "of the" in every doc + unique filler
+        rows.append((d, f"of the unique{d}a unique{d}b unique{d}c", "en", "s", 1))
+    rows.append((100, "rare pair alpha beta gamma delta", "en", "s", 1))
+    rows.append((101, "rare pair alpha beta gamma delta epsilon", "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup_ngram_jaccard(docs, threshold=0.1, max_df=10).collect()}
+    assert (100, 101) in out          # real near-dup survives
+    assert all(a >= 100 for a, _ in out), f"stop-gram pairs leaked: {out}"
+
+
 def test_jaccard_of_duplicate_is_1(docs):
     from tgres_spark.pipeline.dedup import dedup_ngram_jaccard
 

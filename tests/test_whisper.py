@@ -34,6 +34,29 @@ def test_read_whisper_via_spark(spark, tmp_path):
     assert df.columns == ["name", "archive_step", "t", "value"]
 
 
+def test_read_whisper_nested_tree(spark, tmp_path):
+    """a/cpu.wsp and b/cpu.wsp must NOT collide: names come from the
+    path relative to the import root (process.go:328-329)."""
+    root = tmp_path / "graphite"
+    for sub in ("a", "b"):
+        (root / sub).mkdir(parents=True)
+        blob = write_whisper_bytes([(60, [(1000, 1.0)])])
+        (root / sub / "cpu.wsp").write_bytes(blob)
+    df = read_whisper(spark, str(root) + "/*/*.wsp")
+    names = {r["name"] for r in df.collect()}
+    assert names == {"a.cpu", "b.cpu"}
+
+
+def test_series_name_helper():
+    from tgres_spark.sources.whisper import _infer_root, _series_name
+
+    assert _infer_root("/data/wsp/*/*.wsp") == "/data/wsp"
+    assert _infer_root("/data/wsp/a/cpu.wsp") == "/data/wsp/a"
+    assert _infer_root("/data/wsp") == "/data/wsp"
+    assert _series_name("file:/data/wsp/a/b/cpu.wsp", "/data/wsp") == "a.b.cpu"
+    assert _series_name("/data/other/cpu.wsp", "/data/wsp") == "cpu"
+
+
 def test_truncated_file_raises():
     import pytest
 

@@ -141,7 +141,18 @@ def consolidate_multi(
     step-independent, so the lag window computes once (and persists)
     while each (cf, step) pair adds only its own groupBy.
 
-    Output names are prefixed `<cf>:<step>/` like rrd_multi_rra."""
+    Output names are prefixed `<cf>:<step>/` like rrd_multi_rra.
+
+    Caching lifetime: the shared (v, dur) relation is persisted because
+    every archive's groupBy re-reads it (without it the lag window runs
+    once per archive). Call ``release_multi_cache()`` after the union
+    is materialized to free it; it is also released automatically the
+    next time consolidate_multi runs.
+    """
+    for cf, _step in archives:
+        if cf.lower() not in CFS:
+            raise ValueError(f"unknown consolidation function: {cf}")
+    release_multi_cache()
     w = Window.partitionBy(NAME).orderBy(T)
     dur = F.coalesce((F.col(T) - F.lag(T).over(w)).cast("double"), F.lit(1.0))
     if heartbeat is not None:
@@ -151,6 +162,7 @@ def consolidate_multi(
     pts = sf.select(
         F.col(NAME), F.col(T), known_val.alias("v"), dur.alias("dur")
     ).persist()
+    _MULTI_CACHE.append(pts)
 
     outs = []
     for cf, step in archives:
@@ -172,9 +184,24 @@ def consolidate_multi(
     return reduce(DataFrame.unionAll, outs)
 
 
+_MULTI_CACHE: list[DataFrame] = []
+
+
+def release_multi_cache() -> None:
+    """Unpersist the shared pts relation(s) from prior
+    consolidate_multi calls (safe to call any time; lazy re-use of an
+    unpersisted frame just recomputes)."""
+    while _MULTI_CACHE:
+        _MULTI_CACHE.pop().unpersist()
+
+
 def _agg_from_pts(pts: DataFrame, step: int, cf: str) -> DataFrame:
     """Aggregation stage of consolidate() over a precomputed
-    (name, t, value, dur) relation."""
+    (name, t, value, dur) relation. ``cf`` must be in CFS (validated
+    here too so direct callers get the same error as consolidate())."""
+    cf = cf.lower()
+    if cf not in CFS:
+        raise ValueError(f"unknown consolidation function: {cf}")
     p = pts.select(
         NAME, T, slot_end(step).alias("slot"), F.col(VALUE).alias("v"), "dur"
     )

@@ -154,18 +154,33 @@ def _quantile_agg_sql(p: float) -> str:
 
 
 def diff_series(df, label="diffSeries()"):
-    """First series minus the rest; 'first' = lexicographically smallest
-    name (the reference iterates a sorted map; deterministic here)."""
-    agg = (
-        F.min_by(VALUE, NAME)
-        - (F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") - F.min_by(VALUE, NAME))
+    """First series minus the sum of the others at each t; 'first' =
+    the GLOBAL lexicographically-smallest name (the reference iterates
+    a sorted map, seriesslice.go:281-291 Diff). Pivoting on the
+    explicit first name (broadcast 1-row agg, no collect) — not
+    per-t min_by — so a t where the first series is absent yields
+    NULL (the reference's NaN minuend), never a silent promotion of
+    the second series to minuend."""
+    firstn = df.groupBy().agg(F.min(NAME).alias("__first"))
+    j = df.crossJoin(F.broadcast(firstn))
+    minuend = F.max(F.when(F.col(NAME) == F.col("__first"), F.col(VALUE)))
+    rest = (
+        F.sum(
+            F.when(
+                F.col(NAME) != F.col("__first"),
+                F.col(VALUE).cast("decimal(38,6)"),
+            )
+        ).cast("double")
     )
-    return _combine(df, label, agg)
+    return _combine(j, label, minuend - F.coalesce(rest, F.lit(0.0)))
 
 
 def diff_series_sql(base, label="diffSeries()"):
+    first = f"(SELECT MIN(name) FROM ({base}))"
     agg = (
-        "MIN_BY(value, name) - (CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) - MIN_BY(value, name))"
+        f"MAX(CASE WHEN name = {first} THEN value END) - "
+        f"COALESCE(CAST(SUM(CASE WHEN name <> {first} "
+        "THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0)"
     )
     return _combine_sql(base, label, agg)
 

@@ -222,70 +222,146 @@ def dedup_minhash_lsh_sql() -> str:
 
 # --- SimHash ---------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4          # pigeonhole tables: 4 × 16-bit chunks
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over word md5s: bit b of the hash is the sign of
-    Σ±1 over tokens (bit b of the token's first 4 hex chars). 16 bits
-    keeps the bit-extraction SQL-expressible in both engines; the
-    construction generalizes to 64."""
-    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
-    # hex char → value via ascii math ('0'-'9' → 48..57, 'a'-'f' → 97..102)
-    def _hexval(i):
-        a = F.ascii(F.substring(F.md5("w"), i + 1, 1))
-        return F.when(a >= 97, a - 87).otherwise(a - 48)
+    """64-bit SimHash over word md5s, materialized as FOUR 16-bit
+    chunks (doc_id, q0..q3): bit b of the hash is the sign of Σ±1 over
+    tokens (bit b of the token md5's first 16 hex chars). Chunked
+    storage sidesteps signed-64-bit assembly (1<<63 overflows a BIGINT
+    in both engines) AND is exactly the shape the pigeonhole blocking
+    join needs; hamming(a,b) = Σ_j bit_count(xor(a.qj, b.qj)).
 
-    nib = [_hexval(i) for i in range(4)]
+    Spark parses the 16 hex chars as two 32-bit ints with conv()
+    (2 string ops per token instead of 16 substr+ascii pairs — this is
+    the per-token hot path); DuckDB has no conv so the oracle keeps
+    per-char ascii math, with the SAME bit indexing: bit b lives in
+    hex char c = b//4 at nibble position k = b%4, i.e. at shift
+    (7 - c%8)*4 + k of the big-endian 32-bit half h[c//8]. The halves
+    are materialized as columns before the 64 sign-sum aggregates
+    reference them — Spark does not CSE across expressions outside one
+    projection, so inlining would recompute md5 64×."""
+    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    hx = w.select("doc_id", F.md5("w").alias("h"))
+    halves = hx.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("v0"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("v1"),
+    )
     bit_cols = []
     for b in range(SIMHASH_BITS):
-        v = nib[b // 4]
-        bitval = F.shiftright(v, b % 4).bitwiseAND(F.lit(1))
+        c, k = b // 4, b % 4
+        shift = (7 - (c % 8)) * 4 + k
+        bitval = F.shiftright(F.col(f"v{c // 8}"), shift).bitwiseAND(F.lit(1))
         bit_cols.append(
             F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"b{b}")
         )
-    sums = w.groupBy("doc_id").agg(*bit_cols)
-    h = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        h = term if h is None else h + term
-    return sums.select("doc_id", h.cast("bigint").alias("simhash"))
+    sums = halves.groupBy("doc_id").agg(*bit_cols)
+    chunks = []
+    for j in range(SIMHASH_CHUNKS):
+        q = None
+        for i in range(CHUNK_BITS):
+            b = j * CHUNK_BITS + i
+            term = F.when(F.col(f"b{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            q = term if q is None else q + term
+        chunks.append(q.cast("int").alias(f"q{j}"))
+    return sums.select("doc_id", *chunks)
 
 
 def simhash_sql() -> str:
     w = f"SELECT doc_id, UNNEST({WORDS_SQL.format(c='text')}) AS w FROM documents"
-    nib = [
-        f"(CASE WHEN ascii(substr(md5(w), {i + 1}, 1)) >= 97 "
-        f"THEN ascii(substr(md5(w), {i + 1}, 1)) - 87 "
-        f"ELSE ascii(substr(md5(w), {i + 1}, 1)) - 48 END)"
-        for i in range(4)
-    ]
+    hx = f"SELECT doc_id, md5(w) AS h FROM ({w})"
+    nib_exprs = ", ".join(
+        f"(CASE WHEN ascii(substr(h, {c + 1}, 1)) >= 97 "
+        f"THEN ascii(substr(h, {c + 1}, 1)) - 87 "
+        f"ELSE ascii(substr(h, {c + 1}, 1)) - 48 END) AS n{c}"
+        for c in range(SIMHASH_BITS // 4)
+    )
+    nibs = f"SELECT doc_id, {nib_exprs} FROM ({hx})"
     bit_aggs = ", ".join(
-        f"SUM(CASE WHEN (({nib[b // 4]} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        f"SUM(CASE WHEN ((n{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
     )
-    h = " + ".join(
-        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    chunk_exprs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN b{j * CHUNK_BITS + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(CHUNK_BITS)
+        )
+        + f" AS INTEGER) AS q{j}"
+        for j in range(SIMHASH_CHUNKS)
     )
     return (
-        f"SELECT doc_id, CAST({h} AS BIGINT) AS simhash FROM "
-        f"(SELECT doc_id, {bit_aggs} FROM ({w}) GROUP BY doc_id)"
+        f"SELECT doc_id, {chunk_exprs} FROM "
+        f"(SELECT doc_id, {bit_aggs} FROM ({nibs}) GROUP BY doc_id)"
+    )
+
+
+def _simhash_keys(sh: DataFrame) -> DataFrame:
+    """Blocking-key relation: one row per (doc, table) carrying ALL
+    four chunks — table j keys on chunk q_j. Carrying the chunks
+    through the explode lets the candidate self-join compute hamming
+    directly (no rejoin against the signature relation, no persist);
+    Spark's ReusedExchange evaluates the relation once for both join
+    sides."""
+    return sh.select(
+        "doc_id",
+        *[F.col(f"q{j}") for j in range(SIMHASH_CHUNKS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("tbl"), F.col(f"q{j}").alias("key")
+                    )
+                    for j in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("tk"),
+    ).select("doc_id", *[f"q{j}" for j in range(SIMHASH_CHUNKS)], "tk.tbl", "tk.key")
+
+
+def simhash_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from 4-table pigeonhole blocking over
+    the chunked simhash relation: table j keys on chunk q_j. Any pair
+    within hamming ≤ 3 of the 64-bit hash differs in at most 3 of the
+    4 chunks, so at least one chunk matches exactly and the pair lands
+    in that table's bucket — the candidate set PROVABLY contains every
+    true pair (no recall loss, unlike prefix bucketing).
+
+    Scale: each join key is (table, 16-bit chunk) — 4 × 65536 uniform
+    buckets (md5-derived sign sums), a 256× finer blocking than the
+    old 256-bucket scheme; expected bucket size N/65536 per table."""
+    keys = _simhash_keys(sh)
+    return (
+        keys.alias("a")
+        .join(keys.alias("b"), ["tbl", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
 
 
 def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs bucketed by the high byte of the simhash, kept
-    when full hamming distance ≤ max_hamming. (Bucketing by prefix is
-    the standard recall/cost trade — documented approximation.)"""
-    sh = simhash(docs).withColumn(
-        "bucket", F.shiftright(F.col("simhash").cast("int"), 8)
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    """Near-duplicate pairs with 64-bit simhash hamming ≤ max_hamming.
+
+    Exact over the hash for max_hamming ≤ 3 (pigeonhole blocking, see
+    simhash_candidates). One self-join shuffle on the uniform
+    (table, chunk) key + one distinct; hamming is computed in the join
+    projection from the carried chunks, and the hamming filter runs
+    BEFORE the distinct so the dedup shuffle only carries true pairs."""
+    keys = _simhash_keys(simhash(docs))
+    ham = None
+    for j in range(SIMHASH_CHUNKS):
+        term = F.bit_count(F.col(f"a.q{j}").bitwiseXOR(F.col(f"b.q{j}")))
+        ham = term if ham is None else ham + term
     return (
-        a.join(b, "bucket")
+        keys.alias("a")
+        .join(keys.alias("b"), ["tbl", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(ham <= max_hamming)
         .select(
@@ -293,26 +369,50 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("bigint").alias("hamming"),
         )
+        .distinct()
     )
 
 
 def dedup_simhash_sql(max_hamming: int = 3) -> str:
     sh = simhash_sql()
+    cols = ", ".join(f"q{j}" for j in range(SIMHASH_CHUNKS))
+    key_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {cols}, {j} AS tbl, q{j} AS key FROM s"
+        for j in range(SIMHASH_CHUNKS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.q{j}, b.q{j}))" for j in range(SIMHASH_CHUNKS)
+    )
     return (
-        f"WITH s AS (SELECT doc_id, simhash, simhash >> 8 AS bucket FROM ({sh})) "
-        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
-        "FROM s a JOIN s b ON a.bucket = b.bucket "
-        f"WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+        f"WITH s AS ({sh}), keys AS ({key_rows}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST({ham} AS BIGINT) AS hamming "
+        "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key "
+        f"WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}"
     )
 
 
 # --- n-gram Jaccard --------------------------------------------------------
 
-def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
-    """Word-bigram Jaccard similarity join, blocked by language (pairs
-    only form within a lang — the blocking key that keeps the join from
-    going quadratic). Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+def dedup_ngram_jaccard(
+    docs: DataFrame, threshold: float = 0.2, max_df: int = 100
+) -> DataFrame:
+    """Word-bigram Jaccard similarity join, blocked by language, over
+    the gram universe restricted to grams appearing in ≤ ``max_df``
+    documents. Returns (doc_a, doc_b, jaccard ≥ threshold).
+
+    Why the df cap: a gram appearing in d documents contributes d²
+    candidate pairs — stop-bigrams ("of the") are hot keys that make
+    the self-join near-quadratic AND skew a handful of shuffle
+    partitions at 100 TB. Capping document frequency bounds every
+    join key's fanout at max_df², turning worst-case quadratic into
+    linear-in-docs. Semantics (documented deviation): Jaccard is
+    computed over surviving grams only — per-doc sizes AND
+    intersections both exclude capped grams, so it remains a true
+    Jaccard on the restricted universe; ubiquitous grams carry no
+    near-dup signal anyway. The df relation is computed in the same
+    pass and joined on the (lang, g) key the self-join already
+    shuffles on — co-partitioned, no extra exchange."""
     grams = (
         docs.select("doc_id", "lang", words(F.col("text")).alias("w"))
         .select(
@@ -320,10 +420,17 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         )
         .distinct()
     )
-    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("lang", "g")
+    )
+    kept = grams.join(dfreq, ["lang", "g"])
+    counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        grams.alias("a")
-        .join(grams.alias("b"), ["lang", "g"])
+        kept.alias("a")
+        .join(kept.alias("b"), ["lang", "g"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -341,16 +448,19 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard_sql(threshold: float = 0.2) -> str:
+def dedup_ngram_jaccard_sql(threshold: float = 0.2, max_df: int = 100) -> str:
     grams = (
         f"SELECT DISTINCT doc_id, lang, UNNEST({shingles_sql('text', 2)}) AS g "
         "FROM documents"
     )
     return (
         f"WITH grams AS ({grams}), "
-        "counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+        "dfreq AS (SELECT lang, g FROM grams GROUP BY lang, g "
+        f"HAVING COUNT(*) <= {max_df}), "
+        "kept AS (SELECT grams.* FROM grams JOIN dfreq USING (lang, g)), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
-        "FROM grams a JOIN grams b ON a.lang = b.lang AND a.g = b.g "
+        "FROM kept a JOIN kept b ON a.lang = b.lang AND a.g = b.g "
         "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
         "SELECT doc_a, doc_b, "
         "CAST(inter / (na.n + nb.n - inter) AS DOUBLE) AS jaccard "

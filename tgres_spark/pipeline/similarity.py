@@ -121,9 +121,18 @@ def ann_ivf_search(
     Returns (query_id, neighbor_id, cos, rank)."""
     from pyspark.sql import Window
 
-    sample = np.stack(
-        [r["embedding"] for r in emb.select("embedding").limit(sample_limit).collect()]
-    ).astype("float64")
+    # Deterministic distributed sample: rank by a seeded hash of the id
+    # and take the lowest N (TakeOrderedAndProject — a distributed
+    # top-k, not a single-partition sort). Unlike limit() with no
+    # ordering, this is unbiased w.r.t. file/partition layout and
+    # replays identically on any cluster shape.
+    sample_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col("vec_id"))))
+        .limit(sample_limit)
+        .collect()
+    )
+    sample = np.stack([r["embedding"] for r in sample_rows]).astype("float64")
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(8):  # Lloyd iterations

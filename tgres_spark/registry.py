@@ -43,9 +43,50 @@ _QUERY_MODULES = [
 ]
 
 
+def _family(key: str) -> str:
+    """Coarse query family for registration-order interleaving."""
+    if key.startswith("dsl_expression"):
+        return "expr"
+    for p in (
+        "rrd", "dsl", "graphite", "statsd", "dedup", "ann",
+        "text", "mm", "tpch", "events", "find",
+    ):
+        if key.startswith(p + "_"):
+            return p
+    return "ingest"  # paced_metric, streaming_ingest_pipeline, ...
+
+
+def _interleave() -> None:
+    """Reorder QUERIES/ORACLES round-robin across families.
+
+    The driver attests a prefix of the registry in registration order;
+    a family-interleaved order makes any prefix window sample the whole
+    operator surface (rrd, dsl, ingest, dedup, ann, text, tpch, ...)
+    instead of whichever module happened to import first. Within a
+    family the original registration order is preserved, so this is a
+    deterministic permutation — same keys, same functions, same SQL.
+    """
+    global QUERIES, ORACLES
+    buckets: dict[str, list[str]] = {}
+    for k in QUERIES:
+        buckets.setdefault(_family(k), []).append(k)
+    order: list[str] = []
+    queues = [list(v) for v in buckets.values()]
+    while queues:
+        nxt = []
+        for q in queues:
+            order.append(q.pop(0))
+            if q:
+                nxt.append(q)
+        queues = nxt
+    QUERIES = {k: QUERIES[k] for k in order}
+    ORACLES = {k: ORACLES[k] for k in order if k in ORACLES}
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import importlib
 
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    _interleave()

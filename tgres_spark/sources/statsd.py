@@ -28,22 +28,24 @@ def parse_statsd_packets(pk: DataFrame, col: str = "packet") -> DataFrame:
     """
     c = F.trim(F.col(col))
     keep = [f for f in pk.columns if f != col]
-    # one rlike validates the grammar; one split extracts the fields —
+    # one rlike validates the grammar; splits extract the fields —
     # 5 regexp_extracts over the same pattern cost ~5x (no CSE across
-    # separate expressions in codegen)
-    parts = F.split(c, r"[:|]")
+    # separate expressions in codegen). Name = everything before the
+    # FIRST ':' (the grammar's [^:]+); only the remainder splits on
+    # '|', so names containing '|' (legal per the pattern) parse the
+    # same here as in the regexp_extract oracle.
+    head = F.split(c, ":", 2)
+    rest = F.split(F.element_at(head, 2), r"\|")
     valid = c.rlike(_RX)
-    value_s = F.element_at(parts, 2)
-    sample_s = F.element_at(parts, 4)
+    value_s = F.element_at(rest, 1)
+    sample_s = F.when(F.size(rest) >= 3, F.element_at(rest, 3))
     out = pk.where(valid).select(
         *keep,
-        F.element_at(parts, 1).alias("name"),
+        F.element_at(head, 1).alias("name"),
         value_s.try_cast("double").alias("value"),
-        F.element_at(parts, 3).alias("metric"),
+        F.element_at(rest, 2).alias("metric"),
         F.coalesce(
-            F.when(
-                F.size(parts) >= 4, F.substring(sample_s, 2, 64).try_cast("double")
-            ),
+            F.substring(sample_s, 2, 64).try_cast("double"),
             F.lit(1.0),
         ).alias("sample"),
         value_s.rlike(r"^[+-]").alias("delta"),

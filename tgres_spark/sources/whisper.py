@@ -67,19 +67,43 @@ def write_whisper_bytes(
     return head + b"".join(blobs)
 
 
-def read_whisper(spark: SparkSession, path_glob: str) -> DataFrame:
+def _infer_root(path_glob: str) -> str:
+    """Import root = the literal directory prefix of the glob."""
+    for i, ch in enumerate(path_glob):
+        if ch in "*?[":
+            return os.path.dirname(path_glob[:i])
+    if path_glob.endswith(".wsp"):
+        return os.path.dirname(path_glob)
+    return path_glob
+
+
+def _series_name(uri: str, root: str) -> str:
+    """Graphite convention (cmd/whisper_import/process.go:328-329):
+    the path *relative to the import root*, '.wsp' stripped, '/'→'.'
+    — so <root>/a/b/c.wsp → a.b.c, and nested trees like a/cpu.wsp vs
+    b/cpu.wsp keep distinct names (a.cpu, b.cpu)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri).path if "://" in uri or uri.startswith("file:") else uri
+    p = unquote(p)
+    root = root.rstrip("/")
+    rel = p[len(root):].lstrip("/") if root and p.startswith(root + "/") else os.path.basename(p)
+    if rel.endswith(".wsp"):
+        rel = rel[: -len(".wsp")]
+    return rel.replace("/", ".")
+
+
+def read_whisper(spark: SparkSession, path_glob: str, root: str | None = None) -> DataFrame:
     """.wsp files → SeriesFrame (name, t, value) + (archive_step).
-    Series name = file path relative dots (graphite convention:
-    a/b/c.wsp → a.b.c)."""
+    Series name = dotted path relative to ``root`` (default: the
+    glob's literal directory prefix): <root>/a/b/c.wsp → a.b.c."""
+    base = root if root is not None else _infer_root(path_glob)
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                name = (
-                    os.path.splitext(os.path.basename(r["path"]))[0]
-                    .replace("/", ".")
-                )
+                name = _series_name(r["path"], base)
                 rows.extend(parse_whisper_bytes(name, bytes(r["content"])))
             yield pd.DataFrame(
                 rows, columns=["name", "archive_step", "t", "value"]

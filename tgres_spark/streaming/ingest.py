@@ -46,14 +46,23 @@ def read_graphite_stream(
 
 
 def read_statsd_stream(spark: SparkSession, path: str) -> DataFrame:
-    pk = (
+    """File-drop statsd source. Lines carry `t packet` (epoch-second
+    prefix) so replays are deterministic — arrival-clock stamping would
+    make checkpoint recovery produce different slots than the original
+    run. A live socket gateway is expected to stamp lines on receipt
+    *before* they reach the stream (the reference daemon stamps at the
+    socket too, receiver/receiver.go); lines without a valid epoch
+    prefix are dropped."""
+    raw = (
         spark.readStream.format("text")
         .load(path)
-        .withColumnRenamed("value", "packet")
+        .withColumnRenamed("value", "line")
     )
-    # receive-time stamping (the daemon stamps at arrival); for a
-    # replayable file source we stamp from the batch clock
-    pk = pk.withColumn("t", F.unix_timestamp(F.current_timestamp()))
+    parts = F.split(F.col("line"), " ", 2)
+    pk = raw.select(
+        F.element_at(parts, 1).try_cast("bigint").alias("t"),
+        F.element_at(parts, 2).alias("packet"),
+    ).where(F.col("t").isNotNull())
     return parse_statsd_packets(pk)
 
 
@@ -140,17 +149,8 @@ def run_statsd_file_pipeline(
     guarantees here too).
 
     Input files carry `t packet` lines so replays are deterministic
-    (the live socket path stamps at arrival instead)."""
-    raw = (
-        spark.readStream.format("text").load(in_path)
-        .withColumnRenamed("value", "line")
-    )
-    parts = F.split(F.col("line"), " ", 2)
-    pk = raw.select(
-        F.element_at(parts, 1).try_cast("bigint").alias("t"),
-        F.element_at(parts, 2).alias("packet"),
-    ).where(F.col("t").isNotNull())
-    parsed = parse_statsd_packets(pk)
+    (see read_statsd_stream)."""
+    parsed = read_statsd_stream(spark, in_path)
     counters = parsed.where(F.col("metric") == "c").withColumn(
         "ts", (F.col(T) - 1).cast("timestamp")
     )
