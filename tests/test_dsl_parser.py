@@ -92,3 +92,102 @@ def test_evaluate_chained_filters(catalog):
     )
     names = {r["name"] for r in out.select("name").distinct().collect()}
     assert len(names) == 1
+
+
+# --- time-spec parsing (http/graphite.go:197-218, misc.go:39-77) -----------
+
+def test_parse_duration_units():
+    from tgres_spark.dsl.timespec import parse_duration
+
+    assert parse_duration("1h") == 3600
+    assert parse_duration("1h30m") == 5400
+    assert parse_duration("90s") == 90
+    assert parse_duration("1.5h") == 5400
+    assert parse_duration("1d") == 86400
+    assert parse_duration("2w") == 2 * 604800
+    assert parse_duration("1y") == 31536000
+    assert parse_duration("10min") == 600
+    assert parse_duration("5minutes") == 300
+    assert parse_duration("2hours") == 7200
+    assert parse_duration("1mon") == 30 * 86400
+    assert parse_duration("500ms") == 0.5
+    with pytest.raises(ValueError):
+        parse_duration("garbage")
+    with pytest.raises(ValueError):
+        parse_duration("")
+
+
+def test_parse_time_forms():
+    from tgres_spark.dsl.timespec import parse_time
+
+    now = 1704067200
+    assert parse_time(None) is None
+    assert parse_time("") is None
+    assert parse_time("now", now) == now
+    assert parse_time("-1h", now) == now - 3600
+    assert parse_time("-7d", now) == now - 7 * 86400
+    assert parse_time("1704000000", now) == 1704000000
+    assert parse_time(12345, now) == 12345
+    with pytest.raises(ValueError):
+        parse_time("not-a-time", now)
+
+
+def test_context_accepts_relative_times(catalog):
+    # catalog t in 0..540; anchor now=600: -8m..now → [120, 540]
+    ctx = DslContext(catalog, t_from="-8m", t_to="now", now=600)
+    out = evaluate(ctx, "web.h1.hits")
+    ts = sorted(r["t"] for r in out.collect())
+    assert ts[0] == 120 and ts[-1] == 540
+
+
+def test_weighted_average_expression_pairs_by_node(spark):
+    """Mirror of funcs_test.go Test_dsl_weightedAverage: avg series
+    foo.bar1.baz = 10, weight series foo.bar2.baz = 20, node 0 →
+    every value is (10*20)/20 = 10."""
+    rows = []
+    for t in range(0, 300, 60):
+        rows.append(("foo.bar1.baz", t, 10.0))
+        rows.append(("foo.bar2.baz", t, 20.0))
+    cat = spark.createDataFrame(rows, "name string, t long, value double")
+    out = evaluate(
+        DslContext(cat), "weightedAverage(foo.bar1.baz, foo.bar2.baz, 0)"
+    )
+    vals = {r["t"]: r["value"] for r in out.collect()}
+    assert len(vals) == 5 and all(v == 10.0 for v in vals.values())
+
+
+def test_weighted_average_drops_unpaired_weight_keys(spark):
+    rows = []
+    for t in (0, 60):
+        rows.append(("a.x.avg", t, 4.0))
+        rows.append(("w.x.wt", t, 2.0))
+        rows.append(("w.y.wt", t, 100.0))  # no avg side for key 'y'
+    cat = spark.createDataFrame(rows, "name string, t long, value double")
+    out = evaluate(DslContext(cat), "weightedAverage(a.*.avg, w.*.wt, 1)")
+    vals = {r["t"]: r["value"] for r in out.collect()}
+    assert vals[0] == 4.0  # (4*2)/2 — the y weight contributes nothing
+
+
+def test_divide_series_expression_runs_no_jobs(catalog, monkeypatch):
+    """Building the divideSeries plan must launch ZERO Spark jobs
+    (the old path collected distinct names twice per eval)."""
+    from pyspark.sql import DataFrame as _DF
+
+    def boom(self, *a, **k):
+        raise AssertionError("collect() during expression evaluation")
+
+    monkeypatch.setattr(_DF, "collect", boom)
+    out = evaluate(
+        DslContext(catalog), "divideSeries(web.h1.hits, web.h2.hits)"
+    )
+    monkeypatch.undo()
+    rows = {r["t"]: r["value"] for r in out.collect()}
+    assert rows[120] == 1.0  # identical series → ratio 1 (t=0 → 0/0 NULL)
+
+
+def test_divide_series_arity_enforced_in_plan(catalog):
+    import pyspark.errors
+
+    out = evaluate(DslContext(catalog), "divideSeries(web.*.hits, db.h1.q)")
+    with pytest.raises(Exception, match="(?i)two series"):
+        out.collect()

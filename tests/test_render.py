@@ -63,3 +63,19 @@ def test_render_max_points_consolidates(catalog):
     assert len(rows) <= 3  # consolidated well below the raw 5 points
     ts = [r["t"] for r in rows]
     assert all(t % 120 == 0 for t in ts)  # 120s slot ends
+
+
+def test_render_relative_from_until(catalog):
+    """Graphite-style from=-3m&until=now (parseTime parity) — every
+    interactive render request uses these forms."""
+    from tgres_spark.render import render_df, render_json
+
+    df = render_df(catalog, ["web.h1.hits"], t_from="-3m", t_to="now", now=300)
+    ts = sorted(r["t"] for r in df.collect())
+    assert ts == [120, 180, 240, 300]
+
+    out = json.loads(
+        render_json(catalog, ["web.h1.hits"], t_from="-4m", t_to="-2m", now=360)
+    )
+    pts = out[0]["datapoints"]
+    assert [p[1] for p in pts] == [120, 180, 240]

@@ -26,16 +26,26 @@ from .parser import Call, Literal, Pattern, glob_to_regex, parse
 
 
 class DslContext:
+    """Evaluation context. ``t_from``/``t_to`` accept epoch ints OR
+    graphite time strings ('-1h', '-7d', 'now', '1704067200' — the
+    reference's parseTime, http/graphite.go:197-218); relative forms
+    anchor to ``now`` (epoch seconds; wall clock when omitted — pass
+    it explicitly for deterministic replays)."""
+
     def __init__(
         self,
         catalog: DataFrame,
-        t_from: int | None = None,
-        t_to: int | None = None,
+        t_from: int | str | None = None,
+        t_to: int | str | None = None,
         max_points: int | None = None,
+        now: int | None = None,
     ):
+        from .timespec import parse_time
+
         self.catalog = catalog
-        self.t_from = t_from
-        self.t_to = t_to
+        self.now = now
+        self.t_from = parse_time(t_from, now)
+        self.t_to = parse_time(t_to, now)
         self.max_points = max_points
 
     def fetch(self, pattern: str) -> DataFrame:
@@ -210,23 +220,16 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
     if f == "percentileOfSeries":
         return db.percentile_of_series(_union_all(ctx, a[:1]), _num(a[1]) / 100.0)
     if f == "divideSeries":
-        dividend = _series(ctx, a[0])
-        divisor = _series(ctx, a[1])
-        names_a = [r[0] for r in dividend.select(NAME).distinct().collect()]
-        names_b = [r[0] for r in divisor.select(NAME).distinct().collect()]
-        if len(names_a) != 1 or len(names_b) != 1:
-            raise ValueError("divideSeries needs single series args")
-        return db.divide_series(
-            dividend.unionAll(divisor), names_a[0], names_b[0]
-        )
+        # side-tagged pair: no driver collects; the two-series arity
+        # rule is enforced inside the plan (divide_series_pair)
+        return db.divide_series_pair(_series(ctx, a[0]), _series(ctx, a[1]))
     if f == "weightedAverage":
-        # avg-series and weight-series selectors + pairing node
-        both = _series(ctx, a[0]).unionAll(_series(ctx, a[1]))
+        # separate avg/weight selectors paired by name node
+        # (dslWeightedAverage) — no suffix convention assumed
         node = int(_num(a[2])) if len(a) > 2 else 0
-        parts = F.split(F.col(NAME), r"\.")
-        suffixed = both.withColumn(NAME, F.col(NAME))  # names carry suffixes
-        _ = parts
-        return db.weighted_average(suffixed, "avg", "weight", node)
+        return db.weighted_average_pair(
+            _series(ctx, a[0]), _series(ctx, a[1]), node
+        )
     if f in ("sumSeriesWithWildcards", "averageSeriesWithWildcards"):
         positions = [int(_num(x)) for x in a[1:]]
         func = "avg" if f.startswith("average") else "sum"

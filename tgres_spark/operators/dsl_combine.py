@@ -185,6 +185,53 @@ def diff_series_sql(base, label="diffSeries()"):
     return _combine_sql(base, label, agg)
 
 
+def divide_series_pair(dividend, divisor, label="divideSeries()"):
+    """dividend/divisor at each t where the sides are SEPARATE frames
+    (the expression path: each side is its own glob resolution). A
+    'side' tag replaces name-based pivoting, so no driver collect is
+    needed to discover series names — the whole thing is one union +
+    one groupBy(t). The reference's two-series arity rule
+    (funcs.go:642-643 'divideSeries requires two series') is deferred
+    into the plan: a per-t distinct-name count > 1 on either side
+    raises at execution time."""
+    tagged = dividend.select(
+        F.lit("n").alias("side"), F.col(NAME), F.col(T), F.col(VALUE)
+    ).unionAll(
+        divisor.select(
+            F.lit("d").alias("side"), F.col(NAME), F.col(T), F.col(VALUE)
+        )
+    )
+    num = F.max(F.when(F.col("side") == "n", F.col(VALUE)))
+    den = F.max(F.when(F.col("side") == "d", F.col(VALUE)))
+    cnt_n = F.count_distinct(F.when(F.col("side") == "n", F.col(NAME)))
+    cnt_d = F.count_distinct(F.when(F.col("side") == "d", F.col(NAME)))
+    val = F.when(
+        (cnt_n <= 1) & (cnt_d <= 1),
+        F.when(den != 0.0, num / den),
+    ).otherwise(
+        F.raise_error(F.lit("divideSeries requires two series"))
+    )
+    return (
+        tagged.groupBy(T)
+        .agg(val.cast("double").alias(VALUE))
+        .select(F.lit(label).alias(NAME), F.col(T), F.col(VALUE))
+    )
+
+
+def divide_series_pair_sql(dividend_base, divisor_base, label="divideSeries()"):
+    tagged = (
+        f"SELECT 'n' AS side, name, t, value FROM ({dividend_base}) "
+        f"UNION ALL SELECT 'd' AS side, name, t, value FROM ({divisor_base})"
+    )
+    num = "MAX(CASE WHEN side = 'n' THEN value END)"
+    den = "MAX(CASE WHEN side = 'd' THEN value END)"
+    return (
+        f"SELECT '{label}' AS name, t, "
+        f"CAST(CASE WHEN ({den}) <> 0.0 THEN ({num}) / ({den}) END AS DOUBLE) AS value "
+        f"FROM ({tagged}) GROUP BY t"
+    )
+
+
 def divide_series(df, dividend_name: str, divisor_name: str, label=None):
     """dividend/divisor at each t (dslDivideSeries); null divisor-0."""
     label = label or f"divideSeries({dividend_name},{divisor_name})"
@@ -221,6 +268,69 @@ def as_percent_sql(base, label_fmt="asPercent(%s)"):
         f"SELECT printf('{label_fmt}', name) AS name, t, "
         f"CAST(CASE WHEN ({tot}) <> 0.0 THEN value / ({tot}) * 100.0 END AS DOUBLE) AS value "
         f"FROM ({base})"
+    )
+
+
+def weighted_average_pair(avg_df, weight_df, node: int = 0,
+                          label="weightedAverage()"):
+    """Reference dslWeightedAverage (funcs.go:2018-2062): the avg and
+    weight series LISTS are separate arguments, paired by dot-node
+    ``node`` of each name; keys present on only one side drop out
+    (funcs.go:2052-2056 pairs only when the weight exists). Side tags
+    replace the suffix convention — works for ANY name layout, unlike
+    pairing by a hardcoded '.avg'/'.weight' suffix."""
+    key = F.element_at(F.split(F.col(NAME), r"\."), node + 1)
+    tagged = avg_df.select(
+        F.lit("a").alias("side"), key.alias("k"), F.col(T), F.col(VALUE)
+    ).unionAll(
+        weight_df.select(
+            F.lit("w").alias("side"), key.alias("k"), F.col(T), F.col(VALUE)
+        )
+    )
+    # weightSum counts a key's weight only when its avg side is known
+    # at that t — unpaired weight-only keys contribute nothing
+    # (funcs.go:2052-2056 pairs a weight only under an avg key).
+    paired_w = F.when(F.col("a").isNotNull(), F.col("w"))
+    per_key = (
+        tagged.groupBy(T, "k")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col(VALUE))).alias("a"),
+            F.max(F.when(F.col("side") == "w", F.col(VALUE))).alias("w"),
+        )
+        .groupBy(T)
+        .agg(
+            F.when(
+                F.sum(paired_w.cast("decimal(38,6)")).cast("double") != 0.0,
+                F.sum((F.col("a") * F.col("w")).cast("decimal(38,6)")).cast("double")
+                / F.sum(paired_w.cast("decimal(38,6)")).cast("double"),
+            ).alias(VALUE)
+        )
+    )
+    return per_key.select(
+        F.lit(label).alias(NAME),
+        F.col(T),
+        F.col(VALUE).cast("double").alias(VALUE),
+    )
+
+
+def weighted_average_pair_sql(avg_base, weight_base, node: int = 0,
+                              label="weightedAverage()"):
+    k = f"string_split(name, '.')[{node + 1}]"
+    tagged = (
+        f"SELECT 'a' AS side, {k} AS k, t, value FROM ({avg_base}) "
+        f"UNION ALL SELECT 'w' AS side, {k} AS k, t, value FROM ({weight_base})"
+    )
+    inner = (
+        "SELECT t, k, MAX(CASE WHEN side = 'a' THEN value END) AS a, "
+        "MAX(CASE WHEN side = 'w' THEN value END) AS w "
+        f"FROM ({tagged}) GROUP BY 1, 2"
+    )
+    sw = "CAST(SUM(CAST(CASE WHEN a IS NOT NULL THEN w END AS DECIMAL(38,6))) AS DOUBLE)"
+    saw = "CAST(SUM(CAST(a * w AS DECIMAL(38,6))) AS DOUBLE)"
+    return (
+        f"SELECT '{label}' AS name, t, "
+        f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
+        f"FROM ({inner}) GROUP BY t"
     )
 
 

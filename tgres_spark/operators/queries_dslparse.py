@@ -70,6 +70,58 @@ def dsl_expression_filter_chain(spark, sf_dir):
     )
 
 
+_T1 = 1704067200 + 30 * 86400  # events epoch end — the 'now' anchor
+
+
+@register(
+    "dsl_expression_timerange",
+    sql=db.sum_series_sql(
+        f"SELECT * FROM ({CATALOG_SQL}) WHERE "
+        "regexp_matches(name, '^app\\.[^.]*\\.rate$') "
+        f"AND t >= {_T1 - 7 * 86400} AND t <= {_T1}"
+    ),
+)
+def dsl_expression_timerange(spark, sf_dir):
+    """Relative from/until strings through the reference's parseTime
+    semantics (http/graphite.go:197-218): '-7d'..'now' anchored at a
+    fixed now for determinism."""
+    ctx = DslContext(dotted(spark, sf_dir), t_from="-7d", t_to="now", now=_T1)
+    return evaluate(ctx, "sumSeries(app.*.rate)")
+
+
+@register(
+    "dsl_expression_weighted",
+    sql=db.weighted_average_pair_sql(
+        f"SELECT * FROM ({CATALOG_SQL}) WHERE regexp_matches(name, '^app\\.(click|view)\\.rate$')",
+        f"SELECT * FROM ({CATALOG_SQL}) WHERE regexp_matches(name, '^app\\.[^.]*\\.rate$')",
+        node=1,
+    ),
+)
+def dsl_expression_weighted(spark, sf_dir):
+    """Expression-path weightedAverage: separate avg/weight selectors
+    paired by name node (dslWeightedAverage, funcs.go:2018-2062) —
+    weight-only keys (error/purchase/signup) drop out."""
+    return evaluate(
+        _ctx(spark, sf_dir),
+        "weightedAverage(app.{click,view}.rate, app.*.rate, 1)",
+    )
+
+
+@register(
+    "dsl_expression_divide",
+    sql=db.divide_series_pair_sql(
+        f"SELECT * FROM ({CATALOG_SQL}) WHERE name = 'app.click.rate'",
+        f"SELECT * FROM ({CATALOG_SQL}) WHERE name = 'app.view.rate'",
+    ),
+)
+def dsl_expression_divide(spark, sf_dir):
+    """Expression-path divideSeries with ZERO driver collects (side
+    tags replace name discovery; arity enforced in-plan)."""
+    return evaluate(
+        _ctx(spark, sf_dir), "divideSeries(app.click.rate, app.view.rate)"
+    )
+
+
 @register(
     "find_glob",
     sql=find_sql(f"SELECT DISTINCT name FROM ({CATALOG_SQL})", "app.*"),

@@ -26,16 +26,21 @@ from .model import NAME, T, VALUE
 def render_df(
     catalog: DataFrame,
     targets: list[str],
-    t_from: int | None = None,
-    t_to: int | None = None,
+    t_from: int | str | None = None,
+    t_to: int | str | None = None,
     max_points: int | None = None,
+    now: int | None = None,
 ) -> DataFrame:
     """Evaluate targets → one long frame (target, name, t, value).
     `target` carries the originating expression string so multi-target
-    requests stay distinguishable."""
+    requests stay distinguishable. from/until accept graphite time
+    strings ('-1h', 'now', epoch) like the reference's render handler
+    (http/graphite.go parseTime); relative forms anchor to ``now``."""
     from functools import reduce
 
-    ctx = DslContext(catalog, t_from=t_from, t_to=t_to, max_points=max_points)
+    ctx = DslContext(
+        catalog, t_from=t_from, t_to=t_to, max_points=max_points, now=now
+    )
     parts = []
     for tgt in targets:
         df = evaluate(ctx, tgt)
@@ -46,15 +51,16 @@ def render_df(
 def render_json(
     catalog: DataFrame,
     targets: list[str],
-    t_from: int | None = None,
-    t_to: int | None = None,
+    t_from: int | str | None = None,
+    t_to: int | str | None = None,
     max_points: int | None = None,
+    now: int | None = None,
 ) -> str:
     """graphite-web JSON: [{"target": series_name, "datapoints":
     [[value, ts], ...]}]. Datapoint assembly happens JVM-side
     (collect_list of sorted structs); the driver only json-serializes
     the already-shaped rows."""
-    df = render_df(catalog, targets, t_from, t_to, max_points)
+    df = render_df(catalog, targets, t_from, t_to, max_points, now=now)
     shaped = (
         df.groupBy("target", NAME)
         .agg(
