@@ -1,0 +1,153 @@
+"""RRA archive catalog + bestRRA request routing.
+
+Reference: rrd/ds.go:134-197 BestRRA — a DS holds several RRAs
+(cf/step/span); a render request (start, end, maxDataPoints) is served
+from the RRA whose span covers the start and whose step is closest to
+the span/points resolution the client asked for (no points → the
+finest step). dsl/ds_lru.go:271 routes every DSL fetch through it.
+
+Spark-first: archives are *materializations* of ``consolidate()``
+written as parquet with the SCALE.md layout (partitioned by day/name
+bucket at scale). Routing is pure driver-side metadata math — picking
+the coarsest archive that satisfies maxDataPoints means a wide-span
+dashboard query scans the 1h rollup (~1/360th the bytes of 10s raw)
+and Catalyst still pushes the name/time predicates into that scan.
+This is what replaces "downsample raw on the fly" at 100 TB: the
+shuffle happens once at write time, not per render.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import NAME, T
+from .operators.consolidate import consolidate
+from .dsl.evaluator import DslContext
+from .dsl.parser import glob_to_regex
+
+
+@dataclass
+class Archive:
+    """One materialized RRA. ``span`` = retention seconds (None =
+    unbounded, e.g. a parquet archive you never expire); ``latest`` =
+    newest slot end (None = assume current)."""
+
+    cf: str
+    step: int
+    df: DataFrame
+    span: int | None = None
+    latest: int | None = None
+
+    def includes(self, t_start: int) -> bool:
+        """rra.includes(start) — does this archive's retention window
+        still contain t_start?"""
+        if self.span is None or self.latest is None:
+            return True
+        return self.latest - self.span <= t_start
+
+
+class ArchiveSet:
+    """A DS's archive collection with BestRRA routing (ds.go:134-197).
+
+    The raw datapoint table participates as the max-resolution archive
+    (step = base_step), so a request finer than every rollup falls
+    back to raw exactly like a 10s RRA would serve it."""
+
+    def __init__(self, base: DataFrame, base_step: int = 1,
+                 base_span: int | None = None, base_latest: int | None = None):
+        self.archives: list[Archive] = [
+            Archive("raw", base_step, base, base_span, base_latest)
+        ]
+
+    @property
+    def base(self) -> DataFrame:
+        return self.archives[0].df
+
+    def add(self, cf: str, step: int, df: DataFrame,
+            span: int | None = None, latest: int | None = None) -> None:
+        self.archives.append(Archive(cf, step, df, span, latest))
+
+    def best(
+        self,
+        t_from: int | None,
+        t_to: int | None,
+        max_points: int | None = None,
+    ) -> Archive:
+        """BestRRA selection (ds.go:136-197): candidates = archives
+        covering start (or already-stale ones, ds.go:141-143); none →
+        the longest-spanned; among candidates pick the step closest to
+        (end-start)/points, or the finest step when points is None."""
+        if t_from is None:
+            cands = list(self.archives)
+        else:
+            cands = [
+                a for a in self.archives
+                if a.includes(t_from)
+                or (a.latest is not None and a.latest < t_from)
+            ]
+        if not cands:
+            cands = [
+                max(
+                    self.archives,
+                    key=lambda a: float("inf") if a.span is None else a.span,
+                )
+            ]
+        if len(cands) == 1:
+            return cands[0]
+        if max_points and t_from is not None and t_to is not None and max_points > 0:
+            expected = (t_to - t_from) / max_points
+            return min(cands, key=lambda a: abs(expected - a.step))
+        return min(cands, key=lambda a: a.step)
+
+
+def materialize_archives(
+    spark: SparkSession,
+    sf: DataFrame,
+    specs: list[tuple[str, int]],
+    root: str,
+    base_step: int = 1,
+    heartbeat: int | None = None,
+) -> ArchiveSet:
+    """Write each (cf, step) rollup of ``sf`` as parquet under
+    ``root/<cf>_<step>`` and return an ArchiveSet reading them back.
+    The nightly-compaction shape: each archive is one consolidate()
+    (single shuffle), written once, served forever. At scale, add
+    ``.partitionBy(day, bucket)`` per docs/SCALE.md — routing is
+    unaffected (it only consults metadata)."""
+    out = ArchiveSet(sf, base_step=base_step)
+    for cf, step in specs:
+        path = f"{root}/{cf}_{step}"
+        consolidate(sf, step, cf=cf, heartbeat=heartbeat).write.mode(
+            "overwrite"
+        ).parquet(path)
+        out.add(cf, step, spark.read.parquet(path))
+    return out
+
+
+class ArchiveDslContext(DslContext):
+    """DslContext that serves fetches from the best archive instead of
+    downsampling raw on the fly (dsl/ds_lru.go:271 → BestRRA). The
+    chosen archive's data is returned at its native step — maxDataPoints
+    selects the archive, it does not re-consolidate (reference
+    behavior: the RRA's DPs are the render payload)."""
+
+    def __init__(self, archives: ArchiveSet, t_from=None, t_to=None,
+                 max_points: int | None = None, now: int | None = None):
+        super().__init__(archives.base, t_from=t_from, t_to=t_to,
+                         max_points=None, now=now)
+        self.archive_set = archives
+        self.requested_points = max_points
+        self.last_selected: Archive | None = None
+
+    def fetch(self, pattern: str) -> DataFrame:
+        a = self.archive_set.best(self.t_from, self.t_to, self.requested_points)
+        self.last_selected = a
+        df = a.df.where(F.col(NAME).rlike(glob_to_regex(pattern)))
+        if self.t_from is not None:
+            df = df.where(F.col(T) >= self.t_from)
+        if self.t_to is not None:
+            df = df.where(F.col(T) <= self.t_to)
+        return df

@@ -65,6 +65,39 @@ def graphite_line_parse(spark, sf_dir):
     return parse_graphite_lines(graphite_lines(spark, sf_dir))
 
 
+# --- carbon pickle protocol ------------------------------------------------
+
+def _pickle_datapoints(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return ev.select(
+        F.concat(F.lit("web."), F.col("event_type"), F.lit(".hits")).alias("name"),
+        epoch_s("ts").alias("t"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@register(
+    "graphite_pickle_parse",
+    # encode→decode is lossless (pickle binary64 floats, exact ints),
+    # so the oracle is simply the source relation — a full hash check
+    # of the distributed round-trip, not rows-only.
+    sql=(
+        "SELECT 'web.' || event_type || '.hits' AS name, "
+        "epoch_ns(ts) // 1000000000 AS t, CAST(value AS DOUBLE) AS value "
+        "FROM events"
+    ),
+)
+def graphite_pickle_parse(spark, sf_dir):
+    """Carbon pickle wire format round-trip: datapoints → length-
+    prefixed pickle frames (distributed encode) → safe-unpickle parse
+    (daemon/graphite_pickle.go:142-198 semantics)."""
+    from ..sources.carbon_pickle import encode_pickle_frames, parse_pickle_frames
+
+    return parse_pickle_frames(encode_pickle_frames(_pickle_datapoints(spark, sf_dir)))
+
+
 # --- statsd ----------------------------------------------------------------
 
 def statsd_packets(spark, sf_dir):

@@ -53,6 +53,37 @@ register(
 )(_cf_query("wmean", heartbeat=120))
 
 
+_T0 = 1704067200
+_T1 = _T0 + 30 * 86400
+
+
+@register(
+    "rrd_archive_route",
+    # the router must pick the 3600s archive for a 30-day/720-point
+    # request (expected step = 3600); the oracle pins that choice —
+    # a routing regression shows up as a hash mismatch
+    sql=(
+        "SELECT name, t, value FROM ("
+        + oracle_consolidate_sql(EVENTS_SERIES_SQL, 3600, "wmean")
+        + f") WHERE t >= {_T0} AND t <= {_T1}"
+    ),
+)
+def rrd_archive_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BestRRA request routing (rrd/ds.go:134-197): a wide-span render
+    is served from the coarsest archive satisfying maxDataPoints —
+    here 30d/720pts → the 1h rollup, not 10s raw."""
+    from ..archive import ArchiveDslContext, ArchiveSet
+
+    sf = series_from_events(spark, sf_dir)
+    arch = ArchiveSet(sf, base_step=10)
+    for cf, step in (("wmean", 60), ("wmean", 600), ("wmean", 3600)):
+        arch.add(cf, step, consolidate(sf, step, cf=cf))
+    ctx = ArchiveDslContext(arch, t_from=_T0, t_to=_T1, max_points=720)
+    out = ctx.fetch("*")
+    assert ctx.last_selected is not None and ctx.last_selected.step == 3600
+    return out
+
+
 @register(
     "rrd_multi_rra",
     sql=" UNION ALL ".join(
