@@ -229,46 +229,68 @@ CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over word md5s, materialized as FOUR 16-bit
-    chunks (doc_id, q0..q3): bit b of the hash is the sign of Σ±1 over
-    tokens (bit b of the token md5's first 16 hex chars). Chunked
-    storage sidesteps signed-64-bit assembly (1<<63 overflows a BIGINT
-    in both engines) AND is exactly the shape the pigeonhole blocking
-    join needs; hamming(a,b) = Σ_j bit_count(xor(a.qj, b.qj)).
+    chunks (doc_id, q0..q3): bit b of the hash is the sign of the
+    count-weighted sum of +/-1 over tokens (bit b of the token md5's
+    first 16 hex chars). Chunked storage sidesteps signed-64-bit
+    assembly (1<<63 overflows a BIGINT in both engines) AND is exactly
+    the shape the pigeonhole blocking join needs;
+    hamming(a,b) = sum_j bit_count(xor(a.qj, b.qj)).
 
-    Spark parses the 16 hex chars as two 32-bit ints with conv()
-    (2 string ops per token instead of 16 substr+ascii pairs — this is
-    the per-token hot path); DuckDB has no conv so the oracle keeps
-    per-char ascii math, with the SAME bit indexing: bit b lives in
-    hex char c = b//4 at nibble position k = b%4, i.e. at shift
-    (7 - c%8)*4 + k of the big-endian 32-bit half h[c//8]. The halves
-    are materialized as columns before the 64 sign-sum aggregates
-    reference them — Spark does not CSE across expressions outside one
-    projection, so inlining would recompute md5 64×."""
+    Bit indexing (shared with the oracle SQL): bit b lives in hex char
+    c = b//4 at nibble position k = b%4, i.e. at shift (7 - c%8)*4 + k
+    of the big-endian 32-bit half h[c//8], parsed with two conv()
+    calls per distinct word (occurrences are pre-collapsed to
+    (doc, word, count); the sign sum weights by count, integer-exact
+    vs per-occurrence, so the oracle SQL needs no change).
+
+    Shape note: an earlier version computed the 64 sign sums as 64
+    wide CASE aggregates in one groupBy — semantically identical, but
+    whole-stage codegen took ~5s to COMPILE the plan (measured: first
+    run 7.8s, warm 2.3s at sf0.1). This version explodes bit 0..63 as
+    rows and uses two tiny-expression groupBys instead: same
+    O(64 * words) arithmetic, near-zero compile time, and both
+    shuffles hash on doc_id-prefixed keys with map-side combine (the
+    (doc_id, bit) relation collapses to 64 rows/doc per partition
+    before it moves)."""
     w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
-    hx = w.select("doc_id", F.md5("w").alias("h"))
+    wc = w.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
+    hx = wc.select("doc_id", "cnt", F.md5("w").alias("h"))
     halves = hx.select(
         "doc_id",
+        "cnt",
         F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("v0"),
         F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("v1"),
     )
-    bit_cols = []
-    for b in range(SIMHASH_BITS):
-        c, k = b // 4, b % 4
-        shift = (7 - (c % 8)) * 4 + k
-        bitval = F.shiftright(F.col(f"v{c // 8}"), shift).bitwiseAND(F.lit(1))
-        bit_cols.append(
-            F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"b{b}")
+    # bit b: c = b//4 (hex char), k = b%4 (nibble bit); shift within
+    # the 32-bit half is (7 - c%8)*4 + k and the half index is c//8.
+    b = F.col("b")
+    # Python's F.shiftright/left require a literal shift; the SQL
+    # functions take expressions, hence F.expr for the two shifts.
+    sign = F.expr(
+        "CAST((shiftright(CASE WHEN b < 32 THEN v0 ELSE v1 END, "
+        "CAST((7 - ((b DIV 4) % 8)) * 4 + b % 4 AS INT)) & 1) * 2 - 1 AS BIGINT)"
+    )
+    per_bit = (
+        halves.select(
+            "doc_id",
+            "cnt",
+            "v0",
+            "v1",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
         )
-    sums = halves.groupBy("doc_id").agg(*bit_cols)
-    chunks = []
-    for j in range(SIMHASH_CHUNKS):
-        q = None
-        for i in range(CHUNK_BITS):
-            b = j * CHUNK_BITS + i
-            term = F.when(F.col(f"b{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            q = term if q is None else q + term
-        chunks.append(q.cast("int").alias(f"q{j}"))
-    return sums.select("doc_id", *chunks)
+        .groupBy("doc_id", "b")
+        .agg(F.sum(sign * F.col("cnt")).alias("s"))
+    )
+    chunk = (b / CHUNK_BITS).cast("int")
+    weight = F.when(
+        F.col("s") > 0,
+        F.expr(f"shiftleft(1, CAST(b % {CHUNK_BITS} AS INT))".format(CHUNK_BITS=CHUNK_BITS)),
+    ).otherwise(F.lit(0))
+    chunks = [
+        F.sum(F.when(chunk == j, weight).otherwise(0)).cast("int").alias(f"q{j}")
+        for j in range(SIMHASH_CHUNKS)
+    ]
+    return per_bit.groupBy("doc_id").agg(*chunks).select("doc_id", *[f"q{j}" for j in range(SIMHASH_CHUNKS)])
 
 
 def simhash_sql() -> str:
