@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dsl_expression_parser",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
     "text_quality",
 ]

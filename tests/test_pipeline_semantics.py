@@ -195,3 +195,37 @@ def test_fingerprint_stable_and_chunked(spark):
     out = {r["doc_id"]: (r["n_chunks"], r["fingerprint"]) for r in text_fingerprint(docs).collect()}
     assert out[1][0] == 3
     assert out[1] == out[2]  # identical text → identical fingerprint
+
+
+def test_embedding_dedup_exact_and_lsh_subset(spark):
+    """Exact variant finds every pair at/above threshold; the LSH
+    variant returns a SUBSET of those pairs (blocking can only lose
+    pairs, never invent them), always including identical vectors
+    (same vector → same buckets in every table)."""
+    import random
+
+    from tgres_spark.pipeline.similarity import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for v in range(40):
+        rows.append((v, [rng.gauss(0, 1) for _ in range(64)], 0))
+    twin = rows[5][1][:]  # identical to vec 5
+    rows.append((100, twin, 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dedup_embedding(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dedup_embedding_lsh(emb, threshold=0.4).collect()
+    }
+    assert (5, 100) in exact and exact[(5, 100)] > 0.999999
+    assert (5, 100) in lsh
+    assert set(lsh) <= set(exact)
+    for p, c in lsh.items():
+        assert c == exact[p]

@@ -32,6 +32,12 @@ register("dedup_simhash", sql=dd.dedup_simhash_sql())(
 register("dedup_ngram_jaccard", sql=dd.dedup_ngram_jaccard_sql())(
     lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d))
 )
+register("dedup_embedding", sql=sim.dedup_embedding_sql())(
+    lambda s, d: sim.dedup_embedding(_emb(s, d))
+)
+register("dedup_embedding_lsh", sql=sim.dedup_embedding_lsh_sql())(
+    lambda s, d: sim.dedup_embedding_lsh(_emb(s, d))
+)
 register("ann_cosine_topk", sql=sim.ann_cosine_topk_sql())(
     lambda s, d: sim.ann_cosine_topk(_emb(s, d))
 )

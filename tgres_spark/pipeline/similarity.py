@@ -188,3 +188,224 @@ def ann_ivf_search(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("bigint"))
     )
+
+
+# --- embedding-cosine near-duplicates (SURVEY §2.8) ------------------------
+
+DEDUP_LSH_TABLES = 4
+DEDUP_LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _planes(
+    n_tables: int = DEDUP_LSH_TABLES,
+    n_planes: int = DEDUP_LSH_PLANES,
+    dim: int = EMB_DIM,
+    seed: int = 42,
+):
+    """Seeded hyperplanes rounded to 6 decimals so the SAME decimal
+    literals are baked into the Spark plan and the DuckDB oracle text —
+    decimal→nearest-double is deterministic in both engines, so the
+    sign tests (and therefore buckets) agree bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).round(6).tolist()
+
+
+def dedup_embedding(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Exact embedding near-dup pairs: (vec_a, vec_b, cos) for every
+    pair with cosine >= threshold. O(N²) by construction — this is the
+    declared correctness baseline the LSH variant is judged against;
+    at 100 TB use dedup_embedding_lsh. Norms are computed once per
+    vector BEFORE the pair join (N sqrt calls, not N²); dots are
+    left-folds so DuckDB agrees bit-for-bit (an explicit 64-term
+    codegen sum was tried and is ~2× slower: the generated method
+    blows past JIT limits and falls back row-by-row). Default
+    threshold 0.4 suits the synthetic corpus (max pair cos ≈ 0.51);
+    real near-dup dedup runs at ≥ 0.9."""
+    v = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+_DOT_AB_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_PAIR_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "SQRT(list_reduce(list_prepend(0.0, list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+)
+
+
+def dedup_embedding_sql(threshold: float = 0.4) -> str:
+    cos = f"({_DOT_AB_SQL}) / (a.nrm * b.nrm)"
+    return (
+        f"WITH v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings), "
+        "a AS (SELECT * FROM v), b AS (SELECT * FROM v) "
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos "
+        "FROM a JOIN b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {float(threshold)!r}"
+    )
+
+
+def dedup_embedding_lsh(
+    emb: DataFrame, threshold: float = 0.4, seed: int = 42
+) -> DataFrame:
+    """Hyperplane-LSH blocked near-dup pairs — the 100 TB scale path.
+
+    4 tables × 8 seeded hyperplanes: per table, bucket = the 8-bit
+    sign pattern of the plane dots; candidate pairs only form inside a
+    (table, bucket) — banding (OR across tables, AND within) turns the
+    O(N²) pair space into bucket-local work on uniform 64-way keys per
+    table. Recall for a pair at angle θ is 1-(1-(1-θ/π)^8)^4 ≈ 0.75
+    at cos 0.9 (256 uniform buckets per table bound candidate fanout), by design low for unrelated vectors. Buckets match the
+    DuckDB oracle bit-for-bit because both engines evaluate the same
+    decimal plane literals in the same fold order (see _planes).
+
+    Shape notes (measured at sf0.1): the 32 plane dots are ONE
+    transform() over a single array<array<double>> literal — 24+
+    separate fold expressions (64 literals each) ballooned plan
+    analysis to ~4s of wall time. Candidate ids are DISTINCT'd before
+    the exact cosine: a pair sharing buckets in k tables would fold
+    its dot k times; distinct-first computes it once and shuffles only
+    16-byte id pairs, not 64-float embeddings. The signature relation
+    is persisted — it feeds the key explode and both rejoin sides."""
+    planes = _planes(seed=seed)
+    n_planes = len(planes[0])
+    flat = [pl for table in planes for pl in table]
+    # Planes ride in as a broadcast 1-row relation, not as expression
+    # literals: 32 planes × 64 F.lit leaves made Catalyst analysis the
+    # dominant cold cost (~4s). Same doubles either way — Python float
+    # → exact IEEE double in both the row and the oracle's text.
+    planes_df = emb.sparkSession.createDataFrame(
+        [([list(map(float, pl)) for pl in flat],)],
+        "planes array<array<double>>",
+    )
+    dots = F.transform(
+        F.col("planes"),
+        lambda pl: F.aggregate(
+            F.zip_with(F.col("embedding"), pl, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    d = emb.crossJoin(F.broadcast(planes_df)).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        dots.alias("dots"),
+    )
+    buckets = []
+    for t in range(len(planes)):
+        bits = None
+        for i in range(n_planes):
+            term = F.when(
+                F.col("dots")[t * n_planes + i] > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            bits = term if bits is None else bits + term
+        buckets.append(bits.cast("int").alias(f"t{t}"))
+    sig = d.select("vec_id", "embedding", "nrm", *buckets).persist()
+    keys = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"t{t}").alias("bucket")
+                    )
+                    for t in range(len(planes))
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), ["tbl", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def dedup_embedding_lsh_sql(threshold: float = 0.4, seed: int = 42) -> str:
+    planes = _planes(seed=seed)
+
+    def dot_sql(plane):
+        lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    bucket_cols = []
+    for t, table in enumerate(planes):
+        bits = " + ".join(
+            f"CASE WHEN ({dot_sql(plane)}) > 0 THEN {1 << i} ELSE 0 END"
+            for i, plane in enumerate(table)
+        )
+        bucket_cols.append(f"CAST({bits} AS INTEGER) AS t{t}")
+    sig = (
+        f"SELECT vec_id, embedding, {_NORM_SQL} AS nrm, "
+        + ", ".join(bucket_cols)
+        + " FROM embeddings"
+    )
+    key_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, t{t} AS bucket FROM s"
+        for t in range(len(planes))
+    )
+    cos = f"({_PAIR_DOT_SQL}) / (na * nb)"
+    return (
+        f"WITH s AS ({sig}), keys AS ({key_rows}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "WHERE a.vec_id < b.vec_id), "
+        "j AS (SELECT cand.vec_a, cand.vec_b, "
+        "sa.embedding AS ea, sa.nrm AS na, sb.embedding AS eb, sb.nrm AS nb "
+        "FROM cand JOIN s sa ON cand.vec_a = sa.vec_id "
+        "JOIN s sb ON cand.vec_b = sb.vec_id) "
+        f"SELECT vec_a, vec_b, {cos} AS cos FROM j "
+        f"WHERE {cos} >= {float(threshold)!r}"
+    )
