@@ -191,3 +191,25 @@ def test_divide_series_arity_enforced_in_plan(catalog):
     out = evaluate(DslContext(catalog), "divideSeries(web.*.hits, db.h1.q)")
     with pytest.raises(Exception, match="(?i)two series"):
         out.collect()
+
+
+def test_alias_sub_backreferences(spark):
+    """Graphite \\N group refs rewrite name parts (reference's own
+    TODO at funcs.go:996 — we support the graphite syntax)."""
+    from tgres_spark.operators.dsl_special import alias_sub
+
+    df = spark.createDataFrame(
+        [("app.web01.cpu", 0, 1.0)], "name string, t long, value double"
+    )
+    out = alias_sub(df, r"^app\.([a-z]+)(\d+)\.", r"host-\2.\1.").collect()
+    assert out[0]["name"] == "host-01.web.cpu"
+
+
+def test_alias_sub_literal_dollar_is_preserved(spark):
+    from tgres_spark.operators.dsl_special import alias_sub
+
+    df = spark.createDataFrame(
+        [("cost.total", 0, 1.0)], "name string, t long, value double"
+    )
+    out = alias_sub(df, "^cost", "$usd").collect()
+    assert out[0]["name"] == "$usd.total"

@@ -52,10 +52,24 @@ def alias_by_node_sql(base, *nodes: int) -> str:
     return f"SELECT {comps} AS name, t, value FROM ({base})"
 
 
+def _java_replacement(replace: str) -> str:
+    """Graphite backref syntax → Java. Graphite writes group refs as
+    \\1 (dslAliasSub, funcs.go:995-1005 — the reference's own TODO
+    converts them to Go's $1); Java's Matcher wants $N and treats a
+    bare $ as special, so literal dollars are escaped first."""
+    import re as _re
+
+    out = _re.sub(r"\$", r"\\$", replace)
+    return _re.sub(r"\\(\d+)", r"$\1", out)
+
+
 def alias_sub(df, search: str, replace: str) -> DataFrame:
-    """Regex substitution on names (dslAliasSub)."""
+    """Regex substitution on names (dslAliasSub), including \\1-style
+    group backreferences. The Graphite form is canonical; it converts
+    to $N for Spark (Java) while the oracle passes it through to
+    DuckDB (RE2), whose native syntax already IS \\N."""
     return df.select(
-        F.regexp_replace(NAME, search, replace).alias(NAME),
+        F.regexp_replace(NAME, search, _java_replacement(replace)).alias(NAME),
         F.col(T),
         F.col(VALUE),
     )

@@ -300,6 +300,13 @@ _reg(
     ds.alias_sub_sql(DOTTED_SQL, "^app\\.", "svc."),
 )
 _reg(
+    "dsl_aliasSub_backref",
+    lambda s, d: ds.alias_sub(
+        dotted(s, d), "^app\\.([a-z]+)\\.([a-z]+)$", "\\2.of.\\1"
+    ),
+    ds.alias_sub_sql(DOTTED_SQL, "^app\\.([a-z]+)\\.([a-z]+)$", "\\2.of.\\1"),
+)
+_reg(
     "dsl_constantLine",
     lambda s, d: ds.constant_line(s, 42.5, T0, T1, STEP),
     ds.constant_line_sql(42.5, T0, T1, STEP),

@@ -123,6 +123,21 @@ def dsl_expression_divide(spark, sf_dir):
 
 
 @register(
+    "dsl_color",
+    sql=(
+        f"SELECT * FROM ({CATALOG_SQL}) "
+        "WHERE regexp_matches(name, '^app\\.[^.]*\\.rate$')"
+    ),
+)
+def dsl_color(spark, sf_dir):
+    """color() is charting metadata: the reference returns the series
+    map unchanged (dslColor, funcs.go:941-943) — identity on
+    (name, t, value), exercised through the expression parser so the
+    string argument path is covered too."""
+    return evaluate(_ctx(spark, sf_dir), "color(app.*.rate, 'red')")
+
+
+@register(
     "find_glob",
     sql=find_sql(f"SELECT DISTINCT name FROM ({CATALOG_SQL})", "app.*"),
 )
