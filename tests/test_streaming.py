@@ -94,3 +94,66 @@ def test_statsd_stream_matches_batch_counters(spark, tmp_path):
         if r["name"].startswith("stats.c")
     }
     assert got == expect
+
+
+def test_paced_metrics_stream_matches_batch_sum(spark, tmp_path):
+    """Stateful paced 'sum' == batch paced_metrics 'sum' on the same
+    lines, minus the open head window (held in state; emission is
+    event-time driven, so a per-series sentinel in a LATER window
+    flushes each real window deterministically)."""
+    from tgres_spark.aggregator import paced_metrics
+    from tgres_spark.streaming.paced import run_paced_file_pipeline
+
+    in_dir = tmp_path / "pin"
+    in_dir.mkdir()
+    lines = []
+    for name in ("svc.a", "svc.b"):
+        for i in range(30):
+            lines.append(f"{name} {(i % 7) * 1.0:.1f} {1000 + i * 25}")
+    (in_dir / "p1.txt").write_text("\n".join(lines[:35]) + "\n")
+    (in_dir / "p2.txt").write_text(
+        "\n".join(lines[35:])
+        + "\nsvc.a 0.0 99999\nsvc.b 0.0 99999\n"  # sentinels roll every window
+    )
+    run_paced_file_pipeline(
+        spark, str(in_dir), str(tmp_path / "pout"), str(tmp_path / "pck"),
+        pace_s=300, kind="sum",
+    )
+    got = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in spark.read.parquet(str(tmp_path / "pout")).collect()
+        if r["t"] < 99000  # sentinel's own open window never emits
+    }
+    from tgres_spark.sources.graphite import parse_graphite_lines
+
+    batch_lines = spark.createDataFrame([(x,) for x in lines], "line string")
+    expect = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in paced_metrics(
+            parse_graphite_lines(batch_lines), 300, "sum"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_paced_gauge_clock_weighting_survives_flush(spark, tmp_path):
+    """ClockPdp semantics: values weighted by inter-arrival duration;
+    the duration chain crosses window boundaries (gauge state 'lives
+    on', pacedmetric.go:59)."""
+    from tgres_spark.streaming.paced import run_paced_file_pipeline
+
+    in_dir = tmp_path / "gin"
+    in_dir.mkdir()
+    # window (0,60]: v=2 over (10,30] (dur 20), v=6 over (30,50] (dur 20)
+    #   → (2*20+6*20)/40 = 4.0  [value recorded at arrival t carries back]
+    # window (60,120]: v=10 over (50,70] — dur chain crosses the boundary
+    #   → 10.0; sentinel at 300 flushes it
+    lines = ["g.x 7.0 10", "g.x 2.0 30", "g.x 6.0 50", "g.x 10.0 70", "g.x 0.0 300"]
+    (in_dir / "g.txt").write_text("\n".join(lines) + "\n")
+    run_paced_file_pipeline(
+        spark, str(in_dir), str(tmp_path / "gout"), str(tmp_path / "gck"),
+        pace_s=60, kind="gauge",
+    )
+    got = {r["t"]: r["value"] for r in spark.read.parquet(str(tmp_path / "gout")).collect()}
+    assert got[60] == 4.0
+    assert got[120] == 10.0

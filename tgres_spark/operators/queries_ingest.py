@@ -223,3 +223,27 @@ def streaming_ingest_pipeline(spark, sf_dir):
         spark, in_dir, out_dir, f"{work}/ckpt", step_s=3600, watermark_s=60
     )
     return spark.read.parquet(out_dir)
+
+
+@register("streaming_paced_metric")  # rows-only: stateful applyInPandasWithState
+def streaming_paced_metric(spark, sf_dir):
+    """Stateful streaming paced metrics (receiver/pacedmetric.go) over
+    the events-derived series: graphite lines on disk → readStream →
+    applyInPandasWithState 'sum' pacing → parquet. Event-time driven
+    emission (deterministic replay); batch equivalence is pinned by
+    tests/test_streaming.py::test_paced_metrics_stream_matches_batch_sum."""
+    import os
+    import tempfile
+
+    from ..streaming.paced import run_paced_file_pipeline
+
+    work = tempfile.mkdtemp(prefix="tgres_paced_")
+    in_dir = f"{work}/in"
+    out_dir = f"{work}/out"
+    os.makedirs(in_dir)
+    lines = graphite_lines(spark, sf_dir)
+    lines.coalesce(4).write.mode("overwrite").text(in_dir)
+    run_paced_file_pipeline(
+        spark, in_dir, out_dir, f"{work}/ckpt", pace_s=3600, kind="sum"
+    )
+    return spark.read.parquet(out_dir)
