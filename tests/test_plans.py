@@ -73,3 +73,21 @@ def test_minhash_join_keys_are_hashes(spark, qs):
     p = plan_of(qs["dedup_minhash_lsh"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sort_by_rank_is_range_partitioned(spark):
+    """sortBy* must not funnel the stats relation through a global
+    single-partition window: ranking range-partitions on the sort keys
+    and the only unpartitioned window runs over per-partition counts
+    (#partitions rows, bounded by cluster width)."""
+    from tgres_spark.operators.dsl_special import sort_by
+
+    df = spark.createDataFrame(
+        [(f"m{i}", 0, float(i)) for i in range(20)],
+        "name string, t long, value double",
+    )
+    out = sort_by(df, "total")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    names = sorted(r["name"] for r in out.collect())
+    assert "1:m19" in names and "20:m0" in names

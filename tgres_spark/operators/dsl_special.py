@@ -124,12 +124,41 @@ def time_stack_sql(base, shift_s: int, start: int, end: int) -> str:
     )
 
 
+def _distributed_rank(s, order) -> DataFrame:
+    """Total-order rank WITHOUT a single-partition window: range-
+    partition on the sort keys, row_number within each partition, then
+    add each partition's cumulative predecessor count. The only global
+    window runs over the per-partition counts — #shuffle-partitions
+    rows, bounded by cluster width, not by series count. Ranks are
+    invariant to where the (sampled) range boundaries land because the
+    order is total (name tiebreak)."""
+    from pyspark.sql import Window
+
+    part = s.repartitionByRange(*order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
+    )
+    wcum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("pid")
+        .count()
+        .withColumn("offset", F.coalesce(F.sum("count").over(wcum), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        NAME, (F.col("lrank") + F.col("offset")).cast("int").alias("rank")
+    )
+
+
 def sort_by(df, stat: str, ascending: bool = False) -> DataFrame:
     """sortByTotal/sortByMaxima/sortByMinima/sortByName: deterministic
     series ordering surfaced as a rank prefix (a relation has no row
-    order; the rank materializes the reference's sort for comparison)."""
-    from pyspark.sql import Window
-
+    order; the rank materializes the reference's sort for comparison).
+    Ranking is distributed (see _distributed_rank) — at 10M+ series
+    the stats relation never funnels through one partition."""
     from .dsl_filter import _stat
 
     if stat == "name":
@@ -143,9 +172,9 @@ def sort_by(df, stat: str, ascending: bool = False) -> DataFrame:
     )
     if stat == "name":
         order = [F.col(NAME).asc()]
-    ranked = s.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    ranked = _distributed_rank(s, order)
     return (
-        df.join(F.broadcast(ranked.select(NAME, "rank")), NAME)
+        df.join(F.broadcast(ranked), NAME)
         .select(
             F.format_string("%d:%s", F.col("rank"), F.col(NAME)).alias(NAME),
             F.col(T),
