@@ -213,3 +213,20 @@ def test_alias_sub_literal_dollar_is_preserved(spark):
     )
     out = alias_sub(df, "^cost", "$usd").collect()
     assert out[0]["name"] == "$usd.total"
+
+
+def test_generator_functions_through_expressions(spark):
+    """sinusoid()/randomWalk() dispatch from target strings using the
+    context's time range (dslSinusoid funcs.go:1960; randomWalk is a
+    graphite-web extra)."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("a.b", 0, 1.0)], "name string, t long, value double"
+    )
+    ctx = DslContext(cat, t_from=0, t_to=600, now=600)
+    sin = evaluate(ctx, "sinusoid(2.0)").collect()
+    assert sin and sin[0]["name"] == "sinusoid(2)"
+    assert all(abs(r["value"]) <= 2.0 for r in sin)
+    rw = evaluate(ctx, "randomWalk('rw')").collect()
+    assert rw and rw[0]["name"] == "rw"

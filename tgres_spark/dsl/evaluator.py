@@ -303,6 +303,24 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         return ds.constant_line(
             ctx.catalog.sparkSession, _num(a[0]), ctx.t_from, ctx.t_to, step
         )
+    if f == "sinusoid":
+        # dslSinusoid (funcs.go:1960-1980): unit sine over the request
+        # range; amplitude is ours (reference hardcodes 1.0).
+        if ctx.t_from is None or ctx.t_to is None:
+            raise ValueError("sinusoid needs a time range on the context")
+        amp = _num(a[0], 1.0) if a else 1.0
+        return ds.sinusoid(
+            ctx.catalog.sparkSession, amp, ctx.t_from, ctx.t_to, _infer_step(ctx)
+        )
+    if f == "randomWalk":
+        # beyond-reference generator (graphite-web has it); seeded by
+        # slot hash so replays are deterministic (dsl_special.py).
+        if ctx.t_from is None or ctx.t_to is None:
+            raise ValueError("randomWalk needs a time range on the context")
+        nm = _str(a[0]) if a else "randomWalk()"
+        return ds.random_walk(
+            ctx.catalog.sparkSession, nm, ctx.t_from, ctx.t_to, _infer_step(ctx)
+        )
     from ..operators import holtwinters as hw
 
     if f == "holtWintersForecast":
