@@ -229,3 +229,24 @@ def test_embedding_dedup_exact_and_lsh_subset(spark):
     assert set(lsh) <= set(exact)
     for p, c in lsh.items():
         assert c == exact[p]
+
+
+def test_components_cluster_transitive_dups(spark):
+    """A chain a~b, b~c clusters all three to root min(id), even
+    though a and c never share a band; unrelated docs stay singletons."""
+    from tgres_spark.pipeline.dedup import dedup_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, base, "en", "s", 1),                 # exact dup of 1
+        (3, base + " tonight", "en", "s", 1),    # near-dup of 1/2
+        (9, "completely different content about spark shuffles", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    roots = {r["doc_id"]: r["root_id"] for r in dedup_components(docs).collect()}
+    assert roots[1] == 1 and roots[2] == 1
+    assert roots[9] == 9
+    assert roots[3] in (1, 3)  # joins the cluster iff LSH catches the pair

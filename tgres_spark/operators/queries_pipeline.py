@@ -32,6 +32,9 @@ register("dedup_simhash", sql=dd.dedup_simhash_sql())(
 register("dedup_ngram_jaccard", sql=dd.dedup_ngram_jaccard_sql())(
     lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d))
 )
+register("dedup_components", sql=dd.dedup_components_sql())(
+    lambda s, d: dd.dedup_components(_docs(s, d))
+)
 register("dedup_embedding", sql=sim.dedup_embedding_sql())(
     lambda s, d: sim.dedup_embedding(_emb(s, d))
 )

@@ -504,3 +504,84 @@ def dedup_ngram_jaccard_sql(threshold: float = 0.2, max_df: int = 100) -> str:
         "JOIN counts nb ON inter.doc_b = nb.doc_id "
         f"WHERE inter / (na.n + nb.n - inter) >= {float(threshold)!r}"
     )
+
+
+# --- connected components: pairs → clusters --------------------------------
+
+def dedup_components(
+    docs: DataFrame, threshold: float = 0.5, max_iter: int = 50
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: every doc gets
+    (doc_id, root_id) where root = MIN doc_id reachable through
+    minhash-LSH pairs with est_sim ≥ threshold (singletons are their
+    own root). This is the dedup completion step — the keeper of each
+    cluster is its root.
+
+    Spark-first iteration: min-label propagation. labels start as own
+    id; each round takes the min over neighbors; labels are monotone
+    non-increasing, so the SUM of labels strictly decreases until the
+    fixpoint — convergence is detected by an O(1) aggregate, no
+    row-level diff join. Each round localCheckpoints to truncate the
+    lineage (iterative joins otherwise stack plans). Rounds needed =
+    component diameter; near-dup clusters are shallow (dups of dups of
+    one root), so this is a handful of co-partitioned joins on doc_id
+    at any scale. For adversarial chain-shaped graphs switch to
+    large-star/small-star; near-dup components don't need it.
+
+    Oracle: a DuckDB recursive CTE computes min-over-reachable-set —
+    the same fixpoint by definition."""
+    pairs = dedup_minhash_lsh(docs).where(F.col("est_sim") >= threshold)
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        e1.union(e1.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("root_id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("root_id").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("root_id"), F.coalesce("nbr_min", "root_id")
+                ).alias("root_id"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(
+            F.sum(F.col("root_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels.select("doc_id", F.col("root_id").cast("bigint"))
+
+
+def dedup_components_sql(threshold: float = 0.5) -> str:
+    mh = dedup_minhash_lsh_sql()
+    return (
+        "WITH RECURSIVE nodes AS (SELECT DISTINCT doc_id FROM documents), "
+        f"p AS (SELECT doc_a, doc_b FROM ({mh}) WHERE est_sim >= {float(threshold)!r}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM p "
+        "UNION SELECT doc_b, doc_a FROM p), "
+        "reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes "
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+        "SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS root_id "
+        "FROM reach GROUP BY a"
+    )

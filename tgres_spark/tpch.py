@@ -311,3 +311,43 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
         )
     )
+
+
+@register(
+    "events_retention",
+    sql="""
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS w FROM events
+), firsts AS (
+  SELECT user_id, MIN(w) AS cohort_week FROM e GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, cohort_week, w - cohort_week AS week_offset
+  FROM e JOIN firsts ON e.user_id = firsts.user_id
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted per active week offset — the canonical product-analytics
+    rollup. Two groupBys and a distinct, ALL keyed by user_id (or
+    supersets of it), so at scale one hash partitioning by user_id
+    serves every stage; the final (cohort, offset) agg is a tiny
+    relation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (epoch_s("ts") / 604800).cast("bigint").alias("w")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
