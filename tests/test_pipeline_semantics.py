@@ -250,3 +250,40 @@ def test_components_cluster_transitive_dups(spark):
     assert roots[1] == 1 and roots[2] == 1
     assert roots[9] == 9
     assert roots[3] in (1, 3)  # joins the cluster iff LSH catches the pair
+
+
+def test_propagation_matches_union_find_on_random_graphs(spark):
+    """Distributed min-label propagation == classic union-find on
+    seeded random graphs (chains, stars, forests)."""
+    import random
+
+    from tgres_spark.pipeline.dedup import propagate_components
+
+    for seed in (1, 5, 9):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ] + [(i, i + 1) for i in range(0, 20, 2)]  # guaranteed chains
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {v: find(v) for v in range(n)}
+
+        nodes = spark.createDataFrame([(v,) for v in range(n)], "doc_id long")
+        pdf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["root_id"]
+            for r in propagate_components(nodes, pdf).collect()
+        }
+        assert got == expect, f"seed {seed}"

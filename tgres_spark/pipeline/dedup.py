@@ -531,13 +531,24 @@ def dedup_components(
     Oracle: a DuckDB recursive CTE computes min-over-reachable-set —
     the same fixpoint by definition."""
     pairs = dedup_minhash_lsh(docs).where(F.col("est_sim") >= threshold)
+    return propagate_components(
+        docs.select("doc_id"), pairs.select("doc_a", "doc_b"), max_iter
+    )
+
+
+def propagate_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation: (doc_id) nodes + (doc_a, doc_b) edges →
+    (doc_id, root_id) with root = component minimum. See
+    dedup_components for the scale/convergence discussion."""
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         e1.union(e1.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("root_id"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("root_id"))
     prev_sum = None
     for _ in range(max_iter):
         nbr = (
