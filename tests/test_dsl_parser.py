@@ -230,3 +230,20 @@ def test_generator_functions_through_expressions(spark):
     assert all(abs(r["value"]) <= 2.0 for r in sin)
     rw = evaluate(ctx, "randomWalk('rw')").collect()
     assert rw and rw[0]["name"] == "rw"
+
+
+def test_moving_window_accepts_duration_strings(spark):
+    """movingAverage(series, '5min') — the reference's
+    BetterParseDuration branch (dslMovingAverage funcs.go:1447): a
+    time window on uniformly-stepped data = duration/step points."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    rows = [("m.a", t, float(t)) for t in range(60, 660, 60)]
+    cat = spark.createDataFrame(rows, "name string, t long, value double")
+    ctx = DslContext(cat)
+    ctx.step = 60  # the series' RRA step; duration/step = points
+    by_str = evaluate(ctx, "movingAverage(m.a, '5min')").collect()
+    by_pts = evaluate(ctx, "movingAverage(m.a, 5)").collect()
+    assert sorted((r["t"], r["value"]) for r in by_str) == sorted(
+        (r["t"], r["value"]) for r in by_pts
+    )

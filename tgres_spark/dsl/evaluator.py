@@ -95,10 +95,19 @@ def _seconds(node) -> int:
     return int(float(s))
 
 
-def _moving_points(node) -> int:
+def _moving_points(node, ctx=None) -> int:
+    """moving* windowSize: a bare number is a point count; a duration
+    string ('5min', '1h') converts via duration/step like the
+    reference's BetterParseDuration branch (dslMovingAverage,
+    funcs.go:1447-1463 — RRA data is uniformly stepped, so a time
+    window IS a row window of duration/step points)."""
     if isinstance(node, Literal) and isinstance(node.value, (int, float)):
         return int(node.value)
-    raise TypeError("window size must be a point count")
+    from .timespec import parse_duration
+
+    dur = int(parse_duration(_str(node)))
+    step = _infer_step(ctx) if ctx is not None else 1
+    return max(1, dur // max(1, step))
 
 
 def evaluate(ctx: DslContext, src: str) -> DataFrame:
@@ -204,17 +213,17 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         return consolidate(s0(), _infer_step(ctx), cf=_str(a[1]).lower())
 
     if f == "movingAverage":
-        return dc.moving_average(s0(), _moving_points(a[1]))
+        return dc.moving_average(s0(), _moving_points(a[1], ctx))
     if f == "movingMedian":
-        return dc.moving_median(s0(), _moving_points(a[1]))
+        return dc.moving_median(s0(), _moving_points(a[1], ctx))
     if f == "movingSum":
-        return dc.moving_sum(s0(), _moving_points(a[1]))
+        return dc.moving_sum(s0(), _moving_points(a[1], ctx))
     if f == "movingMin":
-        return dc.moving_min(s0(), _moving_points(a[1]))
+        return dc.moving_min(s0(), _moving_points(a[1], ctx))
     if f == "movingMax":
-        return dc.moving_max(s0(), _moving_points(a[1]))
+        return dc.moving_max(s0(), _moving_points(a[1], ctx))
     if f == "stdev":
-        return dc.moving_stdev(s0(), _moving_points(a[1]))
+        return dc.moving_stdev(s0(), _moving_points(a[1], ctx))
     if f == "nPercentile":
         return dc.n_percentile(s0(), _num(a[1]))
     if f == "percentileOfSeries":
