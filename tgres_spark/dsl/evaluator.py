@@ -165,7 +165,6 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
     simple = {
         "absolute": dt.absolute,
         "derivative": dt.derivative,
-        "nonNegativeDerivative": dt.non_negative_derivative,
         "perSecond": dt.per_second,
         "integral": dt.integral,
         "offsetToZero": dt.offset_to_zero,
@@ -179,6 +178,9 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
     if f in simple:
         return simple[f](s0())
 
+    if f == "nonNegativeDerivative":
+        mv = _num(a[1]) if len(a) > 1 else None
+        return dt.non_negative_derivative(s0(), mv)
     if f in ("scale",):
         return dt.scale(s0(), _num(a[1]))
     if f == "offset":

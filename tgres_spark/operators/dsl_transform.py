@@ -184,15 +184,37 @@ def derivative_sql(base):
     )
 
 
-def non_negative_derivative(df):
-    d = F.col(VALUE) - F.lag(VALUE).over(_w())
-    return _relabel(df, "nonNegativeDerivative(%s)", value=F.when(d >= 0.0, d))
+def non_negative_derivative(df, max_value: float | None = None):
+    """Delta to the previous point, NULL when negative — unless
+    ``max_value`` marks a wrapping counter, in which case a negative
+    delta yields (max - prev) + cur + 1 (seriesNonNegativeDerivative,
+    funcs.go:1261-1269; we keep graphite-web's >= 0, the Go port's
+    strict > 0 drops flat counters)."""
+    prev = F.lag(VALUE).over(_w())
+    d = F.col(VALUE) - prev
+    v = F.when(d >= 0.0, d)
+    if max_value is not None:
+        mv = float(max_value)
+        v = v.when(
+            F.lit(mv) > F.col(VALUE),
+            F.lit(mv) - prev + F.col(VALUE) + F.lit(1.0),
+        )
+    return _relabel(df, "nonNegativeDerivative(%s)", value=v)
 
 
-def non_negative_derivative_sql(base):
+def non_negative_derivative_sql(base, max_value: float | None = None):
     d = "value - LAG(value) OVER (PARTITION BY name ORDER BY t)"
+    wrap = ""
+    if max_value is not None:
+        mv = repr(float(max_value))
+        wrap = (
+            f" WHEN {mv} > value THEN "
+            f"{mv} - LAG(value) OVER (PARTITION BY name ORDER BY t) + value + 1.0"
+        )
     return _map_sql(
-        base, "nonNegativeDerivative(%s)", f"CASE WHEN ({d}) >= 0.0 THEN ({d}) END"
+        base,
+        "nonNegativeDerivative(%s)",
+        f"CASE WHEN ({d}) >= 0.0 THEN ({d}){wrap} END",
     )
 
 

@@ -132,6 +132,11 @@ _reg(
     lambda s, d: dt.non_negative_derivative(base(s, d)),
     dt.non_negative_derivative_sql(BASE_SQL),
 )
+_reg(
+    "dsl_nonNegativeDerivative_wrap",
+    lambda s, d: dt.non_negative_derivative(base(s, d), 1000.0),
+    dt.non_negative_derivative_sql(BASE_SQL, 1000.0),
+)
 _reg("dsl_perSecond", lambda s, d: dt.per_second(base(s, d)), dt.per_second_sql(BASE_SQL))
 _reg("dsl_delay", lambda s, d: dt.delay(base(s, d), 3), dt.delay_sql(BASE_SQL, 3))
 _reg("dsl_integral", lambda s, d: dt.integral(base(s, d)), dt.integral_sql(BASE_SQL))
