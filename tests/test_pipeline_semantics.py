@@ -287,3 +287,28 @@ def test_propagation_matches_union_find_on_random_graphs(spark):
             for r in propagate_components(nodes, pdf).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_ann_lsh_topk_finds_identical_vector(spark):
+    """An identical vector lands in every query bucket (same sign
+    pattern in all tables), so bucketed top-k always ranks it first
+    with cos == the exact baseline's."""
+    import random
+
+    from tgres_spark.pipeline.similarity import ann_cosine_topk, ann_lsh_topk
+
+    rng = random.Random(4)
+    rows = [(v, [rng.gauss(0, 1) for _ in range(64)], 0) for v in range(1, 30)]
+    rows.append((0, rows[10][1][:], 0))  # query 0 == vec 11
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    lsh = sorted(
+        ann_lsh_topk(emb, n_queries=1, k=5).collect(), key=lambda r: r["rank"]
+    )
+    assert lsh[0]["neighbor_id"] == 11
+    assert lsh[0]["cos"] > 0.999999
+    exact = {
+        r["neighbor_id"]: r["cos"]
+        for r in ann_cosine_topk(emb, n_queries=1, k=29).collect()
+    }
+    for r in lsh:  # every bucketed cos equals the exact cosine
+        assert r["cos"] == exact[r["neighbor_id"]]

@@ -157,3 +157,31 @@ def test_paced_gauge_clock_weighting_survives_flush(spark, tmp_path):
     got = {r["t"]: r["value"] for r in spark.read.parquet(str(tmp_path / "gout")).collect()}
     assert got[60] == 4.0
     assert got[120] == 10.0
+
+
+def test_paced_state_survives_checkpoint_restart(spark, tmp_path):
+    """A pace window OPEN at the end of run 1 must absorb run 2's
+    points and emit ONE merged sum — proves applyInPandasWithState
+    state recovers from the checkpoint across separate queries."""
+    from tgres_spark.streaming.paced import run_paced_file_pipeline
+
+    in_dir = tmp_path / "rin"
+    in_dir.mkdir()
+    # window (0,300] gets 2.0 in run 1 and 3.0 in run 2; run 2's
+    # sentinel at t=1000 rolls the window → emit 5.0 once
+    (in_dir / "r1.txt").write_text("s.x 2.0 100\n")
+    run_paced_file_pipeline(
+        spark, str(in_dir), str(tmp_path / "rout"), str(tmp_path / "rck"),
+        pace_s=300, kind="sum",
+    )
+    assert spark.read.parquet(str(tmp_path / "rout")).count() == 0  # still open
+    (in_dir / "r2.txt").write_text("s.x 3.0 200\ns.x 0.0 1000\n")
+    run_paced_file_pipeline(
+        spark, str(in_dir), str(tmp_path / "rout"), str(tmp_path / "rck"),
+        pace_s=300, kind="sum",
+    )
+    got = [
+        (r["name"], r["t"], r["value"])
+        for r in spark.read.parquet(str(tmp_path / "rout")).collect()
+    ]
+    assert got == [("s.x", 300, 5.0)]

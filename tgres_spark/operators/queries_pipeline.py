@@ -44,6 +44,9 @@ register("dedup_embedding_lsh", sql=sim.dedup_embedding_lsh_sql())(
 register("ann_cosine_topk", sql=sim.ann_cosine_topk_sql())(
     lambda s, d: sim.ann_cosine_topk(_emb(s, d))
 )
+register("ann_lsh_topk", sql=sim.ann_lsh_topk_sql())(
+    lambda s, d: sim.ann_lsh_topk(_emb(s, d))
+)
 register("ann_lsh_buckets")(  # rows-only: seeded-numpy hyperplanes
     lambda s, d: sim.ann_lsh_buckets(_emb(s, d))
 )

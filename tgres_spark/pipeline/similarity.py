@@ -271,35 +271,19 @@ def dedup_embedding_sql(threshold: float = 0.4) -> str:
     )
 
 
-def dedup_embedding_lsh(
-    emb: DataFrame, threshold: float = 0.4, seed: int = 42
-) -> DataFrame:
-    """Hyperplane-LSH blocked near-dup pairs — the 100 TB scale path.
 
-    4 tables × 8 seeded hyperplanes: per table, bucket = the 8-bit
-    sign pattern of the plane dots; candidate pairs only form inside a
-    (table, bucket) — banding (OR across tables, AND within) turns the
-    O(N²) pair space into bucket-local work on uniform 64-way keys per
-    table. Recall for a pair at angle θ is 1-(1-(1-θ/π)^8)^4 ≈ 0.75
-    at cos 0.9 (256 uniform buckets per table bound candidate fanout), by design low for unrelated vectors. Buckets match the
-    DuckDB oracle bit-for-bit because both engines evaluate the same
-    decimal plane literals in the same fold order (see _planes).
-
-    Shape notes (measured at sf0.1): the 32 plane dots are ONE
-    transform() over a single array<array<double>> literal — 24+
-    separate fold expressions (64 literals each) ballooned plan
-    analysis to ~4s of wall time. Candidate ids are DISTINCT'd before
-    the exact cosine: a pair sharing buckets in k tables would fold
-    its dot k times; distinct-first computes it once and shuffles only
-    16-byte id pairs, not 64-float embeddings. The signature relation
-    is persisted — it feeds the key explode and both rejoin sides."""
+def _lsh_signatures(emb: DataFrame, seed: int = 42) -> DataFrame:
+    """(vec_id, embedding, nrm, t0..tN): per-table sign-pattern bucket
+    ids against the seeded planes. Planes ride in as a broadcast
+    1-row relation, not expression literals — 32 planes × 64 F.lit
+    leaves made Catalyst analysis the dominant cold cost (~4s); same
+    doubles either way (Python float → exact IEEE double in both the
+    row and the oracle's text). The 32 plane dots are ONE transform()
+    materialized as `dots` before the bucket projection reads it 32×
+    (no CSE across expressions)."""
     planes = _planes(seed=seed)
     n_planes = len(planes[0])
     flat = [pl for table in planes for pl in table]
-    # Planes ride in as a broadcast 1-row relation, not as expression
-    # literals: 32 planes × 64 F.lit leaves made Catalyst analysis the
-    # dominant cold cost (~4s). Same doubles either way — Python float
-    # → exact IEEE double in both the row and the oracle's text.
     planes_df = emb.sparkSession.createDataFrame(
         [([list(map(float, pl)) for pl in flat],)],
         "planes array<array<double>>",
@@ -327,8 +311,12 @@ def dedup_embedding_lsh(
             ).otherwise(F.lit(0))
             bits = term if bits is None else bits + term
         buckets.append(bits.cast("int").alias(f"t{t}"))
-    sig = d.select("vec_id", "embedding", "nrm", *buckets).persist()
-    keys = sig.select(
+    return d.select("vec_id", "embedding", "nrm", *buckets)
+
+
+def _lsh_keys(sig: DataFrame, n_tables: int = DEDUP_LSH_TABLES) -> DataFrame:
+    """Explode the signature relation to (vec_id, tbl, bucket) rows."""
+    return sig.select(
         "vec_id",
         F.explode(
             F.array(
@@ -336,11 +324,69 @@ def dedup_embedding_lsh(
                     F.struct(
                         F.lit(t).alias("tbl"), F.col(f"t{t}").alias("bucket")
                     )
-                    for t in range(len(planes))
+                    for t in range(n_tables)
                 ]
             )
         ).alias("tb"),
     ).select("vec_id", "tb.tbl", "tb.bucket")
+
+
+def _lsh_sig_sql(seed: int = 42) -> str:
+    planes = _planes(seed=seed)
+
+    def dot_sql(plane):
+        lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])), "
+            "(acc, x) -> acc + x)"
+        )
+
+    bucket_cols = []
+    for t, table in enumerate(planes):
+        bits = " + ".join(
+            f"CASE WHEN ({dot_sql(plane)}) > 0 THEN {1 << i} ELSE 0 END"
+            for i, plane in enumerate(table)
+        )
+        bucket_cols.append(f"CAST({bits} AS INTEGER) AS t{t}")
+    return (
+        f"SELECT vec_id, embedding, {_NORM_SQL} AS nrm, "
+        + ", ".join(bucket_cols)
+        + " FROM embeddings"
+    )
+
+
+def _lsh_keys_sql(n_tables: int = DEDUP_LSH_TABLES) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, t{t} AS bucket FROM s"
+        for t in range(n_tables)
+    )
+
+
+def dedup_embedding_lsh(
+    emb: DataFrame, threshold: float = 0.4, seed: int = 42
+) -> DataFrame:
+    """Hyperplane-LSH blocked near-dup pairs — the 100 TB scale path.
+
+    4 tables × 8 seeded hyperplanes: per table, bucket = the 8-bit
+    sign pattern of the plane dots; candidate pairs only form inside a
+    (table, bucket) — banding (OR across tables, AND within) turns the
+    O(N²) pair space into bucket-local work on uniform 64-way keys per
+    table. Recall for a pair at angle θ is 1-(1-(1-θ/π)^8)^4 ≈ 0.75
+    at cos 0.9 (256 uniform buckets per table bound candidate fanout), by design low for unrelated vectors. Buckets match the
+    DuckDB oracle bit-for-bit because both engines evaluate the same
+    decimal plane literals in the same fold order (see _planes).
+
+    Shape notes (measured at sf0.1): the 32 plane dots are ONE
+    transform() over a single array<array<double>> literal — 24+
+    separate fold expressions (64 literals each) ballooned plan
+    analysis to ~4s of wall time. Candidate ids are DISTINCT'd before
+    the exact cosine: a pair sharing buckets in k tables would fold
+    its dot k times; distinct-first computes it once and shuffles only
+    16-byte id pairs, not 64-float embeddings. The signature relation
+    is persisted — it feeds the key explode and both rejoin sides."""
+    sig = _lsh_signatures(emb, seed=seed).persist()
+    keys = _lsh_keys(sig)
     cand = (
         keys.alias("a")
         .join(keys.alias("b"), ["tbl", "bucket"])
@@ -370,32 +416,8 @@ def dedup_embedding_lsh(
 
 
 def dedup_embedding_lsh_sql(threshold: float = 0.4, seed: int = 42) -> str:
-    planes = _planes(seed=seed)
-
-    def dot_sql(plane):
-        lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
-        return (
-            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])), "
-            "(acc, x) -> acc + x)"
-        )
-
-    bucket_cols = []
-    for t, table in enumerate(planes):
-        bits = " + ".join(
-            f"CASE WHEN ({dot_sql(plane)}) > 0 THEN {1 << i} ELSE 0 END"
-            for i, plane in enumerate(table)
-        )
-        bucket_cols.append(f"CAST({bits} AS INTEGER) AS t{t}")
-    sig = (
-        f"SELECT vec_id, embedding, {_NORM_SQL} AS nrm, "
-        + ", ".join(bucket_cols)
-        + " FROM embeddings"
-    )
-    key_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, t{t} AS bucket FROM s"
-        for t in range(len(planes))
-    )
+    sig = _lsh_sig_sql(seed)
+    key_rows = _lsh_keys_sql()
     cos = f"({_PAIR_DOT_SQL}) / (na * nb)"
     return (
         f"WITH s AS ({sig}), keys AS ({key_rows}), "
@@ -408,4 +430,79 @@ def dedup_embedding_lsh_sql(threshold: float = 0.4, seed: int = 42) -> str:
         "JOIN s sb ON cand.vec_b = sb.vec_id) "
         f"SELECT vec_a, vec_b, {cos} AS cos FROM j "
         f"WHERE {cos} >= {float(threshold)!r}"
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 10, seed: int = 42
+) -> DataFrame:
+    """End-to-end bucketed ANN: top-k cosine neighbors among corpus
+    vectors sharing ≥1 (table, bucket) with the query — the scale
+    path ann_cosine_topk is the exact baseline for. Same output shape
+    (query_id, neighbor_id, cos, rank); a query may return < k rows
+    when its buckets hold fewer candidates (that is the
+    accuracy/throughput dial: more tables ⇒ more recall). Candidate
+    ids are DISTINCT'd before the exact cosine (a neighbor sharing
+    multiple tables folds once); buckets match the DuckDB oracle
+    bit-for-bit via the shared plane literals."""
+    from pyspark.sql import Window
+
+    sig = _lsh_signatures(emb, seed=seed).persist()
+    keys = _lsh_keys(sig)
+    qk = keys.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        qk.join(
+            keys.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = sig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cv = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("bigint"))
+    )
+
+
+def ann_lsh_topk_sql(n_queries: int = 10, k: int = 10, seed: int = 42) -> str:
+    sig = _lsh_sig_sql(seed)
+    key_rows = _lsh_keys_sql()
+    cos = f"({_PAIR_DOT_SQL}) / (na * nb)"
+    return (
+        f"WITH s AS ({sig}), keys AS ({key_rows}), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM keys q JOIN keys c ON q.tbl = c.tbl AND q.bucket = c.bucket "
+        f"WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id), "
+        "j AS (SELECT cand.query_id, cand.neighbor_id, "
+        "sq.embedding AS ea, sq.nrm AS na, sc.embedding AS eb, sc.nrm AS nb "
+        "FROM cand JOIN s sq ON cand.query_id = sq.vec_id "
+        "JOIN s sc ON cand.neighbor_id = sc.vec_id), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos FROM j) "
+        "SELECT query_id, neighbor_id, cos, rank FROM ("
+        "SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
     )
