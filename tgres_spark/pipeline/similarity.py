@@ -434,17 +434,25 @@ def dedup_embedding_lsh_sql(threshold: float = 0.4, seed: int = 42) -> str:
 
 
 def ann_lsh_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 10, seed: int = 42
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """End-to-end bucketed ANN: top-k cosine neighbors among corpus
     vectors sharing ≥1 (table, bucket) with the query — the scale
     path ann_cosine_topk is the exact baseline for. Same output shape
     (query_id, neighbor_id, cos, rank); a query may return < k rows
-    when its buckets hold fewer candidates (that is the
-    accuracy/throughput dial: more tables ⇒ more recall). Candidate
-    ids are DISTINCT'd before the exact cosine (a neighbor sharing
-    multiple tables folds once); buckets match the DuckDB oracle
-    bit-for-bit via the shared plane literals."""
+    when its buckets hold fewer candidates (the accuracy/throughput
+    dial: more tables/probes ⇒ more recall). With ``multiprobe`` the
+    QUERY side also probes every hamming-1 bucket (flip each of the 8
+    sign bits) — the classic multiprobe trade: 9× probe keys per
+    query (queries are few) instead of more tables (which would 2×
+    the whole corpus index). Candidate ids are DISTINCT'd before the
+    exact cosine (a neighbor sharing multiple probes folds once);
+    buckets match the DuckDB oracle bit-for-bit via the shared plane
+    literals."""
     from pyspark.sql import Window
 
     sig = _lsh_signatures(emb, seed=seed).persist()
@@ -452,6 +460,17 @@ def ann_lsh_topk(
     qk = keys.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(DEDUP_LSH_PLANES)
+            ],
+        )
+        qk = qk.select(
+            "query_id", "tbl", F.explode(variants).alias("bucket")
+        )
     cand = (
         qk.join(
             keys.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"),
@@ -487,15 +506,26 @@ def ann_lsh_topk(
     )
 
 
-def ann_lsh_topk_sql(n_queries: int = 10, k: int = 10, seed: int = 42) -> str:
+def ann_lsh_topk_sql(
+    n_queries: int = 10, k: int = 10, seed: int = 42, multiprobe: bool = True
+) -> str:
     sig = _lsh_sig_sql(seed)
     key_rows = _lsh_keys_sql()
     cos = f"({_PAIR_DOT_SQL}) / (na * nb)"
+    if multiprobe:
+        qk = (
+            f"SELECT vec_id AS query_id, tbl, bucket FROM keys WHERE vec_id < {n_queries} "
+            f"UNION ALL SELECT vec_id, tbl, xor(bucket, CAST(1 << i AS INTEGER)) "
+            f"FROM keys, (SELECT UNNEST(range(0, {DEDUP_LSH_PLANES})) AS i) "
+            f"WHERE vec_id < {n_queries}"
+        )
+    else:
+        qk = f"SELECT vec_id AS query_id, tbl, bucket FROM keys WHERE vec_id < {n_queries}"
     return (
-        f"WITH s AS ({sig}), keys AS ({key_rows}), "
-        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
-        "FROM keys q JOIN keys c ON q.tbl = c.tbl AND q.bucket = c.bucket "
-        f"WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id), "
+        f"WITH s AS ({sig}), keys AS ({key_rows}), qk AS ({qk}), "
+        "cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id "
+        "FROM qk q JOIN keys c ON q.tbl = c.tbl AND q.bucket = c.bucket "
+        "WHERE q.query_id <> c.vec_id), "
         "j AS (SELECT cand.query_id, cand.neighbor_id, "
         "sq.embedding AS ea, sq.nrm AS na, sc.embedding AS eb, sc.nrm AS nb "
         "FROM cand JOIN s sq ON cand.query_id = sq.vec_id "
