@@ -7,10 +7,10 @@
 - ann_lsh_buckets: random-hyperplane LSH. Planes are seeded numpy —
   deterministic — applied as an Arrow-batched pandas UDF (matrix
   multiply per batch; this is the vectorized fast path, not per-row).
-- ann_ivf_search: IVF with k-means centroids. Centroids are fit on a
-  bounded sample driver-side (centroids are tiny; the *assignment*
-  is distributed), then probing is a broadcast join against the
-  nprobe nearest cells.
+- ann_ivf_search: IVF with fully distributed k-means — map-only
+  argmin assignment against broadcast centroids, decimal-deterministic
+  centroid updates (one tiny shuffle per Lloyd round), probing via a
+  broadcast join against the nprobe nearest cells.
 
 At 100 TB: brute force is the correctness oracle at small n; LSH and
 IVF are the scale paths — both turn all-pairs into bucket-local work.
@@ -114,62 +114,108 @@ def ann_ivf_search(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
-    sample_limit: int = 100_000,
+    n_iter: int = 8,
 ) -> DataFrame:
-    """IVF: k-means cells (fit on a bounded sample), probe the nprobe
-    nearest cells per query, exact cosine within probed cells.
-    Returns (query_id, neighbor_id, cos, rank)."""
+    """IVF with FULLY DISTRIBUTED k-means: no sample collect, no N×k
+    crossJoin. Returns (query_id, neighbor_id, cos, rank).
+
+    Fit: centroids seed from the k hash-ranked-lowest vectors
+    (TakeOrderedAndProject — k rows collected, not a sample table),
+    then ``n_iter`` Lloyd rounds where (1) assignment is a pure map:
+    centroids broadcast as one array-of-arrays row, squared distance
+    per cell via fold, cell = first argmin (ties → lowest cell, the
+    reference tie rule); (2) the centroid update is ONE map-side-
+    combined shuffle of (cell, dim) decimal sums — 38,12-decimal
+    accumulation makes the means independent of partition order, so
+    replays are bit-identical on any cluster shape. Driver traffic
+    per round = n_cells × dim stat rows (KBs).
+
+    Search: corpus vectors keep their assigned cell; queries probe the
+    ``nprobe`` nearest cells and the exact cosine + top-k runs inside
+    probed cells only."""
     from pyspark.sql import Window
 
-    # Deterministic distributed sample: rank by a seeded hash of the id
-    # and take the lowest N (TakeOrderedAndProject — a distributed
-    # top-k, not a single-partition sort). Unlike limit() with no
-    # ordering, this is unbiased w.r.t. file/partition layout and
-    # replays identically on any cluster shape.
-    sample_rows = (
+    init_rows = (
         emb.select("vec_id", "embedding")
         .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col("vec_id"))))
-        .limit(sample_limit)
+        .limit(n_cells)
         .collect()
     )
-    sample = np.stack([r["embedding"] for r in sample_rows]).astype("float64")
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(8):  # Lloyd iterations
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(n_cells):
-            pts = sample[assign == j]
-            if len(pts):
-                cents[j] = pts.mean(axis=0)
+    cents = [[float(x) for x in r["embedding"]] for r in init_rows]
+    dim = len(cents[0])
     spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        [(int(j), [float(x) for x in cents[j]]) for j in range(n_cells)],
-        "cell int, centroid array<double>",
-    )
 
-    dist = F.aggregate(
-        F.zip_with(
-            "embedding", "centroid", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wmin = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cell").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "embedding", "cell", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(wmin))
-    )
-    corpus = assigned.where(F.col("rn") == 1).select(
+    def with_cell(df):
+        """Attach (cell, d2min) via broadcast centroid row — map-only."""
+        cdf = spark.createDataFrame(
+            [(cents,)], "cents array<array<double>>"
+        )
+        dists = F.transform(
+            F.col("cents"),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (
+            df.crossJoin(F.broadcast(cdf))
+            .withColumn("dists", dists)
+            .withColumn(
+                "cell",
+                (
+                    F.array_position(
+                        F.col("dists"), F.array_min(F.col("dists"))
+                    )
+                    - 1
+                ).cast("int"),
+            )
+        )
+
+    for _ in range(n_iter):
+        stats = (
+            with_cell(emb.select("embedding"))
+            .select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep position
+        for r in stats:
+            new_cents[r["cell"]][r["pos"]] = float(r["s"]) / r["n"]
+        cents = new_cents
+
+    corpus = with_cell(emb.select("vec_id", "embedding")).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         "cell",
     )
     probes = (
-        assigned.where(F.col("vec_id") < n_queries)
+        with_cell(
+            emb.select("vec_id", "embedding").where(F.col("vec_id") < n_queries)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.posexplode("dists").alias("cell2", "d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("cell2").asc()
+                )
+            ),
+        )
         .where(F.col("rn") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell")
+        .select("query_id", "qv", F.col("cell2").alias("cell"))
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
