@@ -91,3 +91,23 @@ def test_sort_by_rank_is_range_partitioned(spark):
     assert "rangepartitioning" in plan.lower()
     names = sorted(r["name"] for r in out.collect())
     assert "1:m19" in names and "20:m0" in names
+
+
+def test_embedding_lsh_joins_are_not_cartesian(spark):
+    """dedup_embedding_lsh's only cross join is the 1-row broadcast
+    plane relation; candidate generation must be an equi-join on
+    (tbl, bucket), never a cartesian over vectors."""
+    from tgres_spark.pipeline.similarity import dedup_embedding_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64, 0) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = (
+        dedup_embedding_lsh(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row plane relation

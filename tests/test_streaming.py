@@ -185,3 +185,36 @@ def test_paced_state_survives_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "rout")).collect()
     ]
     assert got == [("s.x", 300, 5.0)]
+
+
+def test_paced_pipeline_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful paced operator must run unchanged on the RocksDB
+    state store (the provider a 100 TB deployment uses — state spills
+    to disk instead of living on the JVM heap)."""
+    from tgres_spark.streaming.paced import run_paced_file_pipeline
+
+    in_dir = tmp_path / "rkin"
+    in_dir.mkdir()
+    (in_dir / "a.txt").write_text(
+        "r.x 1.0 100\nr.x 2.0 200\nr.x 4.0 400\nr.x 0.0 9999\n"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_paced_file_pipeline(
+            spark, str(in_dir), str(tmp_path / "rkout"), str(tmp_path / "rkck"),
+            pace_s=300, kind="sum",
+        )
+        got = {
+            (r["name"], r["t"]): r["value"]
+            for r in spark.read.parquet(str(tmp_path / "rkout")).collect()
+        }
+        assert got == {("r.x", 300): 3.0, ("r.x", 600): 4.0}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
