@@ -106,3 +106,30 @@ def test_dsl_functions_run_over_routed_archive(spark, tmp_path):
     assert ctx.last_selected.step == 3600
     vals = {r["t"]: r["value"] for r in out.collect()}
     assert vals[3600] == 4.0  # two constant-2 series summed
+
+
+def test_partitioned_archive_prunes_day_and_bucket(spark, tmp_path):
+    """The SCALE.md layout must prune at the FILE level: a time-ranged
+    exact-name fetch shows day-range + bucket partition filters (file
+    listing) and t-range pushed filters (row groups)."""
+    from tgres_spark.archive import ArchiveDslContext, materialize_archives
+
+    rows = [
+        (f"m.{i}", 1704067200 + j * 600, float(j))
+        for i in range(4)
+        for j in range(288)
+    ]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    arc = materialize_archives(
+        spark, sf, [("wmean", 3600)], str(tmp_path / "arc"),
+        partitioned=True, n_buckets=4,
+    )
+    ctx = ArchiveDslContext(
+        arc, t_from=1704067200, t_to=1704067200 + 86400, max_points=24
+    )
+    df = ctx.fetch("m.1")
+    assert df.count() == 25  # 24 hourly slots +1 boundary, one series
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters") :].split("]")[0]
+    assert "day" in pf and "bucket" in pf
+    assert "GreaterThanOrEqual(t" in plan  # row filter still pushed

@@ -33,13 +33,16 @@ from .dsl.parser import glob_to_regex
 class Archive:
     """One materialized RRA. ``span`` = retention seconds (None =
     unbounded, e.g. a parquet archive you never expire); ``latest`` =
-    newest slot end (None = assume current)."""
+    newest slot end (None = assume current); ``buckets`` = name-bucket
+    count when the archive is written with the partitioned SCALE.md
+    layout (day/bucket partition columns present)."""
 
     cf: str
     step: int
     df: DataFrame
     span: int | None = None
     latest: int | None = None
+    buckets: int | None = None
 
     def includes(self, t_start: int) -> bool:
         """rra.includes(start) — does this archive's retention window
@@ -67,8 +70,9 @@ class ArchiveSet:
         return self.archives[0].df
 
     def add(self, cf: str, step: int, df: DataFrame,
-            span: int | None = None, latest: int | None = None) -> None:
-        self.archives.append(Archive(cf, step, df, span, latest))
+            span: int | None = None, latest: int | None = None,
+            buckets: int | None = None) -> None:
+        self.archives.append(Archive(cf, step, df, span, latest, buckets))
 
     def best(
         self,
@@ -110,20 +114,41 @@ def materialize_archives(
     root: str,
     base_step: int = 1,
     heartbeat: int | None = None,
+    partitioned: bool = False,
+    n_buckets: int = 8,
 ) -> ArchiveSet:
     """Write each (cf, step) rollup of ``sf`` as parquet under
     ``root/<cf>_<step>`` and return an ArchiveSet reading them back.
     The nightly-compaction shape: each archive is one consolidate()
-    (single shuffle), written once, served forever. At scale, add
-    ``.partitionBy(day, bucket)`` per docs/SCALE.md — routing is
-    unaffected (it only consults metadata)."""
+    (single shuffle), written once, served forever.
+
+    ``partitioned=True`` writes the docs/SCALE.md layout —
+    ``partitionBy(day, bucket=pmod(xxhash64(name), B))`` — so a
+    render's time range prunes day directories and an exact-name
+    fetch prunes to one bucket BEFORE any file is opened (the fetch
+    still filters rows; day/bucket are derived columns the reader
+    drops). At 100 TB size B so a (day, bucket) partition lands at
+    256 MB–1 GB compressed."""
     out = ArchiveSet(sf, base_step=base_step)
     for cf, step in specs:
         path = f"{root}/{cf}_{step}"
-        consolidate(sf, step, cf=cf, heartbeat=heartbeat).write.mode(
-            "overwrite"
-        ).parquet(path)
-        out.add(cf, step, spark.read.parquet(path))
+        rolled = consolidate(sf, step, cf=cf, heartbeat=heartbeat)
+        if partitioned:
+            (
+                rolled.withColumn(
+                    "day", F.from_unixtime(F.col(T), "yyyy-MM-dd")
+                )
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64(F.col(NAME)), n_buckets)
+                )
+                .write.mode("overwrite")
+                .partitionBy("day", "bucket")
+                .parquet(path)
+            )
+            out.add(cf, step, spark.read.parquet(path), buckets=n_buckets)
+        else:
+            rolled.write.mode("overwrite").parquet(path)
+            out.add(cf, step, spark.read.parquet(path))
     return out
 
 
@@ -145,9 +170,31 @@ class ArchiveDslContext(DslContext):
     def fetch(self, pattern: str) -> DataFrame:
         a = self.archive_set.best(self.t_from, self.t_to, self.requested_points)
         self.last_selected = a
-        df = a.df.where(F.col(NAME).rlike(glob_to_regex(pattern)))
+        df = a.df
+        if a.buckets:
+            # Partition-level pruning BEFORE any row filter: the time
+            # range maps to a day-directory range, and an exact (no
+            # glob metachars) name folds to one bucket — xxhash64 of
+            # a literal constant-folds, so both predicates prune at
+            # the file listing, not per row.
+            if self.t_from is not None:
+                df = df.where(
+                    F.col("day")
+                    >= F.from_unixtime(F.lit(self.t_from), "yyyy-MM-dd")
+                )
+            if self.t_to is not None:
+                df = df.where(
+                    F.col("day")
+                    <= F.from_unixtime(F.lit(self.t_to), "yyyy-MM-dd")
+                )
+            if not any(c in pattern for c in "*?{}[]"):
+                df = df.where(
+                    F.col("bucket")
+                    == F.pmod(F.xxhash64(F.lit(pattern)), a.buckets)
+                )
+        df = df.where(F.col(NAME).rlike(glob_to_regex(pattern)))
         if self.t_from is not None:
             df = df.where(F.col(T) >= self.t_from)
         if self.t_to is not None:
             df = df.where(F.col(T) <= self.t_to)
-        return df
+        return df.select(NAME, T, "value")
