@@ -38,13 +38,28 @@ def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet → SeriesFrame: event_type is the series name.
 
     Mirrors how tgres receives one datapoint per (ident, time, value)
-    (receiver/receiver.go QueueDataPoint).
-    """
+    (receiver/receiver.go QueueDataPoint) — with one relational twist:
+    the reference REJECTS a datapoint whose timestamp is <= the DS's
+    lastUpdate (rrd/ds.go updateRange), i.e. at most one point per
+    (series, second), ordered by arrival. A relation has no arrival
+    order, so same-timestamp points are merged with an exact decimal
+    mean instead — deterministic and partition-order-free where
+    "keep the first" is not. Without this, every lag()-based pass
+    downstream (wmean durations, derivative, heartbeat) is ordered by
+    (name, t) with TIES, and Spark and DuckDB break ties differently
+    — latent at sf0.01 (3 duplicate pairs), a real divergence at
+    sf0.1 (383)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    pts = ev.select(
         F.col("event_type").alias(NAME),
         epoch_s("ts").alias(T),
         F.col("value").cast("double").alias(VALUE),
+    )
+    return pts.groupBy(NAME, T).agg(
+        (
+            F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double")
+            / F.count(VALUE)
+        ).alias(VALUE)
     )
 
 
@@ -70,8 +85,10 @@ def epoch_s(col: str, df: DataFrame | None = None) -> Column:
 # DuckDB-side equivalent of series_from_events, spliced into oracle SQL.
 # epoch_ns → bigint nanos; // is exact integer division, matching epoch_s.
 EVENTS_SERIES_SQL = (
+    "SELECT name, t, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) "
+    "/ COUNT(value) AS value FROM ("
     "SELECT event_type AS name, epoch_ns(ts) // 1000000000 AS t, "
-    "CAST(value AS DOUBLE) AS value FROM events"
+    "CAST(value AS DOUBLE) AS value FROM events) GROUP BY name, t"
 )
 
 
