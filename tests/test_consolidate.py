@@ -76,3 +76,28 @@ def test_multiple_series_do_not_mix(spark):
     sf = mk(spark, [("a", 10, 1.0), ("b", 10, 100.0)])
     out = as_map(consolidate(sf, 60, cf="wmean"))
     assert out[("a", 60)] == 1.0 and out[("b", 60)] == 100.0
+
+
+def test_multi_rra_per_archive_xff(spark):
+    """consolidate_multi 3-tuples apply each archive's X-Files-Factor
+    (duration-weighted, same rule as consolidate(xff=)): a slot with
+    0.85 known fraction NULLs under xff=0.9 but survives xff=0, in
+    the same shared pass; `last` honors it too."""
+    from tgres_spark.operators.consolidate import (
+        consolidate_multi,
+        release_multi_cache,
+    )
+
+    # slot (0,60]: durs 1+10*5 = 51 known → 0.85; slot (60,120]: 60 → 1.0
+    rows = [("a", t, float(t)) for t in range(10, 121, 10)]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    out = consolidate_multi(
+        sf, [("wmean", 60, 0.9), ("wmean", 60, 0.0), ("last", 60, 0.9)]
+    )
+    vals = {(r["name"], r["t"]): r["value"] for r in out.collect()}
+    release_multi_cache()
+    assert vals[("wmean:60:xff0.9/a", 60)] is None      # 0.85 < 0.9 → NULL
+    assert vals[("wmean:60/a", 60)] is not None         # lax archive keeps
+    assert vals[("wmean:60:xff0.9/a", 120)] is not None  # 1.0 ≥ 0.9
+    assert vals[("last:60:xff0.9/a", 60)] is None       # xff applies to last
+    assert vals[("last:60:xff0.9/a", 120)] == 120.0

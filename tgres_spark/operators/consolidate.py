@@ -132,14 +132,16 @@ def consolidate(
 
 def consolidate_multi(
     sf: DataFrame,
-    archives: list[tuple[str, int]],
+    archives: list[tuple],
     heartbeat: int | None = None,
 ) -> DataFrame:
     """Fan one SeriesFrame into several archives sharing ONE duration
     pass — the reference's shape exactly: a single PDP stream feeds
     every RRA of a DS (rrd/ds.go updateRRAs). Interval durations are
     step-independent, so the lag window computes once (and persists)
-    while each (cf, step) pair adds only its own groupBy.
+    while each (cf, step[, xff]) archive adds only its own groupBy —
+    a 3-tuple's xff applies the RRA's X-Files-Factor (slot NULL unless
+    known-duration fraction ≥ xff, rra.go:232-237) per archive.
 
     Output names are prefixed `<cf>:<step>/` like rrd_multi_rra.
 
@@ -149,7 +151,8 @@ def consolidate_multi(
     is materialized to free it; it is also released automatically the
     next time consolidate_multi runs.
     """
-    for cf, _step in archives:
+    specs = [(a[0], a[1], a[2] if len(a) > 2 else 0.0) for a in archives]
+    for cf, _step, _xff in specs:
         if cf.lower() not in CFS:
             raise ValueError(f"unknown consolidation function: {cf}")
     release_multi_cache()
@@ -165,16 +168,17 @@ def consolidate_multi(
     _MULTI_CACHE.append(pts)
 
     outs = []
-    for cf, step in archives:
+    for cf, step, xff in specs:
         renamed = pts.select(
             F.col(NAME), F.col(T), F.col("v").alias(VALUE), "dur"
         )
         # reuse the single-archive agg logic on the precomputed pts by
         # faking the lag pass: _agg_from_pts below consumes (v, dur)
-        agg = _agg_from_pts(renamed, step, cf)
+        agg = _agg_from_pts(renamed, step, cf, xff=xff)
+        prefix = f"{cf}:{step}/" if not xff else f"{cf}:{step}:xff{xff:g}/"
         outs.append(
             agg.select(
-                F.concat(F.lit(f"{cf}:{step}/"), F.col(NAME)).alias(NAME),
+                F.concat(F.lit(prefix), F.col(NAME)).alias(NAME),
                 T,
                 VALUE,
             )
@@ -195,16 +199,20 @@ def release_multi_cache() -> None:
         _MULTI_CACHE.pop().unpersist()
 
 
-def _agg_from_pts(pts: DataFrame, step: int, cf: str) -> DataFrame:
+def _agg_from_pts(
+    pts: DataFrame, step: int, cf: str, xff: float = 0.0
+) -> DataFrame:
     """Aggregation stage of consolidate() over a precomputed
     (name, t, value, dur) relation. ``cf`` must be in CFS (validated
-    here too so direct callers get the same error as consolidate())."""
+    here too so direct callers get the same error as consolidate());
+    ``xff`` NULLs a slot whose known-duration fraction is below it."""
     cf = cf.lower()
     if cf not in CFS:
         raise ValueError(f"unknown consolidation function: {cf}")
     p = pts.select(
         NAME, T, slot_end(step).alias("slot"), F.col(VALUE).alias("v"), "dur"
     )
+    known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
     if cf == "last":
         nn = p.where(F.col("v").isNotNull())
         wmax = Window.partitionBy(NAME, "slot")
@@ -214,8 +222,13 @@ def _agg_from_pts(pts: DataFrame, step: int, cf: str) -> DataFrame:
             .groupBy(NAME, "slot")
             .agg(F.max("v").alias("cv"))
         )
+        if xff > 0.0:
+            full = p.groupBy(NAME, "slot").agg(known_dur.alias("kf"))
+            agg = agg.join(full, [NAME, "slot"]).withColumn(
+                "cv",
+                F.when(F.col("kf") / float(step) >= float(xff), F.col("cv")),
+            )
         return agg.select(NAME, F.col("slot").alias(T), F.col("cv").alias(VALUE))
-    known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
     if cf == "wmean":
         num = F.sum(
             F.when(
@@ -237,6 +250,8 @@ def _agg_from_pts(pts: DataFrame, step: int, cf: str) -> DataFrame:
             F.count("v") > 0,
             F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count("v"),
         )
+    if xff > 0.0:
+        val = F.when(known_dur / float(step) >= float(xff), val)
     agg = p.groupBy(NAME, "slot").agg(val.alias("cv"))
     return agg.select(NAME, F.col("slot").alias(T), F.col("cv").alias(VALUE))
 
