@@ -111,3 +111,93 @@ def test_statsd_flush_windows_are_separate(spark):
     r = {(x["name"], x["t"]): x["value"] for x in out.collect()}
     assert math.isclose(r[("stats.c1", 60)], 1.0)
     assert math.isclose(r[("stats.c1", 120)], 2.0)
+
+
+def test_statsd_parse_cross_engine_on_adversarial_packets(spark):
+    """Spark parse and the DuckDB oracle must agree row-for-row on
+    grammar edge cases: pipes inside names, signs, sample-rate
+    boundaries, multiple dots/colons, whitespace, junk."""
+    import duckdb
+
+    from tgres_spark.sources.statsd import (
+        parse_statsd_packets,
+        parse_statsd_packets_sql,
+    )
+
+    packets = [
+        "a|b:1|c",              # pipe in name (legal: name = [^:]+)
+        "a:1|c",
+        "g1:+5|g", "g1:-5|g", "g1:5|g",
+        "t:12.5|ms", "t:12.5|ms|@0.5",
+        "s:1|c|@0", "s:1|c|@1", "s:1|c|@1.5",   # sample bounds (1.5 invalid)
+        "s:1|c|@-0.1",          # negative sample (grammar rejects '-')
+        "x:1|k",                # unknown type
+        "x:|c", ":1|c", "x:1|", "x", "",
+        "  pad:3|c  ",          # trim
+        "do.t.ted:1|c",
+        "two:col:ons:1|c",      # extra colon → value '1' not numeric? name=[^:]+ so rest='col:ons:1|c' invalid
+        "neg:-0|c",
+        "exp:1e3|c",            # exponent not in [0-9.]+ → rejected
+        "dot:1.2.3|c",          # multiple dots → try_cast fails
+    ]
+    pk = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(packets)], "t long, packet string"
+    )
+    got = sorted(
+        (r["t"], r["name"], r["value"], r["metric"], r["sample"], bool(r["delta"]))
+        for r in parse_statsd_packets(pk).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pk (t BIGINT, packet VARCHAR)"
+    )
+    con.executemany("INSERT INTO pk VALUES (?, ?)", list(enumerate(packets)))
+    sql = parse_statsd_packets_sql("SELECT t, packet FROM pk")
+    exp = sorted(
+        (r[0], r[1], r[2], r[3], r[4], bool(r[5]))
+        for r in con.execute(sql).fetchall()
+    )
+    assert got == exp
+    assert ("a|b" in {r[1] for r in got})  # the pipe-name packet survives
+
+
+def test_graphite_parse_cross_engine_on_adversarial_lines(spark):
+    """Same contract for the graphite line protocol: whitespace
+    variants, NaN/inf tokens, float timestamps, missing fields."""
+    import duckdb
+
+    from tgres_spark.sources.graphite import (
+        parse_graphite_lines,
+        parse_graphite_lines_sql,
+    )
+
+    lines = [
+        "a.b 1.5 1000",
+        "  a.b   2.5   1100  ",     # extra whitespace
+        "a.b 3 1200.0",              # float-ish timestamp
+        "a.b nan 1300", "a.b inf 1400", "a.b -1e3 1500",
+        "a.b 1.5", "a.b", "", "a.b x 1600", "a.b 1 x",
+        "tabs\t1\t1700",
+    ]
+    import math
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        return round(v, 9)
+
+    df = spark.createDataFrame([(x,) for x in lines], "line string")
+    got = sorted(
+        (r["name"], r["t"], canon(r["value"]))
+        for r in parse_graphite_lines(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (line VARCHAR)")
+    con.executemany("INSERT INTO l VALUES (?)", [(x,) for x in lines])
+    exp = sorted(
+        (r[0], r[1], canon(r[2]))
+        for r in con.execute(
+            parse_graphite_lines_sql("SELECT line FROM l")
+        ).fetchall()
+    )
+    assert got == exp

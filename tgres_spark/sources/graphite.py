@@ -20,12 +20,22 @@ from ..model import NAME, T, VALUE
 
 
 def parse_graphite_lines(lines: DataFrame, col: str = "line") -> DataFrame:
-    """lines(col) → SeriesFrame (name, t, value); bad lines dropped."""
+    """lines(col) → SeriesFrame (name, t, value); bad lines dropped.
+
+    Timestamps parse as double then FLOOR to epoch seconds — the
+    reference's Sscanf("%d") prefix-scan accepts "1200.0"-style floats
+    by truncation (graphite_text.go:223), and a bigint-only try_cast
+    silently dropped them while DuckDB's TRY_CAST(BIGINT) kept (and
+    rounded!) them — a three-way divergence the adversarial parse
+    test pins down. floor == %d-truncation for the non-negative
+    timestamps the protocol carries."""
     parts = F.split(F.trim(F.col(col)), r"\s+")
     # try_cast: malformed fields become NULL instead of an ANSI error
     df = lines.select(
         F.element_at(parts, 1).alias(NAME),
-        F.element_at(parts, 3).try_cast("bigint").alias(T),
+        F.floor(F.element_at(parts, 3).try_cast("double"))
+        .cast("bigint")
+        .alias(T),
         F.element_at(parts, 2).try_cast("double").alias(VALUE),
         F.size(parts).alias("_n"),
     )
@@ -42,7 +52,7 @@ def parse_graphite_lines_sql(lines_sql: str, col: str = "line") -> str:
     parts = f"regexp_split_to_array(trim({col}), '\\s+')"
     inner = (
         f"SELECT {parts}[1] AS name, "
-        f"TRY_CAST({parts}[3] AS BIGINT) AS t, "
+        f"CAST(FLOOR(TRY_CAST({parts}[3] AS DOUBLE)) AS BIGINT) AS t, "
         f"TRY_CAST({parts}[2] AS DOUBLE) AS value, "
         f"len({parts}) AS _n "
         f"FROM ({lines_sql})"
