@@ -49,15 +49,16 @@ def test_statsd_parse_variants(spark):
 
 def test_statsd_name_with_pipe(spark):
     """The grammar's name pattern is [^:]+ — a '|' inside the name is
-    legal. Splitting must happen after the FIRST ':' only, or the
-    fields shift (the cross-engine divergence ADVICE r1 flagged)."""
+    legal and must not shift the fields (split after the FIRST ':'
+    only; the cross-engine divergence ADVICE r1 flagged). The '|'
+    itself is then stripped by SanitizeName (statsd.go:84)."""
     pk = spark.createDataFrame(
         [(1, "a|b:1|c"), (2, "a|b:5|ms|@0.2")], "t long, packet string"
     )
     rows = {r["t"]: r for r in parse_statsd_packets(pk).collect()}
-    assert rows[1]["name"] == "a|b" and rows[1]["metric"] == "c"
+    assert rows[1]["name"] == "ab" and rows[1]["metric"] == "c"
     assert rows[1]["value"] == 1.0 and rows[1]["sample"] == 1.0
-    assert rows[2]["name"] == "a|b" and rows[2]["metric"] == "ms"
+    assert rows[2]["name"] == "ab" and rows[2]["metric"] == "ms"
     assert rows[2]["sample"] == 0.2
 
 
@@ -158,7 +159,7 @@ def test_statsd_parse_cross_engine_on_adversarial_packets(spark):
         for r in con.execute(sql).fetchall()
     )
     assert got == exp
-    assert ("a|b" in {r[1] for r in got})  # the pipe-name packet survives
+    assert ("ab" in {r[1] for r in got})  # pipe-name packet survives, sanitized
 
 
 def test_graphite_parse_cross_engine_on_adversarial_lines(spark):
@@ -201,3 +202,16 @@ def test_graphite_parse_cross_engine_on_adversarial_lines(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_sanitize_name_reference_rules(spark):
+    """misc.SanitizeName: whitespace runs → '_', '/' → '-', strip the
+    rest outside [a-zA-Z_\\-0-9.] — at graphite, statsd AND pixel
+    ingest edges."""
+    from tgres_spark.model import sanitize_name
+
+    df = spark.createDataFrame(
+        [("web/host one:x",), ("ok-name_1.cpu",)], "n string"
+    )
+    out = [r["s"] for r in df.select(sanitize_name(df.n).alias("s")).collect()]
+    assert out == ["web-host_onex", "ok-name_1.cpu"]

@@ -92,6 +92,27 @@ EVENTS_SERIES_SQL = (
 )
 
 
+def sanitize_name(col: Column) -> Column:
+    """misc.SanitizeName (misc/misc.go:33-37): whitespace runs → '_',
+    '/' → '-', strip every other char outside [a-zA-Z_\-0-9.]. Applied
+    at every ingest edge the reference sanitizes (graphite text,
+    statsd, pixel)."""
+    c = F.regexp_replace(col, r"\s+", "_")
+    c = F.regexp_replace(c, "/", "-")
+    return F.regexp_replace(c, r"[^a-zA-Z_\-0-9.]", "")
+
+
+def sanitize_name_sql(expr: str) -> str:
+    """DuckDB twin of sanitize_name — NOTE the 'g' flag: DuckDB's
+    regexp_replace replaces only the first match by default, Spark's
+    replaces all."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '\s+', '_', 'g'), '/', '-', 'g'), "
+        "'[^a-zA-Z_\-0-9.]', '', 'g')"
+    )
+
+
 def dsum(col: str | Column) -> Column:
     """Order-independent sum: exact DECIMAL(38,6) accumulation.
 

@@ -100,6 +100,10 @@ def find_json(catalog: DataFrame, query: str) -> str:
 def pixel_datapoints(spark: SparkSession, hits: DataFrame) -> DataFrame:
     """http/pixel.go parity: each pixel hit is a count-1 datapoint for
     the metric named in the URL path. hits = (metric string, t bigint)."""
+    from .model import sanitize_name
+
     return hits.select(
-        F.col("metric").alias(NAME), F.col(T), F.lit(1.0).alias(VALUE)
+        sanitize_name(F.col("metric")).alias(NAME),
+        F.col(T),
+        F.lit(1.0).alias(VALUE),
     )

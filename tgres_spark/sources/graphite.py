@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE
+from ..model import NAME, T, VALUE, sanitize_name, sanitize_name_sql
 
 
 def parse_graphite_lines(lines: DataFrame, col: str = "line") -> DataFrame:
@@ -32,7 +32,7 @@ def parse_graphite_lines(lines: DataFrame, col: str = "line") -> DataFrame:
     parts = F.split(F.trim(F.col(col)), r"\s+")
     # try_cast: malformed fields become NULL instead of an ANSI error
     df = lines.select(
-        F.element_at(parts, 1).alias(NAME),
+        sanitize_name(F.element_at(parts, 1)).alias(NAME),
         F.floor(F.element_at(parts, 3).try_cast("double"))
         .cast("bigint")
         .alias(T),
@@ -51,7 +51,7 @@ def parse_graphite_lines_sql(lines_sql: str, col: str = "line") -> str:
     """DuckDB equivalent over ``lines_sql`` producing column ``col``."""
     parts = f"regexp_split_to_array(trim({col}), '\\s+')"
     inner = (
-        f"SELECT {parts}[1] AS name, "
+        f"SELECT {sanitize_name_sql(f'{parts}[1]')} AS name, "
         f"CAST(FLOOR(TRY_CAST({parts}[3] AS DOUBLE)) AS BIGINT) AS t, "
         f"TRY_CAST({parts}[2] AS DOUBLE) AS value, "
         f"len({parts}) AS _n "

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..model import sanitize_name, sanitize_name_sql
+
 # Java-regex (Spark) validation uses possessive quantifiers — no
 # backtracking; the DuckDB oracle keeps the plain form (RE2 is linear).
 _RX = r"^([^:]++):([+-]?+[0-9.]++)\|(c|g|ms)(\|@([0-9.]++))?+$"
@@ -41,7 +43,7 @@ def parse_statsd_packets(pk: DataFrame, col: str = "packet") -> DataFrame:
     sample_s = F.when(F.size(rest) >= 3, F.element_at(rest, 3))
     out = pk.where(valid).select(
         *keep,
-        F.element_at(head, 1).alias("name"),
+        sanitize_name(F.element_at(head, 1)).alias("name"),
         value_s.try_cast("double").alias("value"),
         F.element_at(rest, 2).alias("metric"),
         F.coalesce(
@@ -59,9 +61,10 @@ def parse_statsd_packets(pk: DataFrame, col: str = "packet") -> DataFrame:
 
 def parse_statsd_packets_sql(pk_sql: str, col: str = "packet", extra: str = "t") -> str:
     rx = _RX_RE2
+    extract1 = f"regexp_extract(trim({col}), '{rx}', 1)"
     inner = (
         f"SELECT {extra}, "
-        f"NULLIF(regexp_extract(trim({col}), '{rx}', 1), '') AS name, "
+        f"NULLIF({sanitize_name_sql(extract1)}, '') AS name, "
         f"TRY_CAST(NULLIF(regexp_extract(trim({col}), '{rx}', 2), '') AS DOUBLE) AS value, "
         f"NULLIF(regexp_extract(trim({col}), '{rx}', 3), '') AS metric, "
         f"COALESCE(TRY_CAST(NULLIF(regexp_extract(trim({col}), '{rx}', 5), '') AS DOUBLE), 1.0) AS sample, "
