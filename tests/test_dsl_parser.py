@@ -247,3 +247,19 @@ def test_moving_window_accepts_duration_strings(spark):
     assert sorted((r["t"], r["value"]) for r in by_str) == sorted(
         (r["t"], r["value"]) for r in by_pts
     )
+
+
+def test_time_shift_compound_and_signed_durations(spark):
+    """timeShift accepts the full BetterParseDuration grammar with
+    parseTimeShift sign rules: bare '1h30m' shifts forward, '-1h'
+    backward (funcs.go:1346-1362)."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("m.a", 1000, 1.0)], "name string, t long, value double"
+    )
+    ctx = DslContext(cat)
+    fwd = evaluate(ctx, "timeShift(m.a, '1h30m')").collect()
+    assert fwd[0]["t"] == 1000 + 5400
+    back = evaluate(ctx, "timeShift(m.a, '-1h')").collect()
+    assert back[0]["t"] == 1000 - 3600

@@ -85,14 +85,24 @@ def _str(node):
 
 
 def _seconds(node) -> int:
-    """'1h'/'30m'/'1d' duration strings or bare numbers (seconds)."""
+    """Duration strings ('1h', '30m', '1h30m', '-1h', '5min') or bare
+    numbers (seconds). Full BetterParseDuration grammar via
+    timespec.parse_duration, with the leading sign handled like the
+    reference's parseTimeShift (funcs.go:1346-1362: bare = positive,
+    '-' = negative)."""
     if isinstance(node, Literal) and isinstance(node.value, (int, float)):
         return int(node.value)
-    s = _str(node)
-    units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
-    if s and s[-1] in units:
-        return int(float(s[:-1]) * units[s[-1]])
-    return int(float(s))
+    from .timespec import parse_duration
+
+    s = _str(node).strip()
+    sign = 1
+    if s[:1] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:]
+    try:
+        return sign * int(parse_duration(s))
+    except ValueError:
+        return sign * int(float(s))
 
 
 def _moving_points(node, ctx=None) -> int:
