@@ -113,6 +113,25 @@ def sanitize_name_sql(expr: str) -> str:
     )
 
 
+def dec6(col: Column) -> Column:
+    """Tie-free DECIMAL(38,6) conversion: quantize with plain double
+    arithmetic FIRST — floor(x*1e6 + 0.5)/1e6, identical IEEE ops in
+    both engines — then cast. A raw double exactly halfway between
+    two scale-6 decimals rounds HALF_UP in Spark but HALF_EVEN in
+    DuckDB (observed: 23.8153125 → .815313 vs .815312), so casting
+    unquantized doubles is a latent cross-engine coin flip whenever a
+    value is dyadic (any output of a double division can be). |x|
+    must stay below ~9e12: Spark's floor() yields a BIGINT under
+    ANSI. See [[spark-duckdb-determinism]]."""
+    q = F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0
+    return q.cast("decimal(38,6)")
+
+
+def dec6_sql(expr: str) -> str:
+    """DuckDB twin of dec6 — same double quantization, same cast."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))"
+
+
 def dsum(col: str | Column) -> Column:
     """Order-independent sum: exact DECIMAL(38,6) accumulation.
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE
+from ..model import NAME, T, VALUE, dec6
 
 
 def _combine(df: DataFrame, out_name: str, agg: Column) -> DataFrame:
@@ -37,17 +37,17 @@ def _combine_sql(base: str, out_name: str, agg: str) -> str:
 
 
 def sum_series(df, label="sumSeries()"):
-    return _combine(df, label, F.sum(F.col(VALUE).cast("decimal(38,6)")))
+    return _combine(df, label, F.sum(dec6(F.col(VALUE))))
 
 
 def sum_series_sql(base, label="sumSeries()"):
-    return _combine_sql(base, label, "SUM(CAST(value AS DECIMAL(38,6)))")
+    return _combine_sql(base, label, "SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)))")
 
 
 def average_series(df, label="averageSeries()"):
     agg = F.when(
         F.count(VALUE) > 0,
-        F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE),
+        F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE),
     )
     return _combine(df, label, agg)
 
@@ -56,7 +56,7 @@ def average_series_sql(base, label="averageSeries()"):
     return _combine_sql(
         base,
         label,
-        "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END",
+        "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END",
     )
 
 
@@ -168,7 +168,7 @@ def diff_series(df, label="diffSeries()"):
         F.sum(
             F.when(
                 F.col(NAME) != F.col("__first"),
-                F.col(VALUE).cast("decimal(38,6)"),
+                dec6(F.col(VALUE)),
             )
         ).cast("double")
     )
@@ -180,7 +180,7 @@ def diff_series_sql(base, label="diffSeries()"):
     agg = (
         f"MAX(CASE WHEN name = {first} THEN value END) - "
         f"COALESCE(CAST(SUM(CASE WHEN name <> {first} "
-        "THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0)"
+        "THEN CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)) END) AS DOUBLE), 0.0)"
     )
     return _combine_sql(base, label, agg)
 
@@ -252,7 +252,7 @@ def as_percent(df, label_fmt="asPercent(%s)"):
     """Each series as percent of the per-t total (dslAsPercent)."""
     from pyspark.sql import Window
 
-    tot = F.sum(F.col(VALUE).cast("decimal(38,6)")).over(
+    tot = F.sum(dec6(F.col(VALUE))).over(
         Window.partitionBy(T)
     ).cast("double")
     v = F.when(tot != 0.0, F.col(VALUE) / tot * 100.0)
@@ -263,7 +263,7 @@ def as_percent(df, label_fmt="asPercent(%s)"):
 
 
 def as_percent_sql(base, label_fmt="asPercent(%s)"):
-    tot = "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY t) AS DOUBLE)"
+    tot = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER (PARTITION BY t) AS DOUBLE)"
     return (
         f"SELECT printf('{label_fmt}', name) AS name, t, "
         f"CAST(CASE WHEN ({tot}) <> 0.0 THEN value / ({tot}) * 100.0 END AS DOUBLE) AS value "
@@ -300,9 +300,9 @@ def weighted_average_pair(avg_df, weight_df, node: int = 0,
         .groupBy(T)
         .agg(
             F.when(
-                F.sum(paired_w.cast("decimal(38,6)")).cast("double") != 0.0,
-                F.sum((F.col("a") * F.col("w")).cast("decimal(38,6)")).cast("double")
-                / F.sum(paired_w.cast("decimal(38,6)")).cast("double"),
+                F.sum(dec6(paired_w)).cast("double") != 0.0,
+                F.sum(dec6((F.col("a") * F.col("w")))).cast("double")
+                / F.sum(dec6(paired_w)).cast("double"),
             ).alias(VALUE)
         )
     )
@@ -325,8 +325,8 @@ def weighted_average_pair_sql(avg_base, weight_base, node: int = 0,
         "MAX(CASE WHEN side = 'w' THEN value END) AS w "
         f"FROM ({tagged}) GROUP BY 1, 2"
     )
-    sw = "CAST(SUM(CAST(CASE WHEN a IS NOT NULL THEN w END AS DECIMAL(38,6))) AS DOUBLE)"
-    saw = "CAST(SUM(CAST(a * w AS DECIMAL(38,6))) AS DOUBLE)"
+    sw = "CAST(SUM(CAST(FLOOR((CASE WHEN a IS NOT NULL THEN w END) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+    saw = "CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
     return (
         f"SELECT '{label}' AS name, t, "
         f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
@@ -348,9 +348,9 @@ def weighted_average(df, avg_suffix: str, weight_suffix: str, node: int = 0):
         .groupBy(T)
         .agg(
             F.when(
-                F.sum(F.col("w").cast("decimal(38,6)")).cast("double") != 0.0,
-                F.sum((F.col("a") * F.col("w")).cast("decimal(38,6)")).cast("double")
-                / F.sum(F.col("w").cast("decimal(38,6)")).cast("double"),
+                F.sum(dec6(F.col("w"))).cast("double") != 0.0,
+                F.sum(dec6((F.col("a") * F.col("w")))).cast("double")
+                / F.sum(dec6(F.col("w"))).cast("double"),
             ).alias(VALUE)
         )
     )
@@ -368,8 +368,8 @@ def weighted_average_sql(base, avg_suffix: str, weight_suffix: str, node: int = 
         "MAX(CASE WHEN string_split(name, '.')[len(string_split(name, '.'))] = '{w}' THEN value END) AS w "
         "FROM ({b}) GROUP BY 1, 2"
     ).format(n=node + 1, a=avg_suffix, w=weight_suffix, b=base)
-    sw = "CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)"
-    saw = "CAST(SUM(CAST(a * w AS DECIMAL(38,6))) AS DOUBLE)"
+    sw = "CAST(SUM(CAST(FLOOR((w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+    saw = "CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
     return (
         f"SELECT 'weightedAverage({avg_suffix},{weight_suffix})' AS name, t, "
         f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
@@ -391,11 +391,11 @@ def group_without_nodes(df, positions: list[int], func: str = "sum"):
     key = F.array_join(F.transform(keep, lambda p: p["s"]), ".")
     _ = n
     if func == "sum":
-        agg = F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double")
+        agg = F.sum(dec6(F.col(VALUE))).cast("double")
     elif func == "avg":
         agg = F.when(
             F.count(VALUE) > 0,
-            F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE),
+            F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE),
         )
     else:
         raise ValueError(func)
@@ -415,9 +415,9 @@ def group_without_nodes_sql(base, positions: list[int], func: str = "sum"):
         f"p -> p.i NOT IN ({pos})), p -> p.s), '.')"
     )
     if func == "sum":
-        agg = "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
     elif func == "avg":
-        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
+        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
     else:
         raise ValueError(func)
     return (
@@ -430,11 +430,11 @@ def group_by_node(df, node: int, func: str = "sum"):
     """Aggregate series sharing the node-th dot-component (dslGroupByNode)."""
     key = F.element_at(F.split(F.col(NAME), r"\."), node + 1)
     if func == "sum":
-        agg = F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double")
+        agg = F.sum(dec6(F.col(VALUE))).cast("double")
     elif func == "avg":
         agg = F.when(
             F.count(VALUE) > 0,
-            (F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double") / F.count(VALUE)),
+            (F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE)),
         )
     elif func == "max":
         agg = F.max(VALUE)
@@ -452,9 +452,9 @@ def group_by_node(df, node: int, func: str = "sum"):
 def group_by_node_sql(base, node: int, func: str = "sum"):
     key = f"string_split(name, '.')[{node + 1}]"
     if func == "sum":
-        agg = "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
     elif func == "avg":
-        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
+        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
     elif func == "max":
         agg = "MAX(value)"
     elif func == "min":

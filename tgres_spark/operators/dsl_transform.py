@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE
+from ..model import NAME, T, VALUE, dec6
 
 def _w():
     # lazy: Window specs need an active SparkContext in Spark 4, and
@@ -237,7 +237,7 @@ def per_second_sql(base):
 
 
 def integral(df):  # running sum, resets never (funcs.go:1205-1231)
-    v = F.sum(F.col(VALUE).cast("decimal(38,6)")).over(
+    v = F.sum(dec6(F.col(VALUE))).over(
         _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return _relabel(df, "integral(%s)", value=v.cast("double"))
@@ -245,7 +245,7 @@ def integral(df):  # running sum, resets never (funcs.go:1205-1231)
 
 def integral_sql(base):
     run = (
-        "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER "
+        "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER "
         "(PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
     )
     return _map_sql(base, "integral(%s)", run)

@@ -83,6 +83,24 @@ _reg(
     db.divide_series_sql(BASE_SQL, "click", "view"),
 )
 _reg("dsl_rangeOfSeries", lambda s, d: db.range_of_series(base(s, d)), db.range_of_series_sql(BASE_SQL))
+# NULL-semantics coverage: the heartbeat-gapped base carries real
+# NULLs, so these pin cross-engine combine behavior on gaps (the
+# NULL-free `base` exercises only the dense path).
+_reg(
+    "dsl_sumSeries_gaps",
+    lambda s, d: db.sum_series(hb_base(s, d)),
+    db.sum_series_sql(HB_SQL),
+)
+_reg(
+    "dsl_averageSeries_gaps",
+    lambda s, d: db.average_series(hb_base(s, d)),
+    db.average_series_sql(HB_SQL),
+)
+_reg(
+    "dsl_maxSeries_gaps",
+    lambda s, d: db.max_series(hb_base(s, d)),
+    db.max_series_sql(HB_SQL),
+)
 _reg(
     "dsl_percentileOfSeries",
     lambda s, d: db.percentile_of_series(base(s, d), 0.9),
