@@ -57,7 +57,7 @@ def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pts.groupBy(NAME, T).agg(
         (
-            F.sum(F.col(VALUE).cast("decimal(38,6)")).cast("double")
+            F.sum(dec6(F.col(VALUE))).cast("double")
             / F.count(VALUE)
         ).alias(VALUE)
     )
@@ -85,7 +85,7 @@ def epoch_s(col: str, df: DataFrame | None = None) -> Column:
 # DuckDB-side equivalent of series_from_events, spliced into oracle SQL.
 # epoch_ns → bigint nanos; // is exact integer division, matching epoch_s.
 EVENTS_SERIES_SQL = (
-    "SELECT name, t, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) "
+    "SELECT name, t, CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) "
     "/ COUNT(value) AS value FROM ("
     "SELECT event_type AS name, epoch_ns(ts) // 1000000000 AS t, "
     "CAST(value AS DOUBLE) AS value FROM events) GROUP BY name, t"
@@ -141,7 +141,7 @@ def dsum(col: str | Column) -> Column:
     aggregate that feeds a correctness-checked output.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(38,6)"))
+    return F.sum(dec6(c))
 
 
 def fsum(col: str | Column) -> Column:
@@ -156,12 +156,12 @@ def favg(col: str | Column) -> Column:
 
 
 def oracle_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
 
 
 def oracle_davg(expr: str) -> str:
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
     )
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE
+from ..model import NAME, T, VALUE, dec6
 
 CFS = ("wmean", "min", "max", "last", "avg", "sum", "count")
 
@@ -101,15 +101,15 @@ def consolidate(
 
     known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
     if cf == "wmean":
-        num = F.sum(F.when(F.col("v").isNotNull(), F.col("v").cast("decimal(38,6)") * F.col("dur").cast("decimal(38,6)")))
+        num = F.sum(F.when(F.col("v").isNotNull(), dec6(F.col("v")) * dec6(F.col("dur"))))
         val = F.when(known_dur > 0.0, (num / known_dur).cast("double"))
     elif cf == "avg":
         val = F.when(
             F.count("v") > 0,
-            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count("v"),
+            F.sum(dec6(F.col("v"))).cast("double") / F.count("v"),
         )
     elif cf == "sum":
-        val = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+        val = F.sum(dec6(F.col("v"))).cast("double")
     elif cf == "min":
         val = F.min("v")
     elif cf == "max":
@@ -233,7 +233,7 @@ def _agg_from_pts(
         num = F.sum(
             F.when(
                 F.col("v").isNotNull(),
-                F.col("v").cast("decimal(38,6)") * F.col("dur").cast("decimal(38,6)"),
+                dec6(F.col("v")) * dec6(F.col("dur")),
             )
         )
         val = F.when(known_dur > 0.0, (num / known_dur).cast("double"))
@@ -242,13 +242,13 @@ def _agg_from_pts(
     elif cf == "max":
         val = F.max("v")
     elif cf == "sum":
-        val = F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+        val = F.sum(dec6(F.col("v"))).cast("double")
     elif cf == "count":
         val = F.count("v").cast("double")
     else:
         val = F.when(
             F.count("v") > 0,
-            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count("v"),
+            F.sum(dec6(F.col("v"))).cast("double") / F.count("v"),
         )
     if xff > 0.0:
         val = F.when(known_dur / float(step) >= float(xff), val)
@@ -303,13 +303,13 @@ def oracle_consolidate_sql(
     if cf == "wmean":
         val = (
             f"CASE WHEN {known} > 0.0 THEN "
-            "CAST(SUM(CASE WHEN v IS NOT NULL THEN CAST(v AS DECIMAL(38,6)) * CAST(dur AS DECIMAL(38,6)) END) "
+            "CAST(SUM(CASE WHEN v IS NOT NULL THEN CAST(FLOOR((v) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)) * CAST(FLOOR((dur) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)) END) "
             f"/ {known} AS DOUBLE) END"
         )
     elif cf == "avg":
-        val = "CASE WHEN COUNT(v) > 0 THEN CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v) END"
+        val = "CASE WHEN COUNT(v) > 0 THEN CAST(SUM(CAST(FLOOR((v) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v) END"
     elif cf == "sum":
-        val = "CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)"
+        val = "CAST(SUM(CAST(FLOOR((v) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
     elif cf == "min":
         val = "MIN(v)"
     elif cf == "max":
