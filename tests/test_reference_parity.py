@@ -177,3 +177,104 @@ def test_exclude_and_timestack(td):
     stack = evaluate(td, 'timeStack(foo.bar1.baz, "1h", 0, 2)')
     names = {r["name"] for r in stack.select("name").distinct().collect()}
     assert len(names) == 3  # k = 0, 1, 2
+
+
+def test_weighted_average_pairs_by_node(spark):
+    """funcs_test.go Test_dsl_weightedAverage: avg series foo.bar1.baz
+    = 10, weight series foo.bar2.baz = 20, paired on node 0 → every
+    value 10 (the weights cancel)."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    rows = [(f"foo.bar{i}.baz", t, 10.0 * i) for i in (1, 2) for t in range(0, 600, 60)]
+    cat = spark.createDataFrame(rows, "name string, t long, value double")
+    out = evaluate(
+        DslContext(cat), "weightedAverage(foo.bar1.baz, foo.bar2.baz, 0)"
+    ).collect()
+    assert out and all(r["value"] == 10.0 for r in out)
+
+
+def test_summarize_of_summed_constant_lines(spark):
+    """funcs_test.go Test_dsl_summarize: summarize(sum(constantLine(10),
+    constantLine(20), constantLine(30)), '1min', sum) == 3600 per slot
+    at 1s resolution (60 points × 60)."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("unused", 0, 0.0)], "name string, t long, value double"
+    )
+    ctx = DslContext(cat, t_from=0, t_to=3600)
+    ctx.step = 1
+    out = evaluate(
+        ctx,
+        "summarize(sumSeries(constantLine(10), constantLine(20), constantLine(30)), '1min', 'sum')",
+    ).collect()
+    full = [r for r in out if 60 <= r["t"] <= 3600]
+    assert full and all(r["value"] == 3600.0 for r in full)
+
+
+def test_divide_series_single_group_form(spark):
+    """funcs_test.go Test_dsl_divideSeries:
+    divideSeries(group(constantLine(10), constantLine(20))) == 0.5
+    everywhere; >2 series raises the reference's arity error — both
+    enforced in-plan, no driver collect."""
+    import pytest
+
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("unused", 0, 0.0)], "name string, t long, value double"
+    )
+    ctx = DslContext(cat, t_from=0, t_to=600)
+    ctx.step = 60
+    out = evaluate(
+        ctx, "divideSeries(group(constantLine(10), constantLine(20)))"
+    ).collect()
+    assert out and all(r["value"] == 0.5 for r in out)
+    with pytest.raises(Exception, match="exactly two series"):
+        evaluate(
+            ctx,
+            "divideSeries(group(constantLine(1), constantLine(2), constantLine(3)))",
+        ).collect()
+
+
+def test_hitcount_of_summed_constant_lines(spark):
+    """funcs_test.go Test_dsl_hitcount: hitcount(sum(10,20,30 lines),
+    '1min') == 3600 per slot at 1s resolution (rate 60 × 60s)."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("unused", 0, 0.0)], "name string, t long, value double"
+    )
+    ctx = DslContext(cat, t_from=0, t_to=3600)
+    ctx.step = 1
+    out = evaluate(
+        ctx,
+        "hitcount(sumSeries(constantLine(10), constantLine(20), constantLine(30)), '1min')",
+    ).collect()
+    full = [r for r in out if 60 <= r["t"] <= 3600]
+    assert full and all(r["value"] == 3600.0 for r in full)
+
+
+def test_n_percentile_of_constant_and_sinusoid(spark):
+    """funcs_test.go Test_dsl_nPercentile: nPercentile(group(
+    constantLine(10), sinusoid()), 50) — constant series → 10, the
+    sinusoid's median → sin(π) ≈ 6.12e-17, which our sin-rounding
+    contract (round 9, dsl_special.sinusoid) makes exactly 0.0."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("unused", 0, 0.0)], "name string, t long, value double"
+    )
+    # one full period of our sinusoid (sin(t/3600), period 2π·3600)
+    # so the median sits near zero like the reference's full-cycle
+    # sinusoid (its exact 6.12e-17 is an artifact of its point grid)
+    ctx = DslContext(cat, t_from=0, t_to=22619)
+    ctx.step = 60
+    out = evaluate(ctx, "nPercentile(group(constantLine(10), sinusoid()), 50)").collect()
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r["name"], set()).add(r["value"])
+    consts = [v for n, vs in by_name.items() for v in vs if "constantLine" in n]
+    sins = [v for n, vs in by_name.items() for v in vs if "sinusoid" in n]
+    assert consts and all(v == 10.0 for v in consts)
+    assert sins and all(abs(v) < 0.05 for v in sins)

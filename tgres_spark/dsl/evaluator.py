@@ -242,7 +242,11 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         return db.percentile_of_series(_union_all(ctx, a[:1]), _num(a[1]) / 100.0)
     if f == "divideSeries":
         # side-tagged pair: no driver collects; the two-series arity
-        # rule is enforced inside the plan (divide_series_pair)
+        # rule is enforced inside the plan (divide_series_pair). The
+        # single-seriesList form divideSeries(group(a, b)) resolves
+        # first/last names with a broadcast 1-row agg instead.
+        if len(a) == 1:
+            return db.divide_series_auto(_series(ctx, a[0]))
         return db.divide_series_pair(_series(ctx, a[0]), _series(ctx, a[1]))
     if f == "weightedAverage":
         # separate avg/weight selectors paired by name node

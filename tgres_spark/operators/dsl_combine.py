@@ -232,6 +232,49 @@ def divide_series_pair_sql(dividend_base, divisor_base, label="divideSeries()"):
     )
 
 
+def divide_series_auto(df, label="divideSeries()"):
+    """Single-seriesList form — divideSeries(group(a, b)) — with the
+    reference's exactly-two-series rule (dslDivideSeries,
+    funcs.go:633-651) enforced IN the plan: a broadcast 1-row name
+    agg supplies first/last names and the distinct count; != 2 raises
+    at execution time (no driver collect). Dividend = first name in
+    sort order (the reference flattens args in order; group preserves
+    it and glob resolution is name-sorted)."""
+    names = df.groupBy().agg(
+        F.min(NAME).alias("__a"),
+        F.max(NAME).alias("__b"),
+        F.count_distinct(NAME).alias("__n"),
+    )
+    j = df.crossJoin(F.broadcast(names))
+    num = F.max(F.when(F.col(NAME) == F.col("__a"), F.col(VALUE)))
+    den = F.max(F.when(F.col(NAME) == F.col("__b"), F.col(VALUE)))
+    nn = F.max(F.col("__n"))
+    val = F.when(
+        nn != 2,
+        F.raise_error(
+            F.lit("divideSeries requires exactly two series")
+        ).cast("double"),
+    ).otherwise(F.when(den != 0.0, num / den))
+    return _combine(j, label, val)
+
+
+def divide_series_auto_sql(base, label="divideSeries()"):
+    names = (
+        f"SELECT MIN(name) AS __a, MAX(name) AS __b, "
+        f"COUNT(DISTINCT name) AS __n FROM ({base})"
+    )
+    num = "MAX(CASE WHEN name = __a THEN value END)"
+    den = "MAX(CASE WHEN name = __b THEN value END)"
+    val = (
+        f"CASE WHEN MAX(__n) <> 2 THEN CAST(error('divideSeries requires exactly two series') AS DOUBLE) "
+        f"WHEN ({den}) <> 0.0 THEN ({num}) / ({den}) END"
+    )
+    return (
+        f"SELECT '{label}' AS name, t, CAST(({val}) AS DOUBLE) AS value "
+        f"FROM ({base}), ({names}) GROUP BY t"
+    )
+
+
 def divide_series(df, dividend_name: str, divisor_name: str, label=None):
     """dividend/divisor at each t (dslDivideSeries); null divisor-0."""
     label = label or f"divideSeries({dividend_name},{divisor_name})"

@@ -82,6 +82,15 @@ _reg(
     lambda s, d: db.divide_series(base(s, d), "click", "view"),
     db.divide_series_sql(BASE_SQL, "click", "view"),
 )
+_reg(
+    "dsl_divideSeries_group",
+    lambda s, d: db.divide_series_auto(
+        base(s, d).where(F.col(NAME).isin("click", "view"))
+    ),
+    db.divide_series_auto_sql(
+        f"SELECT * FROM ({BASE_SQL}) WHERE name IN ('click', 'view')"
+    ),
+)
 _reg("dsl_rangeOfSeries", lambda s, d: db.range_of_series(base(s, d)), db.range_of_series_sql(BASE_SQL))
 # NULL-semantics coverage: the heartbeat-gapped base carries real
 # NULLs, so these pin cross-engine combine behavior on gaps (the
