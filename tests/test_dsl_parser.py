@@ -263,3 +263,17 @@ def test_time_shift_compound_and_signed_durations(spark):
     assert fwd[0]["t"] == 1000 + 5400
     back = evaluate(ctx, "timeShift(m.a, '-1h')").collect()
     assert back[0]["t"] == 1000 - 3600
+
+
+def test_as_percent_numeric_total(spark):
+    """asPercent(series, 250) divides by the literal total, not the
+    per-t sum (funcs.go argNumberOrSeries)."""
+    from tgres_spark.dsl.evaluator import DslContext, evaluate
+
+    cat = spark.createDataFrame(
+        [("m.a", 0, 50.0), ("m.b", 0, 200.0)], "name string, t long, value double"
+    )
+    out = {r["name"]: r["value"] for r in evaluate(DslContext(cat), "asPercent(m.*, 250)").collect()}
+    assert out == {"asPercent(m.a)": 20.0, "asPercent(m.b)": 80.0}
+    self_tot = {r["name"]: r["value"] for r in evaluate(DslContext(cat), "asPercent(m.*)").collect()}
+    assert self_tot["asPercent(m.a)"] == 20.0  # 50/250 of the per-t sum

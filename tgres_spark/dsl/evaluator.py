@@ -183,11 +183,13 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         "squareRoot": dt.square_root,
         "invert": dt.invert,
         "aliasByMetric": ds.alias_by_metric,
-        "asPercent": db.as_percent,
     }
     if f in simple:
         return simple[f](s0())
 
+    if f == "asPercent":
+        tot = _num(a[-1]) if a and isinstance(a[-1], Literal) else None
+        return db.as_percent(s0(), tot)
     if f == "nonNegativeDerivative":
         mv = _num(a[1]) if len(a) > 1 else None
         return dt.non_negative_derivative(s0(), mv)

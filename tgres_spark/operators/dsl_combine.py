@@ -291,25 +291,44 @@ def divide_series_sql(base, dividend_name: str, divisor_name: str, label=None):
     return _combine_sql(base, label, f"CASE WHEN ({den}) <> 0.0 THEN ({num}) / ({den}) END")
 
 
-def as_percent(df, label_fmt="asPercent(%s)"):
-    """Each series as percent of the per-t total (dslAsPercent)."""
+def as_percent(df, total: float | None = None, label_fmt="asPercent(%s)"):
+    """Each series as percent of the per-t total (dslAsPercent), or of
+    an explicit numeric ``total`` (funcs.go:99-101 argNumberOrSeries —
+    the numeric form is a pure per-point map, no window at all)."""
     from pyspark.sql import Window
 
-    tot = F.sum(dec6(F.col(VALUE))).over(
-        Window.partitionBy(T)
-    ).cast("double")
-    v = F.when(tot != 0.0, F.col(VALUE) / tot * 100.0)
+    if total is not None:
+        t_ = float(total)
+        v = (
+            F.when(F.lit(t_) != 0.0, F.col(VALUE) / F.lit(t_) * 100.0)
+            if t_ == 0.0
+            else F.col(VALUE) / F.lit(t_) * 100.0
+        )
+    else:
+        tot = F.sum(dec6(F.col(VALUE))).over(
+            Window.partitionBy(T)
+        ).cast("double")
+        v = F.when(tot != 0.0, F.col(VALUE) / tot * 100.0)
     return df.select(
         F.format_string(label_fmt, F.col(NAME)).alias(NAME), F.col(T),
         v.cast("double").alias(VALUE),
     )
 
 
-def as_percent_sql(base, label_fmt="asPercent(%s)"):
-    tot = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER (PARTITION BY t) AS DOUBLE)"
+def as_percent_sql(base, total: float | None = None, label_fmt="asPercent(%s)"):
+    if total is not None:
+        t_ = float(total)
+        expr = (
+            "CAST(NULL AS DOUBLE)"
+            if t_ == 0.0
+            else f"value / {t_!r} * 100.0"
+        )
+    else:
+        tot = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER (PARTITION BY t) AS DOUBLE)"
+        expr = f"CASE WHEN ({tot}) <> 0.0 THEN value / ({tot}) * 100.0 END"
     return (
         f"SELECT printf('{label_fmt}', name) AS name, t, "
-        f"CAST(CASE WHEN ({tot}) <> 0.0 THEN value / ({tot}) * 100.0 END AS DOUBLE) AS value "
+        f"CAST(({expr}) AS DOUBLE) AS value "
         f"FROM ({base})"
     )
 

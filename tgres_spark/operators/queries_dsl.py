@@ -143,6 +143,11 @@ _reg(
     db.weighted_average_sql(WA_SQL, "avg", "weight", 0),
 )
 _reg("dsl_asPercent", lambda s, d: db.as_percent(base(s, d)), db.as_percent_sql(BASE_SQL))
+_reg(
+    "dsl_asPercent_total",
+    lambda s, d: db.as_percent(base(s, d), 250.0),
+    db.as_percent_sql(BASE_SQL, 250.0),
+)
 _reg("dsl_stddevSeries", lambda s, d: dc.stddev_series(base(s, d)), dc.stddev_series_sql(BASE_SQL))
 
 # --- §2.3 transform --------------------------------------------------------
