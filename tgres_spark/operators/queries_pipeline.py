@@ -53,6 +53,9 @@ register("ann_lsh_buckets")(  # rows-only: seeded-numpy hyperplanes
 register("ann_ivf_search")(  # rows-only: iterative k-means centroids
     lambda s, d: sim.ann_ivf_search(_emb(s, d))
 )
+register("pipeline_corpus_clean", sql=tx.corpus_clean_sql())(
+    lambda s, d: tx.corpus_clean(_docs(s, d))
+)
 register("text_langid", sql=tx.text_langid_sql())(
     lambda s, d: tx.text_langid(_docs(s, d))
 )

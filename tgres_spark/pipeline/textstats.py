@@ -188,3 +188,53 @@ def text_fingerprint_sql(chunk: int = 64) -> str:
         f"SELECT doc_id, CAST({n} AS BIGINT) AS n_chunks, "
         f"list_min({hashes}) AS fingerprint FROM documents"
     )
+
+
+def corpus_clean(
+    docs: DataFrame, min_score: float = 0.5, langs: tuple = ("en", "de", "fr")
+) -> DataFrame:
+    """The composed training-data prep pipeline in ONE plan: language
+    filter (text_langid) ∧ quality gate (text_quality.score ≥
+    min_score) ∧ exact-dedup keeper selection (dedup_exact) — what a
+    real corpus-cleaning job runs before tokenization. Returns
+    (doc_id, pred_lang, score, n_dups) for surviving documents.
+
+    Shape: all three signals join back on doc_id / the md5 text hash —
+    one hash-partitioned pass over the corpus, no shuffle wider than
+    the dedup groupBy; Catalyst collapses the three signal projections
+    onto one scan of the documents table."""
+    from .dedup import dedup_exact
+
+    lang = text_langid(docs).select("doc_id", "pred_lang")
+    qual = text_quality(docs).select("doc_id", "score")
+    keep = dedup_exact(docs).select(
+        F.col("keeper_id").alias("doc_id"),
+        F.col("n_dups"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(keep, "doc_id")  # inner: only cluster keepers survive
+        .where(F.col("pred_lang").isin(*langs) & (F.col("score") >= min_score))
+        .select("doc_id", "pred_lang", F.col("score"), "n_dups")
+    )
+
+
+def corpus_clean_sql(
+    min_score: float = 0.5, langs: tuple = ("en", "de", "fr")
+) -> str:
+    lang_list = ", ".join(repr(x) for x in langs)
+    return (
+        f"WITH lang AS (SELECT doc_id, pred_lang FROM ({text_langid_sql()})), "
+        f"qual AS (SELECT doc_id, score FROM ({text_quality_sql()})), "
+        "keep AS (SELECT keeper_id AS doc_id, n_dups FROM ("
+        "SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id "
+        "FROM documents GROUP BY md5(text))) "
+        "SELECT d.doc_id, pred_lang, score, n_dups "
+        "FROM (SELECT doc_id FROM documents) d "
+        "JOIN lang ON d.doc_id = lang.doc_id "
+        "JOIN qual ON d.doc_id = qual.doc_id "
+        "JOIN keep ON d.doc_id = keep.doc_id "
+        f"WHERE pred_lang IN ({lang_list}) AND score >= {float(min_score)!r}"
+    )
