@@ -218,3 +218,39 @@ def test_paced_pipeline_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_statsd_timers_stream_matches_batch(spark, tmp_path):
+    """Streaming timer stats == batch statsd_flush timer rows on the
+    same packets (shared stat projection; append mode emits complete
+    windows only, so sorted-list percentiles are exact)."""
+    from tgres_spark.aggregator import statsd_flush
+    from tgres_spark.sources.statsd import parse_statsd_packets
+    from tgres_spark.streaming.ingest import run_statsd_timers_pipeline
+
+    in_dir = tmp_path / "tin"
+    in_dir.mkdir()
+    lines = [f"{10 + i * 4} tm:{v}|ms" for i, v in enumerate(
+        [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
+    )] + ["70 t2:5|ms", "200 zz:0|ms"]  # sentinel rolls the watermark
+    (in_dir / "t.txt").write_text("\n".join(lines) + "\n")
+    run_statsd_timers_pipeline(
+        spark, str(in_dir), str(tmp_path / "tout"), str(tmp_path / "tck"),
+        flush_s=60, watermark_s=10,
+    )
+    got = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in spark.read.parquet(str(tmp_path / "tout")).collect()
+        if ".zz." not in r["name"]
+    }
+    pk = spark.createDataFrame(
+        [(int(x.split(" ", 1)[0]), x.split(" ", 1)[1]) for x in lines],
+        "t long, packet string",
+    )
+    batch = statsd_flush(parse_statsd_packets(pk), 60)
+    expect = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in batch.collect()
+        if r["name"].startswith("stats.timers.t") and ".zz." not in r["name"]
+    }
+    assert got == expect

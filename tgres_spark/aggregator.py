@@ -141,6 +141,18 @@ def _flush_timers(
     grouped = t_.groupBy(F.col(NAME), slot_end(flush_s).alias("slot")).agg(
         F.array_sort(F.collect_list(VALUE)).alias("arr")
     )
+    return timer_stats_from_sorted(grouped, prefix, thresholds)
+
+
+def timer_stats_from_sorted(
+    grouped: DataFrame,
+    prefix: str,
+    thresholds: tuple[int, ...] = THRESHOLDS,
+) -> DataFrame:
+    """Stat projection over a (name, slot, arr) relation where ``arr``
+    is the SORTED timer sample list — shared by the batch flush and
+    the streaming window aggregation (identical math by construction).
+    """
     arr = F.col("arr")
     n = F.size(arr)
     lfold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731

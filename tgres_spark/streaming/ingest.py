@@ -175,3 +175,47 @@ def run_statsd_file_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def run_statsd_timers_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    flush_s: int = 60,
+    watermark_s: int = 600,
+) -> None:
+    """Streaming statsd TIMERS: the full percentile-stat family
+    (count/lower/upper/sum/mean + threshold stats) as one watermarked
+    windowed aggregation whose buffer is the sorted sample list —
+    append mode guarantees the window is complete when it emits, so
+    the sorted-list stats are exact, identical math to the batch
+    flush (timer_stats_from_sorted is shared code). State per open
+    window = the sample list, bounded by events-per-flush like the
+    reference's in-memory timer buffer (aggregator.go:141-169)."""
+    from ..aggregator import timer_stats_from_sorted
+
+    parsed = read_statsd_stream(spark, in_path)
+    timers = parsed.where(F.col("metric") == "ms").withColumn(
+        "ts", (F.col(T) - 1).cast("timestamp")
+    )
+    grouped = (
+        timers.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy(F.window("ts", f"{flush_s} seconds"), F.col(NAME))
+        .agg(F.array_sort(F.collect_list(VALUE)).alias("arr"))
+        .select(
+            F.col(NAME),
+            F.unix_timestamp(F.col("window.end")).cast("bigint").alias("slot"),
+            "arr",
+        )
+    )
+    stats = timer_stats_from_sorted(grouped, "stats")
+    q = (
+        stats.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
