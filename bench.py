@@ -39,7 +39,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_components",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "events_retention",
+    "pipeline_corpus_clean",
     "text_quality",
 ]
 
