@@ -101,3 +101,26 @@ def test_multi_rra_per_archive_xff(spark):
     assert vals[("wmean:60:xff0.9/a", 120)] is not None  # 1.0 ≥ 0.9
     assert vals[("last:60:xff0.9/a", 60)] is None       # xff applies to last
     assert vals[("last:60:xff0.9/a", 120)] == 120.0
+
+
+def test_salted_consolidate_equals_plain(spark):
+    """The hot-series salting path must be BIT-equal to consolidate()
+    for every mergeable cf — decimal partials merge losslessly."""
+    import random
+
+    from tgres_spark.operators.consolidate import consolidate, consolidate_salted
+
+    rng = random.Random(13)
+    rows = []
+    for name in ("hot", "cold"):
+        t = 0
+        for _ in range(500):
+            t += rng.randint(1, 40)
+            rows.append((name, t, round(rng.uniform(-50, 50), 3)))
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    for cf in ("wmean", "avg", "sum", "min", "max", "count"):
+        plain = {(r["name"], r["t"]): r["value"]
+                 for r in consolidate(sf, 60, cf=cf, heartbeat=30).collect()}
+        salted = {(r["name"], r["t"]): r["value"]
+                  for r in consolidate_salted(sf, 60, cf=cf, n_salts=8, heartbeat=30).collect()}
+        assert salted == plain, cf

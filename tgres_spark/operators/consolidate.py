@@ -327,3 +327,73 @@ def oracle_consolidate_sql(
         f"SELECT name, slot AS t, {xff_wrap} AS value FROM ({pts}) "
         f"GROUP BY name, slot"
     )
+
+
+def consolidate_salted(
+    sf: DataFrame,
+    step: int,
+    cf: str = "wmean",
+    n_salts: int = 8,
+    heartbeat: int | None = None,
+) -> DataFrame:
+    """The SCALE.md hot-series fix, as tested code: when ONE series is
+    hotter than an executor partition, the single groupBy(name, slot)
+    funnels it through one task. This variant salts the key with
+    pmod(hash(t), k) — phase 1 aggregates (name, slot, salt) partial
+    states, phase 2 merges k rows per slot — and is EXACTLY equal to
+    consolidate() because every partial state merges losslessly:
+    decimal sums add, counts add, min/max compose, and WMEAN merges as
+    (Σ num_i) / (Σ known_i). Only `last` is excluded (its max-t row
+    selection needs no salting: the window already partitions by
+    (name, slot)).
+
+    The lag-duration pass is identical to consolidate(); durations are
+    computed BEFORE salting, so slot semantics do not change."""
+    cf = cf.lower()
+    if cf not in CFS or cf == "last":
+        raise ValueError(f"consolidate_salted does not support cf={cf!r}")
+    w = Window.partitionBy(NAME).orderBy(T)
+    dur = F.coalesce((F.col(T) - F.lag(T).over(w)).cast("double"), F.lit(1.0))
+    if heartbeat is not None:
+        known_val = F.when(dur <= float(heartbeat), F.col(VALUE))
+    else:
+        known_val = F.col(VALUE)
+    pts = sf.select(
+        F.col(NAME),
+        slot_end(step).alias("slot"),
+        known_val.alias("v"),
+        dur.alias("dur"),
+        F.pmod(F.hash(F.col(T)), n_salts).alias("salt"),
+    )
+    known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
+    # phase 1: per-salt partial states (all lossless under addition)
+    partial = pts.groupBy(NAME, "slot", "salt").agg(
+        F.sum(F.when(F.col("v").isNotNull(), dec6(F.col("v")) * dec6(F.col("dur")))).alias("p_num"),
+        F.sum(dec6(F.col("v"))).alias("p_sum"),
+        F.count("v").alias("p_cnt"),
+        F.min("v").alias("p_min"),
+        F.max("v").alias("p_max"),
+        known_dur.alias("p_known"),
+    )
+    # phase 2: merge k partials per (name, slot)
+    m_num = F.sum("p_num")
+    m_sum = F.sum("p_sum")
+    m_cnt = F.sum("p_cnt")
+    m_known = F.sum("p_known")
+    if cf == "wmean":
+        val = F.when(m_known > 0.0, (m_num / m_known).cast("double"))
+    elif cf == "avg":
+        val = F.when(m_cnt > 0, m_sum.cast("double") / m_cnt)
+    elif cf == "sum":
+        val = m_sum.cast("double")
+    elif cf == "min":
+        val = F.min("p_min")
+    elif cf == "max":
+        val = F.max("p_max")
+    else:  # count
+        val = m_cnt.cast("double")
+    return (
+        partial.groupBy(NAME, "slot")
+        .agg(val.alias("cv"))
+        .select(F.col(NAME), F.col("slot").alias(T), F.col("cv").alias(VALUE))
+    )
