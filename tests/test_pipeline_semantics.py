@@ -312,3 +312,48 @@ def test_ann_lsh_topk_finds_identical_vector(spark):
     }
     for r in lsh:  # every bucketed cos equals the exact cosine
         assert r["cos"] == exact[r["neighbor_id"]]
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Empty frames (a filter that matches nothing) must yield empty
+    results, not crashes — every family's entry point."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    sf = spark.createDataFrame([], "name string, t long, value double")
+
+    from tgres_spark.operators.consolidate import consolidate, consolidate_salted
+    from tgres_spark.operators.dsl_combine import sum_series
+    from tgres_spark.operators.dsl_special import sort_by
+    from tgres_spark.operators.dsl_transform import derivative
+    from tgres_spark.pipeline.dedup import (
+        dedup_components,
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+    from tgres_spark.pipeline.similarity import (
+        ann_cosine_topk,
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+    from tgres_spark.pipeline.textstats import corpus_clean, text_langid
+
+    for out in (
+        consolidate(sf, 60),
+        consolidate_salted(sf, 60),
+        sum_series(sf),
+        derivative(sf),
+        sort_by(sf, "total"),
+        dedup_exact(docs),
+        dedup_minhash_lsh(docs),
+        dedup_simhash(docs),
+        dedup_components(docs),
+        text_langid(docs),
+        corpus_clean(docs),
+        dedup_embedding(emb),
+        dedup_embedding_lsh(emb),
+        ann_cosine_topk(emb),
+    ):
+        assert out.count() == 0

@@ -549,7 +549,9 @@ def propagate_components(
         .persist()
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("root_id"))
-    prev_sum = None
+    # sentinel, not None: an EMPTY node set sums to NULL (None) and
+    # must still converge on the second pass (None == None)
+    prev_sum = object()
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -575,7 +577,7 @@ def propagate_components(
         cur = labels.agg(
             F.sum(F.col("root_id").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        if prev_sum is not None and cur == prev_sum:
+        if cur == prev_sum:
             break
         prev_sum = cur
     else:
