@@ -357,3 +357,19 @@ def test_operators_tolerate_empty_input(spark):
         ann_cosine_topk(emb),
     ):
         assert out.count() == 0
+
+
+def test_components_chain_converges_logarithmically(spark):
+    """A 200-node chain — worst case for plain min-propagation (needs
+    diameter rounds) — must converge well inside max_iter thanks to
+    pointer doubling, with every node rooted at 0."""
+    from tgres_spark.pipeline.dedup import propagate_components
+
+    n = 200
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["root_id"]
+           for r in propagate_components(nodes, chain, max_iter=20).collect()}
+    assert out == {v: 0 for v in range(n)}

@@ -539,9 +539,16 @@ def dedup_components(
 def propagate_components(
     nodes: DataFrame, pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
-    """Min-label propagation: (doc_id) nodes + (doc_a, doc_b) edges →
-    (doc_id, root_id) with root = component minimum. See
-    dedup_components for the scale/convergence discussion."""
+    """Min-label propagation WITH pointer doubling: (doc_id) nodes +
+    (doc_a, doc_b) edges → (doc_id, root_id), root = component min.
+
+    Each round takes the min over graph neighbors AND jumps one level
+    up the label forest (root := root(root), a self-join on the label
+    relation) — path halving turns worst-case chain convergence from
+    O(diameter) rounds into O(log diameter): a 200-node chain settles
+    in ~10 rounds, not 200. Labels stay monotone non-increasing, so
+    the O(1) sum-aggregate convergence test is unchanged. See
+    dedup_components for the shuffle/keying discussion."""
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         e1.union(e1.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -564,12 +571,23 @@ def propagate_components(
             .agg(F.min("nl").alias("nbr_min"))
             .withColumnRenamed("a", "doc_id")
         )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("root_id"), F.coalesce("nbr_min", "root_id")
+            ).alias("root_id"),
+        )
+        # pointer doubling: follow the label one hop (roots only ever
+        # decrease, so least() keeps monotonicity exact)
+        hop = stepped.select(
+            F.col("doc_id").alias("root_id"), F.col("root_id").alias("rr")
+        )
         labels = (
-            labels.join(nbr, "doc_id", "left")
+            stepped.join(hop, "root_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("root_id"), F.coalesce("nbr_min", "root_id")
+                    F.col("root_id"), F.coalesce("rr", "root_id")
                 ).alias("root_id"),
             )
             .localCheckpoint()
