@@ -373,3 +373,43 @@ def test_components_chain_converges_logarithmically(spark):
     out = {r["doc_id"]: r["root_id"]
            for r in propagate_components(nodes, chain, max_iter=20).collect()}
     assert out == {v: 0 for v in range(n)}
+
+
+def test_token_pack_shards_respect_budget(spark):
+    """Each shard's tokens stay within budget + one straddling doc,
+    shards are contiguous per lang, and the assignment is identical
+    across repartitionings (seeded-hash order)."""
+    import random
+
+    from tgres_spark.pipeline.prep import token_pack
+
+    rng = random.Random(2)
+    rows = [
+        (d, " ".join("w" for _ in range(rng.randint(5, 120))), "en", "s", 1)
+        for d in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = token_pack(docs, budget=300).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["n_tokens"])
+    for shard, toks in by_shard.items():
+        # all but the straddling last doc fit inside the budget
+        assert sum(toks) - max(toks) < 300, (shard, toks)
+    again = token_pack(docs.repartition(7), budget=300).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_is_replay_stable(spark):
+    from tgres_spark.pipeline.prep import sample_stratified
+
+    rows = [(d, "x", ["en", "de"][d % 2], "s", 1) for d in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = sorted(map(tuple, sample_stratified(docs, 10).collect()))
+    b = sorted(map(tuple, sample_stratified(docs.repartition(5), 10).collect()))
+    assert a == b
+    assert len(a) == 20  # 10 per lang

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from ..model import load_table
 from ..pipeline import dedup as dd
 from ..pipeline import multimodal as mm
+from ..pipeline import prep as pp
 from ..pipeline import similarity as sim
 from ..pipeline import textstats as tx
 from ..registry import register
@@ -52,6 +53,12 @@ register("ann_lsh_buckets")(  # rows-only: seeded-numpy hyperplanes
 )
 register("ann_ivf_search")(  # rows-only: iterative k-means centroids
     lambda s, d: sim.ann_ivf_search(_emb(s, d))
+)
+register("pipeline_sample_stratified", sql=pp.sample_stratified_sql())(
+    lambda s, d: pp.sample_stratified(_docs(s, d))
+)
+register("pipeline_token_pack", sql=pp.token_pack_sql())(
+    lambda s, d: pp.token_pack(_docs(s, d))
 )
 register("pipeline_corpus_clean", sql=tx.corpus_clean_sql())(
     lambda s, d: tx.corpus_clean(_docs(s, d))
