@@ -190,34 +190,80 @@ def text_fingerprint_sql(chunk: int = 64) -> str:
     )
 
 
+def text_signals(docs: DataFrame) -> DataFrame:
+    """Language ID + quality signals in ONE projection chain over a
+    single materialized words column — Spark has no automatic scan
+    sharing, so deriving text_langid and text_quality separately and
+    joining them scans (and re-splits) the corpus twice; this computes
+    both families in one pass. Returns (doc_id, pred_lang, score)."""
+    w = words(F.col("text"))
+    prep = docs.select(
+        "doc_id", "text", w.alias("w"), F.size(w).alias("n")
+    )
+    wc = F.col("w")
+    n = F.col("n")
+    nch = F.length("text")
+    score_cols = [
+        (
+            _marker_count(wc, m)
+            / F.when(n > 0, n).otherwise(1).cast("double")
+        ).alias(f"s_{lang}")
+        for lang, m in LANG_MARKERS.items()
+    ]
+    word_chars = F.aggregate(
+        F.transform(wc, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n > 0, word_chars.cast("double") / n).otherwise(0.0)
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_ratio = F.when(nch > 0, punct.cast("double") / nch).otherwise(0.0)
+    stops = _marker_count(wc, LANG_MARKERS["en"])
+    stop_ratio = F.when(n > 0, stops.cast("double") / n).otherwise(0.0)
+    quality = (
+        F.when((n >= 20) & (n <= 1000), 4).otherwise(0)
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 3).otherwise(0)
+        + F.when(punct_ratio < 0.2, 2).otherwise(0)
+        + F.when(stop_ratio > 0.01, 1).otherwise(0)
+    ).cast("double") / 10.0
+    sig = prep.select(
+        "doc_id", *score_cols, quality.alias("score")
+    )
+    best = None
+    for lang in LANG_MARKERS:
+        cand = F.struct(F.col(f"s_{lang}").alias("score"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(
+            (cand["score"] > best["score"]), cand
+        ).otherwise(best)
+    return sig.select(
+        "doc_id",
+        F.when(best["score"] > 0.0, best["lang"]).otherwise("und").alias("pred_lang"),
+        F.col("score"),
+    )
+
+
 def corpus_clean(
     docs: DataFrame, min_score: float = 0.5, langs: tuple = ("en", "de", "fr")
 ) -> DataFrame:
-    """The composed training-data prep pipeline in ONE plan: language
-    filter (text_langid) ∧ quality gate (text_quality.score ≥
-    min_score) ∧ exact-dedup keeper selection (dedup_exact) — what a
-    real corpus-cleaning job runs before tokenization. Returns
+    """The composed training-data prep pipeline: language filter ∧
+    quality gate (score ≥ min_score) ∧ exact-dedup keeper selection —
+    what a real corpus-cleaning job runs before tokenization. Returns
     (doc_id, pred_lang, score, n_dups) for surviving documents.
 
-    Shape: all three signals join back on doc_id / the md5 text hash —
-    one hash-partitioned pass over the corpus, no shuffle wider than
-    the dedup groupBy; Catalyst collapses the three signal projections
-    onto one scan of the documents table."""
+    Shape: TWO scans of the corpus — one signal pass (text_signals
+    computes language and quality together over one words split) and
+    the dedup groupBy (which must see every row) — joined back on
+    doc_id. The signal filter applies before the join, so the join
+    input is already pruned."""
     from .dedup import dedup_exact
 
-    lang = text_langid(docs).select("doc_id", "pred_lang")
-    qual = text_quality(docs).select("doc_id", "score")
+    sig = text_signals(docs).where(
+        F.col("pred_lang").isin(*langs) & (F.col("score") >= min_score)
+    )
     keep = dedup_exact(docs).select(
         F.col("keeper_id").alias("doc_id"),
         F.col("n_dups"),
     )
-    return (
-        docs.select("doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(keep, "doc_id")  # inner: only cluster keepers survive
-        .where(F.col("pred_lang").isin(*langs) & (F.col("score") >= min_score))
-        .select("doc_id", "pred_lang", F.col("score"), "n_dups")
+    return sig.join(keep, "doc_id").select(
+        "doc_id", "pred_lang", F.col("score"), "n_dups"
     )
 
 
