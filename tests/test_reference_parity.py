@@ -278,3 +278,75 @@ def test_n_percentile_of_constant_and_sinusoid(spark):
     sins = [v for n, vs in by_name.items() for v in vs if "sinusoid" in n]
     assert consts and all(v == 10.0 for v in consts)
     assert sins and all(abs(v) < 0.05 for v in sins)
+
+
+def _gen_ctx(spark, t_to=22619, step=360):
+    cat = spark.createDataFrame(
+        [("unused", 0, 0.0)], "name string, t long, value double"
+    )
+    from tgres_spark.dsl.evaluator import DslContext
+
+    ctx = DslContext(cat, t_from=0, t_to=t_to)
+    ctx.step = step
+    return ctx
+
+
+def test_changed_of_sinusoid_is_one(spark):
+    """funcs_test.go Test_dsl_changed: every sinusoid point differs
+    from its predecessor → changed() == 1 (first point: no
+    predecessor → 0 in our NULL-lag form)."""
+    from tgres_spark.dsl.evaluator import evaluate
+
+    out = sorted(
+        evaluate(_gen_ctx(spark), "changed(sinusoid())").collect(),
+        key=lambda r: r["t"],
+    )
+    assert all(r["value"] == 1.0 for r in out[1:])
+
+
+def test_use_series_above_keeps_and_renames(spark):
+    """funcs_test.go Test_dsl_useSeriesAbove: only the 30-line clears
+    the 20 bar; its name gets the search→replace rewrite."""
+    from tgres_spark.dsl.evaluator import evaluate
+
+    out = evaluate(
+        _gen_ctx(spark, t_to=600, step=60),
+        "useSeriesAbove(group(constantLine(10), constantLine(20), constantLine(30)), 20, 'Line', 'Wire')",
+    ).collect()
+    assert out and all(r["value"] == 30.0 for r in out)
+    assert all("constantWire(30)" == r["name"] for r in out)
+
+
+def test_most_deviant_picks_the_sinusoid(spark):
+    """funcs_test.go Test_dsl_mostDeviant: among two constants and a
+    sinusoid, the sinusoid deviates most."""
+    from tgres_spark.dsl.evaluator import evaluate
+
+    out = evaluate(
+        _gen_ctx(spark),
+        "mostDeviant(group(constantLine(10), constantLine(20), sinusoid()), 1)",
+    ).collect()
+    assert out and all(r["value"] not in (10.0, 20.0) for r in out)
+    assert all("sinusoid" in r["name"] for r in out)
+
+
+def test_remove_above_percentile_of_sinusoid(spark):
+    """funcs_test.go Test_dsl_removeAbovePercentile: surviving values
+    sit at/below the 50th percentile of a full sinusoid cycle (≈ 0)."""
+    from tgres_spark.dsl.evaluator import evaluate
+
+    out = evaluate(
+        _gen_ctx(spark), "removeAbovePercentile(sinusoid(), 50)"
+    ).collect()
+    vals = [r["value"] for r in out if r["value"] is not None]
+    assert vals and all(v <= 0.05 for v in vals)
+
+
+def test_stdev_of_unit_sinusoid_bounded(spark):
+    """funcs_test.go Test_dsl_stdev: a unit sinusoid's moving stdev
+    never exceeds 1."""
+    from tgres_spark.dsl.evaluator import evaluate
+
+    out = evaluate(_gen_ctx(spark), "stdev(sinusoid(), 5)").collect()
+    vals = [r["value"] for r in out if r["value"] is not None]
+    assert vals and all(v <= 1.0 for v in vals)
