@@ -194,9 +194,11 @@ WITH e AS (
          THEN 1 ELSE 0 END AS new_session
   FROM e
 ), sess AS (
+  -- CAST: DuckDB promotes integer SUM to HUGEINT, which pandas fetch
+  -- renders as float64 (5.0 vs Spark's bigint 5) -> hash mismatch.
   SELECT user_id, t,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -287,7 +289,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
 SELECT event_type,
   COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  -- outer CAST: SUM(BIGINT) still promotes to HUGEINT in DuckDB
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50

@@ -27,16 +27,24 @@ TABLES = (
 
 
 def canon(v):
+    """Canonical string for one cell, TYPE-SENSITIVE on float vs int.
+
+    The driver's gate fetches DuckDB results via pandas, where an
+    un-cast integer SUM (HUGEINT) or a nullable int column becomes
+    float64 — so float 5.0 must NOT collapse to "5" or the local gate
+    passes queries the driver hash-fails (round-2 lesson:
+    events_sessionize / events_props_extract).
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+        s = f"{v:.9g}"
+        # keep the float-ness visible: 5.0 -> "5.0", not "5"
+        return s if any(c in s for c in ".einf") else s + ".0"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -90,9 +98,13 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(sqls[key])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via pandas, NOT fetchall(): the driver's gate goes
+            # through pandas/arrow, where HUGEINT and nullable-int
+            # columns surface as float64. fetchall() hides that class
+            # of mismatch (returns HUGEINT as Python int).
+            ddf = con.execute(sqls[key]).df()
+            dcols = list(ddf.columns)
+            drows = list(zip(*[ddf[c].tolist() for c in dcols], strict=True))
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {key}: duckdb error: {ex}")
             n_fail += 1
