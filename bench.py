@@ -61,6 +61,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
+        # persisted intermediates (minhash signatures, multi-RRA pts)
+        # must not shadow the next query's plan: CacheManager matches
+        # canonical plans, so a stale cache silently rewires later
+        # queries and the timing stops measuring the query itself
+        # (round-2 bench drifted 1.3-1.7x on UNCHANGED queries).
+        spark.catalog.clearCache()
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         dt = time.time() - t0

@@ -52,7 +52,7 @@ def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         F.col("event_type").alias(NAME),
-        epoch_s("ts").alias(T),
+        epoch_s("ts", ev).alias(T),
         F.col("value").cast("double").alias(VALUE),
     )
     return pts.groupBy(NAME, T).agg(
@@ -66,19 +66,35 @@ def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def epoch_s(col: str, df: DataFrame | None = None) -> Column:
     """Time column → epoch seconds bigint.
 
-    Two parquet flavors exist in the testdata: TIMESTAMP(NANOS) reads
-    as bigint nanos (nanosAsLong, see session.py) — exact integer DIV;
-    TIMESTAMP(MICROS) reads as timestamp_ntz — floor of epoch micros
-    (to_unix_timestamp would round through the session timezone; NTZ
-    micros DIV stays timezone-free and matches DuckDB's epoch_ns//1e9).
-    Pass ``df`` to resolve the column's type; defaults to the nanos
-    bigint form."""
+    The driver regenerates testdata between rounds and the time
+    encoding has already changed once (TIMESTAMP(NANOS) → micros
+    TIMESTAMP_NTZ broke every events query in round 3), so this
+    resolves the actual column type and handles all three parquet
+    flavors:
+
+    - bigint (nanosAsLong nanos): exact integer DIV.
+    - timestamp_ntz: wall-clock micros since the NTZ epoch via
+      ``timestampdiff`` — pure field arithmetic, no timezone anywhere.
+      DuckDB's naive TIMESTAMP + ``epoch_ns(ts)//1e9`` computes the
+      same wall-clock epoch, so the two engines agree under ANY
+      session timezone.  (``to_utc_timestamp``/``unix_micros`` on an
+      NTZ input implicitly casts through the session zone — measured
+      off by the UTC offset under America/New_York; never use them
+      on NTZ.)
+    - timestamp (LTZ): instant-based ``unix_micros``, timezone-free
+      by construction.
+
+    DIV truncates toward zero (pre-1970 instants would differ from
+    DuckDB's floor ``//``); testdata is all post-2020."""
     if df is not None:
         dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
-        if dt.startswith("timestamp"):
+        if dt == "timestamp_ntz":
             return F.expr(
-                f"CAST(unix_micros(to_utc_timestamp(`{col}`, 'UTC')) DIV 1000000 AS BIGINT)"
+                f"CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`) "
+                "DIV 1000000 AS BIGINT)"
             )
+        if dt.startswith("timestamp"):
+            return F.expr(f"CAST(unix_micros(`{col}`) DIV 1000000 AS BIGINT)")
     return F.expr(f"CAST(`{col}` DIV 1000000000 AS BIGINT)")
 
 

@@ -41,7 +41,7 @@ def graphite_lines(spark, sf_dir):
         "web.%s.hits %.2f %d",
         F.col("event_type"),
         F.col("value"),
-        epoch_s("ts"),
+        epoch_s("ts", ev),
     )
     line = F.when(F.col("event_id") % 97 == 0, F.lit("not a metric")).otherwise(good)
     # the testdata is one small parquet file = one input partition; a
@@ -73,7 +73,7 @@ def _pickle_datapoints(spark, sf_dir):
     )
     return ev.select(
         F.concat(F.lit("web."), F.col("event_type"), F.lit(".hits")).alias("name"),
-        epoch_s("ts").alias("t"),
+        epoch_s("ts", ev).alias("t"),
         F.col("value").cast("double").alias("value"),
     )
 
@@ -122,7 +122,7 @@ def statsd_packets(spark, sf_dir):
         F.lit("|"), metric, sample,
     )
     pkt = F.when(F.col("event_id") % 97 == 0, F.lit("oops|nope")).otherwise(good)
-    return ev.select(epoch_s("ts").alias("t"), pkt.alias("packet"))
+    return ev.select(epoch_s("ts", ev).alias("t"), pkt.alias("packet"))
 
 
 STATSD_PACKETS_SQL = (

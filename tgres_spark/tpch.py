@@ -212,9 +212,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", epoch_s("ts").alias("t")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", epoch_s("ts", ev).alias("t"))
     w = Window.partitionBy("user_id").orderBy("t")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("t").over(w)
@@ -253,9 +252,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: per-stage min-time joins.
     Each stage is a semi-join on user_id (broadcastable: one row per
     user)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", epoch_s("ts").alias("t")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", epoch_s("ts", ev).alias("t"))
     s1 = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -338,8 +336,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     supersets of it), so at scale one hash partitioning by user_id
     serves every stage; the final (cohort, offset) agg is a tiny
     relation."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", (epoch_s("ts") / 604800).cast("bigint").alias("w")
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", (epoch_s("ts", ev) / 604800).cast("bigint").alias("w")
     )
     firsts = e.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
     activity = (
