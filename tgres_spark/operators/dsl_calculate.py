@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE, dec6
+from ..model import NAME, T, VALUE, dec6, micro6
 from .dsl_combine import _quantile_agg, _quantile_agg_sql
 from .dsl_transform import _map_sql, _relabel
 
@@ -34,9 +34,9 @@ def _frame_sql(points: int) -> str:
 
 
 def moving_average(df, points: int):
-    v = F.sum(dec6(F.col(VALUE))).over(_frame(points)).cast(
+    v = F.sum(micro6(F.col(VALUE))).over(_frame(points)).cast(
         "double"
-    ) / F.count(VALUE).over(_frame(points))
+    ) / 1000000.0 / F.count(VALUE).over(_frame(points))
     v = F.when(F.count(VALUE).over(_frame(points)) > 0, v)
     return _relabel(df, f"movingAverage(%s,{points})", value=v)
 
@@ -45,13 +45,16 @@ def moving_average_sql(base, points: int):
     fr = _frame_sql(points)
     v = (
         f"CASE WHEN COUNT(value) {fr} > 0 THEN "
-        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) {fr} AS DOUBLE) / COUNT(value) {fr} END"
+        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) {fr} AS DOUBLE) / 1000000.0 / COUNT(value) {fr} END"
     )
     return _map_sql(base, f"movingAverage(%s,{points})", v)
 
 
 def moving_sum(df, points: int):
-    v = F.sum(dec6(F.col(VALUE))).over(_frame(points)).cast("double")
+    v = (
+        F.sum(micro6(F.col(VALUE))).over(_frame(points)).cast("double")
+        / 1000000.0
+    )
     return _relabel(df, f"movingSum(%s,{points})", value=v)
 
 
@@ -59,7 +62,7 @@ def moving_sum_sql(base, points: int):
     fr = _frame_sql(points)
     return _map_sql(
         base, f"movingSum(%s,{points})",
-        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) {fr} AS DOUBLE)",
+        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) {fr} AS DOUBLE) / 1000000.0",
     )
 
 
@@ -110,7 +113,7 @@ def moving_stdev(df, points: int):
     ex2 = F.sum(dec6((F.col(VALUE) * F.col(VALUE)))).over(fr).cast(
         "double"
     ) / cnt
-    ex = F.sum(dec6(F.col(VALUE))).over(fr).cast("double") / cnt
+    ex = F.sum(micro6(F.col(VALUE))).over(fr).cast("double") / 1000000.0 / cnt
     var = ex2 - ex * ex
     v = F.when(cnt > 0, F.sqrt(F.when(var > 0.0, var).otherwise(0.0)))
     return _relabel(df, f"stdev(%s,{points})", value=v)
@@ -120,7 +123,7 @@ def moving_stdev_sql(base, points: int):
     fr = _frame_sql(points)
     cnt = f"COUNT(value) {fr}"
     ex2 = f"CAST(SUM(CAST(FLOOR((value * value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) {fr} AS DOUBLE) / ({cnt})"
-    ex = f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) {fr} AS DOUBLE) / ({cnt})"
+    ex = f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) {fr} AS DOUBLE) / 1000000.0 / ({cnt})"
     var = f"({ex2}) - ({ex}) * ({ex})"
     v = (
         f"CASE WHEN ({cnt}) > 0 THEN "
@@ -190,7 +193,7 @@ def stddev_series(df, label="stddevSeries()"):
 
     cnt = F.count(VALUE)
     ex2 = F.sum(dec6((F.col(VALUE) * F.col(VALUE)))).cast("double") / cnt
-    ex = F.sum(dec6(F.col(VALUE))).cast("double") / cnt
+    ex = F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0 / cnt
     var = ex2 - ex * ex
     agg = F.when(cnt > 0, F.sqrt(F.when(var > 0.0, var).otherwise(0.0)))
     return _combine(df, label, agg)
@@ -201,7 +204,7 @@ def stddev_series_sql(base, label="stddevSeries()"):
 
     cnt = "COUNT(value)"
     ex2 = f"CAST(SUM(CAST(FLOOR((value * value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / ({cnt})"
-    ex = f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / ({cnt})"
+    ex = f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / ({cnt})"
     var = f"({ex2}) - ({ex}) * ({ex})"
     agg = (
         f"CASE WHEN ({cnt}) > 0 THEN "

@@ -9,7 +9,8 @@ shuffle on t, partial aggregation map-side. Null values are ignored
 (a NaN contributes nothing in the reference); a timestamp with no
 known values yields NULL.
 
-Determinism: sums/avgs accumulate in DECIMAL(38,6); products fold a
+Determinism: sums/avgs accumulate micro6 BIGINT micro-units (exact
+int64 — see model.micro6 for the bound); products fold a
 sorted array so both engines multiply in the same order.
 """
 
@@ -18,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE, dec6
+from ..model import NAME, T, VALUE, micro6
 
 
 def _combine(df: DataFrame, out_name: str, agg: Column) -> DataFrame:
@@ -37,17 +38,17 @@ def _combine_sql(base: str, out_name: str, agg: str) -> str:
 
 
 def sum_series(df, label="sumSeries()"):
-    return _combine(df, label, F.sum(dec6(F.col(VALUE))))
+    return _combine(df, label, (F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0))
 
 
 def sum_series_sql(base, label="sumSeries()"):
-    return _combine_sql(base, label, "SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)))")
+    return _combine_sql(base, label, "(CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)")
 
 
 def average_series(df, label="averageSeries()"):
     agg = F.when(
         F.count(VALUE) > 0,
-        F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE),
+        (F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0) / F.count(VALUE),
     )
     return _combine(df, label, agg)
 
@@ -56,7 +57,7 @@ def average_series_sql(base, label="averageSeries()"):
     return _combine_sql(
         base,
         label,
-        "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END",
+        "CASE WHEN COUNT(value) > 0 THEN (CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(value) END",
     )
 
 
@@ -168,9 +169,10 @@ def diff_series(df, label="diffSeries()"):
         F.sum(
             F.when(
                 F.col(NAME) != F.col("__first"),
-                dec6(F.col(VALUE)),
+                micro6(F.col(VALUE)),
             )
         ).cast("double")
+        / 1000000.0
     )
     return _combine(j, label, minuend - F.coalesce(rest, F.lit(0.0)))
 
@@ -180,7 +182,7 @@ def diff_series_sql(base, label="diffSeries()"):
     agg = (
         f"MAX(CASE WHEN name = {first} THEN value END) - "
         f"COALESCE(CAST(SUM(CASE WHEN name <> {first} "
-        "THEN CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)) END) AS DOUBLE), 0.0)"
+        "THEN CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0)"
     )
     return _combine_sql(base, label, agg)
 
@@ -305,9 +307,12 @@ def as_percent(df, total: float | None = None, label_fmt="asPercent(%s)"):
             else F.col(VALUE) / F.lit(t_) * 100.0
         )
     else:
-        tot = F.sum(dec6(F.col(VALUE))).over(
-            Window.partitionBy(T)
-        ).cast("double")
+        tot = (
+            F.sum(micro6(F.col(VALUE)))
+            .over(Window.partitionBy(T))
+            .cast("double")
+            / 1000000.0
+        )
         v = F.when(tot != 0.0, F.col(VALUE) / tot * 100.0)
     return df.select(
         F.format_string(label_fmt, F.col(NAME)).alias(NAME), F.col(T),
@@ -324,7 +329,7 @@ def as_percent_sql(base, total: float | None = None, label_fmt="asPercent(%s)"):
             else f"value / {t_!r} * 100.0"
         )
     else:
-        tot = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER (PARTITION BY t) AS DOUBLE)"
+        tot = "(CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) OVER (PARTITION BY t) AS DOUBLE) / 1000000.0)"
         expr = f"CASE WHEN ({tot}) <> 0.0 THEN value / ({tot}) * 100.0 END"
     return (
         f"SELECT printf('{label_fmt}', name) AS name, t, "
@@ -362,9 +367,9 @@ def weighted_average_pair(avg_df, weight_df, node: int = 0,
         .groupBy(T)
         .agg(
             F.when(
-                F.sum(dec6(paired_w)).cast("double") != 0.0,
-                F.sum(dec6((F.col("a") * F.col("w")))).cast("double")
-                / F.sum(dec6(paired_w)).cast("double"),
+                (F.sum(micro6(paired_w)).cast("double") / 1000000.0) != 0.0,
+                (F.sum(micro6(F.col("a") * F.col("w"))).cast("double") / 1000000.0)
+                / (F.sum(micro6(paired_w)).cast("double") / 1000000.0),
             ).alias(VALUE)
         )
     )
@@ -387,8 +392,8 @@ def weighted_average_pair_sql(avg_base, weight_base, node: int = 0,
         "MAX(CASE WHEN side = 'w' THEN value END) AS w "
         f"FROM ({tagged}) GROUP BY 1, 2"
     )
-    sw = "CAST(SUM(CAST(FLOOR((CASE WHEN a IS NOT NULL THEN w END) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
-    saw = "CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+    sw = "(CAST(SUM(CAST(FLOOR((CASE WHEN a IS NOT NULL THEN w END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+    saw = "(CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
     return (
         f"SELECT '{label}' AS name, t, "
         f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
@@ -410,9 +415,9 @@ def weighted_average(df, avg_suffix: str, weight_suffix: str, node: int = 0):
         .groupBy(T)
         .agg(
             F.when(
-                F.sum(dec6(F.col("w"))).cast("double") != 0.0,
-                F.sum(dec6((F.col("a") * F.col("w")))).cast("double")
-                / F.sum(dec6(F.col("w"))).cast("double"),
+                (F.sum(micro6(F.col("w"))).cast("double") / 1000000.0) != 0.0,
+                (F.sum(micro6(F.col("a") * F.col("w"))).cast("double") / 1000000.0)
+                / (F.sum(micro6(F.col("w"))).cast("double") / 1000000.0),
             ).alias(VALUE)
         )
     )
@@ -430,8 +435,8 @@ def weighted_average_sql(base, avg_suffix: str, weight_suffix: str, node: int = 
         "MAX(CASE WHEN string_split(name, '.')[len(string_split(name, '.'))] = '{w}' THEN value END) AS w "
         "FROM ({b}) GROUP BY 1, 2"
     ).format(n=node + 1, a=avg_suffix, w=weight_suffix, b=base)
-    sw = "CAST(SUM(CAST(FLOOR((w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
-    saw = "CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+    sw = "(CAST(SUM(CAST(FLOOR((w) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+    saw = "(CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
     return (
         f"SELECT 'weightedAverage({avg_suffix},{weight_suffix})' AS name, t, "
         f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
@@ -453,11 +458,11 @@ def group_without_nodes(df, positions: list[int], func: str = "sum"):
     key = F.array_join(F.transform(keep, lambda p: p["s"]), ".")
     _ = n
     if func == "sum":
-        agg = F.sum(dec6(F.col(VALUE))).cast("double")
+        agg = (F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0)
     elif func == "avg":
         agg = F.when(
             F.count(VALUE) > 0,
-            F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE),
+            (F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0) / F.count(VALUE),
         )
     else:
         raise ValueError(func)
@@ -477,9 +482,9 @@ def group_without_nodes_sql(base, positions: list[int], func: str = "sum"):
         f"p -> p.i NOT IN ({pos})), p -> p.s), '.')"
     )
     if func == "sum":
-        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+        agg = "(CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
     elif func == "avg":
-        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
+        agg = "CASE WHEN COUNT(value) > 0 THEN (CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(value) END"
     else:
         raise ValueError(func)
     return (
@@ -492,11 +497,11 @@ def group_by_node(df, node: int, func: str = "sum"):
     """Aggregate series sharing the node-th dot-component (dslGroupByNode)."""
     key = F.element_at(F.split(F.col(NAME), r"\."), node + 1)
     if func == "sum":
-        agg = F.sum(dec6(F.col(VALUE))).cast("double")
+        agg = (F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0)
     elif func == "avg":
         agg = F.when(
             F.count(VALUE) > 0,
-            (F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE)),
+            ((F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0) / F.count(VALUE)),
         )
     elif func == "max":
         agg = F.max(VALUE)
@@ -514,9 +519,9 @@ def group_by_node(df, node: int, func: str = "sum"):
 def group_by_node_sql(base, node: int, func: str = "sum"):
     key = f"string_split(name, '.')[{node + 1}]"
     if func == "sum":
-        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+        agg = "(CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
     elif func == "avg":
-        agg = "CASE WHEN COUNT(value) > 0 THEN CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) END"
+        agg = "CASE WHEN COUNT(value) > 0 THEN (CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(value) END"
     elif func == "max":
         agg = "MAX(value)"
     elif func == "min":

@@ -17,21 +17,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE, dec6
+from ..model import NAME, T, VALUE, dec6, micro6
 
 
 def _stat(df: DataFrame, stat: str) -> DataFrame:
     """Per-series scalar: avg | max | min | current | total | stddev."""
     if stat == "avg":
-        agg = F.sum(dec6(F.col(VALUE))).cast(
+        agg = F.sum(micro6(F.col(VALUE))).cast(
             "double"
-        ) / F.count(VALUE)
+        ) / 1000000.0 / F.count(VALUE)
     elif stat == "max":
         agg = F.max(VALUE)
     elif stat == "min":
         agg = F.min(VALUE)
     elif stat == "total":
-        agg = F.sum(dec6(F.col(VALUE))).cast("double")
+        agg = F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0
     elif stat == "current":
         agg = F.max_by(VALUE, F.when(F.col(VALUE).isNotNull(), F.col(T)))
     elif stat == "stddev":
@@ -43,13 +43,13 @@ def _stat(df: DataFrame, stat: str) -> DataFrame:
 
 def _stat_sql(base: str, stat: str) -> str:
     if stat == "avg":
-        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)"
+        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value)"
     elif stat == "max":
         agg = "MAX(value)"
     elif stat == "min":
         agg = "MIN(value)"
     elif stat == "total":
-        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)"
+        agg = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0"
     elif stat == "current":
         agg = "MAX_BY(value, CASE WHEN value IS NOT NULL THEN t END)"
     elif stat == "stddev":
@@ -151,7 +151,7 @@ def most_deviant(df, n: int) -> DataFrame:
     Variance computed as E[x²]−E[x]² in exact decimal in both engines —
     stddev_pop's internal algorithm differs between engines."""
     ex2 = F.sum(dec6((F.col(VALUE) * F.col(VALUE)))).cast("double") / F.count(VALUE)
-    ex = F.sum(dec6(F.col(VALUE))).cast("double") / F.count(VALUE)
+    ex = F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0 / F.count(VALUE)
     s = df.groupBy(NAME).agg((ex2 - ex * ex).alias("stat"))
     winners = s.orderBy(
         F.col("stat").desc_nulls_last(), F.col(NAME).asc()
@@ -161,7 +161,7 @@ def most_deviant(df, n: int) -> DataFrame:
 
 def most_deviant_sql(base, n: int) -> str:
     ex2 = "CAST(SUM(CAST(FLOOR((value * value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)"
-    ex = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)"
+    ex = "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value)"
     s = f"SELECT name, ({ex2}) - ({ex}) * ({ex}) AS stat FROM ({base}) GROUP BY name"
     return (
         f"SELECT b.* FROM ({base}) b WHERE b.name IN ("

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE, dec6
+from ..model import NAME, T, VALUE, micro6
 
 def _w():
     # lazy: Window specs need an active SparkContext in Spark 4, and
@@ -237,16 +237,19 @@ def per_second_sql(base):
 
 
 def integral(df):  # running sum, resets never (funcs.go:1205-1231)
-    v = F.sum(dec6(F.col(VALUE))).over(
-        _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = (
+        F.sum(micro6(F.col(VALUE)))
+        .over(_w().rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        / 1000000.0
     )
-    return _relabel(df, "integral(%s)", value=v.cast("double"))
+    return _relabel(df, "integral(%s)", value=v)
 
 
 def integral_sql(base):
     run = (
-        "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER "
-        "(PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        "CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) OVER "
+        "(PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0"
     )
     return _map_sql(base, "integral(%s)", run)
 

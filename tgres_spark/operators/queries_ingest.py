@@ -247,3 +247,42 @@ def streaming_paced_metric(spark, sf_dir):
         spark, in_dir, out_dir, f"{work}/ckpt", pace_s=3600, kind="sum"
     )
     return spark.read.parquet(out_dir)
+
+
+@register("whisper_import")  # rows-only: binary .wsp fixture, no SQL analog
+def whisper_import(spark, sf_dir):
+    """Whisper archive import (cmd/whisper_import/main.go): a small
+    deterministic .wsp tree is synthesized with the library's own
+    writer (sources/whisper.py write_whisper_bytes — round-trip +
+    hypothesis tested), then read back distributed via binaryFile →
+    mapInPandas. Covers the one source with no parquet testdata; the
+    fixture is static so row count, schema, and values are stable
+    across runs."""
+    import os
+    import tempfile
+
+    from ..sources.whisper import read_whisper, write_whisper_bytes
+
+    root = os.path.join(tempfile.gettempdir(), "tgres_spark_wsp_fixture")
+    t0 = 1704067200
+    specs = {
+        "web/cpu.wsp": [
+            (60, [(t0 + i * 60, float(i % 17) + 0.25) for i in range(120)]),
+            (3600, [(t0 + i * 3600, float(i) * 1.5) for i in range(24)]),
+        ],
+        "web/mem.wsp": [
+            (60, [(t0 + i * 60, 100.0 - (i % 13)) for i in range(90)]),
+        ],
+        "db/io.wsp": [
+            (300, [(t0 + i * 300, float((i * 7) % 29) / 2.0) for i in range(60)]),
+        ],
+    }
+    for rel, archives in specs.items():
+        path = os.path.join(root, rel)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(write_whisper_bytes(archives))
+            os.replace(tmp, path)
+    return read_whisper(spark, f"{root}/*/*.wsp", root=root)
