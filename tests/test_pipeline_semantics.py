@@ -413,3 +413,56 @@ def test_stratified_sample_is_replay_stable(spark):
     b = sorted(map(tuple, sample_stratified(docs.repartition(5), 10).collect()))
     assert a == b
     assert len(a) == 20  # 10 per lang
+
+
+def test_ivf_fit_stable_across_partitionings(spark):
+    """The whole IVF pipeline — k-means|| seeding, decimal Lloyd
+    updates, probing — must be bit-identical under any partitioning
+    of the input (the determinism contract for cluster replays).
+    Every distributed step is either per-row (hash selection,
+    assignment argmin) or order-free (decimal sums), so repartition
+    must not change a single output row."""
+    import random
+
+    from tgres_spark.pipeline.similarity import ann_ivf_search
+
+    rng = random.Random(7)
+    rows = [
+        (v, [rng.gauss(v % 4, 1) for _ in range(16)], 0) for v in range(200)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def run(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+            for r in ann_ivf_search(
+                df, n_queries=5, k=3, n_cells=8, nprobe=3, n_iter=3
+            ).collect()
+        )
+
+    a = run(emb.repartition(3))
+    b = run(emb.repartition(11, "vec_id"))
+    assert a == b
+    assert len(a) == 5 * 3
+
+
+def test_kmeans_parallel_init_deterministic(spark):
+    """k-means|| seeding returns exactly k centers, stable across
+    partitionings and repeated calls."""
+    import random
+
+    from tgres_spark.pipeline.similarity import _kmeans_parallel_init
+
+    rng = random.Random(11)
+    rows = [
+        (v, [rng.gauss(v % 3, 1) for _ in range(8)], 0) for v in range(150)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = _kmeans_parallel_init(emb.repartition(2), 6, seed=42)
+    b = _kmeans_parallel_init(emb.repartition(9, "vec_id"), 6, seed=42)
+    assert len(a) == 6
+    assert a == b

@@ -254,3 +254,83 @@ def test_statsd_timers_stream_matches_batch(spark, tmp_path):
         if r["name"].startswith("stats.timers.t") and ".zz." not in r["name"]
     }
     assert got == expect
+
+
+def test_paced_rocksdb_multibatch_soak_with_restart(spark, tmp_path):
+    """Soak: >=6 micro-batches on the RocksDB state store (one file
+    per trigger), a process-boundary 'kill' between runs, and a
+    restart that resumes from the checkpoint — the union of all
+    flushed windows must equal the batch paced_metrics result on the
+    same lines, bit-for-bit. This is the full 100 TB deployment shape
+    compressed: rate-limited triggers, disk-backed state, recovery."""
+    from tgres_spark.aggregator import paced_metrics
+    from tgres_spark.sources.graphite import parse_graphite_lines
+    from tgres_spark.streaming.paced import run_paced_file_pipeline
+
+    in_dir = tmp_path / "soakin"
+    in_dir.mkdir()
+    lines = []
+    for name in ("soak.a", "soak.b", "soak.c"):
+        for i in range(40):
+            lines.append(f"{name} {((i * 13) % 11) * 0.5:.1f} {500 + i * 45}")
+    # 8 drop files -> 8 triggers at maxFilesPerTrigger=1; run 1 gets 4.
+    # Chunks are CONTIGUOUS slices: the paced operator (like the
+    # reference receiver) drops points older than a flushed window, so
+    # the soak must deliver each series in event-time order.
+    chunks = [lines[i * 15:(i + 1) * 15] for i in range(8)]
+    # pin strictly increasing mtimes: the file source orders triggers
+    # by (modification time, path); same-tick writes make the order —
+    # and therefore which points count as late — nondeterministic
+    import os as _os
+
+    def _drop(fname, text, stamp):
+        f = in_dir / fname
+        f.write_text(text)
+        _os.utime(f, (stamp, stamp))
+
+    for i, ch in enumerate(chunks[:4]):
+        _drop(f"f{i}.txt", "\n".join(ch) + "\n", 1_700_000_000 + i)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_paced_file_pipeline(
+            spark, str(in_dir), str(tmp_path / "soakout"),
+            str(tmp_path / "soakck"), pace_s=300, kind="sum",
+            max_files_per_trigger=1,
+        )
+        # 'kill': the first query has terminated; drop the rest of the
+        # stream plus per-series sentinels and restart from checkpoint
+        for i, ch in enumerate(chunks[4:]):
+            _drop(f"g{i}.txt", "\n".join(ch) + "\n", 1_700_000_100 + i)
+        _drop(
+            "zz_sentinel.txt",
+            "soak.a 0.0 99999\nsoak.b 0.0 99999\nsoak.c 0.0 99999\n",
+            1_700_000_200,
+        )
+        run_paced_file_pipeline(
+            spark, str(in_dir), str(tmp_path / "soakout"),
+            str(tmp_path / "soakck"), pace_s=300, kind="sum",
+            max_files_per_trigger=1,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(str(tmp_path / "soakout")).collect()
+        if r["t"] < 99000
+    }
+    batch_lines = spark.createDataFrame([(x,) for x in lines], "line string")
+    expect = {
+        (r["name"], r["t"]): r["value"]
+        for r in paced_metrics(parse_graphite_lines(batch_lines), 300, "sum").collect()
+    }
+    assert got == expect
+    assert len(got) >= 10  # real coverage, not a trivial window

@@ -107,6 +107,140 @@ def ann_lsh_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 42) -> DataF
     )
 
 
+def _kmeans_parallel_init(
+    emb: DataFrame,
+    k: int,
+    seed: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """k-means|| seeding (Bahmani et al., VLDB'12), fully
+    deterministic and partition-order-free — replaces the plain
+    k-hash-ranked-row seed so the Lloyd fit starts near the data's
+    real mass instead of k arbitrary points.
+
+    Distributed part (per round, all map-side against a broadcast
+    candidate array): d²(x, C) per vector; φ = Σd² accumulated in
+    DECIMAL(38,12) (order-free, one scalar row); each vector then
+    SELECTS ITSELF with probability min(1, l·d²/φ) using a seeded
+    md5-hash uniform u(x) ∈ [0,1) in place of an RNG — per-row
+    deterministic, so any partitioning selects the same candidates.
+    Driver part: candidates (≈ l·rounds rows, KBs) are weighted by
+    nearest-vector counts (one groupBy) and reduced to k centers with
+    the deterministic greedy variant of weighted k-means++ (argmax of
+    weight·d², ties → lowest candidate index).
+
+    Driver traffic: candidate vectors + one count row per candidate —
+    independent of corpus size. Returns exactly k centers (falls back
+    to hash-ranked rows if the corpus is tiny and undersamples)."""
+    l = oversample if oversample is not None else 2 * k
+    spark = emb.sparkSession
+    e = emb.select("vec_id", "embedding")
+
+    first = (
+        e.orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col("vec_id"))))
+        .limit(1)
+        .collect()
+    )
+    cands: list[list[float]] = [[float(x) for x in first[0]["embedding"]]]
+
+    def d2min(cand_list):
+        cdf = spark.createDataFrame([(cand_list,)], "cents array<array<double>>")
+        dists = F.transform(
+            F.col("cents"),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (
+            e.crossJoin(F.broadcast(cdf))
+            .withColumn("dists", dists)
+            .withColumn("d2", F.array_min("dists"))
+        )
+
+    # u(x) ∈ [0,1): first 8 md5 hex chars → uniform 32-bit fraction
+    def u(round_no):
+        h = F.md5(F.concat_ws(":", F.lit(seed), F.lit(round_no), F.col("vec_id")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / float(2**32)
+
+    for r in range(rounds):
+        with_d = d2min(cands)
+        phi_row = with_d.agg(
+            F.sum(F.col("d2").cast("decimal(38,12)")).alias("phi")
+        ).collect()[0]
+        phi = float(phi_row["phi"]) if phi_row["phi"] is not None else 0.0
+        if phi <= 0.0:
+            break  # every vector coincides with a candidate
+        picked = (
+            with_d.where(u(r) < F.lit(float(l)) * F.col("d2") / F.lit(phi))
+            .orderBy("vec_id")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cands.extend([float(x) for x in row["embedding"]] for row in picked)
+
+    # weight candidates by how many vectors they are nearest to
+    cdf = spark.createDataFrame([(cands,)], "cents array<array<double>>")
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wrows = (
+        e.crossJoin(F.broadcast(cdf))
+        .withColumn("dists", dists)
+        .select(
+            (F.array_position(F.col("dists"), F.array_min(F.col("dists"))) - 1)
+            .cast("int")
+            .alias("cand")
+        )
+        .groupBy("cand")
+        .count()
+        .collect()
+    )
+    weights = [0.0] * len(cands)
+    for row in wrows:
+        weights[row["cand"]] = float(row["count"])
+
+    # deterministic greedy weighted k-means++ over the candidate set
+    centers = [0]  # candidate 0 = the seeded first center
+    while len(centers) < min(k, len(cands)):
+        best_i, best_score = -1, -1.0
+        for i, c in enumerate(cands):
+            if i in centers:
+                continue
+            d2c = min(
+                sum((a - b) * (a - b) for a, b in zip(c, cands[j]))
+                for j in centers
+            )
+            score = weights[i] * d2c
+            if score > best_score:  # strict > : ties keep lowest index
+                best_i, best_score = i, score
+        centers.append(best_i)
+    out = [cands[i] for i in centers]
+    if len(out) < k:  # degenerate tiny corpus: pad with hash-ranked rows
+        pad = (
+            e.orderBy(F.md5(F.concat_ws(":", F.lit(seed + 1), F.col("vec_id"))))
+            .limit(k - len(out))
+            .collect()
+        )
+        out.extend([float(x) for x in r2["embedding"]] for r2 in pad)
+    return out
+
+
 def ann_ivf_search(
     emb: DataFrame,
     n_queries: int = 10,
@@ -119,8 +253,9 @@ def ann_ivf_search(
     """IVF with FULLY DISTRIBUTED k-means: no sample collect, no N×k
     crossJoin. Returns (query_id, neighbor_id, cos, rank).
 
-    Fit: centroids seed from the k hash-ranked-lowest vectors
-    (TakeOrderedAndProject — k rows collected, not a sample table),
+    Fit: centroids seed via deterministic k-means||
+    (_kmeans_parallel_init — distributed oversampling, driver-side
+    greedy reduction; driver traffic independent of corpus size),
     then ``n_iter`` Lloyd rounds where (1) assignment is a pure map:
     centroids broadcast as one array-of-arrays row, squared distance
     per cell via fold, cell = first argmin (ties → lowest cell, the
@@ -135,13 +270,7 @@ def ann_ivf_search(
     probed cells only."""
     from pyspark.sql import Window
 
-    init_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col("vec_id"))))
-        .limit(n_cells)
-        .collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in init_rows]
+    cents = _kmeans_parallel_init(emb, n_cells, seed)
     dim = len(cents[0])
     spark = emb.sparkSession
 

@@ -139,12 +139,15 @@ def run_paced_file_pipeline(
     checkpoint: str,
     pace_s: int = 60,
     kind: str = "sum",
+    max_files_per_trigger: int = 16,
 ) -> None:
     """File-drop graphite lines → stateful paced metrics → parquet,
-    exactly-once via checkpointing (availableNow trigger)."""
+    exactly-once via checkpointing (availableNow trigger honors
+    maxFilesPerTrigger, so N files / M per trigger = ceil(N/M)
+    micro-batches with state carried across every one)."""
     from .ingest import read_graphite_stream
 
-    parsed = read_graphite_stream(spark, in_path)
+    parsed = read_graphite_stream(spark, in_path, max_files_per_trigger)
     paced = streaming_paced_metrics(parsed, pace_s=pace_s, kind=kind)
     q = (
         paced.writeStream.format("parquet")
