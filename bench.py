@@ -81,6 +81,23 @@ def main() -> None:
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # the within-2x-of-baseline gate: BASELINE.json publishes the gate
+    # definition but (as of round 4) no numeric timings — emit the
+    # per-query ratios when numbers appear, else say so explicitly.
+    vs_baseline: dict | str = "no numeric timings in BASELINE.json"
+    try:
+        base = json.loads(
+            (Path(__file__).resolve().parent / "BASELINE.json").read_text()
+        )
+        base_q = base.get("queries") or {}
+        if base_q:
+            vs_baseline = {
+                k: round(timings[k] / base_q[k], 3)
+                for k in timings
+                if base_q.get(k)
+            }
+    except (OSError, json.JSONDecodeError):
+        pass
     print(
         json.dumps(
             {
@@ -89,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "vs_baseline": vs_baseline,
             }
         )
     )
