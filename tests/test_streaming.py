@@ -334,3 +334,48 @@ def test_paced_rocksdb_multibatch_soak_with_restart(spark, tmp_path):
     }
     assert got == expect
     assert len(got) >= 10  # real coverage, not a trivial window
+
+
+def test_name_catalog_create_on_first_write(spark, tmp_path):
+    """dscache semantics (receiver/dscache.go getByNameOrLoadOrCreate):
+    a name's catalog entry is created by its first-ever point and
+    first_seen never moves afterwards — even when a later batch
+    carries an EARLIER timestamp — while last_seen/n_points advance.
+    Runs as two separate streaming queries over one checkpoint with
+    one file per trigger, so the fold crosses micro-batches AND a
+    process boundary."""
+    from tgres_spark.dsl.find import find
+    from tgres_spark.streaming.catalog import read_catalog, run_catalog_pipeline
+
+    in_dir = tmp_path / "cin"
+    in_dir.mkdir()
+    (in_dir / "a.txt").write_text("web.srv1.cpu 1.0 1000\nweb.srv1.cpu 2.0 1060\n")
+    os.utime(in_dir / "a.txt", (1_700_000_000, 1_700_000_000))
+    (in_dir / "b.txt").write_text("web.srv2.cpu 5.0 1200\n")
+    os.utime(in_dir / "b.txt", (1_700_000_001, 1_700_000_001))
+
+    cat_dir = str(tmp_path / "cat")
+    ck = str(tmp_path / "cck")
+    run_catalog_pipeline(spark, str(in_dir), cat_dir, ck, max_files_per_trigger=1)
+    got1 = {r["name"]: r for r in read_catalog(spark, cat_dir).collect()}
+    assert got1["web.srv1.cpu"]["first_seen"] == 1000
+    assert got1["web.srv1.cpu"]["n_points"] == 2
+    assert got1["web.srv2.cpu"]["first_seen"] == 1200
+
+    # run 2: late point for srv1 (t=500 < first_seen) + a new name
+    (in_dir / "c.txt").write_text("web.srv1.cpu 9.0 500\ndb.main.io 1.0 2000\n")
+    os.utime(in_dir / "c.txt", (1_700_000_002, 1_700_000_002))
+    run_catalog_pipeline(spark, str(in_dir), cat_dir, ck, max_files_per_trigger=1)
+    got2 = {r["name"]: r for r in read_catalog(spark, cat_dir).collect()}
+    assert got2["web.srv1.cpu"]["first_seen"] == 1000  # create wins, late point doesn't rewind
+    assert got2["web.srv1.cpu"]["n_points"] == 3
+    assert got2["web.srv1.cpu"]["last_seen"] == 1060
+    assert got2["db.main.io"]["n_points"] == 1
+    assert len(got2) == 3
+
+    # the live catalog serves find() exactly like a batch-derived one
+    paths = {
+        (r["path"], r["is_leaf"])
+        for r in find(read_catalog(spark, cat_dir), "web.*").collect()
+    }
+    assert paths == {("web.srv1", 0), ("web.srv2", 0)}

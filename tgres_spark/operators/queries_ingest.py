@@ -286,3 +286,22 @@ def whisper_import(spark, sf_dir):
                 f.write(write_whisper_bytes(archives))
             os.replace(tmp, path)
     return read_whisper(spark, f"{root}/*/*.wsp", root=root)
+
+
+@register("streaming_name_catalog")  # rows-only: foreachBatch fold, no SQL analog
+def streaming_name_catalog(spark, sf_dir):
+    """Live name catalog (receiver/dscache.go create-on-first-write):
+    events → graphite lines on disk → streaming foreachBatch fold into
+    a snapshot-versioned catalog → (name, first_seen, last_seen,
+    n_points). Deterministic: derived entirely from the events table
+    (malformed lines rejected by the parser drop out of the count)."""
+    import tempfile
+
+    from ..streaming.catalog import read_catalog, run_catalog_pipeline
+
+    work = tempfile.mkdtemp(prefix="tgres_cat_")
+    in_dir = f"{work}/in"
+    lines = graphite_lines(spark, sf_dir)
+    lines.coalesce(4).write.mode("overwrite").text(in_dir)
+    run_catalog_pipeline(spark, in_dir, f"{work}/cat", f"{work}/ckpt")
+    return read_catalog(spark, f"{work}/cat")
