@@ -350,3 +350,118 @@ def test_stdev_of_unit_sinusoid_bounded(spark):
     out = evaluate(_gen_ctx(spark), "stdev(sinusoid(), 5)").collect()
     vals = [r["value"] for r in out if r["value"] is not None]
     assert vals and all(v <= 1.0 for v in vals)
+
+
+# Test_dsl_asPercent (funcs_test.go:476): each series / per-t total
+def test_as_percent_of_group(td):
+    out = evaluate(td, "asPercent(foo.*.baz)")
+    by_name = {}
+    for r in out.collect():
+        by_name.setdefault(r["name"], set()).add(round(r["value"], 9))
+    want = {
+        "asPercent(foo.bar1.baz)": {round(10.0 / 30.0 * 100.0, 9)},
+        "asPercent(foo.bar2.baz)": {round(20.0 / 30.0 * 100.0, 9)},
+    }
+    assert by_name == want
+
+
+# Test_dsl_diffSeries (funcs_test.go:502): first-by-name minus the rest
+def test_diff_series(td):
+    every_value_is(evaluate(td, "diffSeries(foo.*.baz)"), -10.0)
+
+
+# Test_dsl_highestCurrent / highestMax (funcs_test.go:543,555)
+def test_highest_filters(td):
+    every_value_is(evaluate(td, "highestCurrent(foo.*.baz, 1)"), 20.0)
+    every_value_is(evaluate(td, "highestMax(foo.*.baz, 1)"), 20.0)
+
+
+# Test_dsl_lowestAverage / lowestCurrent (funcs_test.go:579,591)
+def test_lowest_filters(td):
+    every_value_is(evaluate(td, "lowestAverage(foo.*.baz, 1)"), 10.0)
+    every_value_is(evaluate(td, "lowestCurrent(foo.*.baz, 1)"), 10.0)
+
+
+# Test_dsl_limit (funcs_test.go:567): first n series in name order
+def test_limit(td):
+    every_value_is(evaluate(td, "limit(foo.*.baz, 1)"), 10.0)
+
+
+# Test_dsl_maximumAbove/Below, minimumAbove/Below (funcs_test.go:603-650)
+def test_threshold_filters(td):
+    every_value_is(evaluate(td, "maximumAbove(foo.*.baz, 15)"), 20.0)
+    every_value_is(evaluate(td, "maximumBelow(foo.*.baz, 15)"), 10.0)
+    every_value_is(evaluate(td, "minimumAbove(foo.*.baz, 15)"), 20.0)
+    every_value_is(evaluate(td, "minimumBelow(foo.*.baz, 15)"), 10.0)
+
+
+# Test_dsl_movingAverage / movingMedian (funcs_test.go:668,686): over a
+# ramp both equal i - 0.5 for i >= 1 (go-metrics p50 of two points
+# interpolates to the midpoint), and the bare first point is itself.
+def test_moving_average_and_median_of_ramp(td):
+    for fn in ("movingAverage", "movingMedian"):
+        vs = vals(evaluate(td, f"{fn}(ramp.series, 2)"))
+        assert math.isclose(vs[0], 0.0)
+        for i, v in enumerate(vs[1:], start=1):
+            assert math.isclose(v, i - 0.5), (fn, i, v)
+
+
+# Test_dsl_removeAboveValue / removeBelowValue (funcs_test.go:721,755)
+def test_remove_value_filters(td):
+    for v in vals(evaluate(td, "removeAboveValue(wave.series, 0)")):
+        assert v is None or v <= 0
+    for v in vals(evaluate(td, "removeBelowValue(wave.series, 0)")):
+        assert v is None or v >= 0
+
+
+# Test_dsl_removeBelowPercentile (funcs_test.go:738): survivors >= p50
+def test_remove_below_percentile(td):
+    n = (T1 - T0) // STEP + 1
+    wave = sorted(math.sin(2 * math.pi / 10 * i) for i in range(n))
+    pos = 0.5 * (n + 1)  # go-metrics Quantile: pos = q*(n+1), 1-based
+    lo = int(pos) - 1
+    p50 = wave[lo] + (pos - int(pos)) * (wave[lo + 1] - wave[lo])
+    survivors = [
+        v for v in vals(evaluate(td, "removeBelowPercentile(wave.series, 50)"))
+        if v is not None
+    ]
+    assert survivors and all(v >= p50 - 1e-9 for v in survivors)
+
+
+# Test_dsl_alias family (funcs_test.go:833-888)
+def test_alias_family(td):
+    def names(expr):
+        return {
+            r["name"]
+            for r in evaluate(td, expr).select("name").distinct().collect()
+        }
+
+    assert names("alias(foo.bar1.baz, 'foobar')") == {"foobar"}
+    assert names("aliasByMetric(foo.bar1.baz)") == {"baz"}
+    assert names("aliasByNode(foo.bar1.baz, 0)") == {"foo"}
+    assert names("aliasByNode(foo.bar1.baz, 0, 2)") == {"foo.baz"}
+    assert names("aliasSub(foo.bar1.baz, 'bar[0-9]', 'X')") == {"foo.X.baz"}
+
+
+# Test_dsl_countSeries (funcs_test.go:901)
+def test_count_series(td):
+    every_value_is(evaluate(td, "countSeries(foo.*.baz)"), 2.0)
+
+
+# Test_dsl_keepLastValue (funcs_test.go:925): limit caps consecutive
+# fills — 5 real tens + 3 filled, the last 2 stay unknown. (The
+# reference's own assertion is `tens != 9 && nans != 2`, which can
+# never fire for both; the semantic pinned here is funcs.go
+# dslKeepLastValue's: fill at most `limit` consecutive NaNs.)
+def test_keep_last_value_limit(spark):
+    rows = [("klv", 60 * (i + 1), 10.0 if i < 5 else None) for i in range(10)]
+    ctx = DslContext(spark.createDataFrame(rows, "name string, t long, value double"))
+    vs = vals(evaluate(ctx, "keepLastValue(klv, 3)"))
+    assert vs == [10.0] * 8 + [None, None]
+
+
+# Test_dsl_scaleToSeconds (funcs_test.go:979): linear in the factor
+def test_scale_to_seconds_linearity(td):
+    a = vals(evaluate(td, "scaleToSeconds(foo.bar1.baz, 2)"))
+    b = vals(evaluate(td, "scaleToSeconds(foo.bar1.baz, 4)"))
+    assert a and all(math.isclose(y, 2 * x) for x, y in zip(a, b))
