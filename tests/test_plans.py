@@ -111,3 +111,30 @@ def test_embedding_lsh_joins_are_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row plane relation
+
+
+def test_deterministic_sums_stay_integer(spark, qs):
+    """The determinism contract's hot-path sums accumulate BIGINT
+    micro-units, never BigDecimal — decimal aggregation falls out of
+    whole-stage codegen and measured 1.65x a plain double sum
+    (SCALE.md). A dec6/decimal(38,6) reappearing in these plans is a
+    performance regression even when results stay correct."""
+    for key in ("rrd_consolidate_wmean", "dsl_sumSeries", "statsd_flush_counters"):
+        p = plan_of(qs[key](spark, SF))
+        assert "FLOOR" in p, key  # quantization still present
+        assert "decimal(38,6)" not in p.lower().replace(" ", ""), key
+
+
+def test_multi_rra_shares_one_duration_pass(spark, qs):
+    """rrd_multi_rra: ONE window/lag pass feeds every archive (the
+    reference's single PDP stream updating all RRAs) — the persisted
+    relation appears as InMemoryTableScan per archive, not repeated
+    Window stages."""
+    import re
+
+    p = plan_of(qs["rrd_multi_rra"](spark, SF))
+    # the cached relation's Window node appears once per archive scan,
+    # but it's the SAME node id — distinct ids = distinct lag passes
+    ids = set(re.findall(r"Window \((\d+)\)", p))
+    assert len(ids) <= 1, ids
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
