@@ -555,7 +555,14 @@ def propagate_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("root_id"))
+    # Iterate ONLY over edge-connected nodes: singletons (the vast
+    # majority of a corpus — anything without a near-dup pair) can
+    # never change label, so hauling them through every round's joins
+    # is pure waste. At 100 TB this shrinks the per-round relations
+    # from |corpus| to |near-dup subset| (typically a few percent);
+    # singletons rejoin as their own root after the fixpoint.
+    conn = edges.select(F.col("a").alias("doc_id")).distinct().persist()
+    labels = conn.select("doc_id", F.col("doc_id").alias("root_id"))
     # sentinel, not None: an EMPTY node set sums to NULL (None) and
     # must still converge on the second pass (None == None)
     prev_sum = object()
@@ -600,8 +607,15 @@ def propagate_components(
         prev_sum = cur
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    singletons = nodes.join(conn, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("root_id")
+    )
+    out = labels.select(
+        "doc_id", F.col("root_id").cast("bigint")
+    ).unionAll(singletons.select("doc_id", F.col("root_id").cast("bigint")))
     edges.unpersist()
-    return labels.select("doc_id", F.col("root_id").cast("bigint"))
+    conn.unpersist()
+    return out
 
 
 def dedup_components_sql(threshold: float = 0.5) -> str:
