@@ -282,11 +282,16 @@ def test_propagation_matches_union_find_on_random_graphs(spark):
 
         nodes = spark.createDataFrame([(v,) for v in range(n)], "doc_id long")
         pdf = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {
-            r["doc_id"]: r["root_id"]
-            for r in propagate_components(nodes, pdf).collect()
-        }
-        assert got == expect, f"seed {seed}"
+        # both code paths: the size-gated driver union-find (default)
+        # and the distributed propagation loop (threshold 0 forces it)
+        for thr in (10_000_000, 0):
+            got = {
+                r["doc_id"]: r["root_id"]
+                for r in propagate_components(
+                    nodes, pdf, driver_threshold=thr
+                ).collect()
+            }
+            assert got == expect, f"seed {seed} thr {thr}"
 
 
 def test_ann_lsh_topk_finds_identical_vector(spark):
@@ -370,8 +375,12 @@ def test_components_chain_converges_logarithmically(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    out = {r["doc_id"]: r["root_id"]
-           for r in propagate_components(nodes, chain, max_iter=20).collect()}
+    out = {
+        r["doc_id"]: r["root_id"]
+        for r in propagate_components(
+            nodes, chain, max_iter=20, driver_threshold=0  # force distributed
+        ).collect()
+    }
     assert out == {v: 0 for v in range(n)}
 
 
