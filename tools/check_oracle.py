@@ -65,14 +65,27 @@ def main() -> int:
     ap.add_argument("-k", default="", help="only keys containing this substring")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("-v", action="store_true", help="print sample mismatching rows")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a stock SparkSession like the driver does (no "
+        "session.py confs) — catches anything that silently depends "
+        "on our tuned session (the round-3 failure mode)",
+    )
     args = ap.parse_args()
 
     import duckdb
 
     import __spark_entry__ as e
-    from tgres_spark.session import get_spark
 
-    spark = get_spark("check_oracle", shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from tgres_spark.session import get_spark
+
+        spark = get_spark("check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
