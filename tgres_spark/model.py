@@ -94,6 +94,12 @@ def epoch_s(col: str, df: DataFrame | None = None) -> Column:
                 f"CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`) "
                 "DIV 1000000 AS BIGINT)"
             )
+        if dt == "date":
+            # calendar-day arithmetic, timezone-free; DuckDB's
+            # epoch_ns(DATE) computes the same midnight-UTC epoch
+            return F.expr(
+                f"CAST(datediff(`{col}`, DATE'1970-01-01') AS BIGINT) * 86400"
+            )
         if dt.startswith("timestamp"):
             return F.expr(f"CAST(unix_micros(`{col}`) DIV 1000000 AS BIGINT)")
     return F.expr(f"CAST(`{col}` DIV 1000000000 AS BIGINT)")
