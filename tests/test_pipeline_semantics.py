@@ -475,3 +475,35 @@ def test_kmeans_parallel_init_deterministic(spark):
     b = _kmeans_parallel_init(emb.repartition(9, "vec_id"), 6, seed=42)
     assert len(a) == 6
     assert a == b
+
+
+def test_histogram_quantiles_accuracy_and_merge_invariance(spark):
+    """The histogram sketch's estimate must sit within one bin width
+    of the exact quantile (its documented accuracy), and the sketch
+    must be partitioning-invariant (bucket counts merge with +)."""
+    import random
+
+    from tgres_spark.operators.sketch import histogram_quantiles
+
+    rng = random.Random(3)
+    rows = [("a", rng.uniform(0, 100)) for _ in range(2000)] + [
+        ("b", rng.gauss(50, 10)) for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(df, "g", "v", width=0.5).collect()
+    }
+    by_g = {"a": sorted(v for g, v in rows if g == "a"),
+            "b": sorted(v for g, v in rows if g == "b")}
+    for (g, q), est in out.items():
+        vs = by_g[g]
+        exact = vs[min(len(vs) - 1, int(q * len(vs)))]
+        assert abs(est - exact) <= 1.0, (g, q, est, exact)
+    out2 = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            df.repartition(13, "v"), "g", "v", width=0.5
+        ).collect()
+    }
+    assert out == out2

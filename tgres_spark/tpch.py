@@ -353,3 +353,21 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+from .operators.sketch import histogram_quantiles, histogram_quantiles_sql  # noqa: E402
+
+
+@register(
+    "events_hist_quantiles",
+    sql=histogram_quantiles_sql(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    ),
+)
+def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram percentiles of event value per type — the
+    sketch-based answer to percentiles over groups too big to sort
+    (operators/sketch.py; the reference's sorted-sample timer stats
+    at aggregator/aggregator.go scale only to flush-window groups)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return histogram_quantiles(ev, "event_type", "value")
