@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "events_retention",
+    "events_hist_quantiles",
     "pipeline_corpus_clean",
     "text_quality",
 ]
