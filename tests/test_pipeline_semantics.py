@@ -507,3 +507,24 @@ def test_histogram_quantiles_accuracy_and_merge_invariance(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_shingles_and_passages_handle_short_docs(spark):
+    """Docs shorter than the shingle/passage width must yield empty
+    arrays, not phantom indices: Spark's sequence(1, 0) is the
+    DESCENDING [1, 0], so a wrong empty-branch drives element_at out
+    of bounds under ANSI for every short doc."""
+    from tgres_spark.pipeline.contamination import passage_dedup
+    from tgres_spark.pipeline.dedup import shingles_of, words
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "two words", "en", "s", 9), (2, "one", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sh = docs.select(
+        F.size(shingles_of(words(F.col("text")), 3)).alias("n")
+    ).collect()
+    assert [r["n"] for r in sh] == [0, 0]
+    out = {r["doc_id"]: r["n_passages"] for r in passage_dedup(docs).collect()}
+    assert out == {1: 0, 2: 0}

@@ -95,3 +95,26 @@ def mm_frame_sample(spark, sf_dir):
     return mm.frame_sample(media).withColumn(
         "frame_idx", F.col("frame_idx").cast("bigint")
     )
+
+
+@register("pipeline_passage_dedup", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).passage_dedup_sql())
+def pipeline_passage_dedup(spark, sf_dir):
+    """Cross-document boilerplate detection: per doc, the share of its
+    non-overlapping 16-word passages that occur in another document
+    (pipeline/contamination.py)."""
+    from ..pipeline.contamination import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "pipeline_contamination",
+    sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).contamination_check_sql(),
+)
+def pipeline_contamination(spark, sf_dir):
+    """Benchmark n-gram decontamination: fraction of each corpus doc's
+    8-grams present in the benchmark split (source = src0 stands in
+    for the eval set)."""
+    from ..pipeline.contamination import contamination_check
+
+    return contamination_check(_docs(spark, sf_dir))

@@ -1,0 +1,173 @@
+"""Passage-level dedup + benchmark-contamination detection.
+
+Two decontamination ops every large training-data pipeline runs before
+a corpus ships, complementing the whole-document dedup family
+(dedup.py):
+
+- ``passage_dedup``: documents often share boilerplate CHUNKS
+  (headers, license blocks, templated sections) while remaining
+  globally distinct, so whole-doc hashing misses them. Non-overlapping
+  k-word passages are hashed and counted across documents; each doc
+  reports how much of it is cross-document boilerplate.
+- ``contamination_check``: the standard n-gram test-set decontamination
+  (as published for GPT-2/GPT-3-style training runs): a corpus
+  document is contaminated when a high fraction of its k-grams appear
+  anywhere in the benchmark set.
+
+Both are pure DataFrame algebra over md5 keys (uniform, skew-free) and
+exact integer counts with one final double division — deterministic,
+so both carry full DuckDB oracles.
+
+Scale: the passage/gram relations explode ~n_words/k (passages) or
+~n_words (grams) rows per doc, shuffled once on uniform hashes. The
+benchmark gram set is broadcast (benchmarks are small by nature —
+thousands of docs); drop the hint and the join degrades gracefully to
+a hash join on the same uniform keys if a "benchmark" ever isn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import WORDS_SQL, shingles_of, shingles_sql, words
+
+
+def _passages_of(w, k: int):
+    """Non-overlapping k-word chunks of an already-materialized words
+    array (same no-CSE-in-lambda rule as shingles_of)."""
+    n_chunks = F.floor(F.size(w) / k).cast("int")
+    # sequence(1, 0) is DESCENDING [1, 0], not empty (see shingles_of)
+    empty = F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0)
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(empty)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i * k + j + 1) for j in range(k)]
+        ),
+    )
+
+
+def _passages_sql(c: str, k: int) -> str:
+    w = WORDS_SQL.format(c=c)
+    joined = " || ' ' || ".join(f"__w[i * {k} + {j + 1}]" for j in range(k))
+    return (
+        f"list_transform(range(0, CAST(FLOOR(len(__w) / {k}) AS BIGINT)), "
+        f"i -> {joined})"
+    ).replace("__w", f"({w})")
+
+
+def passage_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, n_passages, n_dup_passages, dup_ratio): per document,
+    how many of its distinct k-word passages occur in at least one
+    OTHER document (repeats inside one doc are not boilerplate)."""
+    w = words(F.col("text"))
+    pas = (
+        docs.select("doc_id", _passages_of(w, k).alias("ps"))
+        .select("doc_id", F.explode("ps").alias("p"))
+        .select("doc_id", F.md5("p").alias("h"))
+        .distinct()
+    )
+    spread = pas.groupBy("h").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        pas.join(spread, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+        F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
+        F.when(
+            F.coalesce("n_passages", F.lit(0)) > 0,
+            F.col("n_dup_passages").cast("double") / F.col("n_passages"),
+        ).alias("dup_ratio"),
+    )
+
+
+def passage_dedup_sql(k: int = 16) -> str:
+    pas = (
+        f"SELECT DISTINCT doc_id, md5(UNNEST({_passages_sql('text', k)})) AS h "
+        "FROM documents"
+    )
+    return (
+        f"WITH pas AS ({pas}), "
+        "spread AS (SELECT h, COUNT(*) AS n_docs FROM pas GROUP BY h), "
+        "per_doc AS (SELECT doc_id, COUNT(*) AS n_passages, "
+        "SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_passages "
+        "FROM pas JOIN spread USING (h) GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(n_passages, 0) AS BIGINT) AS n_passages, "
+        "CAST(COALESCE(n_dup_passages, 0) AS BIGINT) AS n_dup_passages, "
+        "CASE WHEN COALESCE(n_passages, 0) > 0 "
+        "THEN CAST(n_dup_passages AS DOUBLE) / n_passages END AS dup_ratio "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id"
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark_source: str = "src0",
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit, frac, contaminated): for every NON-
+    benchmark document, the fraction of its distinct k-grams that
+    appear anywhere in the benchmark split; contaminated = frac ≥
+    threshold. Benchmark membership is by ``source`` here; a real run
+    passes the actual eval-set relation as the benchmark side."""
+    w = words(F.col("text"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(shingles_of(w, k)).alias("g")
+    ).select("doc_id", "source", F.md5("g").alias("h"))
+    bench = (
+        grams.where(F.col("source") == benchmark_source).select("h").distinct()
+    )
+    corpus = grams.where(F.col("source") != benchmark_source).select(
+        "doc_id", "h"
+    ).distinct()
+    hits = corpus.join(F.broadcast(bench), "h", "left_semi")
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    nhit = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    return (
+        totals.join(nhit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce(frac, F.lit(0.0)).alias("frac"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("frac") >= float(threshold)).cast("bigint"),
+        )
+    )
+
+
+def contamination_check_sql(
+    benchmark_source: str = "src0", k: int = 8, threshold: float = 0.5
+) -> str:
+    grams = (
+        f"SELECT doc_id, source, md5(UNNEST({shingles_sql('text', k)})) AS h "
+        "FROM documents"
+    )
+    return (
+        f"WITH grams AS ({grams}), "
+        f"bench AS (SELECT DISTINCT h FROM grams WHERE source = '{benchmark_source}'), "
+        f"corpus AS (SELECT DISTINCT doc_id, h FROM grams WHERE source <> '{benchmark_source}'), "
+        "totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM corpus "
+        "WHERE h IN (SELECT h FROM bench) GROUP BY doc_id) "
+        "SELECT totals.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, "
+        "COALESCE(CAST(n_hit AS DOUBLE) / n_grams, 0.0) AS frac, "
+        f"CAST(COALESCE(CAST(n_hit AS DOUBLE) / n_grams, 0.0) >= {float(threshold)!r} AS BIGINT) AS contaminated "
+        "FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id"
+    )

@@ -44,9 +44,12 @@ def shingles_of(w, k: int = 3):
     for every element (O(words²) per doc; measured 12s vs 1s at sf0.1).
     """
     n = F.size(w)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.sequence(F.lit(1), F.lit(0))
-    )
+    # the empty branch must be a real empty array: sequence(1, 0)
+    # steps DOWNWARD to [1, 0] (Spark auto-negates the step), and the
+    # phantom indices then drive element_at out of bounds under ANSI
+    # for any doc shorter than k words
+    empty = F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(empty)
     return F.transform(
         idx,
         lambda i: F.concat_ws(
