@@ -528,3 +528,27 @@ def test_shingles_and_passages_handle_short_docs(spark):
     assert [r["n"] for r in sh] == [0, 0]
     out = {r["doc_id"]: r["n_passages"] for r in passage_dedup(docs).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """A doc of corpus-frequent words must score higher (less
+    negative) than a doc of hapax words, and scores must be exact:
+    mean log10 p with p from corpus counts."""
+    import math
+
+    from tgres_spark.pipeline.textstats import text_unigram_logprob
+
+    rows = [
+        (1, "common common common common", "en", "s", 1),
+        (2, "common common rare1 rare2", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["avg_logp"] for r in text_unigram_logprob(docs).collect()}
+    assert out[1] > out[2]
+    # exact check: total 8 tokens, p(common)=6/8, p(rare)=1/8
+    lp_c, lp_r = math.log10(6 / 8), math.log10(1 / 8)
+    q = lambda x: math.floor(round(x, 9) * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert math.isclose(out[1], (4 * q(lp_c)) / 4, abs_tol=1e-9)
+    assert math.isclose(out[2], (2 * q(lp_c) + q(lp_r) * 2) / 4, abs_tol=1e-9)

@@ -118,3 +118,8 @@ def pipeline_contamination(spark, sf_dir):
     from ..pipeline.contamination import contamination_check
 
     return contamination_check(_docs(spark, sf_dir))
+
+
+register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
+    lambda spark, sf_dir: tx.text_unigram_logprob(_docs(spark, sf_dir))
+)

@@ -284,3 +284,66 @@ def corpus_clean_sql(
         "JOIN keep ON d.doc_id = keep.doc_id "
         f"WHERE pred_lang IN ({lang_list}) AND score >= {float(min_score)!r}"
     )
+
+
+def text_unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram quality score: (doc_id, n_words, avg_logp)
+    where avg_logp is the mean corpus-unigram log10-probability of the
+    doc's tokens — low scores flag gibberish / OOV-heavy documents for
+    the quality gate (the cheap stand-in for an LM perplexity filter).
+
+    Shape: ONE word-frequency aggregate over the corpus (vocab-sized,
+    broadcast into the scoring join), then one groupBy(doc). All
+    arithmetic is deterministic: counts are exact int64, the count/
+    total division and log10 are rounded at 9 digits (the libm rule —
+    JVM vs C++ differ in the last ulp), and the per-doc sum uses
+    micro6 BIGINT accumulation (order-free; per-group bound trivially
+    satisfied: |logp| < 20 per token)."""
+    from ..model import micro6
+
+    tok = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("tot"))
+    logp = F.round(
+        F.log(10.0, F.col("c").cast("double") / F.col("tot")), 9
+    )
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp.alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        (
+            F.sum(micro6(F.col("lp"))).cast("double")
+            / 1000000.0
+            / F.count("*")
+        ).alias("avg_logp"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.col("avg_logp"),
+    )
+
+
+def text_unigram_logprob_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    tok = f"SELECT doc_id, UNNEST({w}) AS w FROM documents"
+    return (
+        f"WITH tok AS ({tok}), "
+        "freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), "
+        "total AS (SELECT SUM(c) AS tot FROM freq), "
+        "scored AS (SELECT doc_id, "
+        "ROUND(LN(CAST(c AS DOUBLE) / tot) / LN(10.0), 9) AS lp "
+        "FROM tok JOIN freq USING (w) CROSS JOIN total), "
+        "per_doc AS (SELECT doc_id, COUNT(*) AS n_words, "
+        "CAST(SUM(CAST(FLOOR(lp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 / COUNT(*) AS avg_logp "
+        "FROM scored GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words, "
+        "avg_logp FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id"
+    )
