@@ -61,9 +61,12 @@ def passage_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     """(doc_id, n_passages, n_dup_passages, dup_ratio): per document,
     how many of its distinct k-word passages occur in at least one
     OTHER document (repeats inside one doc are not boilerplate)."""
-    w = words(F.col("text"))
+    # materialize the words array FIRST — the no-CSE-in-lambda rule
+    # (shingles_of docstring): an inlined words() recomputes the full
+    # regex split per element inside the chunk lambda
     pas = (
-        docs.select("doc_id", _passages_of(w, k).alias("ps"))
+        docs.select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", _passages_of(F.col("w"), k).alias("ps"))
         .select("doc_id", F.explode("ps").alias("p"))
         .select("doc_id", F.md5("p").alias("h"))
         .distinct()
@@ -122,10 +125,15 @@ def contamination_check(
     appear anywhere in the benchmark split; contaminated = frac ≥
     threshold. Benchmark membership is by ``source`` here; a real run
     passes the actual eval-set relation as the benchmark side."""
-    w = words(F.col("text"))
-    grams = docs.select(
-        "doc_id", "source", F.explode(shingles_of(w, k)).alias("g")
-    ).select("doc_id", "source", F.md5("g").alias("h"))
+    grams = (
+        docs.select("doc_id", "source", words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_of(F.col("w"), k)).alias("g"),
+        )
+        .select("doc_id", "source", F.md5("g").alias("h"))
+    )
     bench = (
         grams.where(F.col("source") == benchmark_source).select("h").distinct()
     )
