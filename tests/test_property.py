@@ -103,3 +103,50 @@ def test_hw_smooth_shapes_and_sse(n_seasons, slen, a, b, g):
 def test_hw_smooth_rejects_bad_alpha(bad, ok):
     _, _, sse = hw_smooth(np.ones(20), 5, 0.0, np.ones(5), 0, bad, ok, ok)
     assert sse > 1e18
+
+
+# --- micro6 cross-engine determinism core ---------------------------------
+
+micro_vals = st.floats(
+    min_value=-9e5, max_value=9e5, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(micro_vals, min_size=1, max_size=40))
+@settings(max_examples=30, deadline=None)
+def test_micro6_sum_matches_duckdb_bit_for_bit(vals):
+    """The determinism core: floor(x*1e6+0.5) summed as int64 must be
+    BIT-identical between Python ints (ground truth for both engines'
+    integer arithmetic) and DuckDB's HUGEINT path, including dyadic
+    half-way ties and sign changes. Spark's side is pinned by the 146
+    oracle-verified queries; this focuses the adversarial value space
+    (ties, tiny magnitudes, cancellation) without a JVM in the loop."""
+    import math
+
+    import duckdb
+
+    py = sum(math.floor(v * 1000000.0 + 0.5) for v in vals)
+    py_final = py / 1000000.0 / len(vals)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck = con.execute(
+        "SELECT CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 / COUNT(v) FROM t"
+    ).fetchone()[0]
+    con.close()
+    assert duck == py_final, (vals, duck, py_final)
+
+
+@given(st.lists(micro_vals, min_size=1, max_size=30), st.integers(2, 5))
+@settings(max_examples=20, deadline=None)
+def test_micro6_sum_is_partition_invariant(vals, n_parts):
+    """Int64 micro-unit sums are associative: any partitioning of the
+    rows merges to the same total (the property that makes map-side
+    partial aggregation and the salted two-phase consolidate exact)."""
+    import math
+
+    micro = [math.floor(v * 1000000.0 + 0.5) for v in vals]
+    whole = sum(micro)
+    parts = [sum(micro[i::n_parts]) for i in range(n_parts)]
+    assert sum(parts) == whole
