@@ -379,3 +379,15 @@ def test_name_catalog_create_on_first_write(spark, tmp_path):
         for r in find(read_catalog(spark, cat_dir), "web.*").collect()
     }
     assert paths == {("web.srv1", 0), ("web.srv2", 0)}
+
+    # snapshot retention: 3 batches ran, only the newest 2 versions
+    # survive, and the pointer targets an existing one
+    import os as _os
+
+    versions = sorted(
+        d for d in _os.listdir(cat_dir)
+        if d.startswith("v") and _os.path.isdir(_os.path.join(cat_dir, d))
+    )
+    assert len(versions) == 2
+    with open(_os.path.join(cat_dir, "_LATEST")) as f:
+        assert f.read().strip() == versions[-1]

@@ -95,6 +95,22 @@ def merge_catalog_batch(
     with open(tmp, "w") as f:
         f.write(version)
     os.replace(tmp, os.path.join(catalog_dir, _LATEST))
+    _retire_old_snapshots(catalog_dir, keep=2)
+
+
+def _retire_old_snapshots(catalog_dir: str, keep: int = 2) -> None:
+    """Drop snapshot dirs older than the newest ``keep`` — the
+    previous snapshot stays readable for any in-flight reader that
+    resolved the pointer just before the swap; everything older is
+    unreachable (the pointer only moves forward)."""
+    import shutil
+
+    versions = sorted(
+        d for d in os.listdir(catalog_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(catalog_dir, d))
+    )
+    for d in versions[:-keep]:
+        shutil.rmtree(os.path.join(catalog_dir, d), ignore_errors=True)
 
 
 def run_catalog_pipeline(
