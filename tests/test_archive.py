@@ -133,3 +133,72 @@ def test_partitioned_archive_prunes_day_and_bucket(spark, tmp_path):
     pf = plan[plan.index("PartitionFilters") :].split("]")[0]
     assert "day" in pf and "bucket" in pf
     assert "GreaterThanOrEqual(t" in plan  # row filter still pushed
+
+
+def test_refresh_archives_incremental_equals_full_rebuild(spark, tmp_path):
+    """The incremental day-partition refresh must (1) produce rollups
+    BIT-equal to a full rebuild, including the first slot after the
+    refresh boundary whose lag-predecessor lives in the lookback
+    window, and (2) leave pre-boundary partition files untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.archive import materialize_archives, refresh_archives
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "name string, t long, value double")
+
+    day = 86400
+    rows_old = [
+        ("m.a", d * day + off, float((d * 7 + off) % 13))
+        for d in range(1, 4)
+        for off in (120, 7200, 50000, day - 300)
+    ]
+    root = str(tmp_path / "arch")
+    specs = [("wmean", 3600), ("max", 3600)]
+    materialize_archives(
+        spark, mk(rows_old), specs, root, heartbeat=7200, partitioned=True
+    )
+    def digest(skip_day):
+        import hashlib
+
+        out = {}
+        for dp, _, files in os.walk(root):
+            if skip_day in dp:
+                continue
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(dp, fn), "rb") as f:
+                        out[os.path.join(dp, fn)] = hashlib.md5(
+                            f.read()
+                        ).hexdigest()
+        return out
+
+    before = digest("day=1970-01-05")
+
+    # day 4 arrives; its first point's predecessor is day 3's last
+    rows_new = rows_old + [
+        ("m.a", 4 * day + off, float(off % 11)) for off in (60, 3000, 40000)
+    ]
+    refresh_archives(
+        spark, mk(rows_new), specs, root, since_t=4 * day, heartbeat=7200
+    )
+
+    full_root = str(tmp_path / "full")
+    materialize_archives(
+        spark, mk(rows_new), specs, full_root, heartbeat=7200, partitioned=True
+    )
+    for cf, step in specs:
+        inc = {
+            (r["name"], r["t"]): r["value"]
+            for r in spark.read.parquet(f"{root}/{cf}_{step}").collect()
+        }
+        full = {
+            (r["name"], r["t"]): r["value"]
+            for r in spark.read.parquet(f"{full_root}/{cf}_{step}").collect()
+        }
+        assert inc == full, (cf, step)
+
+    after = digest("day=1970-01-05")
+    assert before == after  # pre-boundary partition files untouched

@@ -152,6 +152,60 @@ def materialize_archives(
     return out
 
 
+def refresh_archives(
+    spark: SparkSession,
+    sf: DataFrame,
+    specs: list[tuple[str, int]],
+    root: str,
+    since_t: int,
+    lookback_s: int = 86400,
+    heartbeat: int | None = None,
+    n_buckets: int = 8,
+) -> None:
+    """Incremental nightly rollup: re-consolidate ONLY the day
+    partitions from ``since_t`` forward and dynamically overwrite
+    them, leaving all earlier (day, bucket) directories untouched —
+    the operational path at 100 TB, where a full rebuild re-reads the
+    whole history for one new day of data.
+
+    Exactness: consolidate's lag pass needs each point's predecessor,
+    so the raw slice starts ``lookback_s`` before the first refreshed
+    day (the extra day supplies predecessors; its slots are computed
+    but NOT written). The refresh is BIT-equal to a full rebuild
+    whenever ``heartbeat <= lookback_s``: an interval longer than the
+    lookback exceeds the heartbeat too, so its value is unknown in
+    both computations and the sliced lag's wrong series-head duration
+    never reaches a written slot (asserted in tests/test_archive.py).
+    Only meaningful for archives written with ``partitioned=True``."""
+    day_start = (since_t // 86400) * 86400
+    first_day = F.from_unixtime(F.lit(day_start), "yyyy-MM-dd")
+    sliced = sf.where(F.col(T) > day_start - lookback_s)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for cf, step in specs:
+            rolled = consolidate(sliced, step, cf=cf, heartbeat=heartbeat)
+            (
+                rolled.withColumn(
+                    "day", F.from_unixtime(F.col(T), "yyyy-MM-dd")
+                )
+                .where(F.col("day") >= first_day)
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64(F.col(NAME)), n_buckets)
+                )
+                .write.mode("overwrite")
+                .partitionBy("day", "bucket")
+                .parquet(f"{root}/{cf}_{step}")
+            )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+
 class ArchiveDslContext(DslContext):
     """DslContext that serves fetches from the best archive instead of
     downsampling raw on the fly (dsl/ds_lru.go:271 → BestRRA). The
