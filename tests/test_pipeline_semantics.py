@@ -552,3 +552,37 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     q = lambda x: math.floor(round(x, 9) * 1e6 + 0.5) / 1e6  # noqa: E731
     assert math.isclose(out[1], (4 * q(lp_c)) / 4, abs_tol=1e-9)
     assert math.isclose(out[2], (2 * q(lp_c) + q(lp_r) * 2) / 4, abs_tol=1e-9)
+
+
+def test_mix_rebalance_hits_per_lang_budget(spark):
+    """Every language's selection must reach its token budget (one
+    straddling doc allowed over), stop as soon as it does, and be
+    identical under any input partitioning."""
+    import random
+
+    from tgres_spark.pipeline.prep import mix_rebalance
+
+    rng = random.Random(5)
+    rows = []
+    did = 0
+    for lang in ("en", "de", "fr"):
+        for _ in range(60):
+            n = rng.randrange(5, 40)
+            rows.append((did, " ".join("w" for _ in range(n)), lang, "s", n))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    total = 900  # 300 tokens per lang
+    out = mix_rebalance(docs, total_tokens=total).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de", "fr"}
+    for lang, rs in by_lang.items():
+        got = sum(r["n_tokens"] for r in rs)
+        assert got >= 300, (lang, got)           # budget reached
+        longest = max(r["n_tokens"] for r in rs)
+        assert got - longest < 300, (lang, got)  # no doc beyond straddle
+    out2 = mix_rebalance(docs.repartition(7), total_tokens=total).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

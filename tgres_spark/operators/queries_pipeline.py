@@ -123,3 +123,8 @@ def pipeline_contamination(spark, sf_dir):
 register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
     lambda spark, sf_dir: tx.text_unigram_logprob(_docs(spark, sf_dir))
 )
+
+
+register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(
+    lambda spark, sf_dir: pp.mix_rebalance(_docs(spark, sf_dir))
+)

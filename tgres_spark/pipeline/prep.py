@@ -91,3 +91,72 @@ def token_pack_sql(budget: int = 2048, seed: int = 42) -> str:
         f"SELECT lang, doc_id, CAST({toks} AS BIGINT) AS n_tokens, {h} AS h "
         "FROM documents)"
     )
+
+
+def mix_rebalance(
+    docs: DataFrame, total_tokens: int = 50_000, seed: int = 42
+) -> DataFrame:
+    """Deterministic dataset-mixture rebalancing: select documents per
+    language so every language contributes ≈ ``total_tokens/n_langs``
+    whitespace tokens — the "data mixing" stage that reweights a
+    scraped corpus toward a target distribution before training.
+
+    Per language the docs are walked in seeded-hash order (the same
+    replay-stable order sample_stratified/token_pack use) and taken
+    while the running token prefix-sum stays under the language's
+    budget, plus the one straddling doc (so every language reaches its
+    budget rather than stopping short). Integer prefix sums → the
+    chosen set is exact and identical in both engines. Returns
+    (lang, doc_id, n_tokens, cum_tokens).
+
+    Scale: one per-lang window over integer sums — no collect, no
+    iteration; budgets are a broadcast 1-row-per-lang relation."""
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select("lang", "doc_id", toks.cast("bigint").alias("n_tokens"))
+    n_langs = d.select("lang").distinct().groupBy().count()
+    # integer division on both engines: a double-divide then cast
+    # truncates in Spark but ROUNDS in DuckDB's CAST
+    budgets = n_langs.select(
+        F.expr(f"CAST({int(total_tokens)} DIV count AS BIGINT)").alias("budget")
+    )
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.crossJoin(F.broadcast(budgets))
+        .withColumn("before", before)
+        .where(F.col("before") < F.col("budget"))
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            (F.col("before") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
+def mix_rebalance_sql(total_tokens: int = 50_000, seed: int = 42) -> str:
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    h = f"md5({seed} || ':' || doc_id)"
+    return (
+        "WITH d AS ("
+        f"SELECT lang, doc_id, CAST({toks} AS BIGINT) AS n_tokens, {h} AS h "
+        "FROM documents), "
+        "b AS (SELECT CAST("
+        f"{int(total_tokens)} // COUNT(DISTINCT lang) AS BIGINT) AS budget "
+        "FROM d), "
+        "pref AS (SELECT lang, doc_id, n_tokens, "
+        # CAST: DuckDB window SUM promotes to HUGEINT -> float on fetch
+        "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h ASC, "
+        "doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS before FROM d) "
+        "SELECT lang, doc_id, n_tokens, "
+        "CAST(before + n_tokens AS BIGINT) AS cum_tokens "
+        "FROM pref CROSS JOIN b WHERE before < budget"
+    )
