@@ -391,3 +391,44 @@ def test_name_catalog_create_on_first_write(spark, tmp_path):
     assert len(versions) == 2
     with open(_os.path.join(cat_dir, "_LATEST")) as f:
         assert f.read().strip() == versions[-1]
+
+
+def test_statsd_gauges_stream_matches_batch(spark, tmp_path):
+    """Streaming gauge windows (last set value, tie → max, plus delta
+    adjustments) must equal the batch _flush_gauges on the same
+    packets, including a delta-only window (base 0)."""
+    from tgres_spark.aggregator import statsd_flush
+    from tgres_spark.sources.statsd import parse_statsd_packets
+    from tgres_spark.streaming.ingest import run_statsd_gauges_pipeline
+
+    in_dir = tmp_path / "gsin"
+    in_dir.mkdir()
+    lines = [
+        "10 g1:5.0|g", "20 g1:7.5|g", "20 g1:2.5|g",  # tie at t=20 -> 7.5
+        "30 g1:+1.25|g", "40 g1:-0.75|g",             # deltas on base 7.5
+        "70 g2:+3.0|g",                               # delta-only window
+        "95 g1:9.0|g",
+        "300 zz:0|g",                                  # watermark sentinel
+    ]
+    (in_dir / "p.txt").write_text("\n".join(lines) + "\n")
+    run_statsd_gauges_pipeline(
+        spark, str(in_dir), str(tmp_path / "gsout"), str(tmp_path / "gsck"),
+        flush_s=60, watermark_s=10,
+    )
+    got = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in spark.read.parquet(str(tmp_path / "gsout")).collect()
+        if "zz" not in r["name"]
+    }
+    pk = spark.createDataFrame(
+        [(int(x.split(" ", 1)[0]), x.split(" ", 1)[1]) for x in lines],
+        "t long, packet string",
+    )
+    expect = {
+        (r["name"], r["t"]): round(r["value"], 9)
+        for r in statsd_flush(parse_statsd_packets(pk), 60).collect()
+        if r["name"].startswith("stats.gauges") and "zz" not in r["name"]
+    }
+    assert got == expect
+    assert got[("stats.gauges.g1", 60)] == 8.0   # 7.5 + 1.25 - 0.75
+    assert got[("stats.gauges.g2", 120)] == 3.0  # delta-only base 0

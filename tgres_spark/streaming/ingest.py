@@ -219,3 +219,57 @@ def run_statsd_timers_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def run_statsd_gauges_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    flush_s: int = 60,
+    watermark_s: int = 600,
+) -> None:
+    """Streaming statsd GAUGES: per window, the last SET value (ties
+    at the same second break to the larger value — max of the (t, v)
+    struct is exactly the batch tmax-then-max-v rule) plus the
+    window's micro6-summed delta adjustments. Window-local semantics
+    matching the batch authority `_flush_gauges` bit-for-bit; append
+    mode emits each window once its watermark passes."""
+    from ..model import micro6
+
+    parsed = read_statsd_stream(spark, in_path)
+    g = parsed.where(F.col("metric") == "g").withColumn(
+        "ts", (F.col(T) - 1).cast("timestamp")
+    )
+    agg = (
+        g.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy(F.window("ts", f"{flush_s} seconds"), F.col(NAME))
+        .agg(
+            F.max(
+                F.when(~F.col("delta"), F.struct(F.col(T), F.col(VALUE)))
+            ).alias("last_set"),
+            (
+                F.sum(F.when(F.col("delta"), micro6(F.col(VALUE)))).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("d"),
+        )
+        .select(
+            F.concat(F.lit("stats.gauges."), F.col(NAME)).alias(NAME),
+            F.unix_timestamp(F.col("window.end")).cast("bigint").alias(T),
+            (
+                F.coalesce(F.col(f"last_set.{VALUE}"), F.lit(0.0))
+                + F.coalesce(F.col("d"), F.lit(0.0))
+            ).cast("double").alias(VALUE),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
