@@ -175,7 +175,7 @@ def test_refresh_archives_incremental_equals_full_rebuild(spark, tmp_path):
                         ).hexdigest()
         return out
 
-    before = digest("day=1970-01-05")
+    before = digest("day=4")
 
     # day 4 arrives; its first point's predecessor is day 3's last
     rows_new = rows_old + [
@@ -200,5 +200,5 @@ def test_refresh_archives_incremental_equals_full_rebuild(spark, tmp_path):
         }
         assert inc == full, (cf, step)
 
-    after = digest("day=1970-01-05")
+    after = digest("day=4")
     assert before == after  # pre-boundary partition files untouched

@@ -432,3 +432,27 @@ def test_statsd_gauges_stream_matches_batch(spark, tmp_path):
     assert got == expect
     assert got[("stats.gauges.g1", 60)] == 8.0   # 7.5 + 1.25 - 0.75
     assert got[("stats.gauges.g2", 120)] == 3.0  # delta-only base 0
+
+
+def test_catalog_merge_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch replay (crash after the pointer swap, before the
+    checkpoint commit) must fold against its ORIGINAL base — n_points
+    must not double-count the replayed batch."""
+    from tgres_spark.streaming.catalog import merge_catalog_batch, read_catalog
+
+    cat = str(tmp_path / "rcat")
+    os.makedirs(cat)
+    b0 = spark.createDataFrame(
+        [("a.x", 100, 1.0), ("a.x", 160, 2.0)], "name string, t long, value double"
+    )
+    b1 = spark.createDataFrame(
+        [("a.x", 220, 3.0), ("b.y", 230, 4.0)], "name string, t long, value double"
+    )
+    merge_catalog_batch(b0, 0, cat)
+    merge_catalog_batch(b1, 1, cat)
+    first = {r["name"]: (r["n_points"], r["first_seen"], r["last_seen"])
+             for r in read_catalog(spark, cat).collect()}
+    merge_catalog_batch(b1, 1, cat)  # replay
+    again = {r["name"]: (r["n_points"], r["first_seen"], r["last_seen"])
+             for r in read_catalog(spark, cat).collect()}
+    assert first == again == {"a.x": (3, 100, 220), "b.y": (1, 230, 230)}

@@ -136,7 +136,12 @@ def materialize_archives(
         if partitioned:
             (
                 rolled.withColumn(
-                    "day", F.from_unixtime(F.col(T), "yyyy-MM-dd")
+                    # epoch-day INTEGER, never a calendar string:
+                    # from_unixtime renders through the session
+                    # timezone, so the same table written from two
+                    # sessions would shear its partitions (the repo
+                    # rule is epoch bigints end-to-end)
+                    "day", F.expr(f"CAST(`{T}` DIV 86400 AS BIGINT)")
                 )
                 .withColumn(
                     "bucket", F.pmod(F.xxhash64(F.col(NAME)), n_buckets)
@@ -178,7 +183,7 @@ def refresh_archives(
     never reaches a written slot (asserted in tests/test_archive.py).
     Only meaningful for archives written with ``partitioned=True``."""
     day_start = (since_t // 86400) * 86400
-    first_day = F.from_unixtime(F.lit(day_start), "yyyy-MM-dd")
+    first_day = F.lit(since_t // 86400)
     sliced = sf.where(F.col(T) > day_start - lookback_s)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -187,7 +192,7 @@ def refresh_archives(
             rolled = consolidate(sliced, step, cf=cf, heartbeat=heartbeat)
             (
                 rolled.withColumn(
-                    "day", F.from_unixtime(F.col(T), "yyyy-MM-dd")
+                    "day", F.expr(f"CAST(`{T}` DIV 86400 AS BIGINT)")
                 )
                 .where(F.col("day") >= first_day)
                 .withColumn(
@@ -232,15 +237,9 @@ class ArchiveDslContext(DslContext):
             # a literal constant-folds, so both predicates prune at
             # the file listing, not per row.
             if self.t_from is not None:
-                df = df.where(
-                    F.col("day")
-                    >= F.from_unixtime(F.lit(self.t_from), "yyyy-MM-dd")
-                )
+                df = df.where(F.col("day") >= self.t_from // 86400)
             if self.t_to is not None:
-                df = df.where(
-                    F.col("day")
-                    <= F.from_unixtime(F.lit(self.t_to), "yyyy-MM-dd")
-                )
+                df = df.where(F.col("day") <= self.t_to // 86400)
             if not any(c in pattern for c in "*?{}[]"):
                 df = df.where(
                     F.col("bucket")

@@ -104,6 +104,11 @@ def consolidate(
     # order-free, codegen-friendly — see model.micro6 for the bound).
     # dur is an integral double by construction (epoch diffs; 1.0 for
     # a series head), so its BIGINT cast is exact in both engines.
+    # WMEAN envelope: the per-slot Σ|v|·dur must stay under 9.2e12
+    # (int64 / 1e6) — at dur-sum ≤ 86400 s/slot that's |v| < ~1e8,
+    # comfortably covering metric gauges/rates; values beyond it
+    # (e.g. raw nanosecond counters) should be scaled at ingest, and
+    # an overflow is an ANSI fail-stop, never a silent wrong answer.
     if cf == "wmean":
         num = F.sum(
             F.when(

@@ -258,12 +258,12 @@ def whisper_import(spark, sf_dir):
     mapInPandas. Covers the one source with no parquet testdata; the
     fixture is static so row count, schema, and values are stable
     across runs."""
+    import hashlib
     import os
     import tempfile
 
     from ..sources.whisper import read_whisper, write_whisper_bytes
 
-    root = os.path.join(tempfile.gettempdir(), "tgres_spark_wsp_fixture")
     t0 = 1704067200
     specs = {
         "web/cpu.wsp": [
@@ -277,13 +277,21 @@ def whisper_import(spark, sf_dir):
             (300, [(t0 + i * 300, float((i * 7) % 29) / 2.0) for i in range(60)]),
         ],
     }
-    for rel, archives in specs.items():
+    # fixture dir keyed by a digest of the encoded archives: a stale
+    # cache from an older spec (or codec change) regenerates instead
+    # of silently serving old bytes; existence alone is not identity
+    blobs = {rel: write_whisper_bytes(a) for rel, a in specs.items()}
+    digest = hashlib.md5(
+        b"".join(k.encode() + v for k, v in sorted(blobs.items()))
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"tgres_spark_wsp_{digest}")
+    for rel, blob in blobs.items():
         path = os.path.join(root, rel)
         if not os.path.exists(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
-                f.write(write_whisper_bytes(archives))
+                f.write(blob)
             os.replace(tmp, path)
     return read_whisper(spark, f"{root}/*/*.wsp", root=root)
 

@@ -50,26 +50,37 @@ def histogram_quantiles(
     cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("g"))
     )
-    outs = []
-    for q in qs:
-        # ceil(q*n) in exact arithmetic: q is a small exact decimal
-        target = F.ceil(F.lit(float(q)) * F.col("n"))
-        first = (
-            cum.where(F.col("cum") >= target)
-            .groupBy("g", "n")
-            .agg(F.min("b").alias("qb"))
-        )
-        outs.append(
-            first.select(
-                F.col("g").alias(group_col),
-                F.lit(float(q)).alias("q"),
-                (F.col("qb") * float(width)).alias("est"),
-                F.col("n").alias("n"),
+    # ONE aggregation answers every quantile (a per-q union would
+    # re-derive the whole histogram lineage per q): for each q, the
+    # smallest bin whose cumulative count reaches ceil(q·n), as a
+    # conditional min; unpivot after. ceil(q·n) is exact arithmetic
+    # (q is a small literal, n an exact int).
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")),
+                F.col("b"),
             )
+        ).alias(f"qb_{i}")
+        for i, q in enumerate(qs)
+    ]
+    wide = cum.groupBy("g", "n").agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    (F.col(f"qb_{i}") * float(width)).alias("est"),
+                )
+                for i, q in enumerate(qs)
+            ]
         )
-    from functools import reduce
-
-    return reduce(DataFrame.unionAll, outs)
+    )
+    return wide.select(
+        F.col("g").alias(group_col), pairs.alias("qe"), F.col("n")
+    ).select(
+        group_col, F.col("qe.q").alias("q"), F.col("qe.est").alias("est"), "n"
+    )
 
 
 def histogram_quantiles_sql(

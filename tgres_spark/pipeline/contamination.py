@@ -82,7 +82,9 @@ def passage_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
             ),
         )
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    # distinct mirrors the oracle's SELECT DISTINCT doc_id — duplicate
+    # doc rows otherwise emit duplicate output rows only on this side
+    return docs.select("doc_id").distinct().join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
         F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),

@@ -565,8 +565,14 @@ def propagate_components(
     # union-find on the collected pairs is strictly faster and yields
     # the identical min-root labeling; the distributed loop below is
     # the authority above it (pinned by a forced-distributed test).
-    # The gate counts the raw pair list — no shuffle spent deciding.
-    if e1.count() <= driver_threshold:
+    # The gate counts the raw pair list — no shuffle spent deciding —
+    # and e1 is persisted FIRST: pairs is the expensive LSH similarity
+    # join, and without the persist the count, the collect (driver
+    # branch) and the edges union (distributed branch) would each
+    # recompute it from scratch.
+    e1 = e1.persist()
+    n_edges = e1.count()
+    if n_edges <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -580,6 +586,7 @@ def propagate_components(
             return r
 
         edge_rows = e1.collect()
+        e1.unpersist()  # everything below is driver-local / node-list only
         for row in edge_rows:
             ra, rb = find(row["a"]), find(row["b"])
             if ra != rb:
@@ -606,6 +613,8 @@ def propagate_components(
         .distinct()
         .persist()
     )
+    edges.count()  # materialize so e1's cache can go
+    e1.unpersist()
     # Iterate ONLY over edge-connected nodes: singletons (the vast
     # majority of a corpus — anything without a near-dup pair) can
     # never change label, so hauling them through every round's joins
@@ -658,7 +667,12 @@ def propagate_components(
         prev_sum = cur
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
-    singletons = nodes.join(conn, "doc_id", "left_anti").select(
+    # singletons anti-join against the CHECKPOINTED labels (which
+    # cover exactly the connected nodes) — not against conn, whose
+    # cache is released below; an unpersisted conn in the returned
+    # plan would silently recompute the whole LSH pair derivation on
+    # every downstream action.
+    singletons = nodes.join(labels, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("root_id")
     )
     out = labels.select(

@@ -114,12 +114,20 @@ def mix_rebalance(
     from pyspark.sql import Window
 
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    d = docs.select("lang", "doc_id", toks.cast("bigint").alias("n_tokens"))
+    # NULL langs drop out on BOTH engines up front (Spark's distinct
+    # counts a NULL group, DuckDB's COUNT(DISTINCT) ignores it — a
+    # silent cross-engine budget divergence otherwise)
+    d = docs.where(F.col("lang").isNotNull()).select(
+        "lang", "doc_id", toks.cast("bigint").alias("n_tokens")
+    )
     n_langs = d.select("lang").distinct().groupBy().count()
     # integer division on both engines: a double-divide then cast
-    # truncates in Spark but ROUNDS in DuckDB's CAST
+    # truncates in Spark but ROUNDS in DuckDB's CAST; GREATEST guards
+    # the empty-corpus zero divisor (ANSI throws, DuckDB returns NULL)
     budgets = n_langs.select(
-        F.expr(f"CAST({int(total_tokens)} DIV count AS BIGINT)").alias("budget")
+        F.expr(
+            f"CAST({int(total_tokens)} DIV GREATEST(count, 1) AS BIGINT)"
+        ).alias("budget")
     )
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id")))
     w = (
@@ -147,9 +155,9 @@ def mix_rebalance_sql(total_tokens: int = 50_000, seed: int = 42) -> str:
     return (
         "WITH d AS ("
         f"SELECT lang, doc_id, CAST({toks} AS BIGINT) AS n_tokens, {h} AS h "
-        "FROM documents), "
+        "FROM documents WHERE lang IS NOT NULL), "
         "b AS (SELECT CAST("
-        f"{int(total_tokens)} // COUNT(DISTINCT lang) AS BIGINT) AS budget "
+        f"{int(total_tokens)} // GREATEST(COUNT(DISTINCT lang), 1) AS BIGINT) AS budget "
         "FROM d), "
         "pref AS (SELECT lang, doc_id, n_tokens, "
         # CAST: DuckDB window SUM promotes to HUGEINT -> float on fetch

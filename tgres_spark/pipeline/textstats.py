@@ -322,7 +322,8 @@ def text_unigram_logprob(docs: DataFrame) -> DataFrame:
             / F.count("*")
         ).alias("avg_logp"),
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    # distinct mirrors the oracle's SELECT DISTINCT doc_id
+    return docs.select("doc_id").distinct().join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_words", F.lit(0)).alias("n_words"),
         F.col("avg_logp"),

@@ -49,21 +49,41 @@ def read_catalog(spark: SparkSession, catalog_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(catalog_dir, version))
 
 
+def _latest_before(
+    spark: SparkSession, catalog_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Newest snapshot with version strictly below ``batch_id``."""
+    if not os.path.isdir(catalog_dir):
+        return None
+    versions = sorted(
+        d
+        for d in os.listdir(catalog_dir)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and int(d[1:]) < batch_id
+        and os.path.isdir(os.path.join(catalog_dir, d))
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(catalog_dir, versions[-1]))
+
+
 def merge_catalog_batch(
     batch: DataFrame, batch_id: int, catalog_dir: str
 ) -> None:
     """Fold one micro-batch of points into the catalog (foreachBatch
-    target). Idempotent per batch_id: replaying the same batch writes
-    the same snapshot version, so checkpoint recovery cannot
-    double-count a replayed batch into n_points twice AND advance the
-    pointer past it (the pointer moves to the replayed version)."""
+    target). Idempotent per batch_id: the merge base is the newest
+    snapshot with version < batch_id — NOT the _LATEST pointer — so a
+    batch replayed after a crash (pointer already advanced to its own
+    version, checkpoint not yet committed) folds against its original
+    base instead of double-counting itself into n_points."""
     spark = batch.sparkSession
     incoming = batch.groupBy(NAME).agg(
         F.min(T).alias("b_first"),
         F.max(T).alias("b_last"),
         F.count("*").alias("b_n"),
     )
-    cur = read_catalog(spark, catalog_dir)
+    cur = _latest_before(spark, catalog_dir, batch_id)
     if cur is None:
         merged = incoming.select(
             NAME,
