@@ -107,6 +107,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # estimator provenance: per-query timings are the MIN
+                # of `runs` executions (cache cleared between runs) —
+                # consumers comparing to single-shot rounds (r1/r2)
+                # or a single-shot baseline can see the difference.
+                "runs": RUNS,
+                "estimator": "min",
                 "vs_baseline": vs_baseline,
             }
         )

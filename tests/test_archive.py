@@ -202,3 +202,45 @@ def test_refresh_archives_incremental_equals_full_rebuild(spark, tmp_path):
 
     after = digest("day=4")
     assert before == after  # pre-boundary partition files untouched
+
+
+def test_refresh_lookback_boundary_inclusive(spark, tmp_path):
+    """A predecessor exactly at ``day_start - lookback_s`` with
+    ``heartbeat == lookback_s`` (the documented validity boundary) must
+    be kept by the slice: its successor at ``day_start`` then carries a
+    known interval of exactly ``heartbeat`` seconds instead of becoming
+    a series head, so the incremental refresh stays bit-equal to a full
+    rebuild."""
+    from tgres_spark.archive import materialize_archives, refresh_archives
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "name string, t long, value double")
+
+    day = 86400
+    # one point per day, landing exactly on each midnight
+    rows_old = [("m.b", d * day, float(d)) for d in range(1, 4)]
+    root = str(tmp_path / "arch")
+    specs = [("wmean", 3600)]
+    materialize_archives(
+        spark, mk(rows_old), specs, root, heartbeat=day, partitioned=True
+    )
+    # day 4 arrives: its point at exactly 4*day has its lag-predecessor
+    # at exactly 3*day == day_start - lookback_s
+    rows_new = rows_old + [("m.b", 4 * day, 4.0)]
+    refresh_archives(
+        spark, mk(rows_new), specs, root,
+        since_t=4 * day, lookback_s=day, heartbeat=day,
+    )
+    full_root = str(tmp_path / "full")
+    materialize_archives(
+        spark, mk(rows_new), specs, full_root, heartbeat=day, partitioned=True
+    )
+    inc = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(f"{root}/wmean_3600").collect()
+    }
+    full = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(f"{full_root}/wmean_3600").collect()
+    }
+    assert inc == full

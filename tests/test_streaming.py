@@ -381,7 +381,9 @@ def test_name_catalog_create_on_first_write(spark, tmp_path):
     assert paths == {("web.srv1", 0), ("web.srv2", 0)}
 
     # snapshot retention: 3 batches ran, only the newest 2 versions
-    # survive, and the pointer targets an existing one
+    # survive, and every published manifest targets an existing
+    # snapshot (write-once manifest protocol — no _LATEST rename)
+    import json
     import os as _os
 
     versions = sorted(
@@ -389,8 +391,16 @@ def test_name_catalog_create_on_first_write(spark, tmp_path):
         if d.startswith("v") and _os.path.isdir(_os.path.join(cat_dir, d))
     )
     assert len(versions) == 2
-    with open(_os.path.join(cat_dir, "_LATEST")) as f:
-        assert f.read().strip() == versions[-1]
+    # ignore Hadoop LocalFileSystem .crc sidecars (absent on hdfs/s3a)
+    manifests = sorted(
+        m for m in _os.listdir(_os.path.join(cat_dir, "manifest"))
+        if m.startswith("v")
+    )
+    assert len(manifests) == 2
+    for m in manifests:
+        with open(_os.path.join(cat_dir, "manifest", m)) as f:
+            assert json.load(f)["snapshot"] in versions
+    assert manifests[-1] == versions[-1]
 
 
 def test_statsd_gauges_stream_matches_batch(spark, tmp_path):

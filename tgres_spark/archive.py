@@ -175,16 +175,21 @@ def refresh_archives(
 
     Exactness: consolidate's lag pass needs each point's predecessor,
     so the raw slice starts ``lookback_s`` before the first refreshed
-    day (the extra day supplies predecessors; its slots are computed
-    but NOT written). The refresh is BIT-equal to a full rebuild
-    whenever ``heartbeat <= lookback_s``: an interval longer than the
+    day — INCLUSIVE (``>=``): a predecessor exactly at
+    ``day_start - lookback_s`` still bounds an interval of exactly
+    ``lookback_s`` ending at ``day_start``, which is valid when
+    ``heartbeat == lookback_s``; dropping it would turn a point at
+    ``day_start`` into a series head (dur=1.0) and diverge from a
+    full rebuild. The refresh is BIT-equal to a full rebuild whenever
+    ``heartbeat <= lookback_s``: an interval strictly longer than the
     lookback exceeds the heartbeat too, so its value is unknown in
     both computations and the sliced lag's wrong series-head duration
-    never reaches a written slot (asserted in tests/test_archive.py).
+    never reaches a written slot (boundary case asserted in
+    tests/test_archive.py).
     Only meaningful for archives written with ``partitioned=True``."""
     day_start = (since_t // 86400) * 86400
     first_day = F.lit(since_t // 86400)
-    sliced = sf.where(F.col(T) > day_start - lookback_s)
+    sliced = sf.where(F.col(T) >= day_start - lookback_s)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE, micro6
+from ..model import NAME, T, VALUE, dec6, micro6
 
 
 def _combine(df: DataFrame, out_name: str, agg: Column) -> DataFrame:
@@ -357,6 +357,10 @@ def weighted_average_pair(avg_df, weight_df, node: int = 0,
     # weightSum counts a key's weight only when its avg side is known
     # at that t — unpaired weight-only keys contribute nothing
     # (funcs.go:2052-2056 pairs a weight only under an avg key).
+    # The a*w PRODUCT sum accumulates as DECIMAL(38,6) (dec6), not
+    # micro6 int64: a product of two user-scale values can exceed the
+    # int64 micro-unit bound (Σ|a·w| < 9.2e12) that plain value sums
+    # respect — per the project rule, product/squared sums stay dec6.
     paired_w = F.when(F.col("a").isNotNull(), F.col("w"))
     per_key = (
         tagged.groupBy(T, "k")
@@ -368,7 +372,7 @@ def weighted_average_pair(avg_df, weight_df, node: int = 0,
         .agg(
             F.when(
                 (F.sum(micro6(paired_w)).cast("double") / 1000000.0) != 0.0,
-                (F.sum(micro6(F.col("a") * F.col("w"))).cast("double") / 1000000.0)
+                F.sum(dec6(F.col("a") * F.col("w"))).cast("double")
                 / (F.sum(micro6(paired_w)).cast("double") / 1000000.0),
             ).alias(VALUE)
         )
@@ -393,7 +397,7 @@ def weighted_average_pair_sql(avg_base, weight_base, node: int = 0,
         f"FROM ({tagged}) GROUP BY 1, 2"
     )
     sw = "(CAST(SUM(CAST(FLOOR((CASE WHEN a IS NOT NULL THEN w END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
-    saw = "(CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+    saw = "(CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE))"
     return (
         f"SELECT '{label}' AS name, t, "
         f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "
@@ -416,7 +420,8 @@ def weighted_average(df, avg_suffix: str, weight_suffix: str, node: int = 0):
         .agg(
             F.when(
                 (F.sum(micro6(F.col("w"))).cast("double") / 1000000.0) != 0.0,
-                (F.sum(micro6(F.col("a") * F.col("w"))).cast("double") / 1000000.0)
+                # product sum on dec6 — see weighted_average_pair
+                F.sum(dec6(F.col("a") * F.col("w"))).cast("double")
                 / (F.sum(micro6(F.col("w"))).cast("double") / 1000000.0),
             ).alias(VALUE)
         )
@@ -436,7 +441,7 @@ def weighted_average_sql(base, avg_suffix: str, weight_suffix: str, node: int = 
         "FROM ({b}) GROUP BY 1, 2"
     ).format(n=node + 1, a=avg_suffix, w=weight_suffix, b=base)
     sw = "(CAST(SUM(CAST(FLOOR((w) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
-    saw = "(CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+    saw = "(CAST(SUM(CAST(FLOOR((a * w) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE))"
     return (
         f"SELECT 'weightedAverage({avg_suffix},{weight_suffix})' AS name, t, "
         f"CAST(CASE WHEN ({sw}) <> 0.0 THEN ({saw}) / ({sw}) END AS DOUBLE) AS value "

@@ -380,3 +380,14 @@ def _hw_bands(spark, sf_dir):
 @register("dsl_holtWintersAberration")
 def _hw_aberration(spark, sf_dir):
     return hw.holt_winters_aberration(base(spark, sf_dir), 24)
+
+
+# Fixed (α,β,γ): the recursion becomes SQL-expressible — a DuckDB
+# recursive CTE is the oracle, so this variant is hash-checked while
+# the Nelder-Mead-fitted ones above stay rows-only (declared).
+@register(
+    "dsl_holtWintersForecast_fixed",
+    sql=hw.hw_fixed_forecast_sql(BASE_SQL, 24, 12, 0.4, 0.1, 0.2),
+)
+def _hw_forecast_fixed(spark, sf_dir):
+    return hw.hw_fixed_forecast(base(spark, sf_dir), 24, 12, 0.4, 0.1, 0.2)

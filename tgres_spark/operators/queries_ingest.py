@@ -249,23 +249,13 @@ def streaming_paced_metric(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
-@register("whisper_import")  # rows-only: binary .wsp fixture, no SQL analog
-def whisper_import(spark, sf_dir):
-    """Whisper archive import (cmd/whisper_import/main.go): a small
-    deterministic .wsp tree is synthesized with the library's own
-    writer (sources/whisper.py write_whisper_bytes — round-trip +
-    hypothesis tested), then read back distributed via binaryFile →
-    mapInPandas. Covers the one source with no parquet testdata; the
-    fixture is static so row count, schema, and values are stable
-    across runs."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..sources.whisper import read_whisper, write_whisper_bytes
-
+def _wsp_specs() -> dict:
+    """The deterministic .wsp fixture tree — shared by the import
+    query AND its oracle, so the expected relation is derived from the
+    same literals the writer encodes (f64 storage is exact: the
+    round-trip reproduces these values bit-for-bit)."""
     t0 = 1704067200
-    specs = {
+    return {
         "web/cpu.wsp": [
             (60, [(t0 + i * 60, float(i % 17) + 0.25) for i in range(120)]),
             (3600, [(t0 + i * 3600, float(i) * 1.5) for i in range(24)]),
@@ -277,6 +267,42 @@ def whisper_import(spark, sf_dir):
             (300, [(t0 + i * 300, float((i * 7) % 29) / 2.0) for i in range(60)]),
         ],
     }
+
+
+def _wsp_oracle_sql() -> str:
+    """VALUES-literal oracle: every (name, step, t, value) the fixture
+    encodes. repr(float) round-trips through DuckDB's literal parser
+    to the identical double (shortest-repr guarantee)."""
+    rows = []
+    for rel, archives in sorted(_wsp_specs().items()):
+        name = rel[: -len(".wsp")].replace("/", ".")
+        for spp, pts in archives:
+            for ts, v in pts:
+                rows.append(f"('{name}', {spp}, {ts}, {v!r})")
+    return (
+        "SELECT name, CAST(archive_step AS BIGINT) AS archive_step, "
+        "CAST(t AS BIGINT) AS t, CAST(value AS DOUBLE) AS value "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS v(name, archive_step, t, value)"
+    )
+
+
+@register("whisper_import", sql=_wsp_oracle_sql())
+def whisper_import(spark, sf_dir):
+    """Whisper archive import (cmd/whisper_import/main.go): a small
+    deterministic .wsp tree is synthesized with the library's own
+    writer (sources/whisper.py write_whisper_bytes — round-trip +
+    hypothesis tested), then read back distributed via binaryFile →
+    mapInPandas. Covers the one source with no parquet testdata; the
+    oracle is a VALUES literal emitted from the same spec generator
+    (_wsp_oracle_sql), so the import is hash-checked end to end."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.whisper import read_whisper, write_whisper_bytes
+
+    specs = _wsp_specs()
     # fixture dir keyed by a digest of the encoded archives: a stale
     # cache from an older spec (or codec change) regenerates instead
     # of silently serving old bytes; existence alone is not identity

@@ -48,7 +48,7 @@ register("ann_cosine_topk", sql=sim.ann_cosine_topk_sql())(
 register("ann_lsh_topk", sql=sim.ann_lsh_topk_sql())(
     lambda s, d: sim.ann_lsh_topk(_emb(s, d))
 )
-register("ann_lsh_buckets")(  # rows-only: seeded-numpy hyperplanes
+register("ann_lsh_buckets", sql=sim.ann_lsh_buckets_sql())(
     lambda s, d: sim.ann_lsh_buckets(_emb(s, d))
 )
 register("ann_ivf_search")(  # rows-only: iterative k-means centroids

@@ -4,9 +4,9 @@
   with a broadcast of the (small) query side; dot products are
   left-folds over zip_with so Spark and DuckDB sum in the same order
   (bit-identical → SQL-checkable).
-- ann_lsh_buckets: random-hyperplane LSH. Planes are seeded numpy —
-  deterministic — applied as an Arrow-batched pandas UDF (matrix
-  multiply per batch; this is the vectorized fast path, not per-row).
+- ann_lsh_buckets: random-hyperplane LSH index relation (vec_id, tbl,
+  bucket) on the family's shared seeded planes — pure column algebra,
+  bit-identical to its DuckDB oracle via the decimal plane literals.
 - ann_ivf_search: IVF with fully distributed k-means — map-only
   argmin assignment against broadcast centroids, decimal-deterministic
   centroid updates (one tiny shuffle per Lloyd round), probing via a
@@ -88,22 +88,27 @@ def ann_cosine_topk_sql(n_queries: int = 10, k: int = 10) -> str:
     )
 
 
-def ann_lsh_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 42) -> DataFrame:
-    """(vec_id, bucket): sign pattern against seeded random hyperplanes.
-    Vectors sharing a bucket are ANN candidates."""
-    dim = 64
+def ann_lsh_buckets(emb: DataFrame, seed: int = 42) -> DataFrame:
+    """(vec_id, tbl, bucket): per-table sign-pattern bucket ids — the
+    LSH index relation every bucketed ANN/dedup pass joins on.
 
-    def fn(it):
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        for pdf in it:
-            mat = np.stack(pdf["embedding"].to_numpy())
-            signs = (mat @ planes) > 0
-            bucket = signs.dot(1 << np.arange(n_planes)).astype("int64")
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": bucket})
+    Same seeded planes and fold order as the dedup/ANN family
+    (_lsh_signatures), so the buckets are bit-identical to the DuckDB
+    oracle (ann_lsh_buckets_sql) — the assignment is pure deterministic
+    column algebra: a sign is only engine-dependent if a plane dot is
+    EXACTLY 0.0, impossible for continuous-valued planes/embeddings."""
+    return _lsh_keys(_lsh_signatures(emb, seed=seed)).select(
+        "vec_id",
+        F.col("tbl").cast("long").alias("tbl"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        fn, schema="vec_id long, bucket long"
+
+def ann_lsh_buckets_sql(seed: int = 42) -> str:
+    return (
+        f"WITH s AS ({_lsh_sig_sql(seed)}) "
+        "SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, "
+        f"CAST(bucket AS BIGINT) AS bucket FROM ({_lsh_keys_sql()})"
     )
 
 

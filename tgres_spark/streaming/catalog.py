@@ -13,70 +13,117 @@ where first_seen is fixed by the batch that created the entry
 (create-on-first-write) and last_seen/n_points advance with traffic.
 
 Spark-first shape: foreachBatch + snapshot-versioned parquet. Each
-batch writes a NEW snapshot directory ``v<epoch_batch>`` and then
-atomically advances a ``_LATEST`` pointer file — readers (find, the
-DSL evaluator's glob resolution) always see a complete snapshot,
-never a half-written one, and a crashed batch leaves the pointer
-untouched (the checkpoint replays it). The merge itself is one
+batch writes a NEW hash-bucketed snapshot directory ``v<batch_id>``
+(``snapshot_buckets`` tasks in parallel — no single-task coalesce(1)
+funnel; at 10M series ≈ a few hundred MB the write spreads across
+the cluster) and then publishes an IMMUTABLE manifest file
+``manifest/v<batch_id>`` naming it. The newest manifest IS the
+latest pointer: manifests are write-once (a single small-object PUT,
+atomic on both POSIX and object storage — no rename required), so a
+reader that lists the manifest directory and takes the largest
+version always sees a complete snapshot, never a half-written one; a
+crashed batch dies before its manifest lands and the previous
+pointer stays live (the checkpoint replays the batch). All
+filesystem access goes through the JVM Hadoop FileSystem API, so
+``catalog_dir`` may be any Hadoop-supported URI (file://, hdfs://,
+s3a://, ...) — no POSIX assumptions. The merge itself is one
 full-outer groupBy-join of the (small) catalog with the batch's
-per-name aggregate.
-
-At 100 TB the catalog is ~1 row per series (10M series ≈ a few
-hundred MB of parquet) — snapshot rewrite per flush interval is
-cheap relative to the point stream; a table format with row-level
-merge (Iceberg/Delta) slots in behind the same API when available.
+per-name aggregate; a table format with row-level merge
+(Iceberg/Delta) slots in behind the same API when available.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import NAME, T
 
-_LATEST = "_LATEST"
+_MANIFEST_DIR = "manifest"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` via the session JVM."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _list_versions(spark: SparkSession, catalog_dir: str) -> list[int]:
+    """Sorted snapshot versions that have a published manifest."""
+    fs, mdir, _ = _fs(spark, f"{catalog_dir}/{_MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        n = st.getPath().getName()
+        if n.startswith("v") and n[1:].isdigit():
+            out.append(int(n[1:]))
+    return sorted(out)
+
+
+def _snapshot_path(catalog_dir: str, version: int) -> str:
+    return f"{catalog_dir}/v{version:012d}"
 
 
 def read_catalog(spark: SparkSession, catalog_dir: str) -> DataFrame | None:
     """Latest complete snapshot, or None before the first write."""
-    ptr = os.path.join(catalog_dir, _LATEST)
-    if not os.path.exists(ptr):
+    versions = _list_versions(spark, catalog_dir)
+    if not versions:
         return None
-    with open(ptr) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(catalog_dir, version))
+    return spark.read.parquet(_snapshot_path(catalog_dir, versions[-1]))
 
 
 def _latest_before(
     spark: SparkSession, catalog_dir: str, batch_id: int
 ) -> DataFrame | None:
-    """Newest snapshot with version strictly below ``batch_id``."""
-    if not os.path.isdir(catalog_dir):
-        return None
-    versions = sorted(
-        d
-        for d in os.listdir(catalog_dir)
-        if d.startswith("v")
-        and d[1:].isdigit()
-        and int(d[1:]) < batch_id
-        and os.path.isdir(os.path.join(catalog_dir, d))
-    )
+    """Newest published snapshot with version strictly below
+    ``batch_id`` — the replay-safe merge base (see
+    merge_catalog_batch)."""
+    versions = [v for v in _list_versions(spark, catalog_dir) if v < batch_id]
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(catalog_dir, versions[-1]))
+    return spark.read.parquet(_snapshot_path(catalog_dir, versions[-1]))
+
+
+def _publish_manifest(
+    spark: SparkSession, catalog_dir: str, version: int
+) -> None:
+    """Write-once pointer: one tiny immutable object per version.
+
+    A single create()+close() of a small object is atomic on POSIX
+    (O_CREAT + page-sized write) and on object stores (PUT) — readers
+    list the manifest dir and take max(version), so there is no
+    read-modify-write race and no rename dependency. Re-publishing
+    the same version (batch replay) rewrites identical content."""
+    import json
+
+    fs, mpath, _ = _fs(
+        spark, f"{catalog_dir}/{_MANIFEST_DIR}/v{version:012d}"
+    )
+    out = fs.create(mpath, True)
+    try:
+        body = json.dumps(
+            {"version": version, "snapshot": f"v{version:012d}"}
+        )
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def merge_catalog_batch(
-    batch: DataFrame, batch_id: int, catalog_dir: str
+    batch: DataFrame,
+    batch_id: int,
+    catalog_dir: str,
+    snapshot_buckets: int = 8,
 ) -> None:
     """Fold one micro-batch of points into the catalog (foreachBatch
     target). Idempotent per batch_id: the merge base is the newest
-    snapshot with version < batch_id — NOT the _LATEST pointer — so a
-    batch replayed after a crash (pointer already advanced to its own
-    version, checkpoint not yet committed) folds against its original
-    base instead of double-counting itself into n_points."""
+    snapshot with version < batch_id — NOT the latest pointer — so a
+    batch replayed after a crash (manifest already published, stream
+    checkpoint not yet committed) folds against its original base
+    instead of double-counting itself into n_points."""
     spark = batch.sparkSession
     incoming = batch.groupBy(NAME).agg(
         F.min(T).alias("b_first"),
@@ -108,29 +155,35 @@ def merge_catalog_batch(
                 + F.coalesce(F.col("b_n"), F.lit(0))
             ).alias("n_points"),
         )
-    version = f"v{batch_id:012d}"
-    out = os.path.join(catalog_dir, version)
-    merged.coalesce(1).write.mode("overwrite").parquet(out)
-    tmp = os.path.join(catalog_dir, f".{_LATEST}.tmp")
-    with open(tmp, "w") as f:
-        f.write(version)
-    os.replace(tmp, os.path.join(catalog_dir, _LATEST))
-    _retire_old_snapshots(catalog_dir, keep=2)
-
-
-def _retire_old_snapshots(catalog_dir: str, keep: int = 2) -> None:
-    """Drop snapshot dirs older than the newest ``keep`` — the
-    previous snapshot stays readable for any in-flight reader that
-    resolved the pointer just before the swap; everything older is
-    unreachable (the pointer only moves forward)."""
-    import shutil
-
-    versions = sorted(
-        d for d in os.listdir(catalog_dir)
-        if d.startswith("v") and os.path.isdir(os.path.join(catalog_dir, d))
+    # hash-bucketed snapshot: the write fans out over
+    # snapshot_buckets tasks keyed on name (same key every version,
+    # so a version-over-version diff reader co-locates too)
+    (
+        merged.repartition(snapshot_buckets, F.col(NAME))
+        .write.mode("overwrite")
+        .parquet(_snapshot_path(catalog_dir, batch_id))
     )
-    for d in versions[:-keep]:
-        shutil.rmtree(os.path.join(catalog_dir, d), ignore_errors=True)
+    _publish_manifest(spark, catalog_dir, batch_id)
+    _retire_old_snapshots(spark, catalog_dir, keep=2)
+
+
+def _retire_old_snapshots(
+    spark: SparkSession, catalog_dir: str, keep: int = 2
+) -> None:
+    """Drop snapshots older than the newest ``keep`` — the previous
+    snapshot stays readable for any in-flight reader that resolved
+    the pointer just before the new manifest landed; everything older
+    is unreachable (max(version) only moves forward). The manifest is
+    removed FIRST so a retired snapshot is never resolvable
+    mid-delete."""
+    versions = _list_versions(spark, catalog_dir)
+    for v in versions[:-keep]:
+        fs, mpath, jvm = _fs(
+            spark, f"{catalog_dir}/{_MANIFEST_DIR}/v{v:012d}"
+        )
+        fs.delete(mpath, False)
+        spath = jvm.org.apache.hadoop.fs.Path(_snapshot_path(catalog_dir, v))
+        fs.delete(spath, True)
 
 
 def run_catalog_pipeline(
@@ -145,7 +198,6 @@ def run_catalog_pipeline(
     folding)."""
     from .ingest import read_graphite_stream
 
-    os.makedirs(catalog_dir, exist_ok=True)
     parsed = read_graphite_stream(spark, in_path, max_files_per_trigger)
     q = (
         parsed.writeStream.foreachBatch(
