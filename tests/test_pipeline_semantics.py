@@ -586,3 +586,69 @@ def test_mix_rebalance_hits_per_lang_budget(spark):
         assert got - longest < 300, (lang, got)  # no doc beyond straddle
     out2 = mix_rebalance(docs.repartition(7), total_tokens=total).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_repetition_fractions_hand_computed(spark):
+    from tgres_spark.pipeline.textstats import text_repetition
+
+    # "a b a b a": 5 words, 2 distinct → dup 3/5; 'a'×3 → top 3/5;
+    # bigrams [a b, b a, a b, b a] → top 2/4
+    rows = [
+        (1, "a b a b a", "en", "s", 9),
+        (2, "x", "en", "s", 1),            # <2 words → dropped
+        (3, "all words differ here", "en", "s", 21),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text_repetition(docs).collect()}
+    assert set(out) == {1, 3}
+    r1 = out[1]
+    assert r1["n_words"] == 5
+    assert r1["dup_word_frac"] == 3 / 5
+    assert r1["top_word_frac"] == 3 / 5
+    assert r1["top_bigram_frac"] == 2 / 4
+    r3 = out[3]
+    assert r3["dup_word_frac"] == 0.0
+    assert r3["top_word_frac"] == 1 / 4
+    assert r3["top_bigram_frac"] == 1 / 3
+
+
+def test_gopher_filter_flags_repetitive_docs(spark):
+    from tgres_spark.pipeline.textstats import GOPHER_RULES, gopher_filter
+
+    good = " ".join(f"word{i} term{i} note{i}" for i in range(10))  # 30 distinct words
+    spam = " ".join(["buy now"] * 15)                               # top word frac 0.5
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, spam, "en", "s", len(spam)),
+        (3, "too short", "en", "s", 9),                             # < min_words
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["keep"] for r in gopher_filter(docs).collect()}
+    assert out[1] is True
+    assert out[2] is False  # repetition caps
+    assert out[3] is False  # word-count floor
+    assert GOPHER_RULES["min_words"] > 2
+
+
+def test_ivf_assign_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import _ivf_codebook, ann_ivf_assign
+
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((20, 64)).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array(_ivf_codebook())
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1) + 1  # 1-based cells
+    got = {r["vec_id"]: r for r in ann_ivf_assign(emb).collect()}
+    for i in range(20):
+        assert got[i]["cell"] == want[i], i
+        assert got[i]["dist"] == pytest.approx(d2[i].min(), rel=1e-9)

@@ -138,3 +138,18 @@ def test_multi_rra_shares_one_duration_pass(spark, qs):
     ids = set(re.findall(r"Window \((\d+)\)", p))
     assert len(ids) <= 1, ids
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_repetition_and_gopher_are_map_only(spark, qs):
+    # per-doc repetition signals must come from higher-order functions,
+    # never an explode + corpus-wide groupBy: zero shuffles in the plan
+    for key in ("text_repetition", "pipeline_gopher_filter"):
+        p = plan_of(qs[key](spark, SF))
+        assert "Exchange" not in p, key
+
+
+def test_ivf_assign_broadcasts_codebook(spark, qs):
+    p = plan_of(qs["ann_ivf_assign"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row codebook relation
+    assert "Exchange hashpartitioning" not in p  # map-only assignment

@@ -65,6 +65,52 @@ def test_render_max_points_consolidates(catalog):
     assert all(t % 120 == 0 for t in ts)  # 120s slot ends
 
 
+def test_http_facade_render_and_find(catalog):
+    """One real socket round-trip per endpoint: the stdlib HTTP
+    façade (http_api.serve) must return byte-identical payloads to
+    the library calls it wraps (http/graphite.go's /render and
+    /metrics/find surface), plus sane error codes."""
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    from tgres_spark.http_api import serve
+    from tgres_spark.render import find_json, render_json
+
+    server = serve(catalog, now=300)
+    try:
+        host, port = server.server_address
+
+        def get(path):
+            with urlopen(f"http://{host}:{port}{path}", timeout=60) as r:
+                return r.status, r.read().decode()
+
+        st, body = get("/render?target=sumSeries(web.*.hits)&from=-3m&until=now")
+        assert st == 200
+        assert body == render_json(
+            catalog, ["sumSeries(web.*.hits)"], t_from="-3m", t_to="now", now=300
+        )
+        pts = json.loads(body)[0]["datapoints"]
+        assert [p[1] for p in pts] == [120, 180, 240, 300]
+
+        st, body = get("/metrics/find?query=web.*")
+        assert st == 200
+        assert body == find_json(catalog, "web.*")
+        assert {n["id"] for n in json.loads(body)} == {"web.h1", "web.h2"}
+
+        for path, want in (
+            ("/render", 400),           # no target
+            ("/metrics/find", 400),     # no query
+            ("/nope", 404),
+        ):
+            try:
+                st, _ = get(path)
+            except HTTPError as e:
+                st = e.code
+            assert st == want, path
+    finally:
+        server.shutdown()
+
+
 def test_render_relative_from_until(catalog):
     """Graphite-style from=-3m&until=now (parseTime parity) — every
     interactive render request uses these forms."""

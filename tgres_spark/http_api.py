@@ -1,0 +1,85 @@
+"""Thin HTTP façade over the render/find library surface.
+
+Reference: http/graphite.go — `/render?target=..&from=..&until=..&
+maxDataPoints=..` and `/metrics/find?query=..`. The engine proper is
+a library over a cluster (render.py builds the exact graphite-web
+JSON payloads); this wrapper is presentation only: stdlib
+http.server, no framework, no state — every byte of the response
+body comes from render_json/find_json. Suitable for tests and
+single-process serving; a production deployment would put the same
+two calls behind any WSGI/ASGI front.
+"""
+
+from __future__ import annotations
+
+import http.server
+import threading
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame
+
+from .render import find_json, render_json
+
+
+def _make_handler(catalog: DataFrame, now: int | None):
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _reply(self, code: int, body: str, ctype="application/json"):
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            try:
+                if u.path == "/render":
+                    targets = q.get("target", [])
+                    if not targets:
+                        self._reply(400, '{"error": "target required"}')
+                        return
+                    mdp = q.get("maxDataPoints", [None])[0]
+                    body = render_json(
+                        catalog,
+                        targets,
+                        t_from=q.get("from", [None])[0],
+                        t_to=q.get("until", [None])[0],
+                        max_points=int(mdp) if mdp else None,
+                        now=now,
+                    )
+                    self._reply(200, body)
+                elif u.path == "/metrics/find":
+                    query = q.get("query", [None])[0]
+                    if not query:
+                        self._reply(400, '{"error": "query required"}')
+                        return
+                    self._reply(200, find_json(catalog, query))
+                else:
+                    self._reply(404, '{"error": "not found"}')
+            except Exception as e:  # evaluation error → 500, not a hang
+                self._reply(500, '{"error": %s}' % repr(str(e)))
+
+    return Handler
+
+
+def serve(
+    catalog: DataFrame, host: str = "127.0.0.1", port: int = 0,
+    now: int | None = None,
+):
+    """Start serving `catalog` over HTTP; returns the live server
+    (``server.server_address`` has the bound port; call
+    ``server.shutdown()`` to stop). ``now`` pins relative time specs
+    ('-1h') for reproducible tests. Single-threaded HTTPServer on
+    purpose: one SparkSession driver thread services queries; the
+    cluster provides the parallelism, not the socket layer."""
+    server = http.server.HTTPServer(
+        (host, port), _make_handler(catalog, now)
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

@@ -54,6 +54,15 @@ register("ann_lsh_buckets", sql=sim.ann_lsh_buckets_sql())(
 register("ann_ivf_search")(  # rows-only: iterative k-means centroids
     lambda s, d: sim.ann_ivf_search(_emb(s, d))
 )
+register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
+    lambda s, d: sim.ann_ivf_assign(_emb(s, d))
+)
+register("text_repetition", sql=tx.text_repetition_sql())(
+    lambda s, d: tx.text_repetition(_docs(s, d))
+)
+register("pipeline_gopher_filter", sql=tx.gopher_filter_sql())(
+    lambda s, d: tx.gopher_filter(_docs(s, d))
+)
 register("pipeline_sample_stratified", sql=pp.sample_stratified_sql())(
     lambda s, d: pp.sample_stratified(_docs(s, d))
 )

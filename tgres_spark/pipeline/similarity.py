@@ -716,3 +716,68 @@ def ann_lsh_topk_sql(
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
         f"FROM scored) WHERE rank <= {k}"
     )
+
+
+IVF_CODEBOOK_K = 16
+
+
+def _ivf_codebook(k: int = IVF_CODEBOOK_K, dim: int = EMB_DIM, seed: int = 7):
+    """Seeded fixed codebook, rounded to 6 decimals so the SAME
+    decimal literals live in the Spark plan and the oracle text (the
+    _planes trick). The codebook stands in for trained centroids in
+    the hash-checked assignment query; ann_ivf_search trains its own
+    centroids (k-means|| + Lloyd) and stays rows-only."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim)).round(6).tolist()
+
+
+def ann_ivf_assign(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> DataFrame:
+    """(vec_id, cell, dist): nearest-centroid assignment against a
+    broadcast codebook — the IVF building block (map-only argmin; at
+    100 TB this is one scan, zero shuffle, exactly the shape of
+    ann_ivf_search's assignment step). Distances are left-fold squared
+    L2 sums (identical fold order in both engines); argmin ties break
+    to the first index via array_position, deterministic everywhere."""
+    cents = _ivf_codebook(k, seed=seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    d = emb.crossJoin(F.broadcast(cdf)).select("vec_id", dists.alias("dists"))
+    return d.select(
+        "vec_id",
+        F.array_position(F.col("dists"), F.array_min("dists"))
+        .cast("bigint")
+        .alias("cell"),
+        F.array_min("dists").alias("dist"),
+    )
+
+
+def ann_ivf_assign_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+    cents = _ivf_codebook(k, seed=seed)
+
+    def dist_sql(c):
+        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        diff = f"(CAST(embedding[i] AS DOUBLE) - ({lits})[i])"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+
+    dists = "[" + ", ".join(dist_sql(c) for c in cents) + "]"
+    return (
+        f"WITH d AS (SELECT vec_id, {dists} AS dists FROM embeddings) "
+        "SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell, "
+        "CAST(list_min(dists) AS DOUBLE) AS dist FROM d"
+    )

@@ -348,3 +348,181 @@ def text_unigram_logprob_sql() -> str:
         "avg_logp FROM (SELECT DISTINCT doc_id FROM documents) d "
         "LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id"
     )
+
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac):
+    Gopher-style repetition signals (Rae et al. 2021 §A1.1 — excessive
+    duplicate/top-fraction n-grams mark boilerplate and spam).
+
+    Map-only on purpose: per-doc frequency maxima come from
+    higher-order functions over the materialized words/bigrams arrays
+    (distinct × filter counts — a few 10⁴ in-codegen comparisons for a
+    typical doc), NOT from an explode + corpus-wide groupBy. At 100 TB
+    that is the difference between zero shuffle and shuffling every
+    token in the corpus; per-doc work is embarrassingly parallel.
+    Arrays are materialized in a projection BEFORE the lambdas read
+    them (Spark does no CSE inside higher-order-function lambdas).
+    Docs with < 2 words are dropped (repetition undefined) — mirrored
+    in the oracle. All counts are integers; each ratio is a single
+    int/int double division, identical in both engines."""
+    base = docs.select("doc_id", words(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    n = F.size("ws")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
+        ),
+    )
+    b = base.select("doc_id", "ws", n.alias("n"), bigrams.alias("bg"))
+    top_w = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("ws")),
+            lambda x: F.size(F.filter(F.col("ws"), lambda y: y == x)),
+        )
+    )
+    top_b = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    nn = F.col("n")
+    return b.select(
+        "doc_id",
+        nn.cast("bigint").alias("n_words"),
+        ((nn - F.size(F.array_distinct("ws"))).cast("double") / nn).alias(
+            "dup_word_frac"
+        ),
+        (top_w.cast("double") / nn).alias("top_word_frac"),
+        (top_b.cast("double") / (nn - 1)).alias("top_bigram_frac"),
+    )
+
+
+def text_repetition_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+  FROM (SELECT doc_id, {w} AS ws FROM documents)
+  WHERE len(ws) >= 2
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  CAST(n - len(list_distinct(ws)) AS DOUBLE) / n AS dup_word_frac,
+  CAST(list_max(list_transform(list_distinct(ws),
+       x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / n AS top_word_frac,
+  CAST(list_max(list_transform(list_distinct(bg),
+       x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (n - 1) AS top_bigram_frac
+FROM d
+"""
+
+
+# Gopher-rule thresholds (Rae et al. 2021, Table A1) adapted to the
+# short synthetic docs: the corpus' n_words sit in [10, 99], so the
+# word-count floor is 20 (not 50) to keep the gate non-degenerate.
+GOPHER_RULES = {
+    "min_words": 20,
+    "max_words": 100000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_dup_word_frac": 0.60,
+    "max_top_word_frac": 0.14,
+    "max_top_bigram_frac": 0.08,
+}
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, keep): the composite Gopher quality gate —
+    word count, mean word length, and the three repetition fractions,
+    ANDed. One pass: repetition signals and mean word length share the
+    single materialized words array; zero shuffle (see
+    text_repetition). The keep flag is pure integer/boolean algebra
+    over signals that are themselves cross-engine exact."""
+    r = GOPHER_RULES
+    base = docs.select("doc_id", words(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    n = F.size("ws")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
+        ),
+    )
+    word_chars = F.aggregate(
+        F.transform(F.col("ws"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    b = base.select(
+        "doc_id", "ws", n.alias("n"), bigrams.alias("bg"),
+        word_chars.alias("wc"),
+    )
+    top_w = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("ws")),
+            lambda x: F.size(F.filter(F.col("ws"), lambda y: y == x)),
+        )
+    )
+    top_b = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    nn = F.col("n")
+    sig = b.select(
+        "doc_id",
+        nn.alias("n"),
+        (F.col("wc").cast("double") / nn).alias("mwl"),
+        ((nn - F.size(F.array_distinct("ws"))).cast("double") / nn).alias("dwf"),
+        (top_w.cast("double") / nn).alias("twf"),
+        (top_b.cast("double") / (nn - 1)).alias("tbf"),
+    )
+    keep = (
+        (F.col("n") >= r["min_words"])
+        & (F.col("n") <= r["max_words"])
+        & (F.col("mwl") >= r["min_mean_word_len"])
+        & (F.col("mwl") <= r["max_mean_word_len"])
+        & (F.col("dwf") <= r["max_dup_word_frac"])
+        & (F.col("twf") <= r["max_top_word_frac"])
+        & (F.col("tbf") <= r["max_top_bigram_frac"])
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_filter_sql() -> str:
+    r = GOPHER_RULES
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+         list_sum(list_transform(ws, x -> len(x))) AS wc
+  FROM (SELECT doc_id, {w} AS ws FROM documents)
+  WHERE len(ws) >= 2
+),
+sig AS (
+  SELECT doc_id, n,
+    CAST(wc AS DOUBLE) / n AS mwl,
+    CAST(n - len(list_distinct(ws)) AS DOUBLE) / n AS dwf,
+    CAST(list_max(list_transform(list_distinct(ws),
+         x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / n AS twf,
+    CAST(list_max(list_transform(list_distinct(bg),
+         x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (n - 1) AS tbf
+  FROM d
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  (n >= {r['min_words']} AND n <= {r['max_words']}
+   AND mwl >= {r['min_mean_word_len']!r} AND mwl <= {r['max_mean_word_len']!r}
+   AND dwf <= {r['max_dup_word_frac']!r} AND twf <= {r['max_top_word_frac']!r}
+   AND tbf <= {r['max_top_bigram_frac']!r}) AS keep
+FROM sig
+"""
