@@ -652,3 +652,32 @@ def test_ivf_assign_matches_numpy_argmin(spark):
     for i in range(20):
         assert got[i]["cell"] == want[i], i
         assert got[i]["dist"] == pytest.approx(d2[i].min(), rel=1e-9)
+
+
+def test_mm_decode_stub_features_hand_computed(spark):
+    import hashlib
+
+    from tgres_spark.pipeline.multimodal import (
+        decode_and_featurize,
+        frame_sample,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2, "hello world", "en", "s", 11)],  # doc_id%3==2 → video
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = synthesize_media(docs)
+    out = decode_and_featurize(media).collect()[0]
+    h = (
+        hashlib.md5(b"hello world").hexdigest()
+        + hashlib.md5(b"dlrow olleh").hexdigest()
+    )
+    payload = bytes.fromhex(h)
+    assert out["kind"] == "video"
+    assert out["n_bytes"] == 32
+    assert out["mean_byte"] == sum(payload) / 32
+    assert out["checksum"] == hashlib.md5(h.encode()).hexdigest()
+    # frame sampling explodes JVM-side: doc_id 2 → n_frames 3 → one frame
+    frames = frame_sample(media, every_n=30).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in frames] == [(2, 0)]

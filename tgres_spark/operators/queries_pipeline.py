@@ -86,8 +86,12 @@ register("text_fingerprint", sql=tx.text_fingerprint_sql())(
 )
 
 
-@register("mm_decode_stub")  # rows-only: mapInPandas plumbing w/ fake decode
+@register("mm_decode_stub", sql=mm.mm_decode_stub_sql())
 def mm_decode_stub(spark, sf_dir):
+    """Arrow-batched fake decode over synthesized binary media; the
+    oracle recomputes features from the payload's hex (multimodal.py
+    mm_decode_stub_sql), hash-checking the whole binary→pandas
+    round-trip."""
     media = mm.synthesize_media(_docs(spark, sf_dir))
     return mm.decode_and_featurize(media)
 

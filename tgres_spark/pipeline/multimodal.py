@@ -51,7 +51,15 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 def decode_and_featurize(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """mapInPandas feature extraction: per Arrow batch, 'decode' each
     payload and emit a small typed feature row. The real-codec path is
-    stubbed (no PIL/ffmpeg in this container)."""
+    stubbed (no PIL/ffmpeg in this container).
+
+    The stub's checksum is md5 over the payload's lowercase-hex STRING
+    (not the raw bytes): ASCII-only input means the same value is
+    computable engine-side in the DuckDB oracle (mm_decode_stub_sql) —
+    DuckDB's md5 only accepts VARCHAR — so the whole Arrow round-trip
+    (binary column → pandas bytes → features) is hash-checked, not
+    just row-counted. mean_byte is an integer byte-sum / count, exact
+    as a double in both engines (count is a power of two)."""
 
     def fn(batches):
         for pdf in batches:
@@ -63,7 +71,7 @@ def decode_and_featurize(media: DataFrame, use_real_codecs: bool = False) -> Dat
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"]) if r["payload"] is not None else b""
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                checksum = hashlib.md5(payload).hexdigest()
+                checksum = hashlib.md5(payload.hex().encode("ascii")).hexdigest()
                 feats.append(
                     {
                         "media_id": r["media_id"],
@@ -81,6 +89,31 @@ def decode_and_featurize(media: DataFrame, use_real_codecs: bool = False) -> Dat
             "media_id long, kind string, n_bytes long, mean_byte double, "
             "checksum string"
         ),
+    )
+
+
+def mm_decode_stub_sql() -> str:
+    """DuckDB twin of decode_and_featurize(synthesize_media(documents)).
+
+    The synthesized payload is unhex(md5(text) || md5(reverse(text))),
+    so its lowercase hex H is exactly that 64-char concatenation —
+    bytes reconstruct as hex-digit pairs (strpos arithmetic), and the
+    checksum is md5(H) by the stub's hex-string contract."""
+    hv = "(strpos('0123456789abcdef', h[{p}]) - 1)"
+    byte_sum = (
+        "list_sum(list_transform(range(0, 32), i -> "
+        + hv.format(p="2*i+1")
+        + " * 16 + "
+        + hv.format(p="2*i+2")
+        + "))"
+    )
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind, "
+        "md5(text) || md5(reverse(text)) AS h FROM documents) "
+        "SELECT media_id, kind, CAST(32 AS BIGINT) AS n_bytes, "
+        f"CAST({byte_sum} AS DOUBLE) / 32 AS mean_byte, "
+        "md5(h) AS checksum FROM m"
     )
 
 
