@@ -201,12 +201,32 @@ def paced_metric(spark, sf_dir):
     return paced_metrics(series_from_events(spark, sf_dir), 300, "sum")
 
 
-@register("streaming_ingest_pipeline")  # rows-only: availableNow streaming run
+_STREAM_INGEST_ORACLE_SQL = (
+    "WITH parsed AS ("
+    + parse_graphite_lines_sql(GRAPHITE_LINES_SQL)
+    + "), mx AS (SELECT MAX(t) AS mt FROM parsed), "
+    "slots AS (SELECT name, ((t - 1) // 3600) * 3600 + 3600 AS t, "
+    "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS mv, value FROM parsed) "
+    "SELECT name, t, CAST(SUM(mv) AS DOUBLE) / 1000000.0 / COUNT(value) AS value "
+    "FROM slots, mx WHERE t <= mt - 61 GROUP BY name, t"
+)
+
+
+@register("streaming_ingest_pipeline", sql=_STREAM_INGEST_ORACLE_SQL)
 def streaming_ingest_pipeline(spark, sf_dir):
     """End-to-end Structured Streaming drive: events → graphite lines
     on disk → readStream → parse → watermarked consolidate → parquet.
     Returns the archived slots (final open slot withheld by the
-    watermark, as documented in streaming/ingest.py)."""
+    watermark, as documented in streaming/ingest.py).
+
+    Oracle-checkable: this run folds ONE availableNow data batch (≤ 4
+    files < maxFilesPerTrigger), so no row is ever late and append
+    mode emits exactly the slots whose end ≤ final watermark =
+    max(t) - 61 (event time is t-1, delay 60 s; Spark's eviction
+    predicate window.end - 1ms < watermark reduces to ≤ on integer
+    seconds). The SQL mirrors the (start, end]-aligned slot label and
+    the micro6 average. Multi-batch watermark behavior (late-row
+    drops, incremental emission) is pinned in tests/test_streaming.py."""
     import tempfile
 
     from ..streaming.ingest import run_file_pipeline
@@ -225,13 +245,33 @@ def streaming_ingest_pipeline(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
-@register("streaming_paced_metric")  # rows-only: stateful applyInPandasWithState
+_PACED_ORACLE_SQL = (
+    "WITH parsed AS ("
+    + parse_graphite_lines_sql(GRAPHITE_LINES_SQL)
+    + "), w AS (SELECT name, (t - 1) // 3600 AS win, "
+    "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS mv FROM parsed), "
+    "agg AS (SELECT name, win, SUM(mv) AS s FROM w GROUP BY name, win), "
+    "mx AS (SELECT name, MAX(win) AS mw FROM w GROUP BY name) "
+    "SELECT agg.name, (agg.win + 1) * 3600 AS t, "
+    "CAST(s AS DOUBLE) / 1000000.0 AS value "
+    "FROM agg JOIN mx ON agg.name = mx.name WHERE agg.win < mx.mw"
+)
+
+
+@register("streaming_paced_metric", sql=_PACED_ORACLE_SQL)
 def streaming_paced_metric(spark, sf_dir):
     """Stateful streaming paced metrics (receiver/pacedmetric.go) over
     the events-derived series: graphite lines on disk → readStream →
     applyInPandasWithState 'sum' pacing → parquet. Event-time driven
     emission (deterministic replay); batch equivalence is pinned by
-    tests/test_streaming.py::test_paced_metrics_stream_matches_batch_sum."""
+    tests/test_streaming.py::test_paced_metrics_stream_matches_batch_sum.
+
+    Oracle-checkable: one availableNow data batch (≤ 4 files) walks
+    each series t-sorted, so 'sum' pacing emits exactly the micro6
+    window sums for every pace window except each name's LAST (held
+    open in state, label (win+1)·pace). Multi-batch state carry-over
+    and the sentinel-flush behavior stay pinned in the streaming
+    tests."""
     import os
     import tempfile
 
@@ -322,13 +362,28 @@ def whisper_import(spark, sf_dir):
     return read_whisper(spark, f"{root}/*/*.wsp", root=root)
 
 
-@register("streaming_name_catalog")  # rows-only: foreachBatch fold, no SQL analog
+_CATALOG_ORACLE_SQL = (
+    "SELECT name, MIN(t) AS first_seen, MAX(t) AS last_seen, "
+    "CAST(COUNT(*) AS BIGINT) AS n_points FROM ("
+    + parse_graphite_lines_sql(GRAPHITE_LINES_SQL)
+    + ") GROUP BY name"
+)
+
+
+@register("streaming_name_catalog", sql=_CATALOG_ORACLE_SQL)
 def streaming_name_catalog(spark, sf_dir):
     """Live name catalog (receiver/dscache.go create-on-first-write):
     events → graphite lines on disk → streaming foreachBatch fold into
     a snapshot-versioned catalog → (name, first_seen, last_seen,
     n_points). Deterministic: derived entirely from the events table
-    (malformed lines rejected by the parser drop out of the count)."""
+    (malformed lines rejected by the parser drop out of the count).
+
+    Oracle-checkable because this run folds in ONE availableNow batch
+    (≤ 4 input files < maxFilesPerTrigger), where the catalog fold IS
+    min/max/count per name over the parsed stream. The multi-batch
+    semantics the fold adds beyond that SQL — first_seen pinned by the
+    creating batch, replay idempotency, snapshot/manifest rotation —
+    are pinned separately in tests/test_streaming.py."""
     import tempfile
 
     from ..streaming.catalog import read_catalog, run_catalog_pipeline

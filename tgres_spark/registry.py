@@ -63,11 +63,12 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dsl_constantLine", "dsl_sinusoid", "dsl_randomWalk", "dsl_color",
     # r2 hash-fail fixed in r4, re-attest
     "events_sessionize",
-    # newly oracle-backed this round
+    # newly oracle-backed in round 5
     "ann_lsh_buckets", "whisper_import", "dsl_holtWintersForecast_fixed",
-    # rows-only, never inside a driver window
     "mm_decode_stub", "streaming_ingest_pipeline", "streaming_paced_metric",
-    "streaming_name_catalog", "ann_ivf_search",
+    "streaming_name_catalog",
+    # declared rows-only (iterative fits), never inside a driver window
+    "ann_ivf_search",
     "dsl_holtWintersForecast", "dsl_holtWintersConfidenceBands",
     "dsl_holtWintersAberration",
 )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model import NAME, T, VALUE
+from ..model import NAME, T, VALUE, micro6
 from ..sources.graphite import parse_graphite_lines
 from ..sources.statsd import parse_statsd_packets
 
@@ -84,9 +84,15 @@ def streaming_consolidate(
     consolidate(), so streaming and batch results are identical on
     integer-second data."""
     with_ts = parsed.withColumn("ts", (F.col(T) - 1).cast("timestamp"))
+    # avg/sum accumulate micro6 BIGINT micro-units exactly like batch
+    # consolidate() — a plain double sum's result depends on partial-
+    # aggregation order (varies run to run, and vs DuckDB), which
+    # would break both the batch-equivalence tests and the SQL oracle
     agg = {
-        "avg": F.avg(VALUE),
-        "sum": F.sum(VALUE),
+        "avg": F.sum(micro6(F.col(VALUE))).cast("double")
+        / 1000000.0
+        / F.count(VALUE),
+        "sum": F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0,
         "min": F.min(VALUE),
         "max": F.max(VALUE),
         "count": F.count(VALUE).cast("double"),

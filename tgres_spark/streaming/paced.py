@@ -75,6 +75,8 @@ def streaming_paced_metrics(
     pace = int(pace_s)
 
     def fn(key, pdfs, state):
+        import math
+
         import pandas as pd
 
         rows = pd.concat(list(pdfs), ignore_index=True)
@@ -83,6 +85,12 @@ def streaming_paced_metrics(
             win, acc, have, last_t, dsum, wsum = state.get
         else:
             win, acc, have, last_t, dsum, wsum = None, 0.0, False, None, 0.0, 0.0
+        # 'sum' accumulates micro6 integer units (carried in the
+        # double state slot — integral and far below 2^53), so the
+        # window sum is independent of arrival order WITHIN a
+        # timestamp tie and matches batch consolidate(cf='sum') /
+        # the DuckDB oracle bit-for-bit
+        acc = int(acc)
         out = []
         name = key[0]
         for t, v in zip(rows["t"], rows["value"]):
@@ -95,15 +103,17 @@ def streaming_paced_metrics(
             if w != win:
                 if is_sum:
                     if have:
-                        out.append((name, (win + 1) * pace, acc))
-                    acc, have = 0.0, False
+                        out.append(
+                            (name, (win + 1) * pace, float(acc) / 1000000.0)
+                        )
+                    acc, have = 0, False
                 else:
                     if dsum > 0:
                         out.append((name, (win + 1) * pace, wsum / dsum))
                     dsum, wsum = 0.0, 0.0  # Reset(); last_t/last_v live on
                 win = w
             if is_sum:
-                acc += float(v)
+                acc += math.floor(float(v) * 1000000.0 + 0.5)
                 have = True
             else:
                 if last_t is not None and t > last_t:
@@ -111,7 +121,7 @@ def streaming_paced_metrics(
                     dsum += dur
                     wsum += dur * float(v)
                 last_t = t
-        state.update((win, acc, have, last_t, dsum, wsum))
+        state.update((win, float(acc), have, last_t, dsum, wsum))
         yield pd.DataFrame(out, columns=["name", "t", "value"])
 
     return (
