@@ -153,3 +153,8 @@ def test_ivf_assign_broadcasts_codebook(spark, qs):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row codebook relation
     assert "Exchange hashpartitioning" not in p  # map-only assignment
+
+
+def test_top_ngrams_uses_distributed_topk(spark, qs):
+    p = plan_of(qs["corpus_top_ngrams"](spark, SF))
+    assert "TakeOrderedAndProject" in p  # per-partition heads, no global sort

@@ -57,6 +57,12 @@ register("ann_ivf_search")(  # rows-only: iterative k-means centroids
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
     lambda s, d: sim.ann_ivf_assign(_emb(s, d))
 )
+register("ann_lsh_recall", sql=sim.ann_lsh_recall_sql())(
+    lambda s, d: sim.ann_lsh_recall(_emb(s, d))
+)
+register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
+    lambda s, d: tx.corpus_top_ngrams(_docs(s, d))
+)
 register("text_repetition", sql=tx.text_repetition_sql())(
     lambda s, d: tx.text_repetition(_docs(s, d))
 )

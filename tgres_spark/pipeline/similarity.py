@@ -781,3 +781,45 @@ def ann_ivf_assign_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
         "SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell, "
         "CAST(list_min(dists) AS DOUBLE) AS dist FROM d"
     )
+
+
+def ann_lsh_recall(emb: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
+    """(query_id, n_hits, recall): recall@k of the bucketed LSH path
+    against the exact brute-force baseline — the accuracy half of the
+    accuracy/throughput dial every approximate index must report.
+    Pure relational composition of two already-deterministic top-k
+    relations (bit-identical cos → identical ranks in both engines),
+    so the measurement itself is hash-checkable."""
+    exact = ann_cosine_topk(emb, n_queries, k).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(emb, n_queries, k).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / float(k)).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def ann_lsh_recall_sql(n_queries: int = 10, k: int = 10) -> str:
+    return (
+        f"WITH exact AS (SELECT query_id, neighbor_id FROM ({ann_cosine_topk_sql(n_queries, k)})), "
+        f"approx AS (SELECT query_id, neighbor_id FROM ({ann_lsh_topk_sql(n_queries, k)})), "
+        "hits AS (SELECT exact.query_id, COUNT(*) AS n_hits FROM exact "
+        "JOIN approx ON exact.query_id = approx.query_id "
+        "AND exact.neighbor_id = approx.neighbor_id GROUP BY exact.query_id) "
+        "SELECT q.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, "
+        f"CAST(COALESCE(n_hits, 0) AS DOUBLE) / {float(k)!r} AS recall "
+        "FROM (SELECT DISTINCT query_id FROM exact) q "
+        "LEFT JOIN hits ON q.query_id = hits.query_id"
+    )

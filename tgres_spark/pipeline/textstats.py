@@ -526,3 +526,42 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_words,
    AND tbf <= {r['max_top_bigram_frac']!r}) AS keep
 FROM sig
 """
+
+
+def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
+    """(gram, n_docs, n_occurrences) for the k most frequent word
+    n-grams corpus-wide — the boilerplate miner: headers, footers, and
+    licence blocks surface as grams whose doc-frequency approaches
+    their occurrence count.
+
+    Scale shape: explode is map-side; the groupBy shuffles one row per
+    DISTINCT gram after partial aggregation (map-side combine collapses
+    within-partition repeats — boilerplate by definition repeats); the
+    top-k is TakeOrderedAndProject (per-partition heads, never a global
+    sort — pinned in test_plans.py). Ties break on the gram string so
+    both engines pick the same k rows."""
+    from .dedup import shingles_of, words
+
+    base = docs.select(words(F.col("text")).alias("ws"), "doc_id")
+    grams = base.select(
+        "doc_id", F.explode(shingles_of(F.col("ws"), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)
+
+
+def corpus_top_ngrams_sql(n: int = 3, k: int = 50) -> str:
+    from .dedup import shingles_sql
+
+    grams = shingles_sql("text", n)
+    return (
+        f"WITH g AS (SELECT doc_id, UNNEST({grams}) AS gram FROM documents) "
+        "SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM g GROUP BY gram "
+        f"ORDER BY n_occurrences DESC, gram ASC LIMIT {k}"
+    )
