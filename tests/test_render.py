@@ -107,6 +107,52 @@ def test_http_facade_render_and_find(catalog):
             except HTTPError as e:
                 st = e.code
             assert st == want, path
+
+        # pixel endpoint (http/pixel.go): GIF back, count-1 datapoint
+        # recorded; name sanitization happens in pixel_datapoints
+        with urlopen(
+            f"http://{host}:{port}/pixel/app.signup?t=120", timeout=60
+        ) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "image/gif"
+            assert r.read().startswith(b"GIF89a")
+        with urlopen(
+            f"http://{host}:{port}/pixel/app.signup", timeout=60
+        ) as r:
+            assert r.status == 200  # no ?t= → server's pinned now=300
+        assert server.pixel_hits == [("app.signup", 120), ("app.signup", 300)]
+    finally:
+        server.shutdown()
+
+
+def test_pixel_hits_become_datapoints(spark, catalog):
+    from tgres_spark.http_api import serve
+    from tgres_spark.render import pixel_datapoints
+    from urllib.request import urlopen
+
+    server = serve(catalog, now=60)
+    try:
+        host, port = server.server_address
+        for m in ("web hits/page", "web hits/page", "db.io"):
+            from urllib.parse import quote
+
+            with urlopen(
+                f"http://{host}:{port}/pixel/{quote(m)}", timeout=60
+            ) as r:
+                assert r.status == 200
+        hits = spark.createDataFrame(
+            server.pixel_hits, "metric string, t long"
+        )
+        rows = sorted(
+            (r["name"], r["t"], r["value"])
+            for r in pixel_datapoints(spark, hits).collect()
+        )
+        # misc.SanitizeName: whitespace→_, /→-
+        assert rows == [
+            ("db.io", 60, 1.0),
+            ("web_hits-page", 60, 1.0),
+            ("web_hits-page", 60, 1.0),
+        ]
     finally:
         server.shutdown()
 

@@ -14,11 +14,19 @@ from __future__ import annotations
 
 import http.server
 import threading
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import DataFrame
 
 from .render import find_json, render_json
+
+# 1x1 transparent GIF — the literal bytes http/pixel.go serves; the
+# response body is presentation, the datapoint is the payload.
+_PIXEL_GIF = (
+    b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\x00\x00\x00!"
+    b"\xf9\x04\x01\x00\x00\x00\x00,\x00\x00\x00\x00\x01\x00\x01\x00"
+    b"\x00\x02\x01D\x00;"
+)
 
 
 def _make_handler(catalog: DataFrame, now: int | None):
@@ -59,6 +67,31 @@ def _make_handler(catalog: DataFrame, now: int | None):
                         self._reply(400, '{"error": "query required"}')
                         return
                     self._reply(200, find_json(catalog, query))
+                elif u.path.startswith("/pixel/"):
+                    # http/pixel.go: GET /pixel/<metric> records one
+                    # count-1 datapoint for the dotted metric name and
+                    # returns a 1x1 GIF. Timestamp = ?t= override, the
+                    # server's pinned `now` (tests), or wall clock.
+                    # Hits queue on the server; render.pixel_datapoints
+                    # turns them into a SeriesFrame — ingestion proper
+                    # is the streaming pipeline's job, not the socket's.
+                    import time as _time
+
+                    metric = unquote(u.path[len("/pixel/"):])
+                    if not metric:
+                        self._reply(400, '{"error": "metric required"}')
+                        return
+                    t_param = q.get("t", [None])[0]
+                    t = int(t_param) if t_param else (
+                        now if now is not None else int(_time.time())
+                    )
+                    self.server.pixel_hits.append((metric, t))
+                    data = _PIXEL_GIF
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/gif")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._reply(404, '{"error": "not found"}')
             except Exception as e:  # evaluation error → 500, not a hang
@@ -80,6 +113,7 @@ def serve(
     server = http.server.HTTPServer(
         (host, port), _make_handler(catalog, now)
     )
+    server.pixel_hits = []  # (metric, t) hits recorded by /pixel/
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
