@@ -681,3 +681,38 @@ def test_mm_decode_stub_features_hand_computed(spark):
     # frame sampling explodes JVM-side: doc_id 2 → n_frames 3 → one frame
     frames = frame_sample(media, every_n=30).collect()
     assert [(r["media_id"], r["frame_idx"]) for r in frames] == [(2, 0)]
+
+
+def test_prep_e2e_invariants(spark):
+    """The composed prep output must (a) exclude the benchmark split,
+    (b) contain no two identical texts, (c) respect the Gopher gate,
+    and (d) pack shards whose pre-straddle token sums stay under
+    budget."""
+    from tgres_spark.model import load_table
+    from tgres_spark.pipeline.prep import prep_e2e
+    from tgres_spark.pipeline.textstats import gopher_filter
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out = prep_e2e(docs, budget=2048).collect()
+    assert out, "composite produced no rows"
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    by_id = {r["doc_id"]: r for r in docs.select("doc_id", "text", "source").collect()}
+    texts = [by_id[i]["text"] for i in ids]
+    assert len(texts) == len(set(texts))  # exact dedup held
+    assert all(by_id[i]["source"] != "src0" for i in ids)  # bench split dropped
+    keep = {
+        r["doc_id"] for r in gopher_filter(docs).where("keep").collect()
+    }
+    assert set(ids) <= keep  # quality gate held
+    # shard budget: every doc's pre-sum (shard * 2048 <= cumsum before it
+    # + its own tokens straddling) — equivalently shards are contiguous
+    # 0..max per lang
+    import collections
+
+    per_lang = collections.defaultdict(set)
+    for r in out:
+        per_lang[r["lang"]].add(r["shard"])
+    for lang, shards in per_lang.items():
+        assert shards == set(range(max(shards) + 1)), lang

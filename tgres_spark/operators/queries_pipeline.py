@@ -63,6 +63,9 @@ register("ann_lsh_recall", sql=sim.ann_lsh_recall_sql())(
 register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
     lambda s, d: tx.corpus_top_ngrams(_docs(s, d))
 )
+register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
+    lambda s, d: pp.prep_e2e(_docs(s, d))
+)
 register("text_repetition", sql=tx.text_repetition_sql())(
     lambda s, d: tx.text_repetition(_docs(s, d))
 )

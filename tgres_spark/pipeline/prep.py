@@ -80,7 +80,9 @@ def token_pack(docs: DataFrame, budget: int = 2048, seed: int = 42) -> DataFrame
     )
 
 
-def token_pack_sql(budget: int = 2048, seed: int = 42) -> str:
+def token_pack_sql(
+    budget: int = 2048, seed: int = 42, base: str = "documents"
+) -> str:
     toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
     h = f"md5({seed} || ':' || doc_id)"
     return (
@@ -89,7 +91,7 @@ def token_pack_sql(budget: int = 2048, seed: int = 42) -> str:
         f"ORDER BY h ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
         f"/ {budget}) AS BIGINT) AS shard FROM ("
         f"SELECT lang, doc_id, CAST({toks} AS BIGINT) AS n_tokens, {h} AS h "
-        "FROM documents)"
+        f"FROM {base})"
     )
 
 
@@ -167,4 +169,64 @@ def mix_rebalance_sql(total_tokens: int = 50_000, seed: int = 42) -> str:
         "SELECT lang, doc_id, n_tokens, "
         "CAST(before + n_tokens AS BIGINT) AS cum_tokens "
         "FROM pref CROSS JOIN b WHERE before < budget"
+    )
+
+
+def prep_e2e(
+    docs: DataFrame,
+    budget: int = 2048,
+    seed: int = 42,
+    benchmark_source: str = "src0",
+) -> DataFrame:
+    """The whole training-data prep path as ONE Spark plan:
+    quality gate (Gopher rules) → exact dedup (md5 keepers) →
+    benchmark decontamination (8-gram overlap + drop the benchmark
+    split itself) → token-budget shard packing. Returns
+    (lang, doc_id, n_tokens, shard) for the surviving training docs.
+
+    Composition IS the point: every stage is the already-verified
+    operator, chained relationally so Catalyst sees one tree — the
+    quality signals never leave the JVM, the dedup keeper set and
+    contaminated set are semi/anti joins on doc_id (co-keyed, no
+    re-shuffle of text), and the final pack windows per language.
+    Contamination is judged against the FULL benchmark split (the
+    bench gram set must not shrink because quality/dedup dropped a
+    benchmark doc)."""
+    from .contamination import contamination_check
+    from .dedup import dedup_exact
+    from .textstats import gopher_filter
+
+    keep_ids = gopher_filter(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id")
+    keepers = dedup_exact(kept).select(F.col("keeper_id").alias("doc_id"))
+    clean = kept.join(keepers, "doc_id")
+    bad = (
+        contamination_check(docs, benchmark_source)
+        .where(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    train = clean.where(F.col("source") != benchmark_source).join(
+        bad, "doc_id", "left_anti"
+    )
+    return token_pack(train, budget, seed)
+
+
+def prep_e2e_sql(
+    budget: int = 2048, seed: int = 42, benchmark_source: str = "src0"
+) -> str:
+    from .contamination import contamination_check_sql
+    from .textstats import gopher_filter_sql
+
+    return (
+        f"WITH gf AS (SELECT * FROM ({gopher_filter_sql()}) g), "
+        "keep AS (SELECT doc_id FROM gf WHERE keep), "
+        "kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), "
+        "keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)), "
+        "clean AS (SELECT kept.* FROM kept JOIN keepers USING (doc_id)), "
+        f"cc AS (SELECT * FROM ({contamination_check_sql(benchmark_source)}) c), "
+        "bad AS (SELECT doc_id FROM cc WHERE contaminated = 1), "
+        "train AS (SELECT clean.* FROM clean "
+        f"WHERE source <> '{benchmark_source}' "
+        "AND doc_id NOT IN (SELECT doc_id FROM bad)) "
+        + token_pack_sql(budget, seed, base="train")
     )
