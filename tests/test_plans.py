@@ -158,3 +158,10 @@ def test_ivf_assign_broadcasts_codebook(spark, qs):
 def test_top_ngrams_uses_distributed_topk(spark, qs):
     p = plan_of(qs["corpus_top_ngrams"](spark, SF))
     assert "TakeOrderedAndProject" in p  # per-partition heads, no global sort
+
+
+def test_prep_e2e_plan_shape(spark, qs):
+    p = plan_of(qs["pipeline_prep_e2e"](spark, SF))
+    assert "CartesianProduct" not in p
+    # doc_id semi/anti joins + the pack window; never a global sort
+    assert "LeftAnti" in p
