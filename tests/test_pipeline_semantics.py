@@ -716,3 +716,30 @@ def test_prep_e2e_invariants(spark):
         per_lang[r["lang"]].add(r["shard"])
     for lang, shards in per_lang.items():
         assert shards == set(range(max(shards) + 1)), lang
+
+
+def test_mix_temperature_upweights_low_resource(spark):
+    """α=0.5 budgets ∝ sqrt(lang tokens): a language with 4× the
+    tokens gets only 2× the budget, and the per-lang running
+    selection stops at its budget (+ one straddling doc)."""
+    from tgres_spark.pipeline.prep import mix_temperature
+
+    rows = []
+    did = 0
+    for lang, n_docs in (("en", 40), ("de", 10)):  # en has 4x tokens
+        for _ in range(n_docs):
+            rows.append((did, "w " * 9 + "w", lang, "s", 19))  # 10 tokens
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = mix_temperature(docs, total_tokens=300).collect()
+    budgets = {r["lang"]: r["budget"] for r in out}
+    # sqrt(400):sqrt(100) = 2:1 → en 200, de 100
+    assert budgets == {"en": 200, "de": 100}
+    import collections
+
+    sel = collections.Counter(r["lang"] for r in out)
+    assert sel == {"en": 20, "de": 10}  # 10-token docs fill exactly
+    for r in out:
+        assert r["cum_tokens"] - r["n_tokens"] < budgets[r["lang"]]

@@ -465,3 +465,15 @@ def test_scale_to_seconds_linearity(td):
     a = vals(evaluate(td, "scaleToSeconds(foo.bar1.baz, 2)"))
     b = vals(evaluate(td, "scaleToSeconds(foo.bar1.baz, 4)"))
     assert a and all(math.isclose(y, 2 * x) for x, y in zip(a, b))
+
+
+# Test_dsl_consolidateBy (funcs_test.go:1003): consolidateBy(sum) must
+# SUM the constants that fall in each consolidated slot (the reference
+# sums 36 one-second tens per 36s maxDataPoints slot → 360). Our
+# pipeline: fetch pre-consolidates to span/max_points = 360s slots
+# (avg → still 10), consolidateBy re-consolidates at the context step
+# (3600) → one slot summing ten tens = 100; max stays 10.
+def test_consolidate_by_sums_slot_contents(spark, td):
+    ctx = DslContext(td.catalog, t_from=0, t_to=3600, max_points=10)
+    every_value_is(evaluate(ctx, "consolidateBy(foo.bar1.baz, sum)"), 100.0)
+    every_value_is(evaluate(ctx, "consolidateBy(foo.bar1.baz, max)"), 10.0)

@@ -66,6 +66,11 @@ register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
 register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
     lambda s, d: pp.prep_e2e(_docs(s, d))
 )
+# 10k-token budget so the α=0.5 mixture actually SELECTS at sf0.01
+# (the corpus is ~28k tokens; a budget above it degenerates to all-docs)
+register("pipeline_mix_temperature", sql=pp.mix_temperature_sql(10_000))(
+    lambda s, d: pp.mix_temperature(_docs(s, d), 10_000)
+)
 register("text_repetition", sql=tx.text_repetition_sql())(
     lambda s, d: tx.text_repetition(_docs(s, d))
 )

@@ -230,3 +230,87 @@ def prep_e2e_sql(
         "AND doc_id NOT IN (SELECT doc_id FROM bad)) "
         + token_pack_sql(budget, seed, base="train")
     )
+
+
+def mix_temperature(
+    docs: DataFrame, total_tokens: int = 50_000, seed: int = 42
+) -> DataFrame:
+    """Temperature-weighted dataset mixture at α = 0.5: language l
+    gets budget ∝ sqrt(tokens_l) — the standard multilingual sampling
+    rule that upweights low-resource languages relative to
+    proportional sampling (α=1) without flattening to uniform (α=0).
+
+    Determinism: language token totals are exact integer sums; the
+    sqrt weights are quantized to micro6 int64 units (IEEE sqrt is
+    correctly rounded in BOTH engines, so the quantized weights are
+    identical — this is why the op pins α=0.5 rather than a generic
+    pow, whose libm results differ in the last ulp); budgets are pure
+    integer arithmetic (total·w DIV Σw); selection is the replay-
+    stable seeded-hash prefix walk of mix_rebalance. Returns
+    (lang, doc_id, n_tokens, cum_tokens, budget).
+
+    Scale: two tiny aggregates (1 row per language) broadcast back;
+    one per-lang window over integer sums; no collect."""
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.where(F.col("lang").isNotNull()).select(
+        "lang", "doc_id", toks.cast("bigint").alias("n_tokens")
+    )
+    lt = d.groupBy("lang").agg(F.sum("n_tokens").alias("lt"))
+    w = lt.select(
+        "lang",
+        F.floor(F.sqrt(F.col("lt").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
+    )
+    sw = w.agg(F.sum("w").alias("sw"))
+    budgets = w.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        F.expr(f"CAST({int(total_tokens)} * w DIV sw AS BIGINT)").alias(
+            "budget"
+        ),
+    )
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id")))
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return (
+        d.join(F.broadcast(budgets), "lang")
+        .withColumn("before", before)
+        .where(F.col("before") < F.col("budget"))
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            (F.col("before") + F.col("n_tokens")).alias("cum_tokens"),
+            "budget",
+        )
+    )
+
+
+def mix_temperature_sql(total_tokens: int = 50_000, seed: int = 42) -> str:
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    h = f"md5({seed} || ':' || doc_id)"
+    return (
+        "WITH d AS ("
+        f"SELECT lang, doc_id, CAST({toks} AS BIGINT) AS n_tokens, {h} AS h "
+        "FROM documents WHERE lang IS NOT NULL), "
+        "lt AS (SELECT lang, SUM(n_tokens) AS lt FROM d GROUP BY lang), "
+        "w AS (SELECT lang, CAST(FLOOR(SQRT(CAST(lt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w FROM lt), "
+        "sw AS (SELECT SUM(w) AS sw FROM w), "
+        "budgets AS (SELECT lang, "
+        f"CAST({int(total_tokens)} * w // sw AS BIGINT) AS budget "
+        "FROM w CROSS JOIN sw), "
+        "pref AS (SELECT lang, doc_id, n_tokens, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h ASC, "
+        "doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS before FROM d) "
+        "SELECT pref.lang, doc_id, n_tokens, "
+        "CAST(before + n_tokens AS BIGINT) AS cum_tokens, budget "
+        "FROM pref JOIN budgets ON pref.lang = budgets.lang "
+        "WHERE before < budget"
+    )
