@@ -743,3 +743,22 @@ def test_mix_temperature_upweights_low_resource(spark):
     assert sel == {"en": 20, "de": 10}  # 10-token docs fill exactly
     for r in out:
         assert r["cum_tokens"] - r["n_tokens"] < budgets[r["lang"]]
+
+
+def test_text_entropy_hand_computed(spark):
+    import math
+
+    from tgres_spark.pipeline.textstats import text_entropy
+
+    rows = [
+        (1, "aaaa", "en", "s", 4),        # one symbol → 0 bits
+        (2, "abab", "en", "s", 4),        # two equiprobable → 1 bit
+        (3, "abcd", "en", "s", 4),        # four equiprobable → 2 bits
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert math.isclose(out[2]["entropy"], 1.0, abs_tol=1e-8)
+    assert math.isclose(out[3]["entropy"], 2.0, abs_tol=1e-8)

@@ -565,3 +565,60 @@ def corpus_top_ngrams_sql(n: int = 3, k: int = 50) -> str:
         "CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM g GROUP BY gram "
         f"ORDER BY n_occurrences DESC, gram ASC LIMIT {k}"
     )
+
+
+def text_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_distinct, entropy): character-level Shannon
+    entropy of the lowercased text — the cheap garbage detector (runs
+    of one character ≈ 0 bits; natural language ≈ 4 bits/char).
+
+    Map-only and cross-engine exact: per-character counts come from
+    length(s) - length(replace(s, ch)) (literal replace, no regex),
+    each p·log2(p) term rounds its libm log to 9 decimals (the same
+    rule as text_unigram_logprob — JVM and C++ log differ in the last
+    ulp), and the fold runs over the SORTED distinct-character list so
+    both engines sum in the identical order."""
+    s = F.lower(F.col("text"))
+    base = docs.select("doc_id", s.alias("s")).where(F.length("s") > 0)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("s"))),
+        lambda i: F.col("s").substr(i, F.lit(1)),
+    )
+    b = base.select(
+        "doc_id", "s", F.length("s").alias("n"),
+        F.array_sort(F.array_distinct(chars)).alias("dc"),
+    )
+    p = lambda ch: (  # noqa: E731
+        (F.length(F.col("s")) - F.length(F.replace(F.col("s"), ch)))
+        .cast("double")
+        / F.col("n")
+    )
+    term = lambda ch: p(ch) * F.round(  # noqa: E731
+        F.log(p(ch)) / F.log(F.lit(2.0)), 9
+    )
+    ent = -F.aggregate(F.col("dc"), F.lit(0.0), lambda acc, ch: acc + term(ch))
+    return b.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.size("dc").cast("bigint").alias("n_distinct"),
+        ent.alias("entropy"),
+    )
+
+
+def text_entropy_sql() -> str:
+    cnt = "(len(s) - len(replace(s, ch, '')))"
+    p = f"(CAST({cnt} AS DOUBLE) / n)"
+    term = f"{p} * ROUND(LN({p}) / LN(2.0), 9)"
+    return f"""
+WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+c AS (
+  SELECT doc_id, s, len(s) AS n,
+         list_sort(list_distinct(list_transform(range(1, len(s) + 1), i -> s[i]))) AS dc
+  FROM d WHERE len(s) > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(len(dc) AS BIGINT) AS n_distinct,
+       -(list_reduce(list_prepend(0.0, list_transform(dc, ch -> {term})),
+                     (acc, x) -> acc + x)) AS entropy
+FROM c
+"""
