@@ -174,9 +174,14 @@ def test_exclude_and_timestack(td):
     out = evaluate(td, "exclude(foo.*.baz, 'bar2')")
     names = {r["name"] for r in out.select("name").distinct().collect()}
     assert names == {"foo.bar1.baz"}
-    stack = evaluate(td, 'timeStack(foo.bar1.baz, "1h", 0, 2)')
+    # 600s periods so all three historical slices hold data; a slice
+    # with no data yields no series (the relational form of the
+    # reference's empty series object)
+    stack = evaluate(td, 'timeStack(foo.bar1.baz, "600s", 0, 2)')
     names = {r["name"] for r in stack.select("name").distinct().collect()}
-    assert len(names) == 3  # k = 0, 1, 2
+    assert len(names) == 3  # i = 0, 1, 2
+    only_now = evaluate(td, 'timeStack(foo.bar1.baz, "1h", 0, 2)')
+    assert only_now.select("name").distinct().count() == 1  # no history
 
 
 def test_weighted_average_pairs_by_node(spark):
@@ -477,3 +482,23 @@ def test_consolidate_by_sums_slot_contents(spark, td):
     ctx = DslContext(td.catalog, t_from=0, t_to=3600, max_points=10)
     every_value_is(evaluate(ctx, "consolidateBy(foo.bar1.baz, sum)"), 100.0)
     every_value_is(evaluate(ctx, "consolidateBy(foo.bar1.baz, max)"), 10.0)
+
+
+# dslTimeStack (funcs.go:2327, dslCtxFuncs): each shift index slices
+# one period back and realigns it to the window end, named
+# timeShift(<name>, -<ispec>, <i>)
+def test_time_stack_slices_and_realigns(td):
+    out = evaluate(td, 'timeStack(foo.bar1.baz, "600s", 0, 2)')
+    rows = out.collect()
+    names = {r["name"] for r in rows}
+    assert names == {
+        f"timeShift(foo.bar1.baz, -600s, {i})" for i in (0, 1, 2)
+    }
+    for r in rows:
+        assert 3000 < r["t"] <= 3600  # every slice realigned to the end
+        assert r["value"] == 10.0
+    # each slice carries exactly its 10 minute-slots
+    import collections
+
+    per = collections.Counter(r["name"] for r in rows)
+    assert set(per.values()) == {10}

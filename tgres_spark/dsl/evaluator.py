@@ -209,8 +209,6 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         )
     if f == "timeShift":
         return dt.time_shift(s0(), _seconds(a[1]))
-    if f == "timeStack":
-        return ds.time_stack(s0(), _seconds(a[1]), int(_num(a[2])), int(_num(a[3])))
     if f == "delay":
         return dt.delay(s0(), int(_num(a[1])))
     if f == "scaleToSeconds":
@@ -348,6 +346,20 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         return ds.random_walk(
             ctx.catalog.sparkSession, nm, ctx.t_from, ctx.t_to, _infer_step(ctx)
         )
+    if f == "timeStack":
+        # reference dslCtxFuncs "timeStack" (funcs.go:2327): fetch the
+        # pattern over the WIDE range [to - num·period, to] directly
+        # from the catalog (the context's from-filter must not cut the
+        # historical slices), slice per shift index i in [begin, num].
+        if ctx.t_to is None:
+            raise ValueError("timeStack needs `to` on the context")
+        pat = a[0].text if isinstance(a[0], Pattern) else _str(a[0])
+        period = _seconds(a[1])
+        begin, num = int(_num(a[2])), int(_num(a[3]))
+        wide = ctx.catalog.where(F.col(NAME).rlike(glob_to_regex(pat)))
+        ispec = a[1].value if isinstance(a[1], Literal) else str(period)
+        return dt.time_stack(wide, period, begin, num, ctx.t_to, ispec)
+
     from ..operators import holtwinters as hw
 
     if f == "holtWintersForecast":

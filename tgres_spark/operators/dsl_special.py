@@ -102,28 +102,6 @@ def constant_line_sql(value: float, t0: int, t1: int, step: int) -> str:
     )
 
 
-def time_stack(df, shift_s: int, start: int, end: int) -> DataFrame:
-    """N time-shifted copies of the series (dslTimeStack): one copy per
-    k in [start, end], shifted k*shift_s forward."""
-    ks = F.explode(F.sequence(F.lit(start), F.lit(end))).alias("k")
-    e = df.select(F.col(NAME), F.col(T), F.col(VALUE), ks)
-    return e.select(
-        F.format_string(
-            f'timeStack(%s,"{shift_s}s",%d)', F.col(NAME), F.col("k")
-        ).alias(NAME),
-        (F.col(T) + F.col("k") * int(shift_s)).alias(T),
-        F.col(VALUE),
-    )
-
-
-def time_stack_sql(base, shift_s: int, start: int, end: int) -> str:
-    return (
-        f"SELECT printf('timeStack(%s,\"{shift_s}s\",%d)', name, k) AS name, "
-        f"t + k * {int(shift_s)} AS t, value "
-        f"FROM ({base}), (SELECT UNNEST(range({start}, {end + 1})) AS k)"
-    )
-
-
 def _distributed_rank(s, order) -> DataFrame:
     """Total-order rank WITHOUT a single-partition window: range-
     partition on the sort keys, row_number within each partition, then

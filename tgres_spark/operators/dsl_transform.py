@@ -470,3 +470,46 @@ def hitcount_sql(base, interval_s: int, step: int):
         f"SELECT printf('hitcount(%s,\"{interval_s}s\")', name) AS name, t, "
         f"value * {float(step)!r} AS value FROM ({inner})"
     )
+
+
+def time_stack(df, period_s: int, begin: int, num: int, t_to: int, ispec: str):
+    """timeStack (funcs.go dslTimeStack, dslCtxFuncs table): for each
+    i in [begin, num], the source series over
+    (t_to-(i+1)·period, t_to-i·period] shifted FORWARD by i·period so
+    every slice aligns to the request window's end — the
+    compare-with-previous-N-periods function. Output names follow the
+    reference exactly: ``timeShift(<name>, -<ispec>, <i>)``.
+
+    One scan: the shift index explodes JVM-side (num-begin+1 rows per
+    point, ≤ ~8 in practice) and each row keeps or drops itself by its
+    own slice predicate — no per-period re-fetch (the reference
+    fetches the wide range once per i; relationally the explode IS
+    that loop)."""
+    p = int(period_s)
+    d = df.select(
+        NAME, T, VALUE,
+        F.explode(F.sequence(F.lit(int(begin)), F.lit(int(num)))).alias("i"),
+    )
+    hi = F.lit(int(t_to)) - F.col("i") * p
+    return (
+        d.where((F.col(T) > hi - p) & (F.col(T) <= hi))
+        .select(
+            F.concat(
+                F.lit("timeShift("), F.col(NAME), F.lit(f", -{ispec}, "),
+                F.col("i").cast("string"), F.lit(")"),
+            ).alias(NAME),
+            (F.col(T) + F.col("i") * p).cast("bigint").alias(T),
+            F.col(VALUE),
+        )
+    )
+
+
+def time_stack_sql(base, period_s: int, begin: int, num: int, t_to: int, ispec: str):
+    p = int(period_s)
+    return (
+        f"SELECT 'timeShift(' || name || ', -{ispec}, ' || CAST(i AS VARCHAR) || ')' AS name, "
+        f"CAST(t + i * {p} AS BIGINT) AS t, value FROM ("
+        f"SELECT name, t, value, UNNEST(range({int(begin)}, {int(num) + 1})) AS i "
+        f"FROM ({base})) "
+        f"WHERE t > {int(t_to)} - (i + 1) * {p} AND t <= {int(t_to)} - i * {p}"
+    )

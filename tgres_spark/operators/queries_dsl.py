@@ -174,10 +174,13 @@ _reg("dsl_delay", lambda s, d: dt.delay(base(s, d), 3), dt.delay_sql(BASE_SQL, 3
 _reg("dsl_integral", lambda s, d: dt.integral(base(s, d)), dt.integral_sql(BASE_SQL))
 _reg("dsl_offsetToZero", lambda s, d: dt.offset_to_zero(base(s, d)), dt.offset_to_zero_sql(BASE_SQL))
 _reg("dsl_timeShift", lambda s, d: dt.time_shift(base(s, d), 86400), dt.time_shift_sql(BASE_SQL, 86400))
+# faithful dslTimeStack (funcs.go:2327): each shift index i slices
+# (T1-(i+1)d, T1-i·d] and realigns it to the window end, named
+# timeShift(<name>, -1d, i) exactly as the reference emits
 _reg(
     "dsl_timeStack",
-    lambda s, d: ds.time_stack(base(s, d), 86400, 0, 3),
-    ds.time_stack_sql(BASE_SQL, 86400, 0, 3),
+    lambda s, d: dt.time_stack(base(s, d), 86400, 0, 3, T1, "1d"),
+    dt.time_stack_sql(BASE_SQL, 86400, 0, 3, T1, "1d"),
 )
 _reg(
     "dsl_transformNull",
