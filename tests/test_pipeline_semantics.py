@@ -762,3 +762,25 @@ def test_text_entropy_hand_computed(spark):
     assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
     assert math.isclose(out[2]["entropy"], 1.0, abs_tol=1e-8)
     assert math.isclose(out[3]["entropy"], 2.0, abs_tol=1e-8)
+
+
+def test_mm_resize_stub_geometry(spark):
+    import hashlib
+
+    from tgres_spark.pipeline.multimodal import resize_stub, synthesize_media
+
+    # doc_id 3 → image, width 35, height 35 → square scales to 64x64;
+    # doc_id 300 → image, width 332, height 76 → (332*64)//332=64, (76*64)//332=14
+    docs = spark.createDataFrame(
+        [(3, "abc", "en", "s", 3), (300, "xyz", "en", "s", 3),
+         (2, "vid", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["media_id"]: r for r in resize_stub(synthesize_media(docs)).collect()}
+    assert (out[3]["new_width"], out[3]["new_height"]) == (64, 64)
+    assert (out[300]["new_width"], out[300]["new_height"]) == (64, 14)
+    assert out[2]["kind"] == "video" and out[2]["new_width"] == 0
+    assert out[2]["checksum"] is None
+    h = (hashlib.md5(b"abc").hexdigest()
+         + hashlib.md5(b"cba").hexdigest())
+    assert out[3]["checksum"] == hashlib.md5(f"{h}:64x64".encode()).hexdigest()

@@ -74,6 +74,15 @@ register("pipeline_mix_temperature", sql=pp.mix_temperature_sql(10_000))(
 register("text_entropy", sql=tx.text_entropy_sql())(
     lambda s, d: tx.text_entropy(_docs(s, d))
 )
+
+
+@register("mm_resize_stub", sql=mm.mm_resize_stub_sql())
+def mm_resize_stub(spark, sf_dir):
+    """Arrow-batched resize plumbing over synthesized media; geometry
+    is real integer math, pixels are the declared fake — the oracle
+    recomputes both from doc_id/text (multimodal.mm_resize_stub_sql),
+    hash-checking the batch path."""
+    return mm.resize_stub(mm.synthesize_media(_docs(spark, sf_dir)))
 register("text_repetition", sql=tx.text_repetition_sql())(
     lambda s, d: tx.text_repetition(_docs(s, d))
 )

@@ -125,3 +125,74 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     return v.select(
         "media_id", F.explode(frames).alias("frame_idx")
     )
+
+
+def resize_stub(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Image-resize plumbing (mapInPandas, Arrow-batched): each image
+    payload is 'resized' to fit ``max_dim`` preserving aspect ratio —
+    the geometry is real integer arithmetic; the pixel work is the
+    declared fake (no PIL in this container): the output 'bytes' are
+    the md5 of the source payload hex plus the target geometry, so the
+    whole batch path is value-checkable (mm_resize_stub_sql).
+
+    Non-images pass through with NULL geometry, mirroring a mixed
+    media table where only the image kernel applies."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                if r["kind"] == "image" and r["width"] and r["height"]:
+                    w, h = int(r["width"]), int(r["height"])
+                    m = max(w, h)
+                    nw = (w * max_dim) // m
+                    nh = (h * max_dim) // m
+                    chk = hashlib.md5(
+                        f"{payload.hex()}:{nw}x{nh}".encode("ascii")
+                    ).hexdigest()
+                else:
+                    # 0 (not NULL): a NULL in an int column coerces
+                    # the whole compare frame to float64 in pandas —
+                    # 0 keeps the geometry columns integer end-to-end
+                    nw = nh = 0
+                    chk = None
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "new_width": nw,
+                        "new_height": nh,
+                        "checksum": chk,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        fn,
+        schema=(
+            "media_id long, kind string, new_width int, new_height int, "
+            "checksum string"
+        ),
+    )
+
+
+def mm_resize_stub_sql(max_dim: int = 64) -> str:
+    """DuckDB twin of resize_stub(synthesize_media(documents)): the
+    synthesized geometry and payload hex are recomputed from doc_id
+    and text (see synthesize_media / mm_decode_stub_sql)."""
+    kind = "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
+    w = "(doc_id % 512 + 32)"
+    h = "(doc_id % 256 + 32)"
+    m = f"GREATEST({w}, {h})"
+    nw = f"CAST(({w} * {max_dim}) // {m} AS INT)"
+    nh = f"CAST(({h} * {max_dim}) // {m} AS INT)"
+    hexs = "md5(text) || md5(reverse(text))"
+    chk = f"md5({hexs} || ':' || {nw} || 'x' || {nh})"
+    return (
+        f"SELECT doc_id AS media_id, {kind} AS kind, "
+        f"CASE WHEN {kind} = 'image' THEN {nw} ELSE 0 END AS new_width, "
+        f"CASE WHEN {kind} = 'image' THEN {nh} ELSE 0 END AS new_height, "
+        f"CASE WHEN {kind} = 'image' THEN {chk} END AS checksum "
+        "FROM documents"
+    )
