@@ -155,6 +155,14 @@ def test_ivf_assign_broadcasts_codebook(spark, qs):
     assert "Exchange hashpartitioning" not in p  # map-only assignment
 
 
+def test_ivf_lloyd_plan_shape(spark, qs):
+    # one Lloyd iteration: codebook + new-centroid relations broadcast
+    # (1-row each), member sums map-side-combined — never a cartesian
+    p = plan_of(qs["ann_ivf_lloyd_fixed"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
 def test_top_ngrams_uses_distributed_topk(spark, qs):
     p = plan_of(qs["corpus_top_ngrams"](spark, SF))
     assert "TakeOrderedAndProject" in p  # per-partition heads, no global sort

@@ -193,6 +193,118 @@ def _q6(x: float) -> float:
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
+def _hw_fixed_series(vals, ts, slen, n_pred, a, b, g):
+    """Shared fixed-(α,β,γ) recursion for one sorted series.
+
+    Returns (out_t, result, dev) over n + n_pred points, or None when
+    the series is too short. Every recursion state (level, trend,
+    seasonal[si], sdev[si], result) is q6-quantized after each step and
+    the init sums accumulate micro6 int64 units, so the DuckDB twin
+    (_hw_fixed_ctes) sees bit-identical doubles at every step. The
+    deviation chain mirrors hw_smooth / series/holtwinters.go:118-127
+    (factor fold-down, update only past the 3rd point).
+
+    Pure-Python sequential loops on purpose: numpy's pairwise
+    summation would diverge from DuckDB's sequential HUGEINT sums."""
+    import math
+
+    n = len(vals)
+    if n < 2 * slen:
+        return None
+    # init trend / seasonal: micro6 int sums (order-free, exact)
+    acc = 0
+    for j in range(slen):
+        acc += math.floor((vals[slen + j] - vals[j]) / slen * 1000000.0 + 0.5)
+    trend = _q6(float(acc) / 1000000.0 / float(slen))
+    ns = n // slen
+    savg = []
+    for s in range(ns):
+        m = 0
+        for j in range(slen):
+            m += math.floor(vals[s * slen + j] * 1000000.0 + 0.5)
+        savg.append(float(m) / 1000000.0 / float(slen))
+    seasonal = []
+    for si in range(slen):
+        m = 0
+        for s in range(ns):
+            m += math.floor(vals[s * slen + si] / savg[s] * 1000000.0 + 0.5)
+        seasonal.append(_q6(float(m) / 1000000.0 / float(ns)))
+    # recursion, every state q6-quantized
+    level = vals[0]
+    result = [vals[0]]
+    sdev = [0.0] * slen
+    dev = [0.0]
+    for i in range(1, n):
+        si = i % slen
+        val = vals[i]
+        new_level = _q6(a * val / seasonal[si] + (1 - a) * (level + trend))
+        trend = _q6(b * (new_level - level) + (1 - b) * trend)
+        seasonal[si] = _q6(g * val / new_level + (1 - g) * seasonal[si])
+        level = new_level
+        res_i = _q6((level + trend) * seasonal[si])
+        result.append(res_i)
+        if i > 2:
+            factor = res_i / val if val != 0 else 1.0
+            if factor > 1:
+                factor = 1.0 / factor
+            sdev[si] = _q6(g * (1.0 - factor) + (1 - g) * sdev[si])
+        dev.append(sdev[si])
+    step = ts[1] - ts[0]
+    out_t = list(ts)
+    for m in range(1, n_pred + 1):
+        gi = (n - 1) + m
+        out_t.append(ts[-1] + step * m)
+        result.append(_q6((level + m * trend) * seasonal[gi % slen]))
+        dev.append(sdev[gi % slen])
+    return out_t, result, dev
+
+
+def _hw_fixed_apply(df, slen, n_pred, a, b, g, mode, dev_scale):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        name = pdf["name"].iloc[0]
+        vals = [_q6(float(v)) for v in pdf["value"]]
+        ts = [int(t) for t in pdf["t"]]
+        fit = _hw_fixed_series(vals, ts, slen, n_pred, a, b, g)
+        if fit is None:
+            return pd.DataFrame({"name": [], "t": [], "value": []})
+        out_t, result, dev = fit
+        if mode == "forecast":
+            return pd.DataFrame(
+                {"name": f"holtWintersForecast({name})", "t": out_t, "value": result}
+            )
+        up = [r + r * d * dev_scale for r, d in zip(result, dev)]
+        lo = [r - r * d * dev_scale for r, d in zip(result, dev)]
+        if mode == "bands":
+            return pd.DataFrame(
+                {
+                    "name": [f"holtWintersConfidenceUpper({name})"] * len(out_t)
+                    + [f"holtWintersConfidenceLower({name})"] * len(out_t),
+                    "t": out_t + out_t,
+                    "value": up + lo,
+                }
+            )
+        # aberration: actual region only, value poking outside the bands
+        n = len(vals)
+        ab = []
+        for i in range(n):
+            if vals[i] > up[i]:
+                ab.append(vals[i] - up[i])
+            elif vals[i] < lo[i]:
+                ab.append(vals[i] - lo[i])
+            else:
+                ab.append(0.0)
+        return pd.DataFrame(
+            {"name": f"holtWintersAberration({name})", "t": ts, "value": ab}
+        )
+
+    return (
+        df.where(F.col(VALUE).isNotNull())
+        .groupBy(NAME)
+        .applyInPandas(fn, schema="name string, t long, value double")
+    )
+
+
 def hw_fixed_forecast(
     df: DataFrame,
     slen: int = 24,
@@ -207,88 +319,56 @@ def hw_fixed_forecast(
     PINNED (no Nelder-Mead) it is expressible as a DuckDB recursive
     CTE (hw_fixed_forecast_sql below), so this variant carries a real
     oracle while the fitted variants stay rows-only. Cross-engine
-    bit-equality is by construction: inputs and every recursion state
-    (level, trend, seasonal[si], result) are quantized to 6 decimals
-    (floor(x*1e6+0.5)/1e6) after each step, initialization sums
-    accumulate micro6 int64 units (order-free), and the step
-    expressions are written with identical IEEE op order on both
-    sides — so by induction each engine sees identical doubles at
-    every step. Same recurrence as hw_smooth / the reference
-    (series/holtwinters.go:100-133), minus deviations.
-
-    Pure-Python sequential loops on purpose: numpy's pairwise
-    summation would diverge from DuckDB's sequential HUGEINT sums."""
-    import math
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t").reset_index(drop=True)
-        name = pdf["name"].iloc[0]
-        vals = [_q6(float(v)) for v in pdf["value"]]
-        ts = [int(t) for t in pdf["t"]]
-        n = len(vals)
-        if n < 2 * slen:
-            return pd.DataFrame({"name": [], "t": [], "value": []})
-        # init trend / seasonal: micro6 int sums (order-free, exact)
-        acc = 0
-        for j in range(slen):
-            acc += math.floor((vals[slen + j] - vals[j]) / slen * 1000000.0 + 0.5)
-        trend = _q6(float(acc) / 1000000.0 / float(slen))
-        ns = n // slen
-        savg = []
-        for s in range(ns):
-            m = 0
-            for j in range(slen):
-                m += math.floor(vals[s * slen + j] * 1000000.0 + 0.5)
-            savg.append(float(m) / 1000000.0 / float(slen))
-        seasonal = []
-        for si in range(slen):
-            m = 0
-            for s in range(ns):
-                m += math.floor(vals[s * slen + si] / savg[s] * 1000000.0 + 0.5)
-            seasonal.append(_q6(float(m) / 1000000.0 / float(ns)))
-        # recursion, every state q6-quantized
-        level = vals[0]
-        result = [vals[0]]
-        for i in range(1, n):
-            si = i % slen
-            val = vals[i]
-            new_level = _q6(a * val / seasonal[si] + (1 - a) * (level + trend))
-            trend = _q6(b * (new_level - level) + (1 - b) * trend)
-            seasonal[si] = _q6(g * val / new_level + (1 - g) * seasonal[si])
-            level = new_level
-            result.append(_q6((level + trend) * seasonal[si]))
-        step = ts[1] - ts[0]
-        out_t = list(ts)
-        for m in range(1, n_pred + 1):
-            gi = (n - 1) + m
-            out_t.append(ts[-1] + step * m)
-            result.append(_q6((level + m * trend) * seasonal[gi % slen]))
-        return pd.DataFrame(
-            {
-                "name": f"holtWintersForecast({name})",
-                "t": out_t,
-                "value": result,
-            }
-        )
-
-    return (
-        df.where(F.col(VALUE).isNotNull())
-        .groupBy(NAME)
-        .applyInPandas(fn, schema="name string, t long, value double")
-    )
+    bit-equality is by construction — see _hw_fixed_series. Same
+    recurrence as hw_smooth / the reference
+    (series/holtwinters.go:100-133)."""
+    return _hw_fixed_apply(df, slen, n_pred, a, b, g, "forecast", 0.0)
 
 
-def hw_fixed_forecast_sql(
-    base: str,
+def hw_fixed_bands(
+    df: DataFrame,
     slen: int = 24,
     n_pred: int = 12,
     a: float = 0.4,
     b: float = 0.1,
     g: float = 0.2,
+    dev_scale: float = 10.0,
+) -> DataFrame:
+    """Fixed-parameter holtWintersConfidenceBands (funcs.go:2441+ via
+    series/holtwinters.go deviations): smoothed ± smoothed·dev·scale,
+    upper and lower as two series. Hash-checked — the deviation chain
+    is part of the recursive-CTE oracle (hw_fixed_bands_sql)."""
+    return _hw_fixed_apply(df, slen, n_pred, a, b, g, "bands", dev_scale)
+
+
+def hw_fixed_aberration(
+    df: DataFrame,
+    slen: int = 24,
+    a: float = 0.4,
+    b: float = 0.1,
+    g: float = 0.2,
+    dev_scale: float = 10.0,
+) -> DataFrame:
+    """Fixed-parameter holtWintersAberration: how far each actual value
+    pokes outside the confidence bands (0 inside). Hash-checked."""
+    return _hw_fixed_apply(df, slen, 0, a, b, g, "aberration", dev_scale)
+
+
+def _hw_fixed_ctes(
+    base: str,
+    slen: int,
+    n_pred: int,
+    a: float,
+    b: float,
+    g: float,
 ) -> str:
-    """DuckDB twin of hw_fixed_forecast: recursive CTE carrying
-    (level, trend, seasonal LIST) per series, list_transform updating
-    seasonal[si] in place, identical quantization at every step."""
+    """DuckDB twin of _hw_fixed_series: recursive CTE carrying
+    (level, trend, seasonal LIST, sdev LIST) per series,
+    list_transform updating seasonal[si] / sdev[si] in place,
+    identical quantization at every step. Exposes `rec`
+    (name, i, t, result, devv) for the actual region and `fc`
+    (name, t, value, devv) for the forecast region; a final SELECT is
+    appended per mode by the *_sql wrappers below."""
     A, B, G = repr(a), repr(b), repr(g)
     IA, IB, IG = repr(1 - a), repr(1 - b), repr(1 - g)
 
@@ -300,6 +380,21 @@ def hw_fixed_forecast_sql(
     TR = q6(f"{B} * (({L}) - r.level) + {IB} * r.trend")
     SE = q6(f"{G} * d.value / ({L}) + {IG} * r.seasonal[{SI}]")
     RES = q6(f"(({L}) + ({TR})) * ({SE})")
+    # deviation chain (series/holtwinters.go:118-127): factor folded
+    # into (0,1], update only past the 3rd point. 1.0/(res/val) — NOT
+    # val/res — to match the Python fold's IEEE op order exactly.
+    FACTOR = (
+        f"CASE WHEN d.value = 0 THEN 1.0 "
+        f"WHEN ({RES}) / d.value > 1 THEN 1.0 / (({RES}) / d.value) "
+        f"ELSE ({RES}) / d.value END"
+    )
+    SDUP = q6(f"{G} * (1.0 - ({FACTOR})) + {IG} * r.sdev[{SI}]")
+    SDEV_LIST = (
+        f"CASE WHEN r.i + 1 > 2 THEN list_transform(r.sdev, "
+        f"(x, k) -> CASE WHEN k = {SI} THEN {SDUP} ELSE x END) "
+        f"ELSE r.sdev END"
+    )
+    DEVV = f"CASE WHEN r.i + 1 > 2 THEN {SDUP} ELSE r.sdev[{SI}] END"
     return f"""
 WITH RECURSIVE
 idx AS (
@@ -341,7 +436,10 @@ stp AS (
 ),
 rec AS (
   SELECT d.name, 0 AS i, d.value AS level, tr.trend AS trend,
-         sl.seasonal AS seasonal, d.value AS result, d.t AS t
+         sl.seasonal AS seasonal,
+         list_transform(range({slen}), x -> CAST(0.0 AS DOUBLE)) AS sdev,
+         CAST(0.0 AS DOUBLE) AS devv,
+         d.value AS result, d.t AS t
   FROM idx d
   JOIN cnt ON cnt.name = d.name
   JOIN tr ON tr.name = d.name
@@ -353,6 +451,8 @@ rec AS (
          {TR} AS trend,
          list_transform(r.seasonal,
                         (x, k) -> CASE WHEN k = {SI} THEN {SE} ELSE x END) AS seasonal,
+         {SDEV_LIST} AS sdev,
+         {DEVV} AS devv,
          {RES} AS result,
          d.t
   FROM rec r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
@@ -362,16 +462,73 @@ fin AS (
 ),
 fc AS (
   SELECT f.name, f.t + m.m * s.st AS t,
-         {q6(f"(f.level + m.m * f.trend) * f.seasonal[((f.i + m.m) % {slen}) + 1]")} AS value
+         {q6(f"(f.level + m.m * f.trend) * f.seasonal[((f.i + m.m) % {slen}) + 1]")} AS value,
+         f.sdev[((f.i + m.m) % {slen}) + 1] AS devv
   FROM fin f
   JOIN stp s ON s.name = f.name
   CROSS JOIN (SELECT unnest(range(1, {n_pred + 1})) AS m) m
 )
+"""
+
+
+def hw_fixed_forecast_sql(
+    base: str,
+    slen: int = 24,
+    n_pred: int = 12,
+    a: float = 0.4,
+    b: float = 0.1,
+    g: float = 0.2,
+) -> str:
+    return _hw_fixed_ctes(base, slen, n_pred, a, b, g) + """
 SELECT 'holtWintersForecast(' || name || ')' AS name, t,
        CAST(result AS DOUBLE) AS value FROM rec
 UNION ALL
 SELECT 'holtWintersForecast(' || name || ')' AS name, t,
        CAST(value AS DOUBLE) AS value FROM fc
+"""
+
+
+def hw_fixed_bands_sql(
+    base: str,
+    slen: int = 24,
+    n_pred: int = 12,
+    a: float = 0.4,
+    b: float = 0.1,
+    g: float = 0.2,
+    dev_scale: float = 10.0,
+) -> str:
+    DS = repr(dev_scale)
+    return _hw_fixed_ctes(base, slen, n_pred, a, b, g) + f""",
+allpts AS (
+  SELECT name, t, result, devv FROM rec
+  UNION ALL
+  SELECT name, t, value AS result, devv FROM fc
+)
+SELECT 'holtWintersConfidenceUpper(' || name || ')' AS name, t,
+       CAST(result + result * devv * {DS} AS DOUBLE) AS value FROM allpts
+UNION ALL
+SELECT 'holtWintersConfidenceLower(' || name || ')' AS name, t,
+       CAST(result - result * devv * {DS} AS DOUBLE) AS value FROM allpts
+"""
+
+
+def hw_fixed_aberration_sql(
+    base: str,
+    slen: int = 24,
+    a: float = 0.4,
+    b: float = 0.1,
+    g: float = 0.2,
+    dev_scale: float = 10.0,
+) -> str:
+    DS = repr(dev_scale)
+    UP = f"r.result + r.result * r.devv * {DS}"
+    LO = f"r.result - r.result * r.devv * {DS}"
+    return _hw_fixed_ctes(base, slen, 0, a, b, g) + f"""
+SELECT 'holtWintersAberration(' || r.name || ')' AS name, r.t,
+       CAST(CASE WHEN i.value > {UP} THEN i.value - ({UP})
+                 WHEN i.value < {LO} THEN i.value - ({LO})
+                 ELSE 0.0 END AS DOUBLE) AS value
+FROM rec r JOIN idx i ON i.name = r.name AND i.i = r.i
 """
 
 

@@ -394,3 +394,19 @@ def _hw_aberration(spark, sf_dir):
 )
 def _hw_forecast_fixed(spark, sf_dir):
     return hw.hw_fixed_forecast(base(spark, sf_dir), 24, 12, 0.4, 0.1, 0.2)
+
+
+@register(
+    "dsl_holtWintersConfidenceBands_fixed",
+    sql=hw.hw_fixed_bands_sql(BASE_SQL, 24, 12, 0.4, 0.1, 0.2, 10.0),
+)
+def _hw_bands_fixed(spark, sf_dir):
+    return hw.hw_fixed_bands(base(spark, sf_dir), 24, 12, 0.4, 0.1, 0.2, 10.0)
+
+
+@register(
+    "dsl_holtWintersAberration_fixed",
+    sql=hw.hw_fixed_aberration_sql(BASE_SQL, 24, 0.4, 0.1, 0.2, 10.0),
+)
+def _hw_aberration_fixed(spark, sf_dir):
+    return hw.hw_fixed_aberration(base(spark, sf_dir), 24, 0.4, 0.1, 0.2, 10.0)

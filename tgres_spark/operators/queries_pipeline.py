@@ -30,6 +30,9 @@ register("dedup_minhash_lsh", sql=dd.dedup_minhash_lsh_sql())(
 register("dedup_simhash", sql=dd.dedup_simhash_sql())(
     lambda s, d: dd.dedup_simhash(_docs(s, d))
 )
+register("dedup_minhash_est", sql=dd.dedup_minhash_est_sql())(
+    lambda s, d: dd.dedup_minhash_est(_docs(s, d))
+)
 register("dedup_ngram_jaccard", sql=dd.dedup_ngram_jaccard_sql())(
     lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d))
 )
@@ -56,6 +59,15 @@ register("ann_ivf_search")(  # rows-only: iterative k-means centroids
 )
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
     lambda s, d: sim.ann_ivf_assign(_emb(s, d))
+)
+register("ann_ivf_lloyd_fixed", sql=sim.ann_ivf_lloyd_sql())(
+    lambda s, d: sim.ann_ivf_lloyd(_emb(s, d))
+)
+register("pipeline_c4_clean", sql=tx.c4_clean_sql())(
+    lambda s, d: tx.c4_clean(_docs(s, d))
+)
+register("text_pii_scrub", sql=tx.pii_scrub_sql())(
+    lambda s, d: tx.pii_scrub(_docs(s, d))
 )
 register("ann_lsh_recall", sql=sim.ann_lsh_recall_sql())(
     lambda s, d: sim.ann_lsh_recall(_emb(s, d))

@@ -237,6 +237,75 @@ def dedup_minhash_lsh_sql() -> str:
     )
 
 
+def dedup_minhash_est(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_sim, jaccard, abs_err): minhash estimation
+    accuracy on the LSH candidate pairs — the signature-agreement
+    estimate next to the EXACT shingle Jaccard it approximates, plus
+    the absolute error. The accuracy half of the minhash dial, like
+    ann_lsh_recall for the hyperplane index.
+
+    Scale shape: exact Jaccard is computed ONLY for LSH candidates
+    (bucket-local, ~linear in corpus size), never all pairs; the pair
+    list is the small side of both shingle joins, and the intersection
+    count groups on uniform (doc_a, doc_b) keys. Determinism: integer
+    set sizes, one double division with identical op order, ABS of
+    identical doubles."""
+    pairs = dedup_minhash_lsh(docs)
+    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id", F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh")
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = shd.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = shd.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    jacc = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_sim",
+            jacc.alias("jaccard"),
+            F.abs(F.col("est_sim") - jacc).alias("abs_err"),
+        )
+    )
+
+
+def dedup_minhash_est_sql() -> str:
+    sh = f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh FROM documents"
+    jacc = "CAST(COALESCE(i.ni, 0) AS DOUBLE) / (sa.na + sb.nb - COALESCE(i.ni, 0))"
+    return f"""
+WITH p AS (SELECT * FROM ({dedup_minhash_lsh_sql()}) q),
+shd AS ({sh}),
+sz AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+  FROM p
+  JOIN shd a ON a.doc_id = p.doc_a
+  JOIN shd b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.est_sim,
+       {jacc} AS jaccard,
+       ABS(p.est_sim - {jacc}) AS abs_err
+FROM p
+JOIN (SELECT doc_id AS doc_a, nsh AS na FROM sz) sa USING (doc_a)
+JOIN (SELECT doc_id AS doc_b, nsh AS nb FROM sz) sb USING (doc_b)
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+"""
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 64

@@ -783,6 +783,151 @@ def ann_ivf_assign_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
     )
 
 
+def ann_ivf_lloyd(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> DataFrame:
+    """(vec_id, cell, dist): ONE full Lloyd iteration from the fixed
+    seeded codebook — assign → recompute centroids → re-assign — as a
+    single Catalyst tree, fully hash-checked (ann_ivf_lloyd_sql). The
+    iterative ann_ivf_search keeps Lloyd in a loop and stays rows-only;
+    this fixed-iteration sibling proves the update step itself is
+    cross-engine exact (reference ANN training loop analog).
+
+    Scale shape: assignment is map-only vs the broadcast codebook; the
+    centroid update is ONE groupBy(cell) with 64 map-side-combined
+    micro6 BIGINT sums (no explode — N·64 rows never shuffle); the k
+    new centroids collapse to a single broadcast row for re-assignment.
+    Determinism: micro6 member sums per dimension (order-free), mean =
+    (int64/1e6)/count with identical IEEE op order in DuckDB, squared
+    L2 left-folds, argmin ties to the first index."""
+    cents = _ivf_codebook(k, seed=seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    dists0 = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a1 = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", dists0.alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists")).alias("cell"),
+        )
+    )
+    dim = EMB_DIM
+    sums = a1.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(
+                F.floor(
+                    F.col("embedding")[i].cast("double") * 1000000.0 + F.lit(0.5)
+                )
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    new_cents = sums.select(
+        "cell",
+        F.array(
+            *[
+                (F.col(f"s{i}").cast("double") / 1000000.0 / F.col("cnt")).alias(
+                    f"c{i}"
+                )
+                for i in range(dim)
+            ]
+        ).alias("centroid"),
+    )
+    clist = new_cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs")
+    ).select(
+        F.col("cs.cell").alias("cells"),
+        F.col("cs.centroid").alias("cents2"),
+    )
+    dists1 = F.transform(
+        F.col("cents2"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        a1.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(clist))
+        .select("vec_id", "cells", dists1.alias("dists"))
+        .select(
+            "vec_id",
+            F.element_at(
+                F.col("cells"),
+                F.array_position(F.col("dists"), F.array_min("dists")).cast("int"),
+            )
+            .cast("bigint")
+            .alias("cell"),
+            F.array_min("dists").alias("dist"),
+        )
+    )
+
+
+def ann_ivf_lloyd_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+    """DuckDB twin of ann_ivf_lloyd: identical initial-codebook decimal
+    literals, micro6 HUGEINT member sums cast back through the same
+    (sum/1e6)/cnt op order, list-folded squared L2, first-index ties."""
+    cents = _ivf_codebook(k, seed=seed)
+    dim = EMB_DIM
+
+    def dist_sql(c):
+        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        diff = f"(CAST(embedding[i] AS DOUBLE) - ({lits})[i])"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+
+    dists0 = "[" + ", ".join(dist_sql(c) for c in cents) + "]"
+    sum_cols = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    cent_arr = (
+        "["
+        + ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / cnt" for i in range(dim))
+        + "]"
+    )
+    diff1 = "(CAST(a1.embedding[i] AS DOUBLE) - c[i])"
+    dists1 = (
+        "list_transform(clist.cents2, c -> "
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {diff1} * {diff1})), (acc, x) -> acc + x))"
+    )
+    return f"""
+WITH d0 AS (SELECT vec_id, embedding, {dists0} AS dists FROM embeddings),
+a1 AS (SELECT vec_id, embedding,
+              list_position(dists, list_min(dists)) AS cell FROM d0),
+sums AS (SELECT cell, COUNT(*) AS cnt, {sum_cols} FROM a1 GROUP BY cell),
+nc AS (SELECT cell, {cent_arr} AS centroid FROM sums),
+clist AS (SELECT list(cell ORDER BY cell) AS cells,
+                 list(centroid ORDER BY cell) AS cents2 FROM nc),
+d1 AS (SELECT a1.vec_id, clist.cells, {dists1} AS dists FROM a1, clist)
+SELECT vec_id,
+       CAST(cells[list_position(dists, list_min(dists))] AS BIGINT) AS cell,
+       CAST(list_min(dists) AS DOUBLE) AS dist
+FROM d1
+"""
+
+
 def ann_lsh_recall(emb: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
     """(query_id, n_hits, recall): recall@k of the bucketed LSH path
     against the exact brute-force baseline — the accuracy half of the

@@ -622,3 +622,180 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
                      (acc, x) -> acc + x)) AS entropy
 FROM c
 """
+
+
+# --- C4-style line-level cleaning (Raffel et al. 2020 §2.2) -----------------
+
+# The synthetic documents table is single-line word soup, so the query
+# deterministically enriches each doc with extra lines keyed on
+# doc_id % 4 — one line-too-short/no-punct case, one banned-phrase
+# case, one boilerplate-"javascript" case — with the IDENTICAL
+# expression in the oracle. Every rule fires on some slice of the
+# corpus instead of vacuously passing.
+_C4_EXTRA_1 = (
+    "\nThis tiny line no punct"
+    "\nA perfectly fine sentence with seven words total."
+)
+_C4_EXTRA_2 = "\nlorem ipsum dolor sit amet consectetur adipiscing elit today."
+_C4_EXTRA_3 = (
+    "\nEnable javascript and cookies to continue browsing this site now."
+    "\nWe value our reader privacy in this closing sentence."
+)
+
+
+def c4_clean(
+    docs: DataFrame, min_line_words: int = 5, min_kept_lines: int = 2
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, keep, clean_chars): C4's public
+    line-level cleaning rules — keep a line only if it ends in
+    terminal punctuation, has >= min_line_words words, and contains no
+    boilerplate marker ('lorem ipsum', 'javascript', 'cookie policy',
+    '{'); keep the DOC only if >= min_kept_lines lines survive
+    (C4 uses 3 sentences; 2 here because the fixture enrichment adds
+    at most 2 good lines). Map-only: split + list_filter over each
+    doc, zero shuffle — at 100 TB this is one codegen scan, the same
+    shape as text_repetition. Lines array materialized before the
+    filter lambdas (no CSE inside HOFs)."""
+    extra = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_C4_EXTRA_1))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_C4_EXTRA_2))
+        .when(F.col("doc_id") % 4 == 3, F.lit(_C4_EXTRA_3))
+        .otherwise(F.lit(""))
+    )
+    enriched = F.concat(F.col("text"), F.lit("."), extra)
+    d = docs.select("doc_id", F.split(enriched, "\n").alias("lines"))
+    line_ok = lambda x: (  # noqa: E731
+        x.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(x), " +")) >= min_line_words)
+        & ~F.lower(x).contains("lorem ipsum")
+        & ~F.lower(x).contains("javascript")
+        & ~F.lower(x).contains("cookie policy")
+        & ~x.contains("{")
+    )
+    k = d.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.filter(F.col("lines"), line_ok).alias("kept"),
+    )
+    return k.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        (F.size("kept") >= min_kept_lines).alias("keep"),
+        F.length(F.array_join("kept", "\n")).cast("bigint").alias("clean_chars"),
+    )
+
+
+def c4_clean_sql(min_line_words: int = 5, min_kept_lines: int = 2) -> str:
+    def lit(s: str) -> str:
+        # '\n'-bearing literals via chr(10) so no escape-string dialect
+        parts = s.split("\n")
+        return " || chr(10) || ".join("'" + p.replace("'", "''") + "'" for p in parts)
+
+    extra = (
+        f"CASE WHEN doc_id % 4 = 1 THEN {lit(_C4_EXTRA_1)} "
+        f"WHEN doc_id % 4 = 2 THEN {lit(_C4_EXTRA_2)} "
+        f"WHEN doc_id % 4 = 3 THEN {lit(_C4_EXTRA_3)} ELSE '' END"
+    )
+    ok = (
+        "regexp_matches(x, '[.!?\"]$') "
+        f"AND len(str_split_regex(trim(x), ' +')) >= {min_line_words} "
+        "AND NOT contains(lower(x), 'lorem ipsum') "
+        "AND NOT contains(lower(x), 'javascript') "
+        "AND NOT contains(lower(x), 'cookie policy') "
+        "AND NOT contains(x, '{')"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, str_split(text || '.' || {extra}, chr(10)) AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         list_filter(lines, x -> {ok}) AS kept
+  FROM d
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       len(kept) >= {min_kept_lines} AS keep,
+       CAST(len(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars
+FROM k
+"""
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, red_len): count and redact
+    emails / NANP phone numbers / IPv4 addresses. The fixture corpus
+    carries none, so the query plants them deterministically by
+    doc_id % 3 (identical expression in the oracle) — every pattern
+    both matches and redacts on a real slice. Patterns are chosen to
+    parse identically under Java regex (Spark) and RE2 (DuckDB);
+    replacement order email -> phone -> ip is fixed on both sides.
+    Map-only, zero shuffle — the 100 TB shape is one codegen scan."""
+    extra = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com for details."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" Call 555-867-5309 or ping 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 today."),
+            ),
+        )
+        .otherwise(F.lit(" Nothing sensitive here."))
+    )
+    d = docs.select("doc_id", F.concat(F.col("text"), extra).alias("s"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("s"), F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.length(red).cast("bigint").alias("red_len"),
+    )
+
+
+def pii_scrub_sql() -> str:
+    extra = (
+        "CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com for details.' "
+        "WHEN doc_id % 3 = 1 THEN ' Call 555-867-5309 or ping 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7 today.' "
+        "ELSE ' Nothing sensitive here.' END"
+    )
+    em, ph, ip = _PII_EMAIL, _PII_PHONE, _PII_IP
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(s, '{em}', '<EMAIL>', 'g'),"
+        f" '{ph}', '<PHONE>', 'g'), '{ip}', '<IP>', 'g')"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text || {extra} AS s FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{ph}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(s, '{ip}')) AS BIGINT) AS n_ips,
+       CAST(len({red}) AS BIGINT) AS red_len
+FROM d
+"""
