@@ -155,6 +155,14 @@ def test_ivf_assign_broadcasts_codebook(spark, qs):
     assert "Exchange hashpartitioning" not in p  # map-only assignment
 
 
+def test_pq_encode_is_map_only(spark, qs):
+    # PQ encoding must be a single codegen scan against the broadcast
+    # codebooks: no shuffle anywhere in the plan
+    p = plan_of(qs["ann_pq_encode"](spark, SF))
+    assert "Exchange hashpartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_ivf_lloyd_plan_shape(spark, qs):
     # one Lloyd iteration: codebook + new-centroid relations broadcast
     # (1-row each), member sums map-side-combined — never a cartesian

@@ -211,3 +211,62 @@ def stddev_series_sql(base, label="stddevSeries()"):
         f"SQRT(CASE WHEN ({var}) > 0.0 THEN ({var}) ELSE 0.0 END) END"
     )
     return _combine_sql(base, label, agg)
+
+
+def anomaly_zscore(df, points: int = 24, k: float = 2.0):
+    """(name, t, value, zscore, is_anomaly): trailing z-score anomaly
+    detection — each point scored against the mean/stddev of the
+    ``points`` values strictly BEFORE it (the current point never
+    contaminates its own baseline). Flag when |z| > k and the baseline
+    window is full. The alerting companion to the HW aberration ops:
+    same per-series Window shape (partitioned by name, no cross-series
+    shuffle, whole-stage codegen), micro6/dec6 sums so the score is
+    cross-engine exact."""
+    fr = (
+        Window.partitionBy(NAME)
+        .orderBy(T)
+        .rowsBetween(-int(points), -1)
+    )
+    cnt = F.count(VALUE).over(fr)
+    ex2 = F.sum(dec6(F.col(VALUE) * F.col(VALUE))).over(fr).cast("double") / cnt
+    ex = F.sum(micro6(F.col(VALUE))).over(fr).cast("double") / 1000000.0 / cnt
+    var = ex2 - ex * ex
+    sd = F.when(var > 0.0, F.sqrt(var)).otherwise(F.lit(0.0))
+    z = F.when((cnt >= int(points)) & (sd > 0.0), (F.col(VALUE) - ex) / sd)
+    return df.select(
+        NAME,
+        T,
+        VALUE,
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > float(k), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def anomaly_zscore_sql(base, points: int = 24, k: float = 2.0) -> str:
+    fr = (
+        f"OVER (PARTITION BY name ORDER BY t "
+        f"ROWS BETWEEN {int(points)} PRECEDING AND 1 PRECEDING)"
+    )
+    cnt = f"COUNT(value) {fr}"
+    ex2 = (
+        f"CAST(SUM(CAST(FLOOR((value * value) * 1000000.0 + 0.5) / 1000000.0 "
+        f"AS DECIMAL(38,6))) {fr} AS DOUBLE) / ({cnt})"
+    )
+    ex = (
+        f"CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) {fr} "
+        f"AS DOUBLE) / 1000000.0 / ({cnt})"
+    )
+    return f"""
+WITH b AS ({base}),
+s1 AS (SELECT name, t, value, {cnt} AS cnt, {ex} AS ex, {ex2} AS ex2 FROM b),
+s2 AS (SELECT *, CASE WHEN ex2 - ex * ex > 0.0 THEN SQRT(ex2 - ex * ex)
+                      ELSE 0.0 END AS sd FROM s1),
+s3 AS (SELECT name, t, value, ex, sd, cnt FROM s2)
+SELECT name, t, value,
+       CASE WHEN cnt >= {int(points)} AND sd > 0.0
+            THEN (value - ex) / sd END AS zscore,
+       COALESCE(ABS(CASE WHEN cnt >= {int(points)} AND sd > 0.0
+                         THEN (value - ex) / sd END) > {float(k)!r}, FALSE)
+         AS is_anomaly
+FROM s3
+"""

@@ -366,6 +366,13 @@ def _random_walk(spark, sf_dir):
     return ds.random_walk(spark, "randomWalk", T0, T0 + 7 * 86400, STEP)
 
 
+_reg(
+    "events_anomaly",
+    lambda s, d: dc.anomaly_zscore(base(s, d), 24, 2.0),
+    dc.anomaly_zscore_sql(BASE_SQL, 24, 2.0),
+)
+
+
 # --- Holt-Winters (rows-only: iterative recurrence + optimizer) ------------
 from . import holtwinters as hw  # noqa: E402
 

@@ -63,6 +63,12 @@ register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
 register("ann_ivf_lloyd_fixed", sql=sim.ann_ivf_lloyd_sql())(
     lambda s, d: sim.ann_ivf_lloyd(_emb(s, d))
 )
+register("ann_pq_encode", sql=sim.ann_pq_encode_sql())(
+    lambda s, d: sim.ann_pq_encode(_emb(s, d))
+)
+register("ann_pq_search", sql=sim.ann_pq_search_sql())(
+    lambda s, d: sim.ann_pq_search(_emb(s, d))
+)
 register("pipeline_c4_clean", sql=tx.c4_clean_sql())(
     lambda s, d: tx.c4_clean(_docs(s, d))
 )

@@ -928,6 +928,235 @@ FROM d1
 """
 
 
+# --- Product quantization ---------------------------------------------------
+
+PQ_M = 8        # subvectors per embedding
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_KSUB = 16    # centroids per sub-codebook -> 4-bit codes
+
+
+def _pq_codebooks(seed: int = 11):
+    """Seeded fixed sub-codebooks (PQ_M × PQ_KSUB × PQ_DSUB), rounded
+    to 6 decimals so the SAME decimal literals live in the Spark plan
+    and the oracle text (the _planes / _ivf_codebook trick)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((PQ_M, PQ_KSUB, PQ_DSUB)).round(6).tolist()
+
+
+def _pq_with_codes(emb: DataFrame, seed: int = 11) -> DataFrame:
+    """(vec_id, embedding, c0..c{M-1}): nearest sub-centroid code per
+    subvector, 1-based — map-only against the broadcast codebooks,
+    distance arrays materialized before the argmin (no CSE in HOFs)."""
+    cbs = _pq_codebooks(seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [(cbs,)], "cbs array<array<array<double>>>"
+    )
+    # NOTE: a two-parameter lambda (e.g. `lambda c, s=s:`) would make
+    # F.transform pass the ELEMENT INDEX as the second argument,
+    # silently shadowing the captured subvector number — materialize
+    # the subvector slices first and close over `s` outside the lambda.
+    with_sub = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "embedding",
+        "cbs",
+        *[
+            F.slice("embedding", s * PQ_DSUB + 1, PQ_DSUB).alias(f"sub{s}")
+            for s in range(PQ_M)
+        ],
+    )
+
+    def dist_col(s):
+        return F.transform(
+            F.col("cbs")[s],
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(f"sub{s}"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    with_d = with_sub.select(
+        "vec_id",
+        "embedding",
+        *[dist_col(s).alias(f"d{s}") for s in range(PQ_M)],
+    )
+    return with_d.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}"))
+            .cast("bigint")
+            .alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+
+
+def ann_pq_encode(emb: DataFrame, seed: int = 11) -> DataFrame:
+    """(vec_id, c0..c7): 4-bit-per-subvector product-quantization codes
+    — the vector-compression path for 100 TB ANN (64 float32 dims →
+    8 codes ≈ 64× smaller index). Map-only, zero shuffle, one codegen
+    scan; codes are cross-engine exact because the sub-codebooks are
+    shared decimal literals and the distance folds are left-folds."""
+    return _pq_with_codes(emb, seed).drop("embedding")
+
+
+def _pq_sub_sql(s: int, cbs, vec: str = "embedding") -> str:
+    """DuckDB distance list for subvector s against its codebook."""
+    subs = []
+    for c in cbs[s]:
+        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        diff = f"(CAST({vec}[{s * PQ_DSUB} + i] AS DOUBLE) - ({lits})[i])"
+        subs.append(
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+    return "[" + ", ".join(subs) + "]"
+
+
+def _pq_codes_cte(seed: int = 11) -> str:
+    cbs = _pq_codebooks(seed)
+    dcols = ", ".join(f"{_pq_sub_sql(s, cbs)} AS d{s}" for s in range(PQ_M))
+    ccols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) AS BIGINT) AS c{s}"
+        for s in range(PQ_M)
+    )
+    return (
+        f"SELECT vec_id, embedding, {ccols} FROM "
+        f"(SELECT vec_id, embedding, {dcols} FROM embeddings)"
+    )
+
+
+def ann_pq_encode_sql(seed: int = 11) -> str:
+    cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    return f"SELECT vec_id, {cols} FROM ({_pq_codes_cte(seed)})"
+
+
+def ann_pq_search(
+    emb: DataFrame, n_queries: int = 10, k: int = 10, seed: int = 11
+) -> DataFrame:
+    """(query_id, neighbor_id, adc, exact, abs_err, rank): asymmetric
+    distance computation — full-precision query vs PQ-coded corpus —
+    with the EXACT squared L2 beside it, so the compression error is
+    measured, not assumed. Top-k per query by ADC, ties to lower id.
+
+    Scale shape: the corpus side carries only its 8 codes (computed in
+    the same map-only scan, no join back); queries broadcast. This is
+    the declared linear-ADC baseline — at 100 TB it composes with the
+    IVF cell routing (ann_ivf_assign) to scan only the probed cells,
+    and the per-query subvector lookup tables make ADC 16 multiplies
+    per code instead of a fold (a constant-factor rewrite of the SAME
+    expression, same result)."""
+    from pyspark.sql import Window
+
+    cbs = _pq_codebooks(seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [(cbs,)], "cbs array<array<array<double>>>"
+    )
+    corpus = _pq_with_codes(emb, seed)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = F.broadcast(q).join(
+        corpus.withColumnRenamed("vec_id", "neighbor_id"),
+        F.col("query_id") != F.col("neighbor_id"),
+    ).crossJoin(F.broadcast(cdf))
+
+    def sub_adc(s):
+        cent = F.element_at(F.col("cbs")[s], F.col(f"c{s}").cast("int"))
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB),
+                cent,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc = sub_adc(0)
+    for s in range(1, PQ_M):
+        adc = adc + sub_adc(s)
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        adc.alias("adc"),
+        exact.alias("exact"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            "exact",
+            F.abs(F.col("adc") - F.col("exact")).alias("abs_err"),
+            F.col("rank").cast("bigint"),
+        )
+    )
+
+
+def ann_pq_search_sql(n_queries: int = 10, k: int = 10, seed: int = 11) -> str:
+    cbs = _pq_codebooks(seed)
+
+    def cb_lit(s):
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cbs[s]
+            )
+            + "]"
+        )
+
+    def sub_adc(s):
+        diff = f"(CAST(qv[{s * PQ_DSUB} + i] AS DOUBLE) - ({cb_lit(s)})[c{s}][i])"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+
+    adc = " + ".join(sub_adc(s) for s in range(PQ_M))
+    exact_diff = "(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))"
+    exact = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {exact_diff} * {exact_diff})), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH codes AS ({_pq_codes_cte(seed)}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, codes.vec_id AS neighbor_id,
+         {adc} AS adc, {exact} AS exact
+  FROM q JOIN (SELECT vec_id, embedding AS cv,
+                      {", ".join(f"c{s}" for s in range(PQ_M))} FROM codes) codes
+    ON q.query_id <> codes.vec_id
+)
+SELECT query_id, neighbor_id, adc, exact, ABS(adc - exact) AS abs_err, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def ann_lsh_recall(emb: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
     """(query_id, n_hits, recall): recall@k of the bucketed LSH path
     against the exact brute-force baseline — the accuracy half of the
