@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     # round-over-round comparability)
     "pipeline_gopher_filter",
     "corpus_top_ngrams",
+    "ann_pq_search",
+    "events_anomaly",
 ]
 
 

@@ -183,6 +183,85 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4",
+    sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE epoch_ns(o_orderdate) // 1000000000 >= {lo}
+  AND epoch_ns(o_orderdate) // 1000000000 < {hi}
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND epoch_ns(l_shipdate) // 1000000000
+          > epoch_ns(o_orderdate) // 1000000000 + {late}
+  )
+GROUP BY o_orderpriority
+""".format(lo=_epoch("1996-07-01"), hi=_epoch("1996-10-01"), late=60 * 86400),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS semi-join: orders in a quarter with at least
+    one lineitem shipped > 60 days after the order date, counted by
+    priority. (The classic q4 commit/receipt columns are absent from
+    the reduced testdata schema; the late-shipment predicate keeps the
+    same correlated-EXISTS shape.) 100 TB: a shuffled LEFT SEMI join
+    on the uniform order key — the date filter prunes the orders side
+    at the scan, and the non-equi ship-date condition rides the join."""
+    lo, hi = _epoch("1996-07-01"), _epoch("1996-10-01")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(
+        (epoch_s("o_orderdate", orders) >= lo)
+        & (epoch_s("o_orderdate", orders) < hi)
+    ).select("o_orderkey", "o_orderpriority", epoch_s("o_orderdate", orders).alias("o_t"))
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.select("l_orderkey", epoch_s("l_shipdate", li).alias("l_t"))
+    j = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_t") > F.col("o_t") + 60 * 86400),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q12",
+    sql="""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE epoch_ns(l_shipdate) // 1000000000 >= {lo}
+  AND epoch_ns(l_shipdate) // 1000000000 < {hi}
+GROUP BY l_returnflag
+""".format(lo=_epoch("1997-01-01"), hi=_epoch("1998-01-01")),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional aggregation: per return flag, how many
+    1997 shipments belong to high- vs low-priority orders. (Shipmode
+    is absent from the reduced schema; returnflag plays its role.)
+    100 TB: one fact-fact shuffle join on the uniform order key, then
+    map-side-combinable integer CASE sums — the canonical two-way
+    pivot without a pivot operator. BIGINT casts on both sides keep
+    DuckDB's HUGEINT SUM from hash-mismatching."""
+    lo, hi = _epoch("1997-01-01"), _epoch("1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.where(
+        (epoch_s("l_shipdate", li) >= lo) & (epoch_s("l_shipdate", li) < hi)
+    ).select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi_pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = l.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi_pri, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~hi_pri, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@register(
     "events_sessionize",
     sql="""
 WITH e AS (
