@@ -163,6 +163,14 @@ def test_pq_encode_is_map_only(spark, qs):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_pq_search_plan_shape(spark, qs):
+    # composed IVF routing x PQ: probe relation broadcasts into the
+    # cell join; codebooks are 1-row broadcast relations; no cartesian
+    p = plan_of(qs["ann_ivf_pq_search"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_ivf_lloyd_plan_shape(spark, qs):
     # one Lloyd iteration: codebook + new-centroid relations broadcast
     # (1-row each), member sums map-side-combined — never a cartesian

@@ -69,6 +69,9 @@ register("ann_pq_encode", sql=sim.ann_pq_encode_sql())(
 register("ann_pq_search", sql=sim.ann_pq_search_sql())(
     lambda s, d: sim.ann_pq_search(_emb(s, d))
 )
+register("ann_ivf_pq_search", sql=sim.ann_ivf_pq_search_sql())(
+    lambda s, d: sim.ann_ivf_pq_search(_emb(s, d))
+)
 register("pipeline_c4_clean", sql=tx.c4_clean_sql())(
     lambda s, d: tx.c4_clean(_docs(s, d))
 )

@@ -1157,6 +1157,194 @@ WHERE rank <= {k}
 """
 
 
+def _ivf_dists_sql(cents, vec: str = "embedding") -> str:
+    """DuckDB distance list of ``vec`` against the IVF centroid
+    literals — same fold as ann_ivf_assign_sql."""
+
+    def dist_sql(c):
+        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        diff = f"(CAST({vec}[i] AS DOUBLE) - ({lits})[i])"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+
+    return "[" + ", ".join(dist_sql(c) for c in cents) + "]"
+
+
+def ann_ivf_pq_search(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    seed: int = 7,
+    pq_seed: int = 11,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc, rank): the composed 100 TB ANN
+    path — IVF cell routing × product-quantized storage — as ONE
+    Catalyst tree, fully hash-checked. Each query probes its nprobe
+    nearest IVF cells (fixed codebook, ann_ivf_assign's argmin) and
+    runs the PQ asymmetric-distance top-k ONLY over vectors in those
+    cells: at 16 cells and nprobe=4 the scan touches ~1/4 of the
+    corpus, and the corpus side carries 8 codes per vector instead of
+    64 floats — both dials (nprobe, code width) tune recall vs cost
+    independently (ann_lsh_recall / ann_pq_search measure them).
+
+    Scale shape: corpus cells + codes come from one map-only scan (no
+    join back); the tiny probe relation (n_queries × nprobe rows)
+    broadcasts into the cell-bucketed join — never a cartesian.
+    Determinism: probe ranking is a window ordered by (dist, cell)
+    on identical doubles; ADC folds as in ann_pq_search."""
+    from pyspark.sql import Window
+
+    cents = _ivf_codebook(seed=seed)
+    ivf_cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    pq_cdf = emb.sparkSession.createDataFrame(
+        [(_pq_codebooks(pq_seed),)], "cbs array<array<array<double>>>"
+    )
+
+    def ivf_dists(vec: str):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    codes = _pq_with_codes(emb, pq_seed)
+    corp = (
+        codes.crossJoin(F.broadcast(ivf_cdf))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            *[f"c{s}" for s in range(PQ_M)],
+            ivf_dists("embedding").alias("dists"),
+        )
+        .select(
+            "neighbor_id",
+            *[f"c{s}" for s in range(PQ_M)],
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qd = (
+        q.crossJoin(F.broadcast(ivf_cdf))
+        .select("query_id", "qv", ivf_dists("qv").alias("dists"))
+        .select("query_id", "qv", F.posexplode("dists").alias("pos", "dist"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("pos").asc()
+    )
+    probes = (
+        qd.withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "qv", (F.col("pos") + 1).cast("bigint").alias("cell"))
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(corp, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(pq_cdf))
+    )
+
+    def sub_adc(s):
+        cent = F.element_at(F.col("cbs")[s], F.col(f"c{s}").cast("int"))
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB),
+                cent,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc = sub_adc(0)
+    for s in range(1, PQ_M):
+        adc = adc + sub_adc(s)
+    scored = pairs.select("query_id", "neighbor_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", F.col("rank").cast("bigint"))
+    )
+
+
+def ann_ivf_pq_search_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    seed: int = 7,
+    pq_seed: int = 11,
+) -> str:
+    cents = _ivf_codebook(seed=seed)
+    cbs = _pq_codebooks(pq_seed)
+
+    def cb_lit(s):
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cbs[s]
+            )
+            + "]"
+        )
+
+    def sub_adc(s):
+        diff = f"(CAST(qv[{s * PQ_DSUB} + i] AS DOUBLE) - ({cb_lit(s)})[c{s}][i])"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+
+    adc = " + ".join(sub_adc(s) for s in range(PQ_M))
+    ccols = ", ".join(f"c{s}" for s in range(PQ_M))
+    return f"""
+WITH codes AS ({_pq_codes_cte(pq_seed)}),
+cv AS (SELECT vec_id, {_ivf_dists_sql(cents)} AS dists FROM embeddings),
+corp AS (
+  SELECT codes.vec_id AS neighbor_id, {ccols},
+         CAST(list_position(cv.dists, list_min(cv.dists)) AS BIGINT) AS cell
+  FROM codes JOIN cv ON cv.vec_id = codes.vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_ivf_dists_sql(cents)} AS dists
+      FROM embeddings WHERE vec_id < {n_queries}),
+qc AS (
+  SELECT query_id, qv, u.i AS pos1, dists[u.i] AS dist
+  FROM q CROSS JOIN (SELECT unnest(range(1, {IVF_CODEBOOK_K + 1})) AS i) u
+),
+probes AS (
+  SELECT query_id, qv, CAST(pos1 AS BIGINT) AS cell
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dist ASC, pos1 ASC) AS prank FROM qc)
+  WHERE prank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, corp.neighbor_id, {adc} AS adc
+  FROM probes p JOIN corp ON corp.cell = p.cell
+  WHERE p.query_id <> corp.neighbor_id
+)
+SELECT query_id, neighbor_id, adc, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def ann_lsh_recall(emb: DataFrame, n_queries: int = 10, k: int = 10) -> DataFrame:
     """(query_id, n_hits, recall): recall@k of the bucketed LSH path
     against the exact brute-force baseline — the accuracy half of the
