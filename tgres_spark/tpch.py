@@ -262,6 +262,43 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q14",
+    sql="""
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) * 100.0
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+  AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_ns(l_shipdate) // 1000000000 >= {lo}
+  AND epoch_ns(l_shipdate) // 1000000000 < {hi}
+""".format(lo=_epoch("1997-09-01"), hi=_epoch("1997-10-01")),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo-revenue share: the broadcast-dimension showcase — the
+    part table rides to every lineitem partition, the month filter
+    prunes the fact scan, and both branch sums are exact decimal so
+    the ratio is cross-engine identical (numerator×100 before the
+    divide, same order both sides)."""
+    lo, hi = _epoch("1997-09-01"), _epoch("1997-10-01")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.where((epoch_s("l_shipdate", li) >= lo) & (epoch_s("l_shipdate", li) < hi))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", _dec(rev)).otherwise(
+        _dec(F.lit(0))
+    )
+    return j.agg(
+        (
+            F.sum(promo).cast("double") * 100.0
+            / F.sum(_dec(rev)).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+@register(
     "events_sessionize",
     sql="""
 WITH e AS (
