@@ -784,3 +784,111 @@ def test_mm_resize_stub_geometry(spark):
     h = (hashlib.md5(b"abc").hexdigest()
          + hashlib.md5(b"cba").hexdigest())
     assert out[3]["checksum"] == hashlib.md5(f"{h}:64x64".encode()).hexdigest()
+
+
+def test_c4_clean_rules_hand_checked(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from tgres_spark.pipeline.textstats import c4_clean
+
+    base = "one two three four five six seven eight"
+    rows = [(i, base, "en", "s", len(base)) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    # doc 0: one enriched line "<text>." -> kept, but only 1 line -> drop
+    assert out[0]["n_lines"] == 1 and out[0]["n_kept"] == 1 and not out[0]["keep"]
+    # doc 1: +tiny-no-punct line (dropped) +good sentence -> 2 kept -> keep
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2 and out[1]["keep"]
+    # doc 2: +lorem-ipsum line -> banned -> still 1 kept -> drop
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1 and not out[2]["keep"]
+    # doc 3: +javascript line (banned) +privacy sentence -> 2 kept -> keep
+    assert out[3]["n_lines"] == 3 and out[3]["n_kept"] == 2 and out[3]["keep"]
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from tgres_spark.pipeline.textstats import pii_scrub
+
+    rows = [
+        (0, "hello world", "en", "s", 11),  # %3==0 -> planted email
+        (1, "hello world", "en", "s", 11),  # %3==1 -> phone + ip
+        (2, "hello world", "en", "s", 11),  # %3==2 -> nothing
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) == (1, 0, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (0, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 0, 0)
+    # doc 0 redaction: " Contact user0@example.com for details." ->
+    # "user0@example.com" (17 chars) becomes "<EMAIL>" (7): 10 shorter
+    assert out[0]["red_len"] == len("hello world Contact user0@example.com for details.") - 10
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        PQ_DSUB,
+        PQ_M,
+        _pq_codebooks,
+        ann_pq_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((5, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cbs = np.array(_pq_codebooks())
+    out = {r["vec_id"]: r for r in ann_pq_encode(emb).collect()}
+    for i in range(5):
+        v = vecs[i].astype(np.float64)
+        for s in range(PQ_M):
+            sub = v[s * PQ_DSUB : (s + 1) * PQ_DSUB]
+            want = int(((cbs[s] - sub) ** 2).sum(axis=1).argmin()) + 1
+            assert out[i][f"c{s}"] == want, (i, s)
+
+
+def test_ivf_lloyd_centroid_update_math(spark):
+    """One Lloyd step on a fixture where the assignment is forced:
+    after the update, each vector's cell distance must not increase
+    (the defining property of the Lloyd iteration)."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import ann_ivf_assign, ann_ivf_lloyd
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((40, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    before = {r["vec_id"]: r["dist"] for r in ann_ivf_assign(emb).collect()}
+    after = {r["vec_id"]: r["dist"] for r in ann_ivf_lloyd(emb).collect()}
+    assert sum(after.values()) <= sum(before.values()) + 1e-9
+
+
+def test_anomaly_zscore_flags_spike_only(spark):
+    """Constant series with one spike: only the spike is anomalous,
+    and only once the baseline window is full."""
+    from tgres_spark.operators.dsl_calculate import anomaly_zscore
+
+    rows = []
+    for i in range(40):
+        # gentle alternation so the baseline stddev is nonzero
+        v = 10.0 + (0.5 if i % 2 == 0 else -0.5)
+        if i == 30:
+            v = 100.0
+        rows.append(("s", 60 * (i + 1), v))
+    df = spark.createDataFrame(rows, "name string, t long, value double")
+    out = {r["t"] // 60 - 1: r for r in anomaly_zscore(df, 24, 2.0).collect()}
+    flagged = sorted(i for i, r in out.items() if r["is_anomaly"])
+    assert 30 in flagged
+    # the spike itself never contaminates its own baseline; the points
+    # right after it see an inflated stddev and stay unflagged
+    assert all(i == 30 or i > 30 for i in flagged) and len(flagged) <= 2
+    # no z-scores before the baseline window fills
+    assert all(out[i]["zscore"] is None for i in range(24))
