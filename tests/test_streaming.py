@@ -466,3 +466,43 @@ def test_catalog_merge_replay_is_idempotent(spark, tmp_path):
     again = {r["name"]: (r["n_points"], r["first_seen"], r["last_seen"])
              for r in read_catalog(spark, cat).collect()}
     assert first == again == {"a.x": (3, 100, 220), "b.y": (1, 230, 230)}
+
+
+def test_streaming_dedup_resume_matches_batch(spark, tmp_path):
+    """Exact dedup as stateful streaming: feed half the corpus, stop,
+    feed the rest under the SAME checkpoint — the resumed state must
+    merge to exactly the batch dedup_exact() over everything."""
+    from tgres_spark.pipeline.dedup import dedup_exact
+    from tgres_spark.streaming.dedup import run_dedup_stream
+
+    rows = [
+        (i, f"doc body {i % 7}", "en", "s", 10) for i in range(40)
+    ]  # 7 distinct texts, duplicated across both halves
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(
+        tmp_path / "ck"
+    )
+    first = docs.where(F.col("doc_id") < 20)
+    rest = docs.where(F.col("doc_id") >= 20)
+    first.coalesce(2).write.mode("append").parquet(in_dir)
+    run_dedup_stream(spark, in_dir, out_dir, ckpt, docs.schema)
+    mid = {
+        r["h"]: (r["n_dups"], r["keeper_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # after half the corpus the state must equal batch-over-half
+    want_mid = {
+        r["h"]: (r["n_dups"], r["keeper_id"]) for r in dedup_exact(first).collect()
+    }
+    assert mid == want_mid
+    rest.coalesce(2).write.mode("append").parquet(in_dir)
+    run_dedup_stream(spark, in_dir, out_dir, ckpt, docs.schema)
+    got = {
+        r["h"]: (r["n_dups"], r["keeper_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["h"]: (r["n_dups"], r["keeper_id"]) for r in dedup_exact(docs).collect()
+    }
+    assert got == want

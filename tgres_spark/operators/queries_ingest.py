@@ -20,6 +20,7 @@ from ..aggregator import (
     statsd_flush,
 )
 from ..model import EVENTS_SERIES_SQL, epoch_s, load_table, series_from_events
+from ..pipeline import dedup as dd_sql
 from ..registry import register
 from ..sources.graphite import parse_graphite_lines, parse_graphite_lines_sql
 from ..sources.statsd import parse_statsd_packets, parse_statsd_packets_sql
@@ -394,3 +395,31 @@ def streaming_name_catalog(spark, sf_dir):
     lines.coalesce(4).write.mode("overwrite").text(in_dir)
     run_catalog_pipeline(spark, in_dir, f"{work}/cat", f"{work}/ckpt")
     return read_catalog(spark, f"{work}/cat")
+
+
+@register("streaming_dedup_exact", sql=dd_sql.DEDUP_EXACT_SQL)
+def streaming_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup.py): the documents
+    corpus dropped as FOUR parquet files, consumed ONE FILE PER
+    TRIGGER — four real micro-batches folding count/min keeper state
+    across batches — then the final complete-mode state read back.
+
+    Oracle-checkable against the SAME SQL as batch dedup_exact with
+    genuine multi-batch execution: count sums and min(doc_id) are
+    order-independent state merges, so any batching of the input
+    yields the identical keeper relation. Restart/resume semantics are
+    pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from ..model import load_table
+    from ..streaming.dedup import run_dedup_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sdedup_")
+    in_dir = f"{work}/in"
+    out_dir = f"{work}/out"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.coalesce(4).write.mode("overwrite").parquet(in_dir)
+    run_dedup_stream(
+        spark, in_dir, out_dir, f"{work}/ckpt", docs.schema, files_per_trigger=1
+    )
+    return spark.read.parquet(out_dir)
