@@ -1157,6 +1157,67 @@ WHERE rank <= {k}
 """
 
 
+def emb_label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, n, dim, value): per-label mean embedding, unpivoted to
+    one row per (label, dimension) — the classifier-ish aggregate a
+    labeled corpus needs (per-class centroids feed nearest-centroid
+    classification, drift monitoring, and IVF warm starts).
+
+    Scale shape: ONE groupBy(label) with 64 map-side-combined micro6
+    BIGINT sums (no explode before the shuffle — the unpivot happens
+    AFTER aggregation, on n_labels rows). Determinism: micro6 sums,
+    (int64/1e6)/count division order mirrored in the oracle."""
+    dim = EMB_DIM
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.floor(
+                    F.col("embedding")[i].cast("double") * 1000000.0 + F.lit(0.5)
+                )
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("dim"),
+                (F.col(f"s{i}").cast("double") / 1000000.0 / F.col("n")).alias(
+                    "value"
+                ),
+            )
+            for i in range(dim)
+        ]
+    )
+    return (
+        sums.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+            F.explode(pairs).alias("p"),
+        )
+        .select("label", "n", F.col("p.dim").alias("dim"), F.col("p.value").alias("value"))
+    )
+
+
+def emb_label_centroids_sql() -> str:
+    dim = EMB_DIM
+    sum_cols = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    vals = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim)
+    )
+    return f"""
+WITH sums AS (SELECT label, COUNT(*) AS n, {sum_cols}
+              FROM embeddings GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+       CAST(u.i AS BIGINT) AS dim, ([{vals}])[u.i] AS value
+FROM sums CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) u
+"""
+
+
 def _ivf_dists_sql(cents, vec: str = "embedding") -> str:
     """DuckDB distance list of ``vec`` against the IVF centroid
     literals — same fold as ann_ivf_assign_sql."""

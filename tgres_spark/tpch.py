@@ -299,6 +299,57 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q10",
+    sql="""
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE epoch_ns(o_orderdate) // 1000000000 >= {lo}
+  AND epoch_ns(o_orderdate) // 1000000000 < {hi}
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""".format(lo=_epoch("1996-10-01"), hi=_epoch("1997-01-01")),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item report: top-20 customers by returned revenue
+    in a quarter. Join strategy at 100 TB: nation AND customer
+    broadcast (dims), orders⋈lineitem is the only fact shuffle (on
+    the uniform order key, both sides date/flag-pruned at the scan),
+    and the top-20 is a distributed TakeOrderedAndProject — never a
+    global sort."""
+    lo, hi = _epoch("1996-10-01"), _epoch("1997-01-01")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(
+        (epoch_s("o_orderdate", orders) >= lo)
+        & (epoch_s("o_orderdate", orders) < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec(rev)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "events_sessionize",
     sql="""
 WITH e AS (
