@@ -189,3 +189,35 @@ def test_prep_e2e_plan_shape(spark, qs):
     assert "CartesianProduct" not in p
     # doc_id semi/anti joins + the pack window; never a global sort
     assert "LeftAnti" in p
+
+
+def test_q19_or_predicate_stays_in_broadcast_join(spark, qs):
+    # single-side disjuncts factored into the scans (brand IN-list on
+    # part, quantity range on lineitem), residual OR inside the
+    # broadcast hash join — no shuffle for the dim side
+    p = plan_of(qs["tpch_q19"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "In(p_brand" in p  # brand IN-list pushed to the part scan
+    assert "GreaterThanOrEqual(l_quantity" in p  # qty union range pushed
+
+def test_q18_topk_is_distributed(spark, qs):
+    p = plan_of(qs["tpch_q18"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_scalar_max_is_broadcast_equijoin(spark, qs):
+    # the scalar max re-enters as a 1-row broadcast HASH join (equality
+    # on total_revenue), never a global sort of the revenue view
+    p = plan_of(qs["tpch_q15"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q22_anti_join_prunes_orders_scan(spark, qs):
+    # the NOT EXISTS side scans orders date-pruned; anti join on the
+    # uniform customer key; scalar avg is a 1-row broadcast NLJ
+    p = plan_of(qs["tpch_q22"](spark, SF))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p

@@ -80,6 +80,7 @@ _QUERY_MODULES = [
     "tgres_spark.operators.queries_ingest",
     "tgres_spark.operators.queries_pipeline",
     "tgres_spark.tpch",
+    "tgres_spark.tpch2",
     "tgres_spark.operators.queries_dslparse",
     "tgres_spark.operators.queries_dsspec",
 ]
