@@ -506,3 +506,57 @@ def test_streaming_dedup_resume_matches_batch(spark, tmp_path):
         r["h"]: (r["n_dups"], r["keeper_id"]) for r in dedup_exact(docs).collect()
     }
     assert got == want
+
+
+def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
+    """Session-window state must MERGE intervals across micro-batches:
+    a second (time-ordered) file drop extends a session begun in the
+    first run, and the extended session emits once — with the merged
+    span — when the watermark finally passes it."""
+    from tgres_spark.streaming.sessionize import run_sessionize_stream
+
+    schema = "user_id bigint, t bigint"
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    # batch 1: user 1 events at 1000, 2000 (one open session)
+    b1 = spark.createDataFrame([(1, 1000), (1, 2000)], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_sessionize_stream(spark, in_dir, out_dir, ckpt, b1.schema)
+    assert spark.read.parquet(out_dir).count() == 0  # still open
+
+    # batch 2: 3500 extends it (gap 1500 <= 1800); 9000 starts a new
+    # session; 20000 pushes the watermark past both closed sessions
+    b2 = spark.createDataFrame([(1, 3500), (1, 9000), (2, 20000)], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_sessionize_stream(spark, in_dir, out_dir, ckpt, b1.schema)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_s)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 1000): (3, 2500), (1, 9000): (1, 0)}
+
+
+def test_streaming_sessionize_gap_boundary_matches_batch(spark, tmp_path):
+    """delta == 1800 stays in-session (the batch operator's > rule),
+    delta == 1801 breaks — pinned so a session_window semantics change
+    in a future Spark can't silently shift the merge rule."""
+    from tgres_spark.streaming.sessionize import run_sessionize_stream
+
+    schema = "user_id bigint, t bigint"
+    rows = [(1, 1000), (1, 2800), (2, 5000), (2, 6801), (3, 100000)]
+    df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    run_sessionize_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"), df.schema
+    )
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_s)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        (1, 1000): (2, 1800),   # merged at exactly the gap
+        (2, 5000): (1, 0),      # 1801 broke the session
+        (2, 6801): (1, 0),
+    }

@@ -423,3 +423,57 @@ def streaming_dedup_exact(spark, sf_dir):
         spark, in_dir, out_dir, f"{work}/ckpt", docs.schema, files_per_trigger=1
     )
     return spark.read.parquet(out_dir)
+
+
+_SESSIONIZE_STREAM_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events
+), marked AS (
+  SELECT user_id, t,
+    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+         OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, t,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), g AS (
+  SELECT user_id, MIN(t) AS session_start,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MAX(t) - MIN(t) AS duration_s, MAX(t) AS last_t
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, n_events, duration_s
+FROM g WHERE last_t + 1800 <= (SELECT MAX(t) - 60 FROM e)
+"""
+
+
+@register("streaming_sessionize", sql=_SESSIONIZE_STREAM_SQL)
+def streaming_sessionize(spark, sf_dir):
+    """Gap-based sessionization as a NATIVE Structured Streaming
+    session-window aggregation (streaming/sessionize.py): the events
+    table dropped as parquet files, consumed by a watermarked
+    session_window(gap=1800s) groupBy on user_id, closed sessions
+    appended to parquet and read back.
+
+    Hash-checked in closed form: with one availableNow batch the
+    emitted set is exactly {sessions with last_t + gap <= max_t -
+    delay} of the batch sessionization (the non-strict boundary and
+    the gap<=1800 merge rule are both pinned empirically — Spark
+    merges at delta == gap and emits at session_end == watermark).
+    Cross-batch interval merging and kill/resume are pinned in
+    tests/test_streaming.py with time-ordered file drops."""
+    import tempfile
+
+    from ..streaming.sessionize import run_sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_ssess_")
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", epoch_s("ts", ev).alias("t"))
+    e.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_sessionize_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", e.schema
+    )
+    return spark.read.parquet(f"{work}/out")
