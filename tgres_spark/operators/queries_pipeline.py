@@ -191,3 +191,7 @@ register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
 register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(
     lambda spark, sf_dir: pp.mix_rebalance(_docs(spark, sf_dir))
 )
+
+register("dedup_embedding_cluster", sql=sim.dedup_embedding_cluster_sql())(
+    lambda s, d: sim.dedup_embedding_cluster(_emb(s, d))
+)

@@ -1446,3 +1446,53 @@ def ann_lsh_recall_sql(n_queries: int = 10, k: int = 10) -> str:
         "FROM (SELECT DISTINCT query_id FROM exact) q "
         "LEFT JOIN hits ON q.query_id = hits.query_id"
     )
+
+
+def dedup_embedding_cluster(
+    emb: DataFrame, threshold: float = 0.4, seed: int = 42
+) -> DataFrame:
+    """Semantic dedup END-TO-END: LSH near-dup pairs → connected
+    components → keeper per cluster, as (vec_id, root_id, is_keeper).
+
+    This is the embedding-side twin of dedup_components (text
+    minhash): SemDeDup-style pipelines keep one representative per
+    near-duplicate embedding cluster, and transitive closure is what
+    turns the pair relation into that decision (A≈B, B≈C must dedup
+    A,C together even when their direct cosine is below threshold).
+    The keeper rule is the cluster-min vec_id — deterministic, no
+    centroid fit needed.
+
+    100 TB: pairs come from the bucketed LSH path (never all-pairs);
+    the component labeling is the shared propagate_components engine —
+    min-label + pointer doubling on the uniform id key with the
+    size-gated driver union-find shortcut for pair lists under 10M
+    edges (the gate counts EDGES, never the corpus)."""
+    from .dedup import propagate_components
+
+    pairs = dedup_embedding_lsh(emb, threshold=threshold, seed=seed)
+    lab = propagate_components(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+    )
+    return lab.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("root_id"),
+        (F.col("doc_id") == F.col("root_id")).alias("is_keeper"),
+    )
+
+
+def dedup_embedding_cluster_sql(threshold: float = 0.4, seed: int = 42) -> str:
+    lsh = dedup_embedding_lsh_sql(threshold, seed)
+    return (
+        "WITH RECURSIVE "
+        f"p AS (SELECT vec_a, vec_b FROM ({lsh})), "
+        "nodes AS (SELECT DISTINCT vec_id FROM embeddings), "
+        "edges AS (SELECT vec_a AS a, vec_b AS b FROM p "
+        "UNION SELECT vec_b, vec_a FROM p), "
+        "reach AS (SELECT vec_id AS a, vec_id AS b FROM nodes "
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+        "SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS root_id, "
+        "a = CAST(MIN(b) AS BIGINT) AS is_keeper FROM reach GROUP BY a"
+    )
