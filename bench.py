@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "corpus_top_ngrams",
     "ann_pq_search",
     "events_anomaly",
+    # round-5 continuation: the two heaviest new relational shapes
+    "tpch_q8",
+    "tpch_q18",
 ]
 
 

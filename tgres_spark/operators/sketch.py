@@ -111,3 +111,147 @@ def histogram_quantiles_sql(
             f"FROM ({cum}) WHERE cum >= CEIL({float(q)!r} * n) GROUP BY g, n"
         )
     return " UNION ALL ".join(parts)
+
+
+# --- Deterministic HyperLogLog distinct-count sketch ------------------------
+
+_HLL_P = 8               # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_256
+_HEX = "0123456789abcdef"
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Mergeable COUNT(DISTINCT) estimate per group — the scale path
+    for cardinalities over groups too big to shuffle raw keys.
+
+    Exact distinct needs every key on one reducer; the HLL register
+    relation is 256 rows per group, max-merged map-side, so partial
+    aggregation does almost all the work and re-aggregation over any
+    partitioning is identical (max is associative+commutative). This
+    implementation is DELIBERATELY cross-engine deterministic, unlike
+    builtin approx_count_distinct (engine-specific HLL++ internals):
+
+    - hash = md5 hex (identical in Spark/DuckDB), bucket = first two
+      hex chars, rho = leading-zero count of the next 13 hex chars
+      (52 bits) + 1 — computed by STRING algebra (strip leading '0'
+      hex digits, CASE on the first surviving digit), no float log2;
+    - each register term 2^-M is an exact double (integer exponent),
+      summed over the SORTED register array so both engines fold in
+      one order; empty registers contribute exactly 1.0 each;
+    - the small-range branch (linear counting, E <= 2.5m and V > 0)
+      rounds its libm ln at 9 decimals per the project rule.
+
+    Output: (group, n_registers, est_distinct, exact_distinct,
+    rel_err) — the exact count rides along as the accuracy dial, like
+    dedup_minhash_est for minhash; the REGISTER relation is what a
+    100 TB job would persist and merge."""
+    g = F.col(group_col).alias("g")
+    h = F.md5(F.col(key_col).cast("string"))
+    base = df.select(g, h.alias("h"))
+    b = base.select(
+        "g",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.expr("trim(LEADING '0' FROM substring(h, 3, 13))").alias("st"),
+    )
+    d1 = F.substring("st", 1, 1)
+    lz_in_digit = (
+        F.when(d1.isin(*list("89abcdef")), 0)
+        .when(d1.isin(*list("4567")), 1)
+        .when(d1.isin(*list("23")), 2)
+        .otherwise(3)
+    )
+    rho = F.when(F.col("st") == "", F.lit(53)).otherwise(
+        (13 - F.length("st")) * 4 + lz_in_digit + 1
+    )
+    regs = b.select("g", "bucket", rho.alias("rho")).groupBy("g", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    per_g = regs.groupBy("g").agg(
+        F.array_sort(F.collect_list("m")).alias("arr")
+    )
+    v = F.lit(_HLL_M) - F.size("arr")  # empty registers
+    s = (
+        F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, m: acc + F.pow(F.lit(2.0), -m)
+        )
+        + v.cast("double")
+    )
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M))
+        * F.round(F.log(F.lit(float(_HLL_M)) / v.cast("double")), 9),
+    ).otherwise(e_raw)
+    sk = per_g.select(
+        "g",
+        F.size("arr").cast("bigint").alias("n_registers"),
+        est.alias("est_distinct"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("g2")).agg(
+        F.count_distinct(F.col(key_col)).cast("bigint").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, sk["g"] == exact["g2"])
+        .select(
+            F.col("g").alias(group_col),
+            "n_registers",
+            "est_distinct",
+            "exact_distinct",
+            (
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_distinct_sql(base: str, group_col: str, key_col: str) -> str:
+    """DuckDB twin — identical bucket/rho string algebra, sorted fold,
+    and correction-branch rules (hex->int differs syntactically:
+    strpos on the hex alphabet here, conv() in Spark — same value)."""
+    m, alpha = _HLL_M, _HLL_ALPHA
+    d1 = "substr(st, 1, 1)"
+    lz = (
+        f"CASE WHEN {d1} IN ('8','9','a','b','c','d','e','f') THEN 0 "
+        f"WHEN {d1} IN ('4','5','6','7') THEN 1 "
+        f"WHEN {d1} IN ('2','3') THEN 2 ELSE 3 END"
+    )
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(arr, "
+        "m -> POWER(2.0, -m))), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (
+  SELECT {group_col} AS g, md5(CAST({key_col} AS VARCHAR)) AS h FROM ({base})
+), b AS (
+  SELECT g,
+    16 * (strpos('{_HEX}', substr(h, 1, 1)) - 1)
+       + (strpos('{_HEX}', substr(h, 2, 1)) - 1) AS bucket,
+    ltrim(substr(h, 3, 13), '0') AS st
+  FROM e
+), r AS (
+  SELECT g, bucket,
+    MAX(CASE WHEN st = '' THEN 53
+        ELSE (13 - len(st)) * 4 + {lz} + 1 END) AS m
+  FROM b GROUP BY g, bucket
+), pg AS (
+  SELECT g, list_sort(list(m)) AS arr FROM r GROUP BY g
+), est AS (
+  SELECT g, CAST(len(arr) AS BIGINT) AS n_registers,
+    CASE WHEN {alpha * m * m!r} / ({fold} + ({m} - len(arr)))
+              <= {2.5 * m!r}
+          AND {m} - len(arr) > 0
+         THEN {float(m)!r} * ROUND(LN({float(m)!r} / ({m} - len(arr))), 9)
+         ELSE {alpha * m * m!r} / ({fold} + ({m} - len(arr))) END
+      AS est_distinct
+  FROM pg
+), ex AS (
+  SELECT {group_col} AS g, CAST(COUNT(DISTINCT {key_col}) AS BIGINT)
+    AS exact_distinct
+  FROM ({base}) GROUP BY {group_col}
+)
+SELECT est.g AS {group_col}, n_registers, est_distinct, exact_distinct,
+  (est_distinct - exact_distinct) / exact_distinct AS rel_err
+FROM est JOIN ex ON est.g = ex.g
+"""

@@ -538,3 +538,23 @@ def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at aggregator/aggregator.go scale only to flush-window groups)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return histogram_quantiles(ev, "event_type", "value")
+
+
+from .operators.sketch import hll_distinct, hll_distinct_sql  # noqa: E402
+
+
+@register(
+    "events_hll_distinct",
+    sql=hll_distinct_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id"
+    ),
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the deterministic HLL sketch
+    (operators/sketch.py hll_distinct): 256 max-merged registers per
+    group instead of shuffling every key — the COUNT(DISTINCT) scale
+    path; the exact count rides along as the accuracy dial and the
+    whole thing (string-algebra rho, sorted register fold, linear-
+    counting branch) hash-matches the DuckDB twin."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_distinct(ev, "event_type", "user_id")
