@@ -442,3 +442,371 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
     )
+
+
+_YEAR_BOUNDS = tuple(_epoch(f"{y}-01-01") for y in range(1996, 2002))
+
+
+def _year_full(t: F.Column) -> F.Column:
+    """Order/ship year over the full 1995-2001 testdata span: 1995 +
+    one epoch-literal comparison per later year — additive, no
+    calendar functions, identical in both engines."""
+    c = F.lit(1995)
+    for e in _YEAR_BOUNDS:
+        c = c + (t >= F.lit(e)).cast("int")
+    return c
+
+
+def _year_full_sql(t: str) -> str:
+    parts = " + ".join(
+        f"CAST(({t} >= {e}) AS INTEGER)" for e in _YEAR_BOUNDS
+    )
+    return f"1995 + {parts}"
+
+
+@register(
+    "tpch_q2",
+    sql="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM ps
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size = 15 AND n_regionkey = 2
+  AND supply_cost = (
+    SELECT MIN(ps2.supply_cost) FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    WHERE ps2.l_partkey = p_partkey AND n2.n_regionkey = 2
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier. (No partsupp table: the supply-cost
+    relation is derived — MIN unit price over each (part, supplier)'s
+    lineitems — which keeps the correlated-min-per-part shape
+    intact.) 100 TB: ONE shuffle builds the ps relation on the
+    uniform (part, supplier) key; part/supplier/nation broadcast; the
+    per-part regional min re-enters as an equi-join on (partkey,
+    cost) — the doubles agree because both engines derive them from
+    the identical divide-then-min; top-20 is distributed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == 2
+    ).select("n_nationkey", "n_name")
+    sn = sup.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    regional = (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = regional.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("supply_cost").alias("best_cost")
+    )
+    return (
+        regional.join(
+            best,
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("supply_cost") == F.col("best_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q9",
+    sql="""
+SELECT n_name AS nation, o_year,
+  CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name, {year} AS o_year,
+    l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) profit
+GROUP BY n_name, o_year
+""".format(year=_year_full_sql("epoch_ns(o_orderdate) // 1000000000")),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit by supplier nation and order year. (No
+    partsupp: cost = p_retailprice * quantity stands in for
+    ps_supplycost * quantity — same arithmetic shape, still a
+    broadcast part attribute.) 100 TB: part/supplier/nation
+    broadcast, the LIKE filter prunes part BEFORE broadcast, one
+    fact⋈fact shuffle, year via six additive epoch comparisons, exact
+    decimal profit sums."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select("o_orderkey", epoch_s("o_orderdate", orders).alias("o_t"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            _year_full(F.col("o_t")).alias("o_year"),
+        )
+        .agg(F.sum(_dec(amount)).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q16",
+    sql="""
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier diversity per part class. (No partsupp: the
+    (part, supplier) relation is read off lineitem; the classic
+    complaint-supplier exclusion has no comment column to bite on.)
+    100 TB: part prunes on brand+size THEN broadcasts; COUNT(DISTINCT)
+    is Spark's two-phase expand-aggregate on the uniform partkey —
+    partial distinct map-side, no raw supplier list ever collects."""
+    part = load_table(spark, sf_dir, "part").where(
+        (~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q21",
+    sql="""
+WITH base AS (
+  SELECT l_orderkey, l_suppkey,
+    epoch_ns(l_shipdate) // 1000000000
+      > epoch_ns(o_orderdate) // 1000000000 + 7776000 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), waiting AS (
+  SELECT DISTINCT b1.l_orderkey, b1.l_suppkey
+  FROM base b1
+  WHERE b1.late
+    AND EXISTS (SELECT 1 FROM base b2
+                WHERE b2.l_orderkey = b1.l_orderkey
+                  AND b2.l_suppkey <> b1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM base b3
+                    WHERE b3.l_orderkey = b1.l_orderkey
+                      AND b3.l_suppkey <> b1.l_suppkey AND b3.late)
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting: per finalized
+    multi-supplier order, the supplier who was the ONLY late one.
+    (No commit/receipt dates: late = shipped > 90 days after the
+    order date.) The classic double EXISTS / NOT EXISTS correlation
+    collapses into ONE per-order aggregate — a supplier s qualifies
+    iff s is late AND the order has >= 2 suppliers AND exactly one
+    late supplier — so Spark runs two groupBys on the uniform order
+    key instead of three correlated self-joins; the oracle keeps the
+    EXISTS form (over the DISTINCT (order, supplier) projection,
+    matching the per-order counting) to pin the equivalence."""
+    lo = 90 * 86400
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    o = orders.select("o_orderkey", epoch_s("o_orderdate", orders).alias("o_t"))
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.select(
+        "l_orderkey", "l_suppkey", epoch_s("l_shipdate", li).alias("l_t")
+    )
+    base = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_t") > F.col("o_t") + lo).alias("late"),
+    )
+    per_os = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("s_late")
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("s_late").cast("int")).alias("n_late"),
+    )
+    waiting = per_os.where(F.col("s_late")).join(
+        per_o.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        F.col("l_orderkey") == F.col("ok"),
+        "left_semi",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q11",
+    sql="""
+WITH pv AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 3
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value FROM pv
+WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+ORDER BY value DESC, l_partkey LIMIT 50
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 value concentration: parts whose traded value through one
+    region's suppliers exceeds a fraction of that region's total. (No
+    partsupp: value = traded lineitem price instead of availqty x
+    supplycost — the HAVING-vs-global-scalar shape is the point.)
+    100 TB: supplier/nation broadcast prune the fact scan, ONE
+    shuffle on the uniform partkey builds pv, the global total
+    re-enters as a one-row broadcast NLJ, top-50 distributed. The
+    0.001 threshold multiplies the DOUBLE total identically in both
+    engines (sum exact decimal first)."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == 3
+    ).select("n_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pv = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("value"))
+    )
+    total = pv.agg((F.sum("value") * 0.001).alias("cut"))
+    return (
+        pv.join(F.broadcast(total), F.col("value") > F.col("cut"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q20",
+    sql="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+  GROUP BY l_partkey, l_suppkey
+), y97 AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty97
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND epoch_ns(l_shipdate) // 1000000000 >= {lo}
+    AND epoch_ns(l_shipdate) // 1000000000 < {hi}
+  GROUP BY l_partkey
+)
+SELECT DISTINCT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN ps ON ps.l_suppkey = s_suppkey
+JOIN y97 ON y97.l_partkey = ps.l_partkey
+WHERE n_regionkey = 4 AND ps.total_qty > 0.5 * y97.qty97
+ORDER BY s_name
+""".format(lo=_epoch("1997-01-01"), hi=_epoch("1998-01-01")),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 suppliers with surplus stock of a part family, per region.
+    (No partsupp.availqty: a supplier's all-time shipped quantity of
+    the part stands in for stock on hand, compared against half the
+    part's 1997 corpus-wide movement — the nested-IN + correlated
+    scalar-per-part shape survives intact.) 100 TB: the part-name
+    IN-list is a broadcast semi-join pruning BOTH fact aggregations
+    at the scan; ps shuffles once on the uniform (part, supplier)
+    key; the per-part 1997 scalar joins back on partkey; supplier /
+    nation broadcast."""
+    lo, hi = _epoch("1997-01-01"), _epoch("1998-01-01")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    bolt = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    ps = bolt.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty")
+    )
+    y97 = (
+        bolt.where(
+            (epoch_s("l_shipdate", bolt) >= lo) & (epoch_s("l_shipdate", bolt) < hi)
+        )
+        .groupBy(F.col("l_partkey").alias("pk97"))
+        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("qty97"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == 4
+    ).select("n_nationkey")
+    sn = sup.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        ps.join(y97, F.col("l_partkey") == F.col("pk97"))
+        .where(F.col("total_qty") > 0.5 * F.col("qty97"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
