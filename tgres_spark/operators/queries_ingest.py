@@ -477,3 +477,37 @@ def streaming_sessionize(spark, sf_dir):
         spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", e.schema
     )
     return spark.read.parquet(f"{work}/out")
+
+
+@register(
+    "streaming_hll_distinct",
+    sql=__import__(
+        "tgres_spark.operators.sketch", fromlist=["x"]
+    ).hll_distinct_sql(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id"
+    ),
+)
+def streaming_hll_distinct(spark, sf_dir):
+    """The HLL register fold as a STREAMING aggregation
+    (streaming/hll.py): events dropped as four parquet files, one
+    file per trigger — four real micro-batches max-merging register
+    state — then the estimate computed from the final register table.
+    Hash-checked against the SAME oracle as batch events_hll_distinct
+    because max(rho) state merges are order-independent: any batching
+    folds to the identical registers. Bounded state (<= 256 rows per
+    group) is the point — exact streaming COUNT(DISTINCT) state grows
+    with the key space."""
+    import tempfile
+
+    from ..operators.sketch import hll_estimate
+    from ..streaming.hll import run_hll_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_shll_")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_hll_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema,
+        "event_type", "user_id", files_per_trigger=1,
+    )
+    regs = spark.read.parquet(f"{work}/out")
+    return hll_estimate(regs, ev, "event_type", "user_id")

@@ -146,6 +146,15 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rel_err) — the exact count rides along as the accuracy dial, like
     dedup_minhash_est for minhash; the REGISTER relation is what a
     100 TB job would persist and merge."""
+    regs = hll_registers(df, group_col, key_col)
+    return hll_estimate(regs, df, group_col, key_col)
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(g, bucket, m): the max-merged register relation — the state a
+    100 TB job persists; merging two register tables is max-by-key,
+    which also makes it a valid STREAMING aggregation (any batching
+    of the input max-folds to the same registers)."""
     g = F.col(group_col).alias("g")
     h = F.md5(F.col(key_col).cast("string"))
     base = df.select(g, h.alias("h"))
@@ -164,9 +173,18 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rho = F.when(F.col("st") == "", F.lit(53)).otherwise(
         (13 - F.length("st")) * 4 + lz_in_digit + 1
     )
-    regs = b.select("g", "bucket", rho.alias("rho")).groupBy("g", "bucket").agg(
-        F.max("rho").alias("m")
+    return (
+        b.select("g", "bucket", rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("m"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Estimate + exact accuracy column from a register relation (see
+    hll_distinct for the determinism rules)."""
     per_g = regs.groupBy("g").agg(
         F.array_sort(F.collect_list("m")).alias("arr")
     )
