@@ -221,3 +221,34 @@ def test_q22_anti_join_prunes_orders_scan(spark, qs):
     p = plan_of(qs["tpch_q22"](spark, SF))
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_q21_aggregates_instead_of_self_joins(spark, qs):
+    # the EXISTS/NOT-EXISTS pair must be the per-order aggregate
+    # formulation: no cartesian, no 3-way lineitem self-join blowup —
+    # lineitem is scanned ONCE (plus the orders join)
+    p = plan_of(qs["tpch_q21"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_q16_distinct_count_is_two_phase(spark, qs):
+    # COUNT(DISTINCT) must partial-aggregate before the final shuffle
+    # (HashAggregate with partial_count(distinct ...) map-side)
+    p = plan_of(qs["tpch_q16"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q11_scalar_threshold_is_one_row_broadcast(spark, qs):
+    p = plan_of(qs["tpch_q11"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total, by design
+
+
+def test_hll_registers_aggregate_map_side(spark, qs):
+    # the register fold must partial-aggregate (max) before its one
+    # shuffle; no window, no cartesian
+    p = plan_of(qs["events_hll_distinct"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p

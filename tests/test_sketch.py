@@ -1,0 +1,47 @@
+"""Known-answer tests for the deterministic sketches
+(operators/sketch.py): HLL register string-algebra and estimate
+accuracy. The histogram-quantile sketch is covered by its oracle
+query + reference-parity tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_known_registers(spark):
+    """Hand-checked rho math against real md5 values:
+    md5('42')  = a1d0c6e83f02... -> bucket 0xa1=161, tail 'd0c6e...'
+                 has no leading zeros, first digit 'd' in 8..f -> rho 1
+    md5('292') = 1700002963a49da... -> bucket 0x17=23, tail
+                 '00002963a49da' strips 4 zero digits (16 bits), first
+                 survivor '2' adds 2 -> rho = 16 + 2 + 1 = 19."""
+    from tgres_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([("g", 42), ("g", 292)], "g string, k long")
+    rows = hll_registers(df, "g", "k").collect()
+    assert sorted((r.bucket, r.m) for r in rows) == [(23, 19), (161, 1)]
+
+
+def test_hll_registers_merge_is_max(spark):
+    """Two keys landing in one bucket keep the deeper rho — the merge
+    rule that makes the register relation mergeable/streamable."""
+    from tgres_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [("g", 42), ("g", 292), ("g", 292)], "g string, k long"
+    )
+    regs = {
+        (r.bucket): r.m for r in hll_registers(df, "g", "k").collect()
+    }
+    assert regs == {23: 19, 161: 1}  # duplicate key changes nothing
+
+
+def test_hll_estimate_close_on_range(spark):
+    from tgres_spark.operators.sketch import hll_distinct
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    row = hll_distinct(df, "g", "k").collect()[0]
+    assert row.exact_distinct == 5000
+    assert abs(row.rel_err) < 0.15  # m=256 -> sigma ~6.5% raw branch

@@ -649,10 +649,19 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date.) The classic double EXISTS / NOT EXISTS correlation
     collapses into ONE per-order aggregate — a supplier s qualifies
     iff s is late AND the order has >= 2 suppliers AND exactly one
-    late supplier — so Spark runs two groupBys on the uniform order
-    key instead of three correlated self-joins; the oracle keeps the
-    EXISTS form (over the DISTINCT (order, supplier) projection,
-    matching the per-order counting) to pin the equivalence."""
+    late supplier — so Spark runs ONE aggregate + window on the
+    uniform order key instead of three correlated self-joins; the
+    oracle keeps the EXISTS form (over the DISTINCT (order, supplier)
+    projection, matching the per-order counting) to pin the
+    equivalence.
+
+    The per-order totals ride a WINDOW over the (order, supplier)
+    aggregate rather than a second groupBy joined back: one lineitem
+    scan (the re-join duplicates the whole base subtree — pushed-
+    filter differences defeat ReusedExchange), window partitioned by
+    the order key with suppliers-per-order bounding each frame."""
+    from pyspark.sql import Window
+
     lo = 90 * 86400
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
@@ -669,14 +678,14 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_os = base.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("s_late")
     )
-    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum(F.col("s_late").cast("int")).alias("n_late"),
+    w = Window.partitionBy("l_orderkey")
+    totals = per_os.select(
+        "l_orderkey", "l_suppkey", "s_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum(F.col("s_late").cast("int")).over(w).alias("n_late"),
     )
-    waiting = per_os.where(F.col("s_late")).join(
-        per_o.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-        F.col("l_orderkey") == F.col("ok"),
-        "left_semi",
+    waiting = totals.where(
+        F.col("s_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
