@@ -511,3 +511,35 @@ def streaming_hll_distinct(spark, sf_dir):
     )
     regs = spark.read.parquet(f"{work}/out")
     return hll_estimate(regs, ev, "event_type", "user_id")
+
+
+@register(
+    "streaming_hist_quantiles",
+    sql=__import__(
+        "tgres_spark.operators.sketch", fromlist=["x"]
+    ).histogram_quantiles_sql(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    ),
+)
+def streaming_hist_quantiles(spark, sf_dir):
+    """The mergeable-histogram percentile sketch folded as a STREAMING
+    aggregation (streaming/hll.py run_histogram_stream): four real
+    micro-batches sum-merge bin counts; the quantile read-off from the
+    final bin table hash-matches the batch events_hist_quantiles
+    oracle because + is order-independent. Completes the streaming
+    sketch trilogy (count/min dedup, max HLL, sum histogram) — every
+    mergeable-state family the 100 TB streaming story needs."""
+    import tempfile
+
+    from ..operators.sketch import quantiles_from_bins
+    from ..streaming.hll import run_histogram_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_shist_")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_histogram_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema,
+        "event_type", "value", files_per_trigger=1,
+    )
+    hist = spark.read.parquet(f"{work}/out")
+    return quantiles_from_bins(hist, "event_type")

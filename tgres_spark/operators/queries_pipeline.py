@@ -195,3 +195,7 @@ register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(
 register("dedup_embedding_cluster", sql=sim.dedup_embedding_cluster_sql())(
     lambda s, d: sim.dedup_embedding_cluster(_emb(s, d))
 )
+
+register("corpus_dedup_stats", sql=dd.CORPUS_DEDUP_STATS_SQL)(
+    lambda s, d: dd.corpus_dedup_stats(_docs(s, d))
+)

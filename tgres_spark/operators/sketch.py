@@ -40,12 +40,32 @@ def histogram_quantiles(
     """(group, q, est, n): est = lower edge of the first bin whose
     cumulative count reaches ceil(q*n). ``width`` should be a
     power-of-two multiple so value/width is exact double math."""
+    hist = histogram_bins(df, group_col, value_col, width=width)
+    return quantiles_from_bins(hist, group_col, qs=qs, width=width)
+
+
+def histogram_bins(
+    df: DataFrame, group_col: str, value_col: str, width: float = 0.5
+) -> DataFrame:
+    """(g, b, c): the bin-count relation — counts merge by +, so this
+    is also a valid streaming aggregation (any batching of the input
+    sums to the same histogram)."""
     bin_ = F.floor(F.col(value_col) / float(width))
-    hist = (
+    return (
         df.where(F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("g"), bin_.alias("b"))
         .agg(F.count("*").alias("c"))
     )
+
+
+def quantiles_from_bins(
+    hist: DataFrame,
+    group_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    width: float = 0.5,
+) -> DataFrame:
+    """Quantile read-off from a (g, b, c) bin relation (see
+    histogram_quantiles for the determinism rules)."""
     w = Window.partitionBy("g").orderBy("b")
     cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("g"))

@@ -764,3 +764,41 @@ def dedup_components_sql(threshold: float = 0.5) -> str:
         "SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS root_id "
         "FROM reach GROUP BY a"
     )
+
+
+def corpus_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus health: (source, n_docs, n_unique, dup_rate,
+    tot_chars) — the monitoring relation every dedup pipeline reports
+    before/after a run (duplication concentrated in one source is the
+    usual crawl pathology). One scan, two-phase COUNT(DISTINCT) on
+    the md5 text hash (uniform keys, partial distinct map-side — the
+    raw texts never shuffle), exact integer arithmetic until the one
+    final double division."""
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct(F.md5(F.col("text")))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.sum(F.col("n_chars")).cast("bigint").alias("tot_chars"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate"),
+            "tot_chars",
+        )
+    )
+
+
+CORPUS_DEDUP_STATS_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+    AS dup_rate,
+  CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+FROM documents GROUP BY source
+"""

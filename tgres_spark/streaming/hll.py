@@ -51,3 +51,41 @@ def run_hll_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_histogram_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    group_col: str,
+    value_col: str,
+    width: float = 0.5,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming histogram sketch: bin COUNTS sum-merge across
+    micro-batches (the third associative-merge state after dedup's
+    count/min and HLL's max), so the final bin relation — and any
+    quantile read off it — is bit-identical to the batch sketch over
+    the same rows."""
+    from ..operators.sketch import histogram_bins
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    hist = histogram_bins(src, group_col, value_col, width=width)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        hist.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
