@@ -558,3 +558,53 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting branch) hash-matches the DuckDB twin."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return hll_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "events_conversion_lag",
+    sql=histogram_quantiles_sql(
+        """
+SELECT 'signup_purchase' AS grp, t2 - t1 AS lag_s FROM (
+  WITH e AS (
+    SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t FROM events
+  ), s1 AS (
+    SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'signup'
+    GROUP BY user_id
+  ), s2 AS (
+    SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+    WHERE event_type = 'purchase' AND t > t1 GROUP BY e.user_id
+  )
+  SELECT t1, t2 FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+)""",
+        "grp",
+        "lag_s",
+        width=65536.0,
+    ),
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from first
+    signup to the first purchase AFTER it, summarized as p50/p90/p99
+    through the mergeable histogram sketch (width 2^16 s ≈ 18 h, so
+    value/width stays exact double math). The composition is the
+    point at 100 TB: the funnel stages are per-user min-aggregations
+    (uniform key, broadcastable results) and the latency distribution
+    never sorts raw lags — bin counts merge map-side exactly like
+    every other sketch in the family."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", epoch_s("ts", ev).alias("t"))
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        e.join(F.broadcast(s1), "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("t") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    lags = s1.join(s2, "user_id").select(
+        F.lit("signup_purchase").alias("grp"),
+        (F.col("t2") - F.col("t1")).alias("lag_s"),
+    )
+    return histogram_quantiles(lags, "grp", "lag_s", width=65536.0)
