@@ -560,3 +560,35 @@ def test_streaming_sessionize_gap_boundary_matches_batch(spark, tmp_path):
         (2, 5000): (1, 0),      # 1801 broke the session
         (2, 6801): (1, 0),
     }
+
+
+def test_streaming_anomaly_state_carries_across_batches(spark, tmp_path):
+    """Split a series in time across two file drops under one
+    checkpoint: the second run must score its points against state
+    carried from the first (the last-24 window spans the boundary),
+    matching the batch window operator over the full series."""
+    from tgres_spark.operators.dsl_calculate import anomaly_zscore
+    from tgres_spark.streaming.anomaly import run_anomaly_stream
+
+    rows = [("m", 100 + 10 * i, float((i * 7) % 30)) for i in range(60)]
+    schema = "name string, t bigint, value double"
+    df = spark.createDataFrame(rows, schema)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    first = df.where(F.col("t") < 100 + 10 * 30)
+    rest = df.where(F.col("t") >= 100 + 10 * 30)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    run_anomaly_stream(spark, in_dir, out_dir, ckpt, df.schema, points=24, k=1.0)
+    rest.coalesce(1).write.mode("append").parquet(in_dir)
+    run_anomaly_stream(spark, in_dir, out_dir, ckpt, df.schema, points=24, k=1.0)
+    got = {
+        (r.name, r.t): (r.value, r.zscore, r.is_anomaly)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.name, r.t): (r.value, r.zscore, r.is_anomaly)
+        for r in anomaly_zscore(df, 24, 1.0).collect()
+    }
+    assert got == want  # bit-equal zscores incl. points 31..54 whose
+    # baseline straddles the batch boundary

@@ -417,3 +417,31 @@ def _hw_bands_fixed(spark, sf_dir):
 )
 def _hw_aberration_fixed(spark, sf_dir):
     return hw.hw_fixed_aberration(base(spark, sf_dir), 24, 0.4, 0.1, 0.2, 10.0)
+
+
+@register(
+    "streaming_anomaly_zscore",
+    sql=dc.anomaly_zscore_sql(BASE_SQL, 24, 2.0),
+)
+def _streaming_anomaly(spark, sf_dir):
+    """Trailing z-score anomaly detection as a CUSTOM STATEFUL
+    streaming operator (streaming/anomaly.py applyInPandasWithState):
+    the consolidated series frame dropped as parquet, each series'
+    last-24-value window carried in keyed state, scores emitted per
+    point. A single availableNow batch is bit-identical to the batch
+    window operator (the Python math replays micro6/dec6 quantization
+    exactly), so it shares events_anomaly's DuckDB oracle; cross-batch
+    state carry with time-ordered drops is pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.anomaly import run_anomaly_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sanom_")
+    b = base(spark, sf_dir)
+    b.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_anomaly_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", b.schema,
+        points=24, k=2.0,
+    )
+    return spark.read.parquet(f"{work}/out")
