@@ -543,3 +543,38 @@ def streaming_hist_quantiles(spark, sf_dir):
     )
     hist = spark.read.parquet(f"{work}/out")
     return quantiles_from_bins(hist, "event_type")
+
+
+_INTERVAL_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t FROM events
+)
+SELECT a.user_id, a.t AS click_t, b.t AS purchase_t,
+  b.t - a.t AS lag_s
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.t > a.t AND b.t <= a.t + 3600
+"""
+
+
+@register("streaming_interval_join", sql=_INTERVAL_JOIN_SQL)
+def streaming_interval_join(spark, sf_dir):
+    """STREAM⋈STREAM click→purchase attribution (streaming/join.py):
+    watermarked interval join — the event-time range condition bounds
+    each side's join state to the last hour per user. Inner-join
+    emission is watermark-independent for on-time rows, so the
+    availableNow run hash-matches a plain SQL self-join; the state
+    bound, not the result, is what the streaming form buys at scale."""
+    import tempfile
+
+    from ..streaming.join import run_interval_join_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sjoin_")
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", epoch_s("ts", ev).alias("t"))
+    e.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_interval_join_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", e.schema
+    )
+    return spark.read.parquet(f"{work}/out")
