@@ -199,3 +199,7 @@ register("dedup_embedding_cluster", sql=sim.dedup_embedding_cluster_sql())(
 register("corpus_dedup_stats", sql=dd.CORPUS_DEDUP_STATS_SQL)(
     lambda s, d: dd.corpus_dedup_stats(_docs(s, d))
 )
+
+register("emb_covariance", sql=sim.emb_covariance_sql())(
+    lambda s, d: sim.emb_covariance(_emb(s, d))
+)

@@ -1496,3 +1496,95 @@ def dedup_embedding_cluster_sql(threshold: float = 0.4, seed: int = 42) -> str:
         "SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS root_id, "
         "a = CAST(MIN(b) AS BIGINT) AS is_keeper FROM reach GROUP BY a"
     )
+
+
+def emb_covariance(emb: DataFrame) -> DataFrame:
+    """(i, j, cov) for i <= j: the 64x64 embedding covariance matrix —
+    the distributed-linear-algebra primitive feeding PCA / whitening /
+    Mahalanobis outlier scoring at corpus scale.
+
+    Spark-first: each row explodes into its 2080 upper-triangle
+    (i, j, xi*xj) terms and ONE groupBy(i, j) sums them — partial
+    aggregation combines map-side immediately, so the network carries
+    2080 rows per partition, never the exploded relation; the 64 mean
+    terms come from one posexplode aggregation and re-enter as a
+    broadcast join. All product/global sums are DECIMAL(38,6) per the
+    squared-sums rule (unbounded corpus -> micro6's int64 bound does
+    not hold), cast to double BEFORE the divisions, in the same order
+    as the oracle. The elements array is materialized BEFORE the
+    nested transform (no CSE inside HOF lambdas) and all lambdas are
+    single-parameter (the two-param form receives the element INDEX).
+    A Pandas-UDF per-partition outer-product (numpy) would cut the
+    explode constant ~10x at the cost of leaving codegen; this is the
+    declarative baseline and the shuffle shape is already optimal."""
+    from ..model import dec6
+
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select(vd.alias("vd"))
+    pair_terms = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(EMB_DIM)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("vd"), i)
+                        * F.element_at(F.col("vd"), j)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    sums = (
+        e.select(F.explode(pair_terms).alias("pt"))
+        .select("pt.i", "pt.j", "pt.p")
+        .groupBy("i", "j")
+        .agg(F.sum(dec6(F.col("p"))).alias("s"), F.count("*").alias("n"))
+    )
+    means = (
+        e.select(F.posexplode("vd").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("mi"))
+        .agg(
+            (F.sum(dec6(F.col("x"))).cast("double") / F.count("*")).alias("m")
+        )
+    )
+    m1 = F.broadcast(means.select(F.col("mi").alias("i1"), F.col("m").alias("m_i")))
+    m2 = F.broadcast(means.select(F.col("mi").alias("j2"), F.col("m").alias("m_j")))
+    return (
+        sums.join(m1, F.col("i") == F.col("i1"))
+        .join(m2, F.col("j") == F.col("j2"))
+        .select(
+            "i", "j",
+            (
+                F.col("s").cast("double") / F.col("n")
+                - F.col("m_i") * F.col("m_j")
+            ).alias("cov"),
+        )
+    )
+
+
+def emb_covariance_sql() -> str:
+    from ..model import dec6_sql
+
+    return f"""
+WITH v AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), pairs AS (
+  SELECT CAST(r1.i AS INTEGER) AS i, CAST(r2.j AS INTEGER) AS j,
+    vd[CAST(r1.i AS INTEGER)] * vd[CAST(r2.j AS INTEGER)] AS p
+  FROM v, range(1, {EMB_DIM + 1}) r1(i), range(1, {EMB_DIM + 1}) r2(j)
+  WHERE r2.j >= r1.i
+), sums AS (
+  SELECT i, j, SUM({dec6_sql("p")}) AS s, COUNT(*) AS n
+  FROM pairs GROUP BY i, j
+), means AS (
+  SELECT CAST(r.i AS INTEGER) AS mi,
+    CAST(SUM({dec6_sql("vd[CAST(r.i AS INTEGER)]")}) AS DOUBLE) / COUNT(*) AS m
+  FROM v, range(1, {EMB_DIM + 1}) r(i) GROUP BY r.i
+)
+SELECT i, j, CAST(s AS DOUBLE) / n - m1.m * m2.m AS cov
+FROM sums JOIN means m1 ON sums.i = m1.mi JOIN means m2 ON sums.j = m2.mi
+"""
