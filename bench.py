@@ -52,9 +52,12 @@ BENCH_QUERIES = [
     "corpus_top_ngrams",
     "ann_pq_search",
     "events_anomaly",
-    # round-5 continuation: the two heaviest new relational shapes
+    # round-5 continuation: the two heaviest new relational shapes +
+    # the sketch composition paths
     "tpch_q8",
     "tpch_q18",
+    "events_hll_distinct",
+    "events_conversion_lag",
 ]
 
 

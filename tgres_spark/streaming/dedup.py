@@ -67,3 +67,42 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_dedup_stream_updates(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    files_per_trigger: int = 1,
+) -> None:
+    """The at-scale emission variant: UPDATE output mode appends only
+    the keys whose state CHANGED each micro-batch (tagged with the
+    batch id) instead of rewriting the whole keeper table. The change
+    log reconstructs the final state as latest-row-per-key — at 10B
+    documents the per-flush write is proportional to the batch's novel
+    hashes, not the corpus (complete mode's rewrite is the demo-scale
+    convenience; this is what a production sink compacts from)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    kept = streaming_dedup_keepers(docs)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        kept.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
