@@ -892,3 +892,17 @@ def test_anomaly_zscore_flags_spike_only(spark):
     assert all(i == 30 or i > 30 for i in flagged) and len(flagged) <= 2
     # no z-scores before the baseline window fills
     assert all(out[i]["zscore"] is None for i in range(24))
+
+
+def test_covariance_np_bit_equals_declarative(spark):
+    """The Arrow fast path and the declarative explode path must agree
+    BIT-FOR-BIT (not approximately): both sum the same per-row
+    quantized integers, exact sums are associative, and the single
+    double cast happens after an exact decimal /1e6 in each."""
+    from tgres_spark.model import load_table
+    from tgres_spark.pipeline.similarity import emb_covariance, emb_covariance_np
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(7)
+    a = {(r.i, r.j): r.cov for r in emb_covariance(emb).collect()}
+    b = {(r.i, r.j): r.cov for r in emb_covariance_np(emb).collect()}
+    assert a == b  # exact float equality, any partitioning

@@ -203,3 +203,7 @@ register("corpus_dedup_stats", sql=dd.CORPUS_DEDUP_STATS_SQL)(
 register("emb_covariance", sql=sim.emb_covariance_sql())(
     lambda s, d: sim.emb_covariance(_emb(s, d))
 )
+
+register("emb_covariance_np", sql=sim.emb_covariance_sql())(
+    lambda s, d: sim.emb_covariance_np(_emb(s, d))
+)

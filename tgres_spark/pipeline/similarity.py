@@ -1588,3 +1588,91 @@ WITH v AS (
 SELECT i, j, CAST(s AS DOUBLE) / n - m1.m * m2.m AS cov
 FROM sums JOIN means m1 ON sums.i = m1.mi JOIN means m2 ON sums.j = m2.mi
 """
+
+
+def emb_covariance_np(emb: DataFrame) -> DataFrame:
+    """The Arrow fast path for emb_covariance: per-partition numpy
+    outer products replace the 2080x row explode — each Arrow batch
+    contributes ONE (64x64 int64, count, 64 int64) partial, so the
+    shuffle carries a few thousand rows total and the JVM never
+    materializes the pair relation. BIT-EQUAL to the declarative
+    baseline (pinned in tests/test_pipeline_similarity equality test)
+    because both paths sum the identical per-row quantized integers
+    floor(xi*xj*1e6+0.5) — int64 partials here, dec6 rows there —
+    and exact sums are associative; the final /1e6 happens in decimal
+    so the double cast rounds once, identically. Shares the same
+    DuckDB oracle. This is the documented trade: leave codegen ONLY
+    when the constant factor wins, and prove equality when you do."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    dim = EMB_DIM
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("s", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def partials(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(dim)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            prods = np.einsum("ri,rj->rij", x, x)
+            q = np.floor(prods * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
+            qm = np.floor(x * 1000000.0 + 0.5).astype(np.int64).sum(axis=0)
+            n = len(pdf)
+            rows = {
+                "i": (iu[0] + 1).astype(np.int32),
+                "j": (iu[1] + 1).astype(np.int32),
+                "s": q[iu],
+                "n": np.full(len(iu[0]), n, dtype=np.int64),
+            }
+            means = {
+                "i": np.arange(1, dim + 1, dtype=np.int32),
+                "j": np.full(dim, -1, dtype=np.int32),  # mean marker
+                "s": qm,
+                "n": np.full(dim, n, dtype=np.int64),
+            }
+            yield pd.concat(
+                [pd.DataFrame(rows), pd.DataFrame(means)], ignore_index=True
+            )
+
+    part = emb.select("embedding").mapInPandas(partials, out_schema)
+    # exact int64 partials -> decimal total -> /1e6 in decimal (exact:
+    # the quotient has <= 6 decimals) -> the single double cast rounds
+    # once, exactly like the dec6 row-sum path
+    tot = part.groupBy("i", "j").agg(
+        (
+            F.sum(F.col("s").cast("decimal(38,6)")) / F.lit(1000000)
+        ).alias("sd"),
+        F.sum("n").alias("n"),
+    )
+    means = tot.where(F.col("j") == -1).select(
+        F.col("i").alias("mi"),
+        (F.col("sd").cast("double") / F.col("n")).alias("m"),
+    )
+    m1 = F.broadcast(means.select(F.col("mi").alias("i1"), F.col("m").alias("m_i")))
+    m2 = F.broadcast(means.select(F.col("mi").alias("j2"), F.col("m").alias("m_j")))
+    return (
+        tot.where(F.col("j") > 0)
+        .join(m1, F.col("i") == F.col("i1"))
+        .join(m2, F.col("j") == F.col("j2"))
+        .select(
+            "i", "j",
+            (
+                F.col("sd").cast("double") / F.col("n")
+                - F.col("m_i") * F.col("m_j")
+            ).alias("cov"),
+        )
+    )
