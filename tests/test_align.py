@@ -1,0 +1,71 @@
+"""Alignment semantics (series/seriesslice.go Align, rra_series.go Next).
+
+Slot-by-slot known answers in the style of the reference's
+seriesslice_test.go / rra_series grouping behavior.
+"""
+
+from __future__ import annotations
+
+from tgres_spark.operators import align as al
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "name string, t long, value double")
+
+
+def test_lcm_step():
+    assert al.lcm_step(1200, 1800) == 3600
+    assert al.lcm_step(10, 60, 3600) == 3600
+    assert al.lcm_step(7, 3) == 21
+
+
+def test_align_to_nan_skip_average(spark):
+    # 60s slots -> 180s: group {60,120,180} has one NULL slot (120),
+    # which contributes NOTHING to the average (rra_series.go:104-117
+    # skips NaN in sum/cnt), not a zero.
+    df = _mk(
+        spark,
+        [("a", 60, 2.0), ("a", 120, None), ("a", 180, 4.0), ("a", 240, 6.0)],
+    )
+    out = {r["t"]: r["value"] for r in al.align_to(df, 180).collect()}
+    assert out[180] == 3.0  # (2+4)/2, NULL skipped
+    assert out[360] == 6.0  # lone slot in its bucket
+
+
+def test_align_lcm_buckets_end_labeled(spark):
+    # mixed steps 120/180 -> LCM 360; end-of-interval labels: the 120s
+    # slot at t=360 belongs to bucket (0,360], t=480 to (360,720].
+    a = _mk(spark, [("x", 120, 1.0), ("x", 240, 2.0), ("x", 360, 3.0), ("x", 480, 9.0)])
+    b = _mk(spark, [("y", 180, 10.0), ("y", 360, 20.0)])
+    out = al.align_lcm([(a, 120), (b, 180)]).collect()
+    got = {(r["name"], r["t"]): r["value"] for r in out}
+    assert got[("x", 360)] == 2.0  # avg(1,2,3)
+    assert got[("x", 720)] == 9.0
+    assert got[("y", 360)] == 15.0  # avg(10,20)
+
+
+def test_maxpoints_partial_tail_dropped(spark):
+    # 10 dense 60s slots, maxPoints=3 over (0,600] -> groupBy=200s,
+    # moves=round(200/60)=3 -> 3 full groups of 3, the 1-slot tail is
+    # DISCARDED (Next() returns false when advance fails mid-group).
+    rows = [("s", 60 * (i + 1), float(i + 1)) for i in range(10)]
+    out = al.maxpoints_group(_mk(spark, rows), 0, 600, 3, 60).collect()
+    got = {r["t"]: r["value"] for r in sorted(out, key=lambda r: r["t"])}
+    assert got == {180: 2.0, 360: 5.0, 540: 8.0}  # t = last slot in group
+
+
+def test_maxpoints_dense_grid_fills_missing_slots(spark):
+    # A missing slot (no row at t=120) is a NaN slot in the RRA walk:
+    # still occupies a position (the grid densifies), contributes
+    # nothing to the average.
+    rows = [("s", 60, 3.0), ("s", 180, 9.0), ("s", 240, 5.0)]
+    out = al.maxpoints_group(_mk(spark, rows), 0, 240, 2, 60).collect()
+    got = {r["t"]: r["value"] for r in out}
+    # groupBy=120 -> moves=2: group1={60,120missing}->3.0, group2={180,240}->7.0
+    assert got == {120: 3.0, 240: 7.0}
+
+
+def test_maxpoints_moves_leq_one_is_range_filter(spark):
+    rows = [("s", 60, 1.0), ("s", 120, 2.0), ("s", 180, 3.0)]
+    out = al.maxpoints_group(_mk(spark, rows), 60, 180, 100, 60).collect()
+    assert {r["t"] for r in out} == {120, 180}  # t > from, t <= to

@@ -627,3 +627,55 @@ def test_streaming_dedup_update_mode_changelog(spark, tmp_path):
     # with no new data for a key emits nothing - assert the log is a
     # changelog, not 4 full snapshots plus initial states
     assert log.count() <= 20
+
+
+def test_streaming_enrich_join_multibatch_matches_batch(spark, tmp_path):
+    """STREAM⋈STATIC enrichment: two time-ordered file drops; the
+    closed windows after both runs equal the batch join+agg over the
+    same rows, proving the broadcast dim join adds no streaming state
+    and late-window revision is fully handled by the agg watermark."""
+    from tgres_spark.streaming.enrich import run_enrich_stream
+
+    schema = "user_id bigint, t bigint, value double"
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "user_id bigint, segment string"
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    b1 = spark.createDataFrame(
+        [(1, 100, 1.5), (2, 200, 2.0), (1, 3700, 4.0)], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_enrich_stream(
+        spark, in_dir, out_dir, ckpt, b1.schema, dim, step_s=3600,
+        watermark_s=60,
+    )
+    got1 = {
+        (r.segment, r.t): (r.n_events, r.total)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # watermark = 3700-1-60: the (0,3600] window closed
+    assert got1 == {("A", 3600): (1, 1.5), ("B", 3600): (1, 2.0)}
+
+    # batch 2 closes the second window; user 3 has no dim row -> the
+    # inner join drops it but its t STILL advances the watermark
+    b2 = spark.createDataFrame([(1, 7300, 8.0), (3, 11000, 9.9)], schema)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_enrich_stream(
+        spark, in_dir, out_dir, ckpt, b1.schema, dim, step_s=3600,
+        watermark_s=60,
+    )
+    got2 = {
+        (r.segment, r.t): (r.n_events, r.total)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # watermark = 11000-1-60 = 10939 >= 10800: BOTH later windows
+    # closed; user 3's own row joined away but its timestamp did the
+    # closing — exactly the pre-join watermark placement under test
+    assert got2 == {
+        ("A", 3600): (1, 1.5),
+        ("B", 3600): (1, 2.0),
+        ("A", 7200): (1, 4.0),
+        ("A", 10800): (1, 8.0),
+    }

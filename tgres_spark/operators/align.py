@@ -1,0 +1,165 @@
+"""Series alignment: mixed-step series → common resolution.
+
+Reference semantics:
+
+- ``SeriesSlice.Align()`` (series/seriesslice.go:155-171): before any
+  cross-series combine, every series is re-grouped to the LCM of all
+  the steps in the slice, so datapoint timestamps line up.
+- ``RRASeries.Next()`` (series/rra_series.go:73-118): grouping walks
+  ``moves = round(groupBy/step)`` consecutive slots and emits their
+  NaN-skipping average; a partial tail group (advance fails mid-group)
+  is DISCARDED, not emitted. The same path implements render-time
+  ``maxDataPoints`` (rra_series.go:167-178: groupBy = (to-from)/maxPoints).
+
+Spark shape: alignment to an exact multiple of the source step is a
+pure time-bucket re-aggregation — one groupBy((name, bucket)), no
+window. maxDataPoints grouping is positional over the DENSE slot grid
+(an RRA has every slot, known or NaN), so the grid is generated with
+``sequence()`` per series (bounded: (to-from)/step rows) and grouped by
+integer slot index — still one shuffle, map-side combinable.
+
+Determinism: the group average accumulates micro6 BIGINT micro-units
+(model.micro6) and divides once after the double cast — identical IEEE
+op order in DuckDB's HUGEINT mirror.
+"""
+
+from __future__ import annotations
+
+from math import gcd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import NAME, T, VALUE, micro6
+from .consolidate import slot_end
+
+_MAVG = (
+    "CASE WHEN COUNT({v}) > 0 THEN "
+    "CAST(SUM(CAST(FLOOR(({v}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+    "/ 1000000.0 / COUNT({v}) END"
+)
+
+
+def align_to(df: DataFrame, to_step: int) -> DataFrame:
+    """Re-group a consolidated SeriesFrame to ``to_step`` (an exact
+    multiple of its step) with the reference's NaN-skipping average
+    (rra_series.go:104-117 sum/cnt). Missing slots and NULL slots
+    contribute identically (nothing), so the sparse frame needs no
+    densification here — grouping is by time bucket, not position."""
+    avg = F.when(
+        F.count(VALUE) > 0,
+        F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0 / F.count(VALUE),
+    )
+    return (
+        df.groupBy(NAME, slot_end(to_step).alias("b"))
+        .agg(avg.alias(VALUE))
+        .select(NAME, F.col("b").alias(T), VALUE)
+    )
+
+
+def align_to_sql(base: str, to_step: int) -> str:
+    bucket = f"CAST(FLOOR((t - 1) / {to_step}) * {to_step} + {to_step} AS BIGINT)"
+    return (
+        f"SELECT name, {bucket} AS t, {_MAVG.format(v='value')} AS value "
+        f"FROM ({base}) GROUP BY name, {bucket}"
+    )
+
+
+def lcm_step(*steps: int) -> int:
+    """seriesslice.go:138-148 lcm over every step in the slice."""
+    out = steps[0]
+    for s in steps[1:]:
+        out = out * s // gcd(out, s)
+    return out
+
+
+def align_lcm(frames: list[tuple[DataFrame, int]]) -> DataFrame:
+    """``SeriesSlice.Align()``: every frame re-grouped to the LCM of
+    all steps, unioned back into one mixed SeriesFrame ready for any
+    cross-series combine."""
+    lcm = lcm_step(*[s for _, s in frames])
+    out = None
+    for df, step in frames:
+        a = df if step == lcm else align_to(df, lcm)
+        out = a if out is None else out.unionAll(a)
+    return out
+
+
+def align_lcm_sql(bases: list[tuple[str, int]]) -> str:
+    lcm = lcm_step(*[s for _, s in bases])
+    parts = [
+        base if step == lcm else align_to_sql(base, lcm)
+        for base, step in bases
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def maxpoints_group(
+    df: DataFrame,
+    from_t: int,
+    to_t: int,
+    max_points: int,
+    step: int,
+) -> DataFrame:
+    """Render-time maxDataPoints grouping (rra_series.go:73-118,167-178).
+
+    groupBy = (to-from)/maxPoints (integer seconds — Go duration
+    division truncates); moves = round(groupBy/step); the dense slot
+    grid from ``from_t`` is walked in groups of ``moves`` consecutive
+    slots, each emitting the NaN-skip average labeled by its last
+    slot's end time. A partial tail group is dropped (Next() returns
+    false when advance() fails mid-group). Positional grouping needs
+    the DENSE grid — a consolidated frame only has slots with data —
+    so the grid is generated per series and values left-joined in.
+    """
+    group_by = (to_t - from_t) // max_points
+    moves = int(group_by / step + 0.5)
+    if moves <= 1:
+        return df.where((F.col(T) > from_t) & (F.col(T) <= to_t))
+    names = df.select(NAME).distinct()
+    grid = names.select(
+        NAME,
+        F.explode(
+            F.sequence(
+                F.lit(from_t + step), F.lit(to_t), F.lit(step)
+            ).cast("array<bigint>")
+        ).alias(T),
+    )
+    dense = grid.join(df, [NAME, T], "left")
+    # pure integer slot index / group id — DIV in both engines, no
+    # double division (Spark CAST(double→bigint) truncates, DuckDB's
+    # rounds; integer DIV sidesteps the divergence entirely)
+    grp = F.expr(f"((t - {from_t} - {step}) DIV {step}) DIV {moves}")
+    avg = F.when(
+        F.count(VALUE) > 0,
+        F.sum(micro6(F.col(VALUE))).cast("double") / 1000000.0 / F.count(VALUE),
+    )
+    return (
+        dense.groupBy(NAME, grp.alias("g"))
+        .agg(F.max(T).alias(T), avg.alias(VALUE), F.count("*").alias("n"))
+        .where(F.col("n") == moves)
+        .select(NAME, T, VALUE)
+    )
+
+
+def maxpoints_group_sql(
+    base: str, from_t: int, to_t: int, max_points: int, step: int
+) -> str:
+    group_by = (to_t - from_t) // max_points
+    moves = int(group_by / step + 0.5)
+    if moves <= 1:
+        return f"SELECT * FROM ({base}) WHERE t > {from_t} AND t <= {to_t}"
+    grid = (
+        f"SELECT n.name, g.t FROM (SELECT DISTINCT name FROM ({base})) n "
+        f"CROSS JOIN (SELECT CAST(unnest(generate_series({from_t + step}, {to_t}, {step})) AS BIGINT) AS t) g"
+    )
+    dense = (
+        f"SELECT g.name, g.t, b.value FROM ({grid}) g "
+        f"LEFT JOIN ({base}) b ON g.name = b.name AND g.t = b.t"
+    )
+    return (
+        f"SELECT name, MAX(t) AS t, {_MAVG.format(v='value')} AS value "
+        f"FROM ({dense}) "
+        f"GROUP BY name, ((t - {from_t} - {step}) // {step}) // {moves} "
+        f"HAVING COUNT(*) = {moves}"
+    )

@@ -445,3 +445,47 @@ def _streaming_anomaly(spark, sf_dir):
         points=24, k=2.0,
     )
     return spark.read.parquet(f"{work}/out")
+
+
+# --- §2.2 alignment (seriesslice.go Align / rra_series.go maxDataPoints) ---
+
+from . import align as al  # noqa: E402
+
+
+@register(
+    "dsl_align_lcm_sum",
+    sql=db.sum_series_sql(
+        al.align_lcm_sql(
+            [
+                (oracle_consolidate_sql(EVENTS_SERIES_SQL, 1200, "wmean"), 1200),
+                (oracle_consolidate_sql(EVENTS_SERIES_SQL, 1800, "wmean"), 1800),
+            ]
+        )
+    ),
+)
+def _align_lcm_sum(spark, sf_dir):
+    """SeriesSlice.Align() (seriesslice.go:155-171) before a combine:
+    the same stream consolidated at 20 min and 30 min is aligned to
+    their LCM (1 h) via the reference's NaN-skip slot-group average
+    (rra_series.go:104-117), then summed per timestamp."""
+    sf = series_from_events(spark, sf_dir)
+    mixed = al.align_lcm(
+        [
+            (consolidate(sf, 1200, cf="wmean"), 1200),
+            (consolidate(sf, 1800, cf="wmean"), 1800),
+        ]
+    )
+    return db.sum_series(mixed)
+
+
+@register(
+    "dsl_maxDataPoints",
+    sql=al.maxpoints_group_sql(HB_SQL, T0, T1, 100, STEP),
+)
+def _maxdatapoints(spark, sf_dir):
+    """Render-time maxDataPoints grouping (rra_series.go:73-118):
+    (to-from)/100 = 25920 s per group over the 1 h heartbeat base →
+    moves = round(25920/3600) = 7 consecutive DENSE slots per emitted
+    point (grid generated in-plan; NULL heartbeat slots skipped by the
+    average), partial 6-slot tail discarded exactly as Next() does."""
+    return al.maxpoints_group(hb_base(spark, sf_dir), T0, T1, 100, STEP)

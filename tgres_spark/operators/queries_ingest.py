@@ -578,3 +578,47 @@ def streaming_interval_join(spark, sf_dir):
         spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", e.schema
     )
     return spark.read.parquet(f"{work}/out")
+
+
+_ENRICH_ORACLE_SQL = (
+    "WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, "
+    "CAST(value AS DOUBLE) AS value FROM events), "
+    "d AS (SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer), "
+    "j AS (SELECT d.segment, ((e.t - 1) // 3600) * 3600 + 3600 AS t, "
+    "CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT) AS mv "
+    "FROM e JOIN d USING (user_id)), "
+    "mx AS (SELECT MAX(t) AS mt FROM e) "
+    "SELECT segment, t, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(mv) AS DOUBLE) / 1000000.0 AS total "
+    "FROM j, mx WHERE j.t <= mx.mt - 61 GROUP BY segment, t"
+)
+
+
+@register("streaming_enrich_join", sql=_ENRICH_ORACLE_SQL)
+def streaming_enrich_join(spark, sf_dir):
+    """STREAM⋈STATIC enrichment (streaming/enrich.py): the event
+    stream joined to the broadcast customer dimension (user_id →
+    market segment), then windowed per (segment, 1h slot). The static
+    side adds no streaming state; only the downstream aggregation
+    holds any. Single availableNow batch ≡ {slots ≤ max(t) − 61}
+    under the −1 s slot shift (the streaming_ingest_pipeline closed
+    form); batch-equivalence pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.enrich import run_enrich_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_senrich_")
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", epoch_s("ts", ev).alias("t"), F.col("value").cast("double")
+    )
+    e.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    run_enrich_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", e.schema, dim
+    )
+    return spark.read.parquet(f"{work}/out")

@@ -87,6 +87,12 @@ register("ann_lsh_recall", sql=sim.ann_lsh_recall_sql())(
 register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
     lambda s, d: tx.corpus_top_ngrams(_docs(s, d))
 )
+register("corpus_bpe_pairs", sql=tx.corpus_bpe_pairs_sql())(
+    lambda s, d: tx.corpus_bpe_pairs(_docs(s, d))
+)
+register("emb_norm_outliers", sql=sim.emb_norm_outliers_sql())(
+    lambda s, d: sim.emb_norm_outliers(_emb(s, d))
+)
 register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
     lambda s, d: pp.prep_e2e(_docs(s, d))
 )

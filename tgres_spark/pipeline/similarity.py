@@ -1676,3 +1676,78 @@ def emb_covariance_np(emb: DataFrame) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def emb_norm_outliers(emb: DataFrame, k: float = 3.0) -> DataFrame:
+    """Embedding QA gate: (vec_id, n_dims, nrm, z, is_outlier) — the
+    sanity pass that runs BEFORE any ANN / semantic-dedup step. Flags
+    vectors whose L2 norm sits more than ``k`` corpus standard
+    deviations from the mean (truncated, zeroed, or exploded vectors
+    all surface here), and carries the dimensionality so wrong-width
+    rows are visible in the same relation.
+
+    Scale shape: one map-only pass computes each norm (array fold, no
+    shuffle), one global aggregate produces the 2-value stats row that
+    re-enters as a broadcast nested-loop join (the tpch_q11 scalar
+    pattern) — the corpus is scanned twice, shuffled never.
+
+    Determinism: the squared-sum fold runs in array order (identical
+    in DuckDB's list_reduce); sqrt is IEEE-correctly-rounded so the
+    raw norm is bit-identical; norms are micro6-quantized BEFORE the
+    mean/variance sums (micro6 int64 for the mean, dec6 for the
+    squared terms per the unbounded/squared-sums rule), and z rounds
+    at 6."""
+    from ..model import dec6, micro6, r6
+
+    nq = F.floor(_norm(F.col("embedding")) * 1000000.0 + F.lit(0.5)) / 1000000.0
+    base = emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        nq.alias("nrm"),
+    )
+    stats = base.agg(
+        (F.sum(micro6(F.col("nrm"))).cast("double") / 1000000.0 / F.count("*")).alias("mean_n"),
+        (F.sum(dec6(F.col("nrm") * F.col("nrm"))).cast("double") / F.count("*")).alias("msq"),
+    ).select(
+        "mean_n",
+        F.sqrt(F.col("msq") - F.col("mean_n") * F.col("mean_n")).alias("std_n"),
+    )
+    z = F.when(
+        F.col("std_n") > 0.0, r6((F.col("nrm") - F.col("mean_n")) / F.col("std_n"))
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "n_dims",
+            "nrm",
+            z.alias("z"),
+            (F.abs(z) > float(k)).alias("is_outlier"),
+        )
+    )
+
+
+def emb_norm_outliers_sql(k: float = 3.0) -> str:
+    from ..model import dec6_sql, micro6_sql
+
+    nrm = (
+        "FLOOR(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) "
+        "* 1000000.0 + 0.5) / 1000000.0"
+    )
+    z = "CASE WHEN std_n > 0.0 THEN ROUND((nrm - mean_n) / std_n, 6) ELSE 0.0 END"
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, {nrm} AS nrm
+  FROM embeddings
+),
+s AS (
+  SELECT CAST(SUM({micro6_sql('nrm')}) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_n,
+         sqrt(CAST(SUM({dec6_sql('nrm * nrm')}) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM({micro6_sql('nrm')}) AS DOUBLE) / 1000000.0 / COUNT(*))
+                * (CAST(SUM({micro6_sql('nrm')}) AS DOUBLE) / 1000000.0 / COUNT(*))) AS std_n
+  FROM b
+)
+SELECT vec_id, n_dims, nrm, {z} AS z, abs({z}) > {float(k)} AS is_outlier
+FROM b CROSS JOIN s
+"""

@@ -799,3 +799,68 @@ SELECT doc_id,
        CAST(len({red}) AS BIGINT) AS red_len
 FROM d
 """
+
+
+def corpus_bpe_pairs(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(pair, n_words, weight) for the k highest-count adjacent symbol
+    pairs in BPE initial state — the first merge-candidate table of
+    byte-pair-encoding tokenizer training (each word a char sequence
+    closed by an end-of-word marker '</w>').
+
+    The BPE scale trick: pair statistics are computed over the VOCAB
+    (distinct word -> corpus count), never the corpus. The corpus is
+    touched once by a word count whose shuffle carries one row per
+    DISTINCT word after map-side combine; the char-pair explode then
+    runs over that tiny vocab relation with the count as weight. At
+    100 TB the vocab is a few million rows regardless of corpus size —
+    the explode cost is independent of data scale.
+
+    weight = Σ word_count per pair occurrence (a pair occurring twice
+    inside one word counts twice, as in the published BPE algorithm);
+    integer sums, exact in both engines. Ties break on the pair string
+    so both engines pick the same k rows.
+    """
+    from .dedup import words
+
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.when(
+            i < F.length("w"),
+            F.concat(
+                F.col("w").substr(i, F.lit(1)),
+                F.lit(" "),
+                F.col("w").substr(i + F.lit(1), F.lit(1)),
+            ),
+        ).otherwise(F.concat(F.col("w").substr(i, F.lit(1)), F.lit(" </w>"))),
+    )
+    exploded = vocab.select("w", "n", F.explode(pairs).alias("pair"))
+    counts = exploded.groupBy("pair").agg(
+        F.countDistinct("w").cast("bigint").alias("n_words"),
+        F.sum("n").cast("bigint").alias("weight"),
+    )
+    return counts.orderBy(F.col("weight").desc(), F.col("pair").asc()).limit(k)
+
+
+def corpus_bpe_pairs_sql(k: int = 50) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH t AS (SELECT UNNEST({w}) AS w FROM documents),
+v AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+p AS (
+  SELECT w, n,
+         UNNEST(list_transform(range(1, len(w) + 1),
+                i -> CASE WHEN i < len(w) THEN w[i] || ' ' || w[i + 1]
+                     ELSE w[i] || ' </w>' END)) AS pair
+  FROM v
+)
+SELECT pair, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(SUM(n) AS BIGINT) AS weight
+FROM p GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT {k}
+"""
