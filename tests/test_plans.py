@@ -252,3 +252,24 @@ def test_hll_registers_aggregate_map_side(spark, qs):
     p = plan_of(qs["events_hll_distinct"](spark, SF))
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_bucketed_consolidate_is_shuffle_free(spark, tmp_path):
+    """bucketBy(name) sortBy(name, t) satisfies the consolidate
+    window's partitioning AND the slot aggregate's distribution off
+    disk: ZERO Exchange operators in the whole plan (the SCALE.md
+    co-location claim as code). The plain-parquet path needs one."""
+    from tgres_spark.bucketed import read_bucketed_series, write_bucketed_series
+    from tgres_spark.model import series_from_events
+    from tgres_spark.operators.consolidate import consolidate
+
+    sf = series_from_events(spark, SF)
+    write_bucketed_series(sf, "tb_plans", str(tmp_path / "s"), n_buckets=4)
+    p = plan_of(consolidate(read_bucketed_series(spark, "tb_plans"), 3600))
+    assert "Exchange" not in p
+    assert "Bucketed: true" in p
+    # same operator over plain parquet DOES shuffle — the bucket layout
+    # is what deletes it, not the operator
+    sf.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+    p2 = plan_of(consolidate(spark.read.parquet(str(tmp_path / "plain")), 3600))
+    assert "Exchange" in p2

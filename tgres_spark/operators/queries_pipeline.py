@@ -93,6 +93,9 @@ register("corpus_bpe_pairs", sql=tx.corpus_bpe_pairs_sql())(
 register("emb_norm_outliers", sql=sim.emb_norm_outliers_sql())(
     lambda s, d: sim.emb_norm_outliers(_emb(s, d))
 )
+register("pipeline_quality_model", sql=tx.quality_model_sql())(
+    lambda s, d: tx.quality_model(_docs(s, d))
+)
 register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
     lambda s, d: pp.prep_e2e(_docs(s, d))
 )

@@ -103,3 +103,29 @@ def rrd_multi_rra(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_from_events(spark, sf_dir),
         [("wmean", 600), ("max", 3600), ("min", 86400)],
     )
+
+
+@register(
+    "rrd_bucketed_consolidate",
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "wmean"),
+)
+def rrd_bucketed_consolidate(spark, sf_dir):
+    """Consolidation read from a name-BUCKETED archive (bucketed.py —
+    the cluster/serde layout as a Spark bucketed table): bucketBy(8,
+    name) sortBy(name, t) satisfies the window's partitioning+sort AND
+    the slot aggregate's distribution straight off disk, so the whole
+    consolidate runs with ZERO Exchange operators (pinned in
+    tests/test_plans.py). Values are bit-identical to
+    rrd_consolidate_wmean — same oracle."""
+    import tempfile
+
+    from ..bucketed import read_bucketed_series, write_bucketed_series
+
+    path = tempfile.mkdtemp(prefix="tgres_bucketed_")
+    write_bucketed_series(
+        series_from_events(spark, sf_dir),
+        "tgres_series_bucketed",
+        f"{path}/series",
+    )
+    sf = read_bucketed_series(spark, "tgres_series_bucketed")
+    return consolidate(sf, STEP, cf="wmean")

@@ -864,3 +864,70 @@ SELECT pair, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
        CAST(SUM(n) AS BIGINT) AS weight
 FROM p GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT {k}
 """
+
+
+def quality_model(docs: DataFrame) -> DataFrame:
+    """(doc_id, z, prob, keep): fixed-weight logistic quality scorer —
+    the shape of the fastText/CCNet classifier gate in published LLM
+    pipelines (a learned linear model over cheap text features, scored
+    at corpus scale). Weights here are fixed literals: the *serving*
+    path is what the engine owns; training happens offline and ships
+    as a constant vector, exactly like the PQ/IVF codebooks.
+
+    Map-only: features and score in one projection, no shuffle, no
+    UDF. Determinism: every feature is a ratio of exact integers, the
+    weighted sum is a fixed left-associated chain of literal
+    multiplies (identical IEEE sequence in both engines); only
+    exp() is libm — the sigmoid rounds at 9 per the project rule.
+    """
+    w = words(F.col("text"))
+    n = F.size(w)
+    nch = F.length("text")
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n > 0, word_chars.cast("double") / n).otherwise(0.0)
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_ratio = F.when(nch > 0, punct.cast("double") / nch).otherwise(0.0)
+    stops = _marker_count(w, LANG_MARKERS["en"])
+    stop_ratio = F.when(n > 0, stops.cast("double") / n).otherwise(0.0)
+    f1 = F.least(n, F.lit(500)).cast("double") / 500.0
+    f2 = mean_wl / 10.0
+    f4 = F.least(stop_ratio * 10.0, F.lit(1.0))
+    z = (
+        F.lit(-2.0)
+        + F.lit(2.0) * f1
+        + F.lit(1.5) * f2
+        - F.lit(3.0) * punct_ratio
+        + F.lit(2.5) * f4
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return docs.select(
+        "doc_id",
+        F.round(z, 9).alias("z"),
+        prob.alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def quality_model_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    n = f"len({w})"
+    word_chars = f"list_sum(list_transform({w}, x -> len(x)))"
+    mean_wl = f"CASE WHEN {n} > 0 THEN CAST({word_chars} AS DOUBLE) / {n} ELSE 0.0 END"
+    punct = "len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+    punct_ratio = (
+        f"CASE WHEN len(text) > 0 THEN CAST({punct} AS DOUBLE) / len(text) ELSE 0.0 END"
+    )
+    en = ", ".join(repr(m) for m in LANG_MARKERS["en"])
+    stops = f"len(list_filter({w}, x -> x IN ({en})))"
+    stop_ratio = f"CASE WHEN {n} > 0 THEN CAST({stops} AS DOUBLE) / {n} ELSE 0.0 END"
+    f1 = f"CAST(least({n}, 500) AS DOUBLE) / 500.0"
+    f2 = f"({mean_wl}) / 10.0"
+    f4 = f"least(({stop_ratio}) * 10.0, 1.0)"
+    z = f"-2.0 + 2.0 * ({f1}) + 1.5 * ({f2}) - 3.0 * ({punct_ratio}) + 2.5 * ({f4})"
+    prob = f"ROUND(1.0 / (1.0 + exp(-({z}))), 9)"
+    return (
+        f"SELECT doc_id, ROUND({z}, 9) AS z, {prob} AS prob, "
+        f"{prob} >= 0.5 AS keep FROM documents"
+    )
