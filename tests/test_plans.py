@@ -273,3 +273,35 @@ def test_bucketed_consolidate_is_shuffle_free(spark, tmp_path):
     sf.write.mode("overwrite").parquet(str(tmp_path / "plain"))
     p2 = plan_of(consolidate(spark.read.parquet(str(tmp_path / "plain")), 3600))
     assert "Exchange" in p2
+
+
+def test_bucketed_series_join_is_shuffle_free(spark, tmp_path):
+    """Two archives bucketed by name the same way sort-merge-join on
+    (name, t) with ZERO Exchange: HashPartitioning(name) co-partitions
+    the join on the key subset (requireAllClusterKeysForCoPartition
+    =false, set in session.py). Broadcast is disabled here to expose
+    the co-located SMJ — at 100 TB neither side broadcasts."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.bucketed import read_bucketed_series, write_bucketed_series
+    from tgres_spark.model import series_from_events
+
+    sf = series_from_events(spark, SF)
+    write_bucketed_series(sf, "tb_join_a", str(tmp_path / "a"), n_buckets=4)
+    write_bucketed_series(
+        sf.withColumn("value", F.col("value") * 2),
+        "tb_join_b", str(tmp_path / "b"), n_buckets=4,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = read_bucketed_series(spark, "tb_join_a").alias("a")
+        b = read_bucketed_series(spark, "tb_join_b").alias("b")
+        j = a.join(b, ["name", "t"]).select(
+            "name", "t", (F.col("a.value") / F.col("b.value")).alias("ratio")
+        )
+        p = plan_of(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

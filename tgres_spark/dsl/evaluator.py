@@ -55,6 +55,13 @@ class DslContext:
         if self.t_to is not None:
             df = df.where(F.col(T) <= self.t_to)
         if self.max_points and self.t_from is not None and self.t_to is not None:
+            # time-bucket approximation of the reference's positional
+            # dense-slot walk (rra_series.go Next): identical when the
+            # span divides evenly. The faithful positional form — moves
+            # = round(groupBy/step) slots over the dense grid, partial
+            # tail dropped — is operators/align.maxpoints_group, used
+            # when the source step is known (dsl_maxDataPoints query);
+            # a fetch here sees an arbitrary-step catalog frame.
             span = self.t_to - self.t_from
             step = max(1, span // self.max_points)
             df = consolidate(df, int(step), cf="avg")
