@@ -96,6 +96,12 @@ register("emb_norm_outliers", sql=sim.emb_norm_outliers_sql())(
 register("pipeline_quality_model", sql=tx.quality_model_sql())(
     lambda s, d: tx.quality_model(_docs(s, d))
 )
+register("dedup_text_vs_semantic", sql=sim.dedup_text_vs_semantic_sql())(
+    lambda s, d: sim.dedup_text_vs_semantic(_docs(s, d), _emb(s, d))
+)
+register("pipeline_dataset_card", sql=tx.dataset_card_sql())(
+    lambda s, d: tx.dataset_card(_docs(s, d))
+)
 register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
     lambda s, d: pp.prep_e2e(_docs(s, d))
 )

@@ -1751,3 +1751,73 @@ s AS (
 SELECT vec_id, n_dims, nrm, {z} AS z, abs({z}) > {float(k)} AS is_outlier
 FROM b CROSS JOIN s
 """
+
+
+def dedup_text_vs_semantic(
+    docs: DataFrame, emb: DataFrame, threshold: float = 0.4, seed: int = 42
+) -> DataFrame:
+    """(vec_a, vec_b, is_text_dup, is_sem_dup, cos): agreement
+    relation between EXACT text dedup (md5 identity) and SEMANTIC
+    near-dup (hyperplane-LSH cosine) over the ids both modalities
+    cover — the audit every SemDeDup-style rollout runs before
+    trusting the semantic pass (text_only rows = semantic misses,
+    sem_only rows = what semantics adds beyond byte identity).
+
+    Scale shape: the text side is one self-join on the uniform md5
+    key restricted to embedded ids; the semantic side is the bucketed
+    LSH pair relation unchanged; the FULL OUTER join runs over pair
+    ids only (16 bytes a row), never the texts or vectors."""
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    d = docs.join(ids, "doc_id").select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    tp = (
+        d.alias("a")
+        .join(d.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("vec_a"),
+            F.col("b.doc_id").alias("vec_b"),
+            F.lit(True).alias("is_text_dup"),
+        )
+    )
+    sem = dedup_embedding_lsh(emb, threshold=threshold, seed=seed).select(
+        F.col("vec_a").alias("s_a"),
+        F.col("vec_b").alias("s_b"),
+        "cos",
+    )
+    j = tp.join(
+        sem,
+        (F.col("vec_a") == F.col("s_a")) & (F.col("vec_b") == F.col("s_b")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("vec_a"), F.col("s_a")).alias("vec_a"),
+        F.coalesce(F.col("vec_b"), F.col("s_b")).alias("vec_b"),
+        F.coalesce(F.col("is_text_dup"), F.lit(False)).alias("is_text_dup"),
+        F.col("s_a").isNotNull().alias("is_sem_dup"),
+        F.col("cos"),
+    )
+
+
+def dedup_text_vs_semantic_sql(threshold: float = 0.4, seed: int = 42) -> str:
+    sem = dedup_embedding_lsh_sql(threshold=threshold, seed=seed)
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+    ON doc_id = e.vec_id
+),
+tp AS (
+  SELECT a.doc_id AS vec_a, b.doc_id AS vec_b, TRUE AS is_text_dup
+  FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+sem AS ({sem})
+SELECT COALESCE(tp.vec_a, sem.vec_a) AS vec_a,
+       COALESCE(tp.vec_b, sem.vec_b) AS vec_b,
+       COALESCE(tp.is_text_dup, FALSE) AS is_text_dup,
+       sem.vec_a IS NOT NULL AS is_sem_dup,
+       sem.cos AS cos
+FROM tp FULL OUTER JOIN sem
+  ON tp.vec_a = sem.vec_a AND tp.vec_b = sem.vec_b
+"""

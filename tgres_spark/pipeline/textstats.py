@@ -880,6 +880,18 @@ def quality_model(docs: DataFrame) -> DataFrame:
     multiplies (identical IEEE sequence in both engines); only
     exp() is libm — the sigmoid rounds at 9 per the project rule.
     """
+    z, prob = _quality_logit()
+    return docs.select(
+        "doc_id",
+        F.round(z, 9).alias("z"),
+        prob.alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def _quality_logit():
+    """(z, prob) columns of the fixed-weight logistic scorer over
+    F.col('text') — shared by quality_model and dataset_card."""
     w = words(F.col("text"))
     n = F.size(w)
     nch = F.length("text")
@@ -902,15 +914,11 @@ def quality_model(docs: DataFrame) -> DataFrame:
         + F.lit(2.5) * f4
     )
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
-    return docs.select(
-        "doc_id",
-        F.round(z, 9).alias("z"),
-        prob.alias("prob"),
-        (prob >= 0.5).alias("keep"),
-    )
+    return z, prob
 
 
-def quality_model_sql() -> str:
+def _quality_logit_sql() -> tuple[str, str]:
+    """DuckDB (z, prob) expression strings — twin of _quality_logit."""
     w = WORDS_SQL.format(c="text")
     n = f"len({w})"
     word_chars = f"list_sum(list_transform({w}, x -> len(x)))"
@@ -927,7 +935,92 @@ def quality_model_sql() -> str:
     f4 = f"least(({stop_ratio}) * 10.0, 1.0)"
     z = f"-2.0 + 2.0 * ({f1}) + 1.5 * ({f2}) - 3.0 * ({punct_ratio}) + 2.5 * ({f4})"
     prob = f"ROUND(1.0 / (1.0 + exp(-({z}))), 9)"
+    return z, prob
+
+
+def quality_model_sql() -> str:
+    z, prob = _quality_logit_sql()
     return (
         f"SELECT doc_id, ROUND({z}, 9) AS z, {prob} AS prob, "
         f"{prob} >= 0.5 AS keep FROM documents"
     )
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """The dataset card: per (source, lang) — n_docs, n_unique,
+    dup_rate, whitespace + BPE-ish token totals, mean quality prob,
+    keep rate. The reporting relation a training-data pipeline
+    publishes with every corpus snapshot; every number the other
+    operators act on, in one place.
+
+    One scan of documents: all per-doc signals are map-only
+    projections of the same row (the words split is computed once per
+    doc), the md5 distinct rides the same groupBy two-phase. Exact
+    integer sums; the two ratios divide exact integers; mean quality
+    accumulates micro6 on the already-round-9 prob."""
+    from ..model import micro6
+
+    _, prob = _quality_logit()
+    w = words(F.col("text"))
+    sub = F.aggregate(
+        F.transform(w, lambda x: F.ceil(F.length(x) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    per = docs.select(
+        "source",
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.size(w).cast("long").alias("ws"),
+        sub.alias("sub"),
+        prob.alias("prob"),
+    )
+    g = per.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct(F.col("h")).cast("bigint").alias("n_unique"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("sub").cast("bigint").alias("sub_tokens"),
+        (
+            F.sum(micro6(F.col("prob"))).cast("double") / 1000000.0 / F.count("*")
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("prob") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+    return g.select(
+        "source", "lang", "n_docs", "n_unique",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")
+        ).alias("dup_rate"),
+        "ws_tokens", "sub_tokens", "mean_quality",
+        (F.col("n_keep").cast("double") / F.col("n_docs")).alias("keep_rate"),
+    )
+
+
+def dataset_card_sql() -> str:
+    _, prob = _quality_logit_sql()
+    w = WORDS_SQL.format(c="text")
+    sub = f"list_sum(list_transform({w}, x -> CAST(CEIL(len(x) / 4.0) AS BIGINT)))"
+    return f"""
+WITH per AS (
+  SELECT source, lang, md5(text) AS h, len({w}) AS ws, {sub} AS sub,
+         {prob} AS prob
+  FROM documents
+),
+g AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         CAST(SUM(sub) AS BIGINT) AS sub_tokens,
+         CAST(SUM(CAST(FLOOR(prob * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / COUNT(*) AS mean_quality,
+         CAST(SUM(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM per GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_unique,
+       CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_rate,
+       ws_tokens, sub_tokens, mean_quality,
+       CAST(n_keep AS DOUBLE) / n_docs AS keep_rate
+FROM g
+"""
