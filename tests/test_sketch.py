@@ -45,3 +45,33 @@ def test_hll_estimate_close_on_range(spark):
     row = hll_distinct(df, "g", "k").collect()[0]
     assert row.exact_distinct == 5000
     assert abs(row.rel_err) < 0.15  # m=256 -> sigma ~6.5% raw branch
+
+
+def test_cms_point_query_never_undercounts(spark):
+    """est >= exact for every key (collisions only inflate) and the
+    top of the ranking is the true heavy hitter."""
+    from tgres_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "key string")
+    out = cms_heavy_hitters(df, "key", topk=10).collect()
+    assert all(r.est >= r.exact for r in out)
+    assert all(r.overcount == r.est - r.exact for r in out)
+    assert out[0].key == "hot" and out[0].exact == 500
+
+def test_cms_sketch_merges_by_sum(spark):
+    """Sketching two halves and summing cell-wise equals sketching the
+    whole — the mergeability that makes the CMS streamable and its
+    partial aggregation exact."""
+    from tgres_spark.operators.sketch import cms_sketch
+
+    rows = [(f"k{i % 37}",) for i in range(400)]
+    whole = spark.createDataFrame(rows, "key string")
+    h1 = spark.createDataFrame(rows[:150], "key string")
+    h2 = spark.createDataFrame(rows[150:], "key string")
+    full = {(r.r, r.col): r.c for r in cms_sketch(whole, "key").collect()}
+    merged: dict = {}
+    for half in (h1, h2):
+        for r in cms_sketch(half, "key").collect():
+            merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.c
+    assert merged == full

@@ -293,3 +293,135 @@ SELECT est.g AS {group_col}, n_registers, est_distinct, exact_distinct,
   (est_distinct - exact_distinct) / exact_distinct AS rel_err
 FROM est JOIN ex ON est.g = ex.g
 """
+
+
+# --- Deterministic count-min sketch -----------------------------------------
+
+CMS_D = 4                # hash rows
+CMS_W = 256              # counters per row (first two md5 hex chars)
+
+
+def _cms_cells(key):
+    """The CMS_D (row, column) cells a key maps to, as an array of
+    structs: column = first two hex chars of md5(row ':' key) — the
+    same engine-portable hex-bucket trick as the HLL sketch above."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(r), key)), 1, 2
+                    ),
+                    16,
+                    10,
+                )
+                .cast("int")
+                .alias("col"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """(r, col, c): the count-min register relation — CMS_D x CMS_W
+    exact int64 counters, the third mergeable sketch next to the
+    histogram (+) and the HLL (max). Counters add, so partial
+    aggregation collapses each map partition to <= 1024 rows before
+    the shuffle, two sketches merge by summing cell-wise, and any
+    batching of the input (streaming micro-batches included) sums to
+    the identical sketch. Everything is integer arithmetic on md5-
+    derived cells — deterministic in any engine, unlike hash sketches
+    keyed on an engine-private hash function."""
+    pairs = df.select(
+        F.explode(_cms_cells(F.col(key_col).cast("string"))).alias("rc")
+    )
+    return pairs.groupBy(
+        F.col("rc.r").alias("r"), F.col("rc.col").alias("col")
+    ).agg(F.count("*").alias("c"))
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
+    """(key, est, exact, overcount) for the topk keys by CMS-estimated
+    frequency: est = min over the CMS_D counters the key hashes into —
+    the classic point query, always >= the true count (collisions only
+    inflate; the pytest invariant). The exact count rides along as the
+    accuracy dial, like hll_distinct's exact_distinct.
+
+    Scale shape: the sketch is <= CMS_D*CMS_W rows however large the
+    input, so it BROADCASTS to the key side; the only full-data
+    shuffles are the two counting groupBys on the key itself, and the
+    top-k is an orderBy().limit() — TakeOrderedAndProject heads per
+    partition, never a global sort. (At 100 TB the exact column is
+    the part you'd drop; the sketch path alone never shuffles more
+    than distinct-keys rows.) Ties break on the key string so both
+    engines pick the same topk rows."""
+    sk = cms_sketch(df, key_col)
+    keys = df.select(F.col(key_col).cast("string").alias("k")).distinct()
+    cells = keys.select(
+        "k", F.explode(_cms_cells(F.col("k"))).alias("rc")
+    ).select("k", F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+    est = (
+        cells.join(F.broadcast(sk), ["r", "col"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est"))
+    )
+    exact = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count("*").alias("exact")
+    )
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("est").cast("bigint").alias("est"),
+            F.col("exact").cast("bigint").alias("exact"),
+            (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), F.col(key_col).asc())
+        .limit(topk)
+    )
+
+
+def cms_heavy_hitters_sql(
+    base: str, key_col: str, topk: int = 20
+) -> str:
+    """DuckDB twin — identical md5 cell derivation (strpos on the hex
+    alphabet instead of conv()), min-over-rows point query, and
+    tie-break rules."""
+    def col_expr(r: str, key: str) -> str:
+        h = f"md5({r} || ':' || {key})"
+        return (
+            f"16 * (strpos('{_HEX}', substr({h}, 1, 1)) - 1)"
+            f" + (strpos('{_HEX}', substr({h}, 2, 1)) - 1)"
+        )
+
+    cells_rows = " UNION ALL ".join(
+        f"SELECT k, {r} AS r, {col_expr(str(r), 'k')} AS col FROM keys"
+        for r in range(CMS_D)
+    )
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {col_expr(str(r), 'k')} AS col FROM e"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST({key_col} AS VARCHAR) AS k FROM ({base})
+), sk AS (
+  SELECT r, col, COUNT(*) AS c FROM ({sketch_rows}) GROUP BY r, col
+), keys AS (
+  SELECT DISTINCT k FROM e
+), cells AS (
+  {cells_rows}
+), est AS (
+  SELECT k, MIN(c) AS est
+  FROM cells JOIN sk USING (r, col) GROUP BY k
+), ex AS (
+  SELECT k, COUNT(*) AS exact FROM e GROUP BY k
+)
+SELECT est.k AS {key_col}, CAST(est AS BIGINT) AS est,
+  CAST(exact AS BIGINT) AS exact,
+  CAST(est - exact AS BIGINT) AS overcount
+FROM est JOIN ex ON est.k = ex.k
+ORDER BY est DESC, est.k ASC LIMIT {topk}
+"""

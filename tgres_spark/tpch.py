@@ -608,3 +608,22 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t2") - F.col("t1")).alias("lag_s"),
     )
     return histogram_quantiles(lags, "grp", "lag_s", width=65536.0)
+
+
+from .operators.sketch import cms_heavy_hitters, cms_heavy_hitters_sql  # noqa: E402
+
+
+@register(
+    "events_cms_heavy_hitters",
+    sql=cms_heavy_hitters_sql("SELECT user_id FROM events", "user_id"),
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most active users by count-min-estimated event count —
+    the third mergeable sketch (histogram +, HLL max, CMS +) applied
+    to the classic heavy-hitters question. The 4x256 counter relation
+    replaces shuffling raw keys when the key space is huge; est >=
+    exact always (collisions only inflate), and the exact count rides
+    along as the accuracy dial. Deterministic md5 cells hash-match the
+    DuckDB twin (operators/sketch.py cms_heavy_hitters)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return cms_heavy_hitters(ev, "user_id", topk=20)
