@@ -906,3 +906,54 @@ def test_covariance_np_bit_equals_declarative(spark):
     a = {(r.i, r.j): r.cov for r in emb_covariance(emb).collect()}
     b = {(r.i, r.j): r.cov for r in emb_covariance_np(emb).collect()}
     assert a == b  # exact float equality, any partitioning
+
+
+def test_mix_unimax_water_filling_invariants(spark):
+    """The closed form must behave exactly like the greedy UniMax
+    loop: low-resource langs are capped at epochs x capacity, the
+    rest share the leftover equally at the water level theta, the
+    total allocation exhausts the budget, and theta separates capped
+    from uncapped capacities."""
+    from tgres_spark.pipeline.prep import mix_unimax
+
+    def docs_for(caps):
+        rows = []
+        did = 0
+        for lang, n_tokens in caps.items():
+            rows.append((did, " ".join("w" for _ in range(n_tokens)),
+                         lang, "s", n_tokens))
+            did += 1
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    caps = {"aa": 10, "bb": 50, "cc": 500, "dd": 700}
+    out = {r["lang"]: r for r in
+           mix_unimax(docs_for(caps), total_tokens=600, epochs=2).collect()}
+    # aa (cap 20) and bb (cap 100) are capped; cc/dd split the rest:
+    # theta = (600 - 120) / 2 = 240
+    assert out["aa"]["capped"] == 1 and out["aa"]["alloc_tokens"] == 20.0
+    assert out["bb"]["capped"] == 1 and out["bb"]["alloc_tokens"] == 100.0
+    assert out["cc"]["capped"] == 0 and out["cc"]["alloc_tokens"] == 240.0
+    assert out["dd"]["capped"] == 0 and out["dd"]["alloc_tokens"] == 240.0
+    assert sum(r["alloc_tokens"] for r in out.values()) == 600.0
+    theta = out["cc"]["alloc_tokens"]
+    for r in out.values():
+        if r["capped"]:
+            assert r["epoch_cap"] <= theta
+        else:
+            assert r["epoch_cap"] >= theta
+
+    # budget below every cap: nobody capped, uniform split
+    out2 = {r["lang"]: r for r in
+            mix_unimax(docs_for(caps), total_tokens=40, epochs=2).collect()}
+    assert all(r["capped"] == 0 for r in out2.values())
+    assert all(r["alloc_tokens"] == 10.0 for r in out2.values())
+
+    # budget above total capacity: everyone capped at epochs x cap
+    out3 = {r["lang"]: r for r in
+            mix_unimax(docs_for(caps), total_tokens=10**6, epochs=2).collect()}
+    assert all(r["capped"] == 1 for r in out3.values())
+    for lang, c in caps.items():
+        assert out3[lang]["alloc_tokens"] == float(2 * c)

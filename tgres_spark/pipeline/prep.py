@@ -314,3 +314,118 @@ def mix_temperature_sql(total_tokens: int = 50_000, seed: int = 42) -> str:
         "FROM pref JOIN budgets ON pref.lang = budgets.lang "
         "WHERE before < budget"
     )
+
+
+def mix_unimax(
+    docs: DataFrame, total_tokens: int = 120_000, epochs: int = 2
+) -> DataFrame:
+    """UniMax language allocation (Chung et al. 2023): give every
+    language as close to a uniform share of the token budget as its
+    corpus allows, capped at ``epochs`` passes over the language —
+    the closed-form alternative to temperature sampling that never
+    over-repeats a low-resource language. Complements mix_temperature
+    (α=0.5 sqrt weights) with the budget-capped end of the mixture
+    design space. Returns the per-language allocation PLAN
+    (lang, cap_tokens, epoch_cap, alloc_tokens, capped, rk).
+
+    UniMax is usually stated as a greedy loop over languages; sorted
+    by epoch capacity u = epochs·tokens ascending it has a water-
+    filling closed form, so the whole thing is ONE Catalyst tree with
+    no driver iteration: lang i (ascending u, rank rk_i, exclusive
+    prefix sum cum_i) is fully allocated iff
+    cum_i + u_i·(n − rk_i + 1) <= B, a condition MONOTONE in i (the
+    difference between consecutive LHS values is (n−i)(u_{i+1}−u_i)
+    >= 0), so the capped set is a prefix; everyone else gets the
+    water level θ = (B − Σ_capped u) / (n − n_capped).
+
+    Determinism: capacities/prefix sums/cap tests are exact integer
+    arithmetic; θ is ONE division of two exact bigints (IEEE-identical
+    across engines). Scale: the heavy work is one groupBy(lang) over
+    the corpus; the window/aggregate run on the per-LANGUAGE relation
+    (hundreds of rows at any corpus size — declared single-partition
+    in plan_audit, like dedup_components' bounded driver gate)."""
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.where(F.col("lang").isNotNull()).select(
+        "lang", toks.cast("bigint").alias("n_tokens")
+    )
+    caps = d.groupBy("lang").agg(F.sum("n_tokens").alias("cap_tokens"))
+    base = caps.select(
+        "lang",
+        "cap_tokens",
+        (F.col("cap_tokens") * int(epochs)).alias("u"),
+    )
+    nn = base.groupBy().count().select(F.col("count").alias("n"))
+    wo = Window.orderBy(F.col("u").asc(), F.col("lang").asc())
+    r = base.select(
+        "lang",
+        "cap_tokens",
+        "u",
+        F.row_number().over(wo).alias("rk"),
+        F.coalesce(
+            F.sum("u").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_excl"),
+    )
+    B = int(total_tokens)
+    c = r.crossJoin(F.broadcast(nn)).withColumn(
+        "capped",
+        (
+            (F.col("cum_excl") + F.col("u") * (F.col("n") - F.col("rk") + 1))
+            <= B
+        ).cast("int"),
+    )
+    t = c.agg(
+        F.sum("capped").alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("u"))), F.lit(0)
+        ).alias("cum_capped"),
+    )
+    theta = F.when(
+        F.col("n_capped") < F.col("n"),
+        (F.lit(B) - F.col("cum_capped")).cast("double")
+        / (F.col("n") - F.col("n_capped")),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "cap_tokens",
+        F.col("u").alias("epoch_cap"),
+        F.when(F.col("capped") == 1, F.col("u").cast("double"))
+        .otherwise(theta)
+        .alias("alloc_tokens"),
+        F.col("capped").cast("bigint").alias("capped"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+def mix_unimax_sql(total_tokens: int = 120_000, epochs: int = 2) -> str:
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    B = int(total_tokens)
+    return (
+        "WITH d AS ("
+        f"SELECT lang, CAST({toks} AS BIGINT) AS n_tokens "
+        "FROM documents WHERE lang IS NOT NULL), "
+        "caps AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS cap_tokens "
+        "FROM d GROUP BY lang), "
+        f"base AS (SELECT lang, cap_tokens, CAST(cap_tokens * {int(epochs)} AS BIGINT) AS u "
+        "FROM caps), "
+        "nn AS (SELECT COUNT(*) AS n FROM base), "
+        "r AS (SELECT lang, cap_tokens, u, "
+        "ROW_NUMBER() OVER (ORDER BY u ASC, lang ASC) AS rk, "
+        "CAST(COALESCE(SUM(u) OVER (ORDER BY u ASC, lang ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS cum_excl FROM base), "
+        "c AS (SELECT r.*, n, "
+        f"CASE WHEN cum_excl + u * (n - rk + 1) <= {B} THEN 1 ELSE 0 END "
+        "AS capped FROM r CROSS JOIN nn), "
+        "t AS (SELECT CAST(SUM(capped) AS BIGINT) AS n_capped, "
+        "CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN u END), 0) AS BIGINT) "
+        "AS cum_capped FROM c) "
+        "SELECT lang, cap_tokens, u AS epoch_cap, "
+        "CASE WHEN capped = 1 THEN CAST(u AS DOUBLE) "
+        f"WHEN n_capped < n THEN CAST({B} - cum_capped AS DOUBLE) / (n - n_capped) "
+        "END AS alloc_tokens, "
+        "CAST(capped AS BIGINT) AS capped, CAST(rk AS BIGINT) AS rk "
+        "FROM c CROSS JOIN t"
+    )

@@ -46,6 +46,10 @@ ALLOW = {
     # the distributed loop is the pinned authority above the gate
     "dedup_components": {"SinglePartition"},
     # k-means|| seeding collects candidate rows (KBs) by design
+    # UniMax water-filling: the rank/prefix window runs on the
+    # per-LANGUAGE aggregate (hundreds of rows at any corpus scale —
+    # languages, not documents); the corpus-size work is the groupBy
+    "pipeline_mix_unimax": {"SinglePartition"},
 }
 
 SMELLS = ("CartesianProduct", "BatchEvalPython")
