@@ -957,3 +957,32 @@ def test_mix_unimax_water_filling_invariants(spark):
     assert all(r["capped"] == 1 for r in out3.values())
     for lang, c in caps.items():
         assert out3[lang]["alloc_tokens"] == float(2 * c)
+
+
+def test_span_dedup_catches_unaligned_substrings(spark):
+    """A 20-word run shared at DIFFERENT offsets: chunk-aligned
+    passage hashing misses it, overlapping span windows find exactly
+    the 5 possible 16-windows inside it, and the covered-position
+    union is exactly the 20 shared words."""
+    from tgres_spark.pipeline.contamination import passage_dedup, span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = " ".join(f"a{i}" for i in range(3)) + " " + shared + " " + \
+        " ".join(f"x{i}" for i in range(7))
+    b = shared + " " + " ".join(f"y{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    spans = {r["doc_id"]: r for r in span_dedup(docs, k=16).collect()}
+    # doc 1: shared run at words 4..23 -> dup windows start 4..8
+    assert spans[1]["n_words"] == 30 and spans[1]["n_windows"] == 15
+    assert spans[1]["n_dup_windows"] == 5
+    assert spans[1]["covered_words"] == 20
+    assert spans[1]["covered_frac"] == 20 / 30
+    # doc 2: shared run at words 1..20 -> dup windows start 1..5
+    assert spans[2]["n_dup_windows"] == 5 and spans[2]["covered_words"] == 20
+    # the chunk-aligned passage pass sees NOTHING here (different
+    # 16-word chunk boundaries on the two sides)
+    pas = {r["doc_id"]: r for r in passage_dedup(docs, k=16).collect()}
+    assert pas[1]["n_dup_passages"] == 0 and pas[2]["n_dup_passages"] == 0

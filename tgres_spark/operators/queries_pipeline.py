@@ -178,6 +178,18 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
+@register("pipeline_span_dedup", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).span_dedup_sql())
+def pipeline_span_dedup(spark, sf_dir):
+    """Span-level duplication profile: OVERLAPPING 16-word windows,
+    cross-doc duplicated spans, and per-doc covered-word fraction via
+    a distinct-position interval union — catches shared substrings at
+    any alignment where passage_dedup only sees chunk-aligned repeats
+    (pipeline/contamination.py span_dedup)."""
+    from ..pipeline.contamination import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
 @register("pipeline_passage_dedup", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).passage_dedup_sql())
 def pipeline_passage_dedup(spark, sf_dir):
     """Cross-document boilerplate detection: per doc, the share of its

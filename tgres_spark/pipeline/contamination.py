@@ -181,3 +181,124 @@ def contamination_check_sql(
         f"CAST(COALESCE(CAST(n_hit AS DOUBLE) / n_grams, 0.0) >= {float(threshold)!r} AS BIGINT) AS contaminated "
         "FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id"
     )
+
+
+def _shingles_from_w_sql(k: int) -> str:
+    """Overlapping k-word grams from an existing list column ``w`` —
+    the DuckDB twin of shingles_of over a pre-bound array (the
+    registered oracle binds w once in a CTE, mirroring the Spark
+    side's materialize-before-lambda rule)."""
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, CASE WHEN len(w) >= {k} "
+        f"THEN len(w) - {k - 2} ELSE 1 END), i -> {joined})"
+    )
+
+
+def span_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
+    """Span-level duplication profile (the metric behind substring-
+    level dedup a la Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): OVERLAPPING k-word windows are
+    hashed; a window whose hash occurs in >= 2 distinct documents is
+    a duplicated span, and each document reports how much of its TEXT
+    those spans cover — word positions under at least one duplicated
+    window, as an interval-union computed by exploding the k covered
+    positions of each duplicated window and counting distinct. This
+    catches long shared substrings at any alignment, where the
+    non-overlapping passage_dedup only sees chunk-aligned repeats.
+    Returns (doc_id, n_words, n_windows, n_dup_windows, covered_words,
+    covered_frac).
+
+    Scale: the window relation is ~n_words rows/doc shuffled once on
+    uniform md5 keys (same shape as contamination_check's gram
+    relation); the position explode is k x the DUPLICATED windows
+    only — the spread filter runs first, so clean corpora explode
+    almost nothing. No all-pairs anything."""
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        shingles_of(F.col("w"), k).alias("gs"),
+    )
+    spans = base.select(
+        "doc_id", F.posexplode("gs").alias("p", "g")
+    ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))
+    spread = (
+        spans.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup = spans.join(spread, "h", "left_semi")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_words"))
+    )
+    wins = spans.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    dups = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    ids = docs.select("doc_id").distinct()
+    nw = base.groupBy("doc_id").agg(F.max("n_words").alias("n_words"))
+    return (
+        ids.join(nw, "doc_id", "left")
+        .join(wins, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.coalesce("covered_words", F.lit(0))
+            .cast("bigint")
+            .alias("covered_words"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                F.coalesce("covered_words", F.lit(0)).cast("double")
+                / F.col("n_words"),
+            ).alias("covered_frac"),
+        )
+    )
+
+
+def span_dedup_sql(k: int = 16) -> str:
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH base AS (SELECT doc_id, ({w}) AS w FROM documents), "
+        "sp AS (SELECT doc_id, "
+        f"UNNEST(range(1, CASE WHEN len(w) >= {k} THEN len(w) - {k - 2} ELSE 1 END)) AS s, "
+        f"md5(UNNEST({_shingles_from_w_sql(k)})) AS h FROM base), "
+        "spread AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp) "
+        "GROUP BY h HAVING COUNT(*) >= 2), "
+        "dup AS (SELECT doc_id, s FROM sp WHERE h IN (SELECT h FROM spread)), "
+        "cov AS (SELECT doc_id, COUNT(*) AS covered_words FROM ("
+        f"SELECT DISTINCT doc_id, UNNEST(range(s, s + {k})) AS pos FROM dup) "
+        "GROUP BY doc_id), "
+        "wins AS (SELECT doc_id, COUNT(*) AS n_windows FROM sp GROUP BY doc_id), "
+        "dups AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dup GROUP BY doc_id), "
+        "nw AS (SELECT doc_id, MAX(len(w)) AS n_words FROM base GROUP BY doc_id) "
+        "SELECT ids.doc_id, "
+        "CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows, "
+        "CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
+        "CAST(COALESCE(covered_words, 0) AS BIGINT) AS covered_words, "
+        "CASE WHEN COALESCE(n_words, 0) > 0 "
+        "THEN CAST(COALESCE(covered_words, 0) AS DOUBLE) / n_words END "
+        "AS covered_frac "
+        "FROM (SELECT DISTINCT doc_id FROM documents) ids "
+        "LEFT JOIN nw USING (doc_id) "
+        "LEFT JOIN wins USING (doc_id) "
+        "LEFT JOIN dups USING (doc_id) "
+        "LEFT JOIN cov USING (doc_id)"
+    )
