@@ -986,3 +986,31 @@ def test_span_dedup_catches_unaligned_substrings(spark):
     # 16-word chunk boundaries on the two sides)
     pas = {r["doc_id"]: r for r in passage_dedup(docs, k=16).collect()}
     assert pas[1]["n_dup_passages"] == 0 and pas[2]["n_dup_passages"] == 0
+
+
+def test_emb_power_iter_matches_numpy(spark):
+    """One power step == numpy's C @ v0 on the biased covariance, the
+    iterate is unit-norm, and on an elongated cloud it swings toward
+    the dominant axis."""
+    import math
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import EMB_DIM, emb_power_iter
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.01, (40, EMB_DIM))
+    x[:, 0] += rng.normal(0, 3.0, 40)  # dominant axis = dim 0
+    rows = [(i, [float(v) for v in x[i]], "l") for i in range(len(x))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = sorted(emb_power_iter(emb).collect(), key=lambda r: r["i"])
+    c = np.cov(x, rowvar=False, bias=True)
+    v0 = np.full(EMB_DIM, 1.0 / math.sqrt(EMB_DIM))
+    w = c @ v0
+    got_w = np.array([r["wi"] for r in out])
+    assert np.allclose(got_w, w, atol=1e-6)
+    v1 = np.array([r["v1"] for r in out])
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-9
+    assert abs(v1[0]) > 0.9  # one step already points down the axis
+    assert abs(out[0]["rayleigh"] - v0 @ w) < 1e-6  # dec6-quantized cov

@@ -1821,3 +1821,87 @@ SELECT COALESCE(tp.vec_a, sem.vec_a) AS vec_a,
 FROM tp FULL OUTER JOIN sem
   ON tp.vec_a = sem.vec_a AND tp.vec_b = sem.vec_b
 """
+
+
+def emb_power_iter(emb: DataFrame) -> DataFrame:
+    """One exact power-iteration step toward the corpus covariance's
+    top eigenvector — the PCA primitive on top of emb_covariance:
+    w = C·v0 with the deterministic start vector v0 = (1/√d,…,1/√d)
+    (1/8 exactly at d=64 — a power-of-two scale, so the scaling is
+    lossless), returned with the normalized next iterate and the
+    Rayleigh quotient v0ᵀ·C·v0 = (1/√d)·Σ w (the first eigenvalue
+    estimate). Returns (i, v1, wi, rayleigh).
+
+    The iterative fit (run-to-convergence) is exactly the loop shape
+    the project keeps rows-only (ann_ivf_search's Lloyd); this is its
+    hash-checked fixed-step sibling, like ann_ivf_lloyd_fixed for
+    k-means: the covariance relation is the ALREADY-verified
+    emb_covariance tree (upper triangle, mirrored below the diagonal
+    relationally), the matvec folds each row's 64 terms over a
+    j-sorted array (both engines sum in one order), the global Σw /
+    Σw² reductions fold ONE 64-element sorted array, and sqrt is
+    IEEE-correctly-rounded in both engines, so no post-rounding is
+    needed anywhere. Scale: everything after the covariance groupBy
+    lives on d² = 4096 rows; the two scalars re-enter as a one-row
+    broadcast (BroadcastNestedLoopJoin on purpose, like tpch_q11's
+    global scalar)."""
+    import math
+
+    v0 = 1.0 / math.sqrt(EMB_DIM)
+    cov = emb_covariance(emb)
+    full = cov.union(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    )
+    rows = full.groupBy("i").agg(
+        F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("arr")
+    )
+    w = rows.select(
+        "i",
+        (
+            F.lit(v0)
+            * F.aggregate(
+                F.col("arr"), F.lit(0.0), lambda a, s: a + s["cov"]
+            )
+        ).alias("wi"),
+    )
+    g = (
+        w.agg(F.array_sort(F.collect_list(F.struct("i", "wi"))).alias("ws"))
+        .select(
+            F.aggregate(
+                F.col("ws"), F.lit(0.0), lambda a, s: a + s["wi"] * s["wi"]
+            ).alias("ss"),
+            F.aggregate(
+                F.col("ws"), F.lit(0.0), lambda a, s: a + s["wi"]
+            ).alias("sw"),
+        )
+    )
+    return w.crossJoin(F.broadcast(g)).select(
+        "i",
+        F.when(F.col("ss") > 0, F.col("wi") / F.sqrt("ss")).alias("v1"),
+        "wi",
+        (F.lit(v0) * F.col("sw")).alias("rayleigh"),
+    )
+
+
+def emb_power_iter_sql() -> str:
+    import math
+
+    v0 = repr(1.0 / math.sqrt(EMB_DIM))
+    fold = "list_reduce(list_prepend(0.0, {l}), (a, x) -> a + x)"
+    return (
+        f"WITH cov AS ({emb_covariance_sql()}), "
+        "fullm AS (SELECT i, j, cov FROM cov "
+        "UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i <> j), "
+        f"w AS (SELECT i, {v0} * "
+        + fold.format(l="list(cov ORDER BY j ASC)")
+        + " AS wi FROM fullm GROUP BY i), "
+        "g AS (SELECT "
+        + fold.format(l="list(wi * wi ORDER BY i ASC)")
+        + " AS ss, "
+        + fold.format(l="list(wi ORDER BY i ASC)")
+        + " AS sw FROM w) "
+        "SELECT i, CASE WHEN ss > 0 THEN wi / SQRT(ss) END AS v1, wi, "
+        f"{v0} * sw AS rayleigh FROM w CROSS JOIN g"
+    )
