@@ -1014,3 +1014,33 @@ def test_emb_power_iter_matches_numpy(spark):
     assert abs(np.linalg.norm(v1) - 1.0) < 1e-9
     assert abs(v1[0]) > 0.9  # one step already points down the axis
     assert abs(out[0]["rayleigh"] - v0 @ w) < 1e-6  # dec6-quantized cov
+
+
+def test_text_novelty_order_semantics(spark):
+    """First doc fully novel, an exact later duplicate fully seen, a
+    half-overlapping doc in between — and appending a new doc never
+    changes earlier scores (the incremental-index property)."""
+    from tgres_spark.pipeline.textstats import text_novelty
+
+    w = [f"w{i}" for i in range(24)]
+    a = " ".join(w[:16])                # doc 1
+    b = " ".join(w[8:24])               # doc 2: first half seen in a
+    c = a                               # doc 3: exact dup of doc 1
+    rows = [(1, a, "en", "s", 1), (2, b, "en", "s", 1), (3, c, "en", "s", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text_novelty(docs, k=8).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[3]["novelty"] == 0.0
+    # doc 2 has 9 grams (16 words, k=8); only its FIRST gram
+    # (w8..w15) lies fully inside a's word range -> 1 seen of 9
+    assert out[2]["n_grams"] == 9 and out[2]["n_seen"] == 1
+    # append doc 4: earlier docs' scores must not move
+    docs2 = spark.createDataFrame(
+        rows + [(4, " ".join(w[4:20]), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = {r["doc_id"]: r for r in text_novelty(docs2, k=8).collect()}
+    for d in (1, 2, 3):
+        assert out2[d]["novelty"] == out[d]["novelty"]

@@ -622,3 +622,34 @@ def streaming_enrich_join(spark, sf_dir):
         spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", e.schema, dim
     )
     return spark.read.parquet(f"{work}/out")
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    sql=__import__(
+        "tgres_spark.operators.sketch", fromlist=["x"]
+    ).cms_heavy_hitters_sql("SELECT user_id FROM events", "user_id"),
+)
+def streaming_cms_heavy_hitters(spark, sf_dir):
+    """The count-min sketch folded as a STREAMING aggregation
+    (streaming/hll.py run_cms_stream): four real micro-batches
+    sum-merge the 4x256 cell counters; the heavy-hitter read-off from
+    the final sketch hash-matches the batch events_cms_heavy_hitters
+    oracle because + merges are order-independent. With this every
+    mergeable sketch in the repo (histogram +, HLL max, CMS +) runs
+    identically in batch and streaming form — the bounded-state
+    frequency story at 100 TB (1024 counters however many keys)."""
+    import tempfile
+
+    from ..operators.sketch import cms_estimate
+    from ..streaming.hll import run_cms_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_scms_")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_cms_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema,
+        "user_id", files_per_trigger=1,
+    )
+    sk = spark.read.parquet(f"{work}/out")
+    return cms_estimate(sk, ev, "user_id", topk=20)

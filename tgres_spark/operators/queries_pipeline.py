@@ -110,6 +110,9 @@ register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
 register("pipeline_mix_temperature", sql=pp.mix_temperature_sql(10_000))(
     lambda s, d: pp.mix_temperature(_docs(s, d), 10_000)
 )
+register("text_novelty", sql=tx.text_novelty_sql())(
+    lambda s, d: tx.text_novelty(_docs(s, d))
+)
 register("pipeline_mix_unimax", sql=pp.mix_unimax_sql(10_000))(
     lambda s, d: pp.mix_unimax(_docs(s, d), 10_000)
 )

@@ -357,7 +357,15 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
     the part you'd drop; the sketch path alone never shuffles more
     than distinct-keys rows.) Ties break on the key string so both
     engines pick the same topk rows."""
-    sk = cms_sketch(df, key_col)
+    return cms_estimate(cms_sketch(df, key_col), df, key_col, topk)
+
+
+def cms_estimate(
+    sk: DataFrame, df: DataFrame, key_col: str, topk: int = 20
+) -> DataFrame:
+    """Heavy-hitter read-off from an existing (r, col, c) sketch
+    relation — the entry point for sketches folded elsewhere (the
+    streaming sum-merge); see cms_heavy_hitters for the rules."""
     keys = df.select(F.col(key_col).cast("string").alias("k")).distinct()
     cells = keys.select(
         "k", F.explode(_cms_cells(F.col("k"))).alias("rc")

@@ -1024,3 +1024,80 @@ SELECT source, lang, n_docs, n_unique,
        CAST(n_keep AS DOUBLE) / n_docs AS keep_rate
 FROM g
 """
+
+
+def text_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, n_grams, n_seen, novelty): how much of a document is
+    NEW relative to every document before it in doc_id order — the
+    contribution score behind incremental-corpus curation ("does this
+    crawl snapshot add anything?") and dedup-aware curriculum
+    ordering. A doc's distinct k-gram is "seen" when the gram's
+    minimum doc_id over the corpus is smaller than this doc's id;
+    novelty = 1 − seen/total. The first document is 100% novel by
+    construction, an exact duplicate of an earlier doc is 0% novel,
+    and the measure is monotone under corpus growth — appending new
+    docs never changes earlier docs' scores, so the gram→min(doc_id)
+    relation is an incrementally-maintainable index (min is the same
+    order-free merge the HLL registers use).
+
+    Scale: one explode (distinct grams per doc), one groupBy(h) min —
+    uniform md5 keys, no skew — and one join of the gram relation
+    against its own aggregate; the seen test is integer comparison.
+    Same shuffle shape as passage_dedup."""
+    from .dedup import shingles_of
+
+    grams = (
+        docs.select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(shingles_of(F.col("w"), k)).alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        grams.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_seen"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_seen", F.lit(0)).cast("bigint").alias("n_seen"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.lit(1.0)
+                - F.col("n_seen").cast("double") / F.col("n_grams"),
+            ).alias("novelty"),
+        )
+    )
+
+
+def text_novelty_sql(k: int = 8) -> str:
+    from .dedup import shingles_sql
+
+    grams = (
+        f"SELECT DISTINCT doc_id, md5(UNNEST({shingles_sql('text', k)})) AS h "
+        "FROM documents"
+    )
+    return (
+        f"WITH grams AS ({grams}), "
+        "first AS (SELECT h, MIN(doc_id) AS first_id FROM grams GROUP BY h), "
+        "per_doc AS (SELECT doc_id, COUNT(*) AS n_grams, "
+        "SUM(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS n_seen "
+        "FROM grams JOIN first USING (h) GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(n_seen, 0) AS BIGINT) AS n_seen, "
+        "CASE WHEN COALESCE(n_grams, 0) > 0 "
+        "THEN 1.0 - CAST(n_seen AS DOUBLE) / n_grams END AS novelty "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id"
+    )

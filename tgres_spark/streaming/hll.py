@@ -89,3 +89,38 @@ def run_histogram_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    key_col: str,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming count-min sketch: the 4x256 cell COUNTS sum-merge
+    across micro-batches (the same + state family as the histogram),
+    so the final sketch — and any point query off it — is
+    bit-identical to the batch cms_sketch over the same rows."""
+    from ..operators.sketch import cms_sketch
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    sk = cms_sketch(src, key_col)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        sk.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
