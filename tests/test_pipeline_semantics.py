@@ -1044,3 +1044,35 @@ def test_text_novelty_order_semantics(spark):
     out2 = {r["doc_id"]: r for r in text_novelty(docs2, k=8).collect()}
     for d in (1, 2, 3):
         assert out2[d]["novelty"] == out[d]["novelty"]
+
+
+def test_audio_chunks_slices_binary_jvm_side(spark):
+    """32-byte payloads at chunk_bytes=12 -> chunks of 12/12/8 (the
+    trailing chunk is short), checksums match hashlib over the hex
+    slices, and non-audio rows never appear."""
+    import hashlib
+
+    from tgres_spark.pipeline.multimodal import audio_chunks, synthesize_media
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 6) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = synthesize_media(docs)
+    audio_ids = {r.media_id for r in media.where("kind = 'audio'").collect()}
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media.where("kind = 'audio'").collect()
+    }
+    out = audio_chunks(media, chunk_bytes=12).collect()
+    assert {r.media_id for r in out} == audio_ids
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_media.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.n_bytes for r in rs] == [12, 12, 8]
+        hexs = payloads[mid].hex()
+        for i, r in enumerate(rs):
+            want = hashlib.md5(hexs[i * 24 : i * 24 + 24].encode()).hexdigest()
+            assert r.chunk_checksum == want

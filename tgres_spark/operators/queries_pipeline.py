@@ -128,6 +128,15 @@ def mm_resize_stub(spark, sf_dir):
     recomputes both from doc_id/text (multimodal.mm_resize_stub_sql),
     hash-checking the batch path."""
     return mm.resize_stub(mm.synthesize_media(_docs(spark, sf_dir)))
+@register("mm_audio_chunks", sql=mm.mm_audio_chunks_sql())
+def mm_audio_chunks(spark, sf_dir):
+    """Fixed-size audio chunking as pure JVM column algebra — binary
+    substring slicing + per-chunk hex-md5 checksums, no Python kernel
+    anywhere (multimodal.audio_chunks); the windowing step every media
+    decode fans out over."""
+    return mm.audio_chunks(mm.synthesize_media(_docs(spark, sf_dir)))
+
+
 register("text_repetition", sql=tx.text_repetition_sql())(
     lambda s, d: tx.text_repetition(_docs(s, d))
 )

@@ -196,3 +196,52 @@ def mm_resize_stub_sql(max_dim: int = 64) -> str:
         f"CASE WHEN {kind} = 'image' THEN {chk} END AS checksum "
         "FROM documents"
     )
+
+
+def audio_chunks(media: DataFrame, chunk_bytes: int = 8) -> DataFrame:
+    """Fixed-size audio chunking done ENTIRELY JVM-side — the
+    counterpoint to the mapInPandas kernels above: chunk boundaries
+    come from metadata arithmetic, the payload is sliced with
+    substring on the BINARY column (no Python, no Arrow round-trip,
+    stays in whole-stage codegen), and each chunk's checksum is md5
+    over its lowercase hex (the engine-portable binary-hash contract
+    of mm_decode_stub). One output row per chunk; the trailing chunk
+    may be short. Returns (media_id, chunk_idx, n_bytes,
+    chunk_checksum).
+
+    At 100 TB this is the shape for windowing any media payload
+    (audio chunks, video GOPs, image tiles): the explode multiplies
+    rows by payload/chunk_bytes BEFORE any Python kernel, so the
+    expensive decode UDF downstream sees uniformly small units and
+    partitions rebalance on (media_id, chunk_idx)."""
+    a = media.where(F.col("kind") == "audio")
+    n_chunks = F.ceil(F.length("payload") / F.lit(chunk_bytes)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    b = a.select("media_id", "payload", idx)
+    chunk = F.expr(f"substring(payload, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
+    return b.select(
+        "media_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length(chunk).cast("bigint").alias("n_bytes"),
+        F.md5(F.lower(F.hex(chunk))).alias("chunk_checksum"),
+    )
+
+
+def mm_audio_chunks_sql(chunk_bytes: int = 8) -> str:
+    """DuckDB twin of audio_chunks(synthesize_media(documents)): the
+    synthesized payload's lowercase hex IS md5(text)||md5(reverse),
+    so byte slice [i*cb, cb) = hex substring [i*2cb+1, 2cb)."""
+    kind = "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
+    cb2 = 2 * chunk_bytes
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "md5(text) || md5(reverse(text)) AS h FROM documents "
+        f"WHERE {kind} = 'audio'), "
+        "c AS (SELECT media_id, h, "
+        f"UNNEST(range(0, CAST(CEIL(len(h) / {cb2}.0) AS BIGINT))) AS chunk_idx "
+        "FROM m) "
+        "SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        f"CAST(len(substr(h, CAST(chunk_idx * {cb2} + 1 AS INT), {cb2})) // 2 AS BIGINT) AS n_bytes, "
+        f"md5(substr(h, CAST(chunk_idx * {cb2} + 1 AS INT), {cb2})) AS chunk_checksum "
+        "FROM c"
+    )
