@@ -1076,3 +1076,26 @@ def test_audio_chunks_slices_binary_jvm_side(spark):
         for i, r in enumerate(rs):
             want = hashlib.md5(hexs[i * 24 : i * 24 + 24].encode()).hexdigest()
             assert r.chunk_checksum == want
+
+
+def test_asof_backward_semantics(spark):
+    """Latest at-or-before match per key: inclusive at equal t, NULL
+    when nothing precedes, latest wins among several, and keys never
+    cross."""
+    from tgres_spark.operators.asof import asof_backward
+
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 5, "b"), ("u2", 50, "c"), ("u3", 9, "d")],
+        "k string, t long, pid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 90, 2.0), ("u1", 100, 3.0),
+         ("u2", 60, 4.0), ("u3", 9, 5.0)],
+        "k string, t long, v double",
+    )
+    out = {r["pid"]: r for r in
+           asof_backward(left, right, "k", "t", ["pid"], ["v"]).collect()}
+    assert out["a"]["r_t"] == 100 and out["a"]["r_v"] == 3.0  # inclusive tie
+    assert out["b"]["r_t"] is None and out["b"]["r_v"] is None  # nothing before
+    assert out["c"]["r_t"] is None  # u2's only quote is later
+    assert out["d"]["r_v"] == 5.0  # equal-t match on another key

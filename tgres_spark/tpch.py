@@ -627,3 +627,58 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin (operators/sketch.py cms_heavy_hitters)."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
     return cms_heavy_hitters(ev, "user_id", topk=20)
+
+
+_ASOF_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000000000 AS t FROM events
+), p AS (
+  SELECT user_id, event_id AS purchase_id, t FROM e
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, t, arg_max(value, event_id) AS click_value FROM e
+  WHERE event_type = 'click' GROUP BY user_id, t
+)
+SELECT p.user_id, purchase_id, p.t AS purchase_t,
+  CAST(c.t AS DOUBLE) AS click_t, c.click_value,
+  CAST(p.t - c.t AS DOUBLE) AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+"""
+
+
+@register("events_asof_join", sql=_ASOF_JOIN_SQL)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases enriched with each user's latest at-or-before click —
+    the backward as-of join (operators/asof.py): union + one per-key
+    window instead of a per-key-quadratic range join; inclusive-tie
+    semantics hash-checked against DuckDB's NATIVE `ASOF LEFT JOIN`.
+    Clicks pre-aggregate to one row per (user, t) with max_by on the
+    unique event_id so the tie order is engine-independent."""
+    from .operators.asof import asof_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        epoch_s("ts", ev).alias("t"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "t"
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "t")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = asof_backward(p, c, "user_id", "t", ["purchase_id"], ["click_value"])
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("t").alias("purchase_t"),
+        # doubles, not nullable bigints: a NULLable int column comes
+        # back float64 from DuckDB's pandas fetch, and the gate is
+        # deliberately type-sensitive (round-2 lesson in check_oracle)
+        F.col("r_t").cast("double").alias("click_t"),
+        F.col("r_click_value").alias("click_value"),
+        (F.col("t") - F.col("r_t")).cast("double").alias("gap_s"),
+    )
