@@ -1099,3 +1099,26 @@ def test_asof_backward_semantics(spark):
     assert out["b"]["r_t"] is None and out["b"]["r_v"] is None  # nothing before
     assert out["c"]["r_t"] is None  # u2's only quote is later
     assert out["d"]["r_v"] == 5.0  # equal-t match on another key
+
+
+def test_emb_outliers_flags_planted_vector(spark):
+    """A vector far outside the cloud in ONE dimension tops the
+    diagonal-Mahalanobis ranking, and its score matches the formula
+    computed with numpy's biased moments."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import EMB_DIM, emb_outliers
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1.0, (50, EMB_DIM))
+    x[7, 3] = 40.0  # planted outlier
+    rows = [(i, [float(v) for v in x[i]], "l") for i in range(len(x))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = emb_outliers(emb, topk=5).collect()
+    assert out[0]["vec_id"] == 7
+    mu = x.mean(axis=0)
+    var = x.var(axis=0)
+    want = (((x[7] - mu) ** 2) / var).sum()
+    assert abs(out[0]["dist2"] - want) / want < 1e-4  # dec6-quantized moments

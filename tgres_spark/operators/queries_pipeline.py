@@ -246,6 +246,9 @@ register("emb_covariance", sql=sim.emb_covariance_sql())(
     lambda s, d: sim.emb_covariance(_emb(s, d))
 )
 
+register("emb_outliers", sql=sim.emb_outliers_sql())(
+    lambda s, d: sim.emb_outliers(_emb(s, d))
+)
 register("emb_power_iter", sql=sim.emb_power_iter_sql())(
     lambda s, d: sim.emb_power_iter(_emb(s, d))
 )

@@ -1905,3 +1905,93 @@ def emb_power_iter_sql() -> str:
         "SELECT i, CASE WHEN ss > 0 THEN wi / SQRT(ss) END AS v1, wi, "
         f"{v0} * sw AS rayleigh FROM w CROSS JOIN g"
     )
+
+
+def emb_outliers(emb: DataFrame, topk: int = 20) -> DataFrame:
+    """Top-``topk`` embedding outliers by diagonal Mahalanobis
+    distance — per-dimension z-score distance d² = Σ_j (x_j−μ_j)²/σ²_j
+    — the embedding-space QA gate that flags corrupt/degenerate
+    vectors before they poison ANN indexes or dedup clusters. The
+    full-matrix Mahalanobis needs Σ⁻¹ (an iterative solve, the shape
+    this repo keeps rows-only); the diagonal form is the standard
+    large-scale screen and is closed-form deterministic.
+
+    Determinism: μ_j and σ²_j = E[x²]−μ² come from dec6-quantized
+    sums (the unbounded-corpus rule) cast to double before the /n;
+    the per-vector fold runs j = 1..d in index order (both engines
+    sum identically); zero-variance dims are skipped by CASE (ANSI
+    throw vs NULL otherwise). Scale: ONE posexplode aggregation for
+    the 64 stats rows, which re-enter as a one-row broadcast of two
+    d-arrays (BroadcastNestedLoopJoin on purpose); the per-vector
+    score is map-only; top-k is TakeOrderedAndProject. Returns
+    (vec_id, label, dist2)."""
+    from ..model import dec6
+
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", vd.alias("vd"))
+    stats = (
+        e.select(F.posexplode("vd").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("j"))
+        .agg(
+            (F.sum(dec6(F.col("x"))).cast("double") / F.count("*")).alias("m"),
+            (
+                F.sum(dec6(F.col("x") * F.col("x"))).cast("double")
+                / F.count("*")
+            ).alias("ex2"),
+        )
+    )
+    one = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "m", (F.col("ex2") - F.col("m") * F.col("m")).alias("v")))
+        ).alias("sv")
+    ).select(
+        F.transform("sv", lambda s: s["m"]).alias("mu"),
+        F.transform("sv", lambda s: s["v"]).alias("var"),
+    )
+    dist2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(F.col("var"), j) > 0,
+            (F.element_at(F.col("vd"), j) - F.element_at(F.col("mu"), j))
+            * (F.element_at(F.col("vd"), j) - F.element_at(F.col("mu"), j))
+            / F.element_at(F.col("var"), j),
+        ).otherwise(0.0),
+    )
+    return (
+        e.crossJoin(F.broadcast(one))
+        .select("vec_id", "label", dist2.alias("dist2"))
+        .orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
+        .limit(topk)
+    )
+
+
+def emb_outliers_sql(topk: int = 20) -> str:
+    from ..model import dec6_sql
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), st AS (
+  SELECT CAST(r.i AS INTEGER) AS j,
+    CAST(SUM({dec6_sql("vd[CAST(r.i AS INTEGER)]")}) AS DOUBLE) / COUNT(*) AS m,
+    CAST(SUM({dec6_sql("vd[CAST(r.i AS INTEGER)] * vd[CAST(r.i AS INTEGER)]")}) AS DOUBLE)
+      / COUNT(*) AS ex2
+  FROM v, range(1, {EMB_DIM + 1}) r(i) GROUP BY r.i
+), one AS (
+  SELECT list(m ORDER BY j) AS mu, list(ex2 - m * m ORDER BY j) AS var
+  FROM st
+)
+SELECT vec_id, label,
+  list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}),
+    j -> CASE WHEN var[CAST(j AS INTEGER)] > 0
+      THEN (vd[CAST(j AS INTEGER)] - mu[CAST(j AS INTEGER)])
+         * (vd[CAST(j AS INTEGER)] - mu[CAST(j AS INTEGER)])
+         / var[CAST(j AS INTEGER)]
+      ELSE 0.0 END)), (a, x) -> a + x) AS dist2
+FROM v CROSS JOIN one
+ORDER BY dist2 DESC, vec_id ASC LIMIT {topk}
+"""
