@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "tpch_q18",
     "events_hll_distinct",
     "events_conversion_lag",
+    # round-5 fourth session: the overlapping-window dedup profile
+    # (heaviest new explode), the as-of join (union+window vs range
+    # join), and the CMS heavy hitters (third mergeable sketch)
+    "pipeline_span_dedup",
+    "events_asof_join",
+    "events_cms_heavy_hitters",
 ]
 
 

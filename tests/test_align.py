@@ -69,3 +69,26 @@ def test_maxpoints_moves_leq_one_is_range_filter(spark):
     rows = [("s", 60, 1.0), ("s", 120, 2.0), ("s", 180, 3.0)]
     out = al.maxpoints_group(_mk(spark, rows), 60, 180, 100, 60).collect()
     assert {r["t"] for r in out} == {120, 180}  # t > from, t <= to
+
+
+def test_seasonal_decompose_linear_series(spark):
+    """On a pure linear hourly series: interior trend equals the
+    value (a centered average of a linear ramp is its midpoint),
+    seasonal/resid vanish, edges (first/last 12 slots) have no trend,
+    and value == trend + seasonal + resid holds identically."""
+    from tgres_spark.operators.align import seasonal_decompose
+
+    t0 = 1704067200
+    rows = [("m", t0 + i * 3600, 10.0 + 2.0 * i) for i in range(72)]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    out = sorted(seasonal_decompose(sf, step=3600, period=24).collect(),
+                 key=lambda r: r["t"])
+    assert len(out) == 72
+    for i, r in enumerate(out):
+        if i < 12 or i >= 72 - 12:
+            assert r["trend"] is None and r["resid"] is None
+        else:
+            assert abs(r["trend"] - r["value"]) < 1e-6
+            assert abs(r["resid"]) < 1e-5
+        if r["trend"] is not None:
+            assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["resid"])) < 1e-12

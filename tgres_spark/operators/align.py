@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from math import gcd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..model import NAME, T, VALUE, micro6
@@ -162,4 +162,108 @@ def maxpoints_group_sql(
         f"FROM ({dense}) "
         f"GROUP BY name, ((t - {from_t} - {step}) // {step}) // {moves} "
         f"HAVING COUNT(*) = {moves}"
+    )
+
+
+def seasonal_decompose(
+    series: DataFrame, step: int = 3600, period: int = 24
+) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + seasonal +
+    residual) of each series — the closed-form cousin of the
+    Holt-Winters family (reference series/holtwinters.go fits the
+    same three components recursively; this is the non-recursive
+    textbook estimator, so unlike the HW fit it needs NO iteration
+    and carries a full oracle):
+
+    - slot means to ``step`` resolution (micro6, like align_to);
+    - trend = centered (period+1)-point moving average, emitted only
+      where the window is FULL (the classical edge rule, and the
+      deterministic one — partial windows would make edge values
+      depend on how much history the scan saw);
+    - seasonal = per-(series, phase) mean of the detrended values,
+      phase = slot-index mod period;
+    - residual = detrended − seasonal (the anomaly input).
+
+    Determinism: slot means quantize back to micro6 BIGINT before the
+    window sum (exact sliding sums — double window sums are
+    frame-order-dependent inside DuckDB's segment tree), one double
+    division chain (/1e6/(period+1)) in the same order as the oracle,
+    seasonal means micro6 again. Scale: one groupBy(name, slot), one
+    per-name window, one groupBy(name, phase) — all co-keyed on the
+    series name, same single-partitioning as every per-series
+    transform. Returns (name, t, value, trend, seasonal, resid)."""
+    from ..model import micro6
+
+    half = period // 2
+    win = period + 1
+    slot = (F.col(T) - (F.col(T) % step)).alias(T)
+    slots = (
+        series.select(NAME, slot, F.col(VALUE).alias("v"))
+        .groupBy(NAME, T)
+        .agg(
+            (
+                F.sum(micro6(F.col("v"))).cast("double")
+                / 1000000.0
+                / F.count("v")
+            ).alias(VALUE)
+        )
+    )
+    w = Window.partitionBy(NAME).orderBy(T).rowsBetween(-half, half)
+    trend = F.when(
+        F.count(VALUE).over(w) == win,
+        F.sum(micro6(F.col(VALUE))).over(w).cast("double") / 1000000.0 / win,
+    )
+    d = slots.select(
+        NAME, T, VALUE, trend.alias("trend"),
+        ((F.col(T) / step).cast("bigint") % period).alias("phase"),
+    ).withColumn("detr", F.col(VALUE) - F.col("trend"))
+    seas = (
+        d.groupBy(NAME, "phase")
+        .agg(
+            F.when(
+                F.count("detr") > 0,
+                F.sum(micro6(F.col("detr"))).cast("double")
+                / 1000000.0
+                / F.count("detr"),
+            ).alias("seasonal")
+        )
+    )
+    return (
+        d.join(seas, [NAME, "phase"])
+        .select(
+            NAME, T, VALUE, "trend",
+            F.col("seasonal"),
+            (F.col("detr") - F.col("seasonal")).alias("resid"),
+        )
+    )
+
+
+def seasonal_decompose_sql(
+    base: str, step: int = 3600, period: int = 24
+) -> str:
+    from ..model import micro6_sql
+
+    half = period // 2
+    win = period + 1
+    m6 = micro6_sql("v")
+    return (
+        f"WITH src AS ({base}), "
+        "slots AS (SELECT name, t - (t % "
+        f"{step}) AS t, "
+        f"CAST(SUM({m6}) AS DOUBLE) / 1000000.0 / COUNT(v) AS value "
+        f"FROM (SELECT name, t, value AS v FROM src) GROUP BY 1, 2), "
+        "tr AS (SELECT name, t, value, "
+        "CASE WHEN COUNT(value) OVER w = "
+        f"{win} THEN CAST(SUM({micro6_sql('value')}) OVER w AS DOUBLE) "
+        f"/ 1000000.0 / {win} END AS trend, "
+        f"CAST(t // {step} AS BIGINT) % {period} AS phase "
+        "FROM slots WINDOW w AS (PARTITION BY name ORDER BY t "
+        f"ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)), "
+        "d AS (SELECT *, value - trend AS detr FROM tr), "
+        "seas AS (SELECT name, phase, "
+        "CASE WHEN COUNT(detr) > 0 THEN "
+        f"CAST(SUM({micro6_sql('detr')}) AS DOUBLE) / 1000000.0 / COUNT(detr) "
+        "END AS seasonal FROM d GROUP BY name, phase) "
+        "SELECT d.name, t, value, trend, seasonal, detr - seasonal AS resid "
+        "FROM d JOIN seas ON d.name = seas.name AND d.phase = seas.phase"
     )

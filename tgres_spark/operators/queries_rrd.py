@@ -129,3 +129,23 @@ def rrd_bucketed_consolidate(spark, sf_dir):
     )
     sf = read_bucketed_series(spark, "tgres_series_bucketed")
     return consolidate(sf, STEP, cf="wmean")
+
+
+@register(
+    "series_seasonal_decompose",
+    sql=__import__(
+        "tgres_spark.operators.align", fromlist=["x"]
+    ).seasonal_decompose_sql(EVENTS_SERIES_SQL, step=STEP, period=24),
+)
+def series_seasonal_decompose(spark, sf_dir):
+    """Classical additive trend/seasonal/residual decomposition of
+    each hourly series (operators/align.py seasonal_decompose) — the
+    non-recursive, fully-oracled cousin of the Holt-Winters family:
+    centered 25-slot trend (full windows only), hour-of-day seasonal
+    means, residual as the anomaly input. Exact micro6 sliding sums
+    keep the window math engine-identical."""
+    from .align import seasonal_decompose
+
+    return seasonal_decompose(
+        series_from_events(spark, sf_dir), step=STEP, period=24
+    )
