@@ -1122,3 +1122,27 @@ def test_emb_outliers_flags_planted_vector(spark):
     var = x.var(axis=0)
     want = (((x[7] - mu) ** 2) / var).sum()
     assert abs(out[0]["dist2"] - want) / want < 1e-4  # dec6-quantized moments
+
+
+def test_ann_probe_sweep_recall_monotone(spark):
+    """Recall@k never decreases as nprobe grows (probing more cells
+    only adds candidates), and probing ALL cells makes the candidate
+    set complete so recall reflects pure PQ quantization error."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM, IVF_CODEBOOK_K, ann_ivf_probe_sweep,
+    )
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(0, 1.0, (60, EMB_DIM))
+    rows = [(i, [float(v) for v in x[i]], "l") for i in range(len(x))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["nprobe"]: r["recall"] for r in
+           ann_ivf_probe_sweep(
+               emb, n_queries=5, k=5, probes=(1, 4, IVF_CODEBOOK_K)
+           ).collect()}
+    assert out[1] <= out[4] <= out[IVF_CODEBOOK_K]
+    assert out[IVF_CODEBOOK_K] > 0.0

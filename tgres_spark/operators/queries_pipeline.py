@@ -246,6 +246,9 @@ register("emb_covariance", sql=sim.emb_covariance_sql())(
     lambda s, d: sim.emb_covariance(_emb(s, d))
 )
 
+register("ann_ivf_probe_sweep", sql=sim.ann_ivf_probe_sweep_sql())(
+    lambda s, d: sim.ann_ivf_probe_sweep(_emb(s, d))
+)
 register("emb_outliers", sql=sim.emb_outliers_sql())(
     lambda s, d: sim.emb_outliers(_emb(s, d))
 )

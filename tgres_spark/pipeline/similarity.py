@@ -1995,3 +1995,111 @@ SELECT vec_id, label,
 FROM v CROSS JOIN one
 ORDER BY dist2 DESC, vec_id ASC LIMIT {topk}
 """
+
+
+def _exact_l2_topk(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """(query_id, neighbor_id): exact squared-L2 top-k ground truth —
+    the brute-force baseline the IVF×PQ path approximates (cosine
+    ground truth would mix metrics). Dim-order fold, ties to lower id."""
+    from pyspark.sql import Window
+
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ann_ivf_probe_sweep(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    probes: tuple = (1, 2, 4),
+) -> DataFrame:
+    """(nprobe, n_hits, recall): the IVF×PQ recall-vs-cost CURVE —
+    recall@k against the exact-L2 ground truth at each nprobe setting,
+    one row per dial position. This is the table an index operator
+    actually tunes from: cost scales ~nprobe/k_cells of the corpus
+    (the scan side of ann_ivf_pq_search), and this measures what that
+    buys. All inputs are fixed-codebook deterministic, so the sweep
+    itself is hash-checked — the whole accuracy dial is oracled, not
+    asserted.
+
+    Scale: the ground truth is the declared O(N·q) exact baseline
+    (queries broadcast); each sweep point reuses the composed
+    IVF×PQ plan; the final aggregate is n_probes rows."""
+    truth = _exact_l2_topk(emb, n_queries, k)
+    outs = []
+    for p in probes:
+        appr = ann_ivf_pq_search(emb, n_queries, k, nprobe=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = truth.join(appr, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("n_hits")
+        )
+        outs.append(
+            hits.select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.col("n_hits").cast("bigint"),
+                (
+                    F.col("n_hits").cast("double")
+                    / float(n_queries * k)
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def ann_ivf_probe_sweep_sql(
+    n_queries: int = 10, k: int = 10, probes: tuple = (1, 2, 4)
+) -> str:
+    diff = "(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
+    d2 = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+    )
+    truth = (
+        "SELECT query_id, neighbor_id FROM ("
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {d2} AS d2 "
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
+        f"WHERE q.vec_id < {n_queries}) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY d2 ASC, neighbor_id ASC) <= {k}"
+    )
+    parts = []
+    for p in probes:
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS nprobe, "
+            "CAST(COUNT(*) AS BIGINT) AS n_hits, "
+            f"CAST(COUNT(*) AS DOUBLE) / {float(n_queries * k)!r} AS recall "
+            "FROM truth JOIN ("
+            + ann_ivf_pq_search_sql(n_queries, k, nprobe=p)
+            + ") a ON truth.query_id = a.query_id "
+            "AND truth.neighbor_id = a.neighbor_id"
+        )
+    return f"WITH truth AS ({truth}) " + " UNION ALL ".join(parts)
