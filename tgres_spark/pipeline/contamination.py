@@ -244,19 +244,23 @@ def span_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("covered_words"))
     )
-    wins = spans.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
     dups = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
     ids = docs.select("doc_id").distinct()
+    # n_windows is ARITHMETIC from n_words (max(0, n_words - k + 1)) —
+    # counting it from the span relation would re-run the whole
+    # explode lineage a second time just to recount rows
     nw = base.groupBy("doc_id").agg(F.max("n_words").alias("n_words"))
+    n_windows = F.when(
+        F.coalesce("n_words", F.lit(0)) >= k, F.col("n_words") - (k - 1)
+    ).otherwise(0)
     return (
         ids.join(nw, "doc_id", "left")
-        .join(wins, "doc_id", "left")
         .join(dups, "doc_id", "left")
         .join(cov, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
-            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            n_windows.cast("bigint").alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0))
             .cast("bigint")
             .alias("n_dup_windows"),
@@ -285,12 +289,12 @@ def span_dedup_sql(k: int = 16) -> str:
         "cov AS (SELECT doc_id, COUNT(*) AS covered_words FROM ("
         f"SELECT DISTINCT doc_id, UNNEST(range(s, s + {k})) AS pos FROM dup) "
         "GROUP BY doc_id), "
-        "wins AS (SELECT doc_id, COUNT(*) AS n_windows FROM sp GROUP BY doc_id), "
         "dups AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dup GROUP BY doc_id), "
         "nw AS (SELECT doc_id, MAX(len(w)) AS n_words FROM base GROUP BY doc_id) "
         "SELECT ids.doc_id, "
         "CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words, "
-        "CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows, "
+        f"CAST(CASE WHEN COALESCE(n_words, 0) >= {k} "
+        f"THEN n_words - {k - 1} ELSE 0 END AS BIGINT) AS n_windows, "
         "CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows, "
         "CAST(COALESCE(covered_words, 0) AS BIGINT) AS covered_words, "
         "CASE WHEN COALESCE(n_words, 0) > 0 "
@@ -298,7 +302,6 @@ def span_dedup_sql(k: int = 16) -> str:
         "AS covered_frac "
         "FROM (SELECT DISTINCT doc_id FROM documents) ids "
         "LEFT JOIN nw USING (doc_id) "
-        "LEFT JOIN wins USING (doc_id) "
         "LEFT JOIN dups USING (doc_id) "
         "LEFT JOIN cov USING (doc_id)"
     )
