@@ -1146,3 +1146,35 @@ def test_ann_probe_sweep_recall_monotone(spark):
            ).collect()}
     assert out[1] <= out[4] <= out[IVF_CODEBOOK_K]
     assert out[IVF_CODEBOOK_K] > 0.0
+
+
+def test_text_novelty_index_is_incrementally_maintainable(spark):
+    """The gram→min(doc_id) relation used by text_novelty is a
+    min-mergeable index: folding an append-batch's per-gram mins into
+    a persisted index gives the SAME first_id relation as recomputing
+    over the full corpus — the property the docstring claims."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import shingles_of, words
+
+    def gram_min(docs):
+        g = (
+            docs.select("doc_id", words(F.col("text")).alias("w"))
+            .select("doc_id", F.explode(shingles_of(F.col("w"), 8)).alias("g"))
+            .select("doc_id", F.md5("g").alias("h"))
+            .distinct()
+        )
+        return {r["h"]: r["m"] for r in
+                g.groupBy("h").agg(F.min("doc_id").alias("m")).collect()}
+
+    w = [f"w{i}" for i in range(30)]
+    old_rows = [(1, " ".join(w[:16]), "en", "s", 1),
+                (2, " ".join(w[8:24]), "en", "s", 1)]
+    new_rows = [(3, " ".join(w[:16]), "en", "s", 1),   # dup of 1
+                (4, " ".join(w[14:30]), "en", "s", 1)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    full = gram_min(spark.createDataFrame(old_rows + new_rows, schema))
+    idx = gram_min(spark.createDataFrame(old_rows, schema))
+    for h, m in gram_min(spark.createDataFrame(new_rows, schema)).items():
+        idx[h] = min(idx.get(h, m), m)
+    assert idx == full

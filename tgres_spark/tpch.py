@@ -682,3 +682,50 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_click_value").alias("click_value"),
         (F.col("t") - F.col("r_t")).cast("double").alias("gap_s"),
     )
+
+
+_CUBE_SQL = """
+WITH e AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day,
+         CAST(value AS DOUBLE) AS v FROM events
+)
+SELECT COALESCE(event_type, '<all>') AS event_type,
+  COALESCE(day, -1) AS day,
+  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+  CAST(COUNT(v) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 / COUNT(v) AS avg_v
+FROM e GROUP BY CUBE (event_type, day)
+"""
+
+
+@register("events_rollup_cube", sql=_CUBE_SQL)
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event_type, day): every grouping-set combination
+    — per-cell, per-type, per-day, and grand total — in ONE aggregation
+    pass with grouping_id disambiguating real NULL keys from rolled-up
+    ones (the classic dashboard materialization; Spark expands the
+    sets in a single Expand+partial-agg, no 4× re-scan). micro6 means
+    keep every level hash-identical to the DuckDB CUBE."""
+    from .model import micro6
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (epoch_s("ts", ev) / 86400).cast("bigint").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    g = e.cube("event_type", "day").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("v").cast("bigint").alias("n"),
+        (
+            F.sum(micro6(F.col("v"))).cast("double") / 1000000.0 / F.count("v")
+        ).alias("avg_v"),
+    )
+    return g.select(
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        F.coalesce("day", F.lit(-1)).alias("day"),
+        "gid",
+        "n",
+        "avg_v",
+    )
