@@ -653,3 +653,51 @@ def streaming_cms_heavy_hitters(spark, sf_dir):
     )
     sk = spark.read.parquet(f"{work}/out")
     return cms_estimate(sk, ev, "user_id", topk=20)
+
+
+@register(
+    "streaming_asof_enrich",
+    sql=__import__("tgres_spark.tpch", fromlist=["x"])._ASOF_JOIN_SQL,
+)
+def streaming_asof_enrich(spark, sf_dir):
+    """The backward as-of join run STREAMING (streaming/enrich.py
+    run_asof_stream): the purchase stream arrives as four real
+    micro-batches, each enriched against the static click snapshot in
+    foreachBatch. Hash-checks against the SAME oracle as the batch
+    events_asof_join because a left row's match depends only on the
+    static right side — any micro-batching appends the identical
+    relation."""
+    import tempfile
+
+    from ..model import epoch_s
+
+    work = tempfile.mkdtemp(prefix="tgres_sasof_")
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        epoch_s("ts", ev).alias("t"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "t"
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "t")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    p.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    from ..streaming.enrich import run_asof_stream
+
+    run_asof_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", p.schema,
+        c, "user_id", "t", ["purchase_id"], ["click_value"],
+    )
+    out = spark.read.parquet(f"{work}/out")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("t").alias("purchase_t"),
+        F.col("r_t").cast("double").alias("click_t"),
+        F.col("r_click_value").alias("click_value"),
+        (F.col("t") - F.col("r_t")).cast("double").alias("gap_s"),
+    )

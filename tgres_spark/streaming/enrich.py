@@ -83,3 +83,49 @@ def run_enrich_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_asof_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    right: DataFrame,
+    on: str,
+    t: str,
+    left_cols: list,
+    right_cols: list,
+) -> None:
+    """Stream-static BACKWARD AS-OF enrichment: each micro-batch of
+    left rows is as-of joined (operators/asof.py) against a static
+    right-side snapshot inside foreachBatch — the deployment shape
+    for enriching a live stream with the latest config/price/model
+    row at-or-before each event.
+
+    Batching-invariance is structural, not asserted: a left row's
+    match depends ONLY on the static right side, so any partition of
+    the left stream into micro-batches appends exactly the batch
+    as-of result — which is why the streaming query hash-checks
+    against the SAME DuckDB ASOF JOIN oracle as the batch operator.
+    (A stream⋈stream as-of would need the union+window state to span
+    batches — that is the documented cut: Structured Streaming has no
+    ordered cross-row window; the interval join covers the bounded-
+    lag case.)"""
+    from ..operators.asof import asof_backward
+
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        out = asof_backward(bdf, right, on, t, left_cols, right_cols)
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
