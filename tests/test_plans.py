@@ -305,3 +305,35 @@ def test_bucketed_series_join_is_shuffle_free(spark, tmp_path):
         assert "Exchange" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100 TB fact⋈fact story when neither side broadcasts: with
+    runtime bloom filters on, Spark builds a bloom_filter_agg on the
+    selective side and injects might_contain into the OTHER side's
+    scan filter — rows that cannot join die at the scan, before the
+    shuffle. Pinned here so the conf story in docs/SCALE.md stays
+    true on this Spark version."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        small = o.where("o_totalprice > 100000")
+        j = li.join(small, li.l_orderkey == small.o_orderkey)
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
