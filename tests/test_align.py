@@ -92,3 +92,24 @@ def test_seasonal_decompose_linear_series(spark):
             assert abs(r["resid"]) < 1e-5
         if r["trend"] is not None:
             assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["resid"])) < 1e-12
+
+
+def test_series_correlate_signs_and_ranking(spark):
+    """A scaled copy correlates at ~+1, an inverted copy at ~-1, a
+    constant series is excluded (zero variance), and the query series
+    itself never appears."""
+    from tgres_spark.operators.align import series_correlate
+
+    t0 = 1704067200
+    rows = []
+    for i in range(48):
+        t = t0 + i * 3600
+        v = float((i * 7) % 13)
+        rows += [("q", t, v), ("scaled", t, 3.0 * v + 5.0),
+                 ("inv", t, -2.0 * v + 1.0), ("flat", t, 4.0)]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    out = {r["name"]: r["corr"] for r in
+           series_correlate(sf, "q", step=3600, k=10).collect()}
+    assert set(out) == {"scaled", "inv"}  # flat filtered, q excluded
+    assert abs(out["scaled"] - 1.0) < 1e-9
+    assert abs(out["inv"] + 1.0) < 1e-9

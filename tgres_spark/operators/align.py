@@ -267,3 +267,97 @@ def seasonal_decompose_sql(
         "SELECT d.name, t, value, trend, seasonal, detr - seasonal AS resid "
         "FROM d JOIN seas ON d.name = seas.name AND d.phase = seas.phase"
     )
+
+
+def series_correlate(
+    series: DataFrame, query_name: str, step: int = 3600, k: int = 10
+) -> DataFrame:
+    """(name, n_slots, corr): the k series most Pearson-correlated
+    with ``query_name`` over their common time slots — the "what
+    moved with the error rate?" scan, the cross-series counterpart of
+    mostDeviant's within-series ranking. Both series consolidate to
+    ``step`` slot means first, so mixed-rate series compare fairly.
+
+    Determinism: slot means are micro6; the five moment sums quantize
+    per-slot products to DECIMAL(38,6) (product-of-two-user-values
+    rule), cast to double before each /n in oracle order; IEEE sqrt of
+    the single variance product; zero-variance guarded by CASE; NULL
+    correlations filtered before the rank so both engines order the
+    same set. Scale: one groupBy(name, slot), the query series
+    re-enters as a BROADCAST join on the slot key, one groupBy(name)
+    of six exact accumulators, TakeOrderedAndProject top-k — the scan
+    cost is one pass over the consolidated frame however many series
+    exist."""
+    from ..model import dec6, micro6
+
+    slot = (F.col(T) - (F.col(T) % step)).alias(T)
+    slots = (
+        series.select(NAME, slot, F.col(VALUE).alias("v"))
+        .groupBy(NAME, T)
+        .agg(
+            (
+                F.sum(micro6(F.col("v"))).cast("double")
+                / 1000000.0
+                / F.count("v")
+            ).alias("x")
+        )
+    )
+    q = slots.where(F.col(NAME) == query_name).select(
+        F.col(T), F.col("x").alias("y")
+    )
+    j = slots.where(F.col(NAME) != query_name).join(F.broadcast(q), T)
+    m = j.groupBy(NAME).agg(
+        F.count("*").alias("n"),
+        (F.sum(micro6(F.col("x"))).cast("double") / 1000000.0).alias("sx"),
+        (F.sum(micro6(F.col("y"))).cast("double") / 1000000.0).alias("sy"),
+        F.sum(dec6(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec6(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec6(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    cov = F.col("sxy").cast("double") / F.col("n") - mx * my
+    vx = F.col("sxx").cast("double") / F.col("n") - mx * mx
+    vy = F.col("syy").cast("double") / F.col("n") - my * my
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return (
+        m.select(
+            NAME,
+            F.col("n").cast("bigint").alias("n_slots"),
+            corr.alias("corr"),
+        )
+        .where(F.col("corr").isNotNull())
+        .orderBy(F.col("corr").desc(), F.col(NAME).asc())
+        .limit(k)
+    )
+
+
+def series_correlate_sql(
+    base: str, query_name: str, step: int = 3600, k: int = 10
+) -> str:
+    from ..model import dec6_sql, micro6_sql
+
+    return (
+        f"WITH src AS ({base}), "
+        f"slots AS (SELECT name, t - (t % {step}) AS t, "
+        f"CAST(SUM({micro6_sql('v')}) AS DOUBLE) / 1000000.0 / COUNT(v) AS x "
+        "FROM (SELECT name, t, value AS v FROM src) GROUP BY 1, 2), "
+        f"q AS (SELECT t, x AS y FROM slots WHERE name = '{query_name}'), "
+        "m AS (SELECT name, COUNT(*) AS n, "
+        f"CAST(SUM({micro6_sql('x')}) AS DOUBLE) / 1000000.0 AS sx, "
+        f"CAST(SUM({micro6_sql('y')}) AS DOUBLE) / 1000000.0 AS sy, "
+        f"SUM({dec6_sql('x * y')}) AS sxy, "
+        f"SUM({dec6_sql('x * x')}) AS sxx, "
+        f"SUM({dec6_sql('y * y')}) AS syy "
+        f"FROM slots JOIN q USING (t) WHERE name <> '{query_name}' "
+        "GROUP BY name), "
+        "c AS (SELECT name, CAST(n AS BIGINT) AS n_slots, "
+        "CASE WHEN CAST(sxx AS DOUBLE) / n - (sx / n) * (sx / n) > 0 "
+        "AND CAST(syy AS DOUBLE) / n - (sy / n) * (sy / n) > 0 "
+        "THEN (CAST(sxy AS DOUBLE) / n - (sx / n) * (sy / n)) "
+        "/ SQRT((CAST(sxx AS DOUBLE) / n - (sx / n) * (sx / n)) "
+        "* (CAST(syy AS DOUBLE) / n - (sy / n) * (sy / n))) END AS corr "
+        "FROM m) "
+        "SELECT name, n_slots, corr FROM c WHERE corr IS NOT NULL "
+        f"ORDER BY corr DESC, name ASC LIMIT {k}"
+    )

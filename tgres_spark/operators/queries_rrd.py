@@ -149,3 +149,19 @@ def series_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(
         series_from_events(spark, sf_dir), step=STEP, period=24
     )
+
+
+@register(
+    "series_correlate",
+    sql=__import__(
+        "tgres_spark.operators.align", fromlist=["x"]
+    ).series_correlate_sql(EVENTS_SERIES_SQL, "error", step=STEP),
+)
+def series_correlate(spark, sf_dir):
+    """Correlation scan: which series moved with `error`? Pearson corr
+    over common hourly slot means, broadcast query side, one exact-
+    accumulator groupBy, distributed top-k (operators/align.py
+    series_correlate) — the cross-series counterpart of mostDeviant."""
+    from .align import series_correlate as corr
+
+    return corr(series_from_events(spark, sf_dir), "error", step=STEP)
