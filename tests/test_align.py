@@ -113,3 +113,29 @@ def test_series_correlate_signs_and_ranking(spark):
     assert set(out) == {"scaled", "inv"}  # flat filtered, q excluded
     assert abs(out["scaled"] - 1.0) < 1e-9
     assert abs(out["inv"] + 1.0) < 1e-9
+
+
+def test_series_xcorr_recovers_planted_lag(spark):
+    """A series that is the query shifted 2 steps into the future is
+    found at best_lag = +2 with corr ~ 1 (it LEADS the query); the
+    reversed shift lands at -2."""
+    from tgres_spark.operators.align import series_xcorr
+
+    t0 = 1704067200
+    rows = []
+    vals = [float((i * 7) % 13) for i in range(60)]
+    for i in range(60):
+        t = t0 + i * 3600
+        rows.append(("q", t, vals[i]))
+        # "leads": its value at t equals q's value at t+2 steps
+        if i >= 2:
+            rows.append(("leader", t0 + (i - 2) * 3600, vals[i]))
+        if i + 2 < 60:
+            rows.append(("lagger", t0 + (i + 2) * 3600, vals[i]))
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    out = {r["name"]: r for r in
+           series_xcorr(sf, "q", step=3600, max_lag=3).collect()}
+    assert out["leader"]["best_lag"] == 2
+    assert abs(out["leader"]["corr"] - 1.0) < 1e-9
+    assert out["lagger"]["best_lag"] == -2
+    assert abs(out["lagger"]["corr"] - 1.0) < 1e-9

@@ -361,3 +361,118 @@ def series_correlate_sql(
         "SELECT name, n_slots, corr FROM c WHERE corr IS NOT NULL "
         f"ORDER BY corr DESC, name ASC LIMIT {k}"
     )
+
+
+def series_xcorr(
+    series: DataFrame,
+    query_name: str,
+    step: int = 3600,
+    max_lag: int = 3,
+) -> DataFrame:
+    """(name, best_lag, corr, n_slots): for each series, the lag
+    ∈ [-max_lag, +max_lag] (in steps) at which it best correlates
+    with ``query_name`` — lead/lag attribution ("errors FOLLOW deploys
+    by 2 hours"), the natural extension of series_correlate. Positive
+    lag = the series LEADS the query (its value at t aligns with the
+    query at t+lag·step).
+
+    Plan: the query slots are shifted once per lag (tiny relation —
+    2·max_lag+1 broadcast copies), unioned, and ONE groupBy
+    (name, lag) computes the same six exact accumulators as
+    series_correlate; the per-name argmax is a window over ≤
+    (2·max_lag+1) rows per series. Tie rule: higher corr, then
+    smaller |lag|, then lag ascending — pinned identically in both
+    engines. Same determinism rules as series_correlate."""
+    from ..model import dec6, micro6
+
+    slot = (F.col(T) - (F.col(T) % step)).alias(T)
+    slots = (
+        series.select(NAME, slot, F.col(VALUE).alias("v"))
+        .groupBy(NAME, T)
+        .agg(
+            (
+                F.sum(micro6(F.col("v"))).cast("double")
+                / 1000000.0
+                / F.count("v")
+            ).alias("x")
+        )
+    )
+    qbase = slots.where(F.col(NAME) == query_name)
+    shifted = None
+    for lag in range(-max_lag, max_lag + 1):
+        s = qbase.select(
+            (F.col(T) - lag * step).alias(T),
+            F.col("x").alias("y"),
+            F.lit(lag).alias("lag"),
+        )
+        shifted = s if shifted is None else shifted.unionByName(s)
+    j = slots.where(F.col(NAME) != query_name).join(
+        F.broadcast(shifted), T
+    )
+    m = j.groupBy(NAME, "lag").agg(
+        F.count("*").alias("n"),
+        (F.sum(micro6(F.col("x"))).cast("double") / 1000000.0).alias("sx"),
+        (F.sum(micro6(F.col("y"))).cast("double") / 1000000.0).alias("sy"),
+        F.sum(dec6(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec6(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec6(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    cov = F.col("sxy").cast("double") / F.col("n") - mx * my
+    vx = F.col("sxx").cast("double") / F.col("n") - mx * mx
+    vy = F.col("syy").cast("double") / F.col("n") - my * my
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    c = m.select(
+        NAME,
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_slots"),
+        corr.alias("corr"),
+    ).where(F.col("corr").isNotNull())
+    w = Window.partitionBy(NAME).orderBy(
+        F.col("corr").desc(), F.abs("lag").asc(), F.col("lag").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(NAME, F.col("lag").alias("best_lag"), "corr", "n_slots")
+    )
+
+
+def series_xcorr_sql(
+    base: str, query_name: str, step: int = 3600, max_lag: int = 3
+) -> str:
+    from ..model import dec6_sql, micro6_sql
+
+    shifts = " UNION ALL ".join(
+        f"SELECT t - ({lag}) * {step} AS t, x AS y, {lag} AS lag "
+        f"FROM slots WHERE name = '{query_name}'"
+        for lag in range(-max_lag, max_lag + 1)
+    )
+    return (
+        f"WITH src AS ({base}), "
+        f"slots AS (SELECT name, t - (t % {step}) AS t, "
+        f"CAST(SUM({micro6_sql('v')}) AS DOUBLE) / 1000000.0 / COUNT(v) AS x "
+        "FROM (SELECT name, t, value AS v FROM src) GROUP BY 1, 2), "
+        f"q AS ({shifts}), "
+        "m AS (SELECT name, lag, COUNT(*) AS n, "
+        f"CAST(SUM({micro6_sql('x')}) AS DOUBLE) / 1000000.0 AS sx, "
+        f"CAST(SUM({micro6_sql('y')}) AS DOUBLE) / 1000000.0 AS sy, "
+        f"SUM({dec6_sql('x * y')}) AS sxy, "
+        f"SUM({dec6_sql('x * x')}) AS sxx, "
+        f"SUM({dec6_sql('y * y')}) AS syy "
+        f"FROM slots JOIN q USING (t) WHERE name <> '{query_name}' "
+        "GROUP BY name, lag), "
+        "c AS (SELECT name, CAST(lag AS BIGINT) AS lag, "
+        "CAST(n AS BIGINT) AS n_slots, "
+        "CASE WHEN CAST(sxx AS DOUBLE) / n - (sx / n) * (sx / n) > 0 "
+        "AND CAST(syy AS DOUBLE) / n - (sy / n) * (sy / n) > 0 "
+        "THEN (CAST(sxy AS DOUBLE) / n - (sx / n) * (sy / n)) "
+        "/ SQRT((CAST(sxx AS DOUBLE) / n - (sx / n) * (sx / n)) "
+        "* (CAST(syy AS DOUBLE) / n - (sy / n) * (sy / n))) END AS corr "
+        "FROM m) "
+        "SELECT name, lag AS best_lag, corr, n_slots FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY name "
+        "ORDER BY corr DESC, ABS(lag) ASC, lag ASC) AS rk "
+        "FROM c WHERE corr IS NOT NULL) WHERE rk = 1"
+    )

@@ -165,3 +165,19 @@ def series_correlate(spark, sf_dir):
     from .align import series_correlate as corr
 
     return corr(series_from_events(spark, sf_dir), "error", step=STEP)
+
+
+@register(
+    "series_xcorr",
+    sql=__import__(
+        "tgres_spark.operators.align", fromlist=["x"]
+    ).series_xcorr_sql(EVENTS_SERIES_SQL, "error", step=STEP),
+)
+def series_xcorr(spark, sf_dir):
+    """Lead/lag attribution: the hour offset at which each series best
+    correlates with `error` (operators/align.py series_xcorr) —
+    shifted broadcast query copies, one (name, lag) accumulator
+    groupBy, per-name argmax with a pinned tie rule."""
+    from .align import series_xcorr as xc
+
+    return xc(series_from_events(spark, sf_dir), "error", step=STEP)
