@@ -139,3 +139,27 @@ def test_series_xcorr_recovers_planted_lag(spark):
     assert abs(out["leader"]["corr"] - 1.0) < 1e-9
     assert out["lagger"]["best_lag"] == -2
     assert abs(out["lagger"]["corr"] - 1.0) < 1e-9
+
+
+def test_series_cusum_matches_sequential_recursion(spark):
+    """The prefix-min closed form must equal the textbook sequential
+    s_t = max(0, s_{t-1} + (x_t - mu - k)) recursion, and a planted
+    level shift must raise a persistent alarm."""
+    from tgres_spark.operators.align import series_cusum
+
+    t0 = 1704067200
+    vals = [10.0] * 30 + [13.0] * 18  # level shift at i=30
+    rows = [("m", t0 + i * 3600, v) for i, v in enumerate(vals)]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    out = sorted(series_cusum(sf, step=3600, drift_k=0.5).collect(),
+                 key=lambda r: r["t"])
+    mu = sum(vals) / len(vals)
+    s, want = 0.0, []
+    for v in vals:
+        # mirror micro6 quantization of the per-point term
+        q = __import__("math").floor((v - mu - 0.5) * 1e6 + 0.5)
+        s = max(0.0, s + q)
+        want.append(s / 1e6)
+    got = [r["cusum"] for r in out]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+    assert out[-1]["alarm"] == 1 and out[0]["alarm"] == 0

@@ -476,3 +476,101 @@ def series_xcorr_sql(
         "ORDER BY corr DESC, ABS(lag) ASC, lag ASC) AS rk "
         "FROM c WHERE corr IS NOT NULL) WHERE rk = 1"
     )
+
+
+def series_cusum(
+    series: DataFrame,
+    step: int = 3600,
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per series: the classic control
+    chart s_t = max(0, s_{t-1} + (x_t − μ − k)) looks like an
+    unavoidable sequential recursion, but it has the prefix-min closed
+    form s_t = P_t − min_{j≤t} P_j with P the running sum of
+    (x − μ − k) — so the whole detector is TWO running windows over
+    each series, no iteration, no state (the same restatement trick
+    as mix_unimax's water-filling). Alarms where s_t > h·σ-units.
+
+    Determinism: x is the hourly micro6 slot mean; μ is the per-series
+    micro6 mean; the per-point term quantizes to micro6 BIGINT so the
+    prefix sum and running min are EXACT integers (ties in min are
+    valueless — min of ints); the single /1e6 to double happens at
+    the end. Returns (name, t, value, cusum, alarm).
+
+    Scale: same one-shuffle-per-series shape as every per-series
+    transform — at 10M series this is embarrassing parallelism over
+    the name key; the two windows share one sort."""
+    from ..model import micro6
+
+    slot = (F.col(T) - (F.col(T) % step)).alias(T)
+    slots = (
+        series.select(NAME, slot, F.col(VALUE).alias("v"))
+        .groupBy(NAME, T)
+        .agg(
+            (
+                F.sum(micro6(F.col("v"))).cast("double")
+                / 1000000.0
+                / F.count("v")
+            ).alias(VALUE)
+        )
+    )
+    mu = slots.groupBy(NAME).agg(
+        (
+            F.sum(micro6(F.col(VALUE))).cast("double")
+            / 1000000.0
+            / F.count(VALUE)
+        ).alias("mu")
+    )
+    d = slots.join(F.broadcast(mu), NAME).withColumn(
+        "term6", micro6(F.col(VALUE) - F.col("mu") - F.lit(float(drift_k)))
+    )
+    wrun = (
+        Window.partitionBy(NAME)
+        .orderBy(T)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = d.withColumn("p6", F.sum("term6").over(wrun))
+    s = p.withColumn("min6", F.min("p6").over(wrun)).withColumn(
+        "cusum",
+        (F.col("p6") - F.col("min6")).cast("double") / 1000000.0,
+    )
+    return s.select(
+        NAME,
+        T,
+        VALUE,
+        "cusum",
+        (F.col("cusum") > float(threshold_h)).cast("bigint").alias("alarm"),
+    )
+
+
+def series_cusum_sql(
+    base: str,
+    step: int = 3600,
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> str:
+    from ..model import micro6_sql
+
+    return (
+        f"WITH src AS ({base}), "
+        f"slots AS (SELECT name, t - (t % {step}) AS t, "
+        f"CAST(SUM({micro6_sql('v')}) AS DOUBLE) / 1000000.0 / COUNT(v) AS value "
+        "FROM (SELECT name, t, value AS v FROM src) GROUP BY 1, 2), "
+        "mu AS (SELECT name, "
+        f"CAST(SUM({micro6_sql('value')}) AS DOUBLE) / 1000000.0 / COUNT(value) AS mu "
+        "FROM slots GROUP BY name), "
+        "d AS (SELECT slots.name AS name, t, value, "
+        f"{micro6_sql(f'value - mu - {float(drift_k)!r}')} AS term6 "
+        "FROM slots JOIN mu ON slots.name = mu.name), "
+        "p AS (SELECT *, CAST(SUM(term6) OVER w AS BIGINT) AS p6 FROM d "
+        "WINDOW w AS (PARTITION BY name ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "s AS (SELECT *, CAST(MIN(p6) OVER w AS BIGINT) AS min6 FROM p "
+        "WINDOW w AS (PARTITION BY name ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT name, t, value, "
+        "CAST(p6 - min6 AS DOUBLE) / 1000000.0 AS cusum, "
+        f"CAST(CAST(p6 - min6 AS DOUBLE) / 1000000.0 > {float(threshold_h)!r} AS BIGINT) AS alarm "
+        "FROM s"
+    )

@@ -181,3 +181,21 @@ def series_xcorr(spark, sf_dir):
     from .align import series_xcorr as xc
 
     return xc(series_from_events(spark, sf_dir), "error", step=STEP)
+
+
+@register(
+    "series_cusum",
+    sql=__import__(
+        "tgres_spark.operators.align", fromlist=["x"]
+    ).series_cusum_sql(EVENTS_SERIES_SQL, step=STEP),
+)
+def series_cusum(spark, sf_dir):
+    """CUSUM drift detector per series (operators/align.py
+    series_cusum): the sequential max(0, s+x) recursion restated as
+    prefix-sum minus running-min over EXACT micro6 integers — two
+    shared-sort windows, no iteration, complements the trailing
+    z-score detector (events_anomaly) with cumulative-drift
+    sensitivity."""
+    from .align import series_cusum as cs
+
+    return cs(series_from_events(spark, sf_dir), step=STEP)
