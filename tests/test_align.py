@@ -163,3 +163,26 @@ def test_series_cusum_matches_sequential_recursion(spark):
     got = [r["cusum"] for r in out]
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
     assert out[-1]["alarm"] == 1 and out[0]["alarm"] == 0
+
+
+def test_series_trend_slope_recovers_planted_slopes(spark):
+    """Exact linear series recover their slopes (per step) exactly up
+    to micro6 quantization, ranked fastest first; a flat series gets
+    slope 0, a denominator-zero single-point series is excluded."""
+    from tgres_spark.operators.align import series_trend_slope
+
+    t0 = 1704067200
+    rows = []
+    for i in range(48):
+        t = t0 + i * 3600
+        rows += [("up2", t, 5.0 + 2.0 * i), ("up1", t, 100.0 + 1.0 * i),
+                 ("down", t, 50.0 - 0.5 * i), ("flat", t, 7.0)]
+    rows.append(("single", t0, 3.0))
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    out = series_trend_slope(sf, step=3600, k=10).collect()
+    assert [r["name"] for r in out] == ["up2", "up1", "flat", "down"]
+    got = {r["name"]: r["slope"] for r in out}
+    assert abs(got["up2"] - 2.0) < 1e-9
+    assert abs(got["up1"] - 1.0) < 1e-9
+    assert got["flat"] == 0.0
+    assert abs(got["down"] + 0.5) < 1e-9

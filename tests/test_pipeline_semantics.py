@@ -1178,3 +1178,42 @@ def test_text_novelty_index_is_incrementally_maintainable(spark):
     for h, m in gram_min(spark.createDataFrame(new_rows, schema)).items():
         idx[h] = min(idx.get(h, m), m)
     assert idx == full
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    """A corpus-wide stopword scores 0 (df == N -> idf 0) and never
+    outranks a doc-unique term; per-doc top-1 is the rare word."""
+    from tgres_spark.pipeline.textstats import text_tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog the", "en", "s", 1),
+         (2, "the bird the", "en", "s", 1),
+         (3, "the fish", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = text_tfidf_keywords(docs, topn=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc[1][0]["word"] in ("cat", "dog")  # not 'the'
+    the = [r for r in out if r["word"] == "the"]
+    assert all(r["tfidf"] == 0.0 for r in the)  # df == N
+
+
+def test_corpus_fingerprint_merges_by_sum(spark):
+    """Shard fingerprints fold to the corpus fingerprint: checksums
+    and counts add (order-free), so the receipt can be maintained
+    incrementally; any reorder/repartition leaves it unchanged."""
+    from tgres_spark.pipeline.textstats import corpus_fingerprint
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, f"doc number {i % 7}", "en", "s", 1) for i in range(40)]
+    full = corpus_fingerprint(spark.createDataFrame(rows, schema)).collect()[0]
+    a = corpus_fingerprint(spark.createDataFrame(rows[:17], schema)).collect()[0]
+    b = corpus_fingerprint(spark.createDataFrame(rows[17:], schema)).collect()[0]
+    assert a["n_docs"] + b["n_docs"] == full["n_docs"]
+    assert a["checksum"] + b["checksum"] == full["checksum"]
+    shuf = corpus_fingerprint(
+        spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+    ).collect()[0]
+    assert shuf == full

@@ -574,3 +574,90 @@ def series_cusum_sql(
         f"CAST(CAST(p6 - min6 AS DOUBLE) / 1000000.0 > {float(threshold_h)!r} AS BIGINT) AS alarm "
         "FROM s"
     )
+
+
+def series_trend_slope(
+    series: DataFrame, step: int = 3600, k: int = 10
+) -> DataFrame:
+    """(name, n_slots, slope): OLS trend slope per series in
+    value-units per step, top-k fastest-growing first — the capacity
+    question ("which metric grows fastest?") as one exact aggregate.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = the series' slot
+    index from ITS OWN first slot (small ints — using raw epoch
+    seconds squares to ~3e18 per term and overflows int64 sums) and
+    y in micro6 BIGINT units: every sum is exact 64-bit integer
+    arithmetic, the two casts to double and one division happen last
+    in oracle order, then one /1e6 returns to value units. Scale: one
+    groupBy(name, slot), a min-slot broadcast-back join, one groupBy
+    of four integer accumulators, TakeOrderedAndProject."""
+    from ..model import micro6
+
+    slot = (F.col(T) - (F.col(T) % step)).alias(T)
+    slots = (
+        series.select(NAME, slot, F.col(VALUE).alias("v"))
+        .groupBy(NAME, T)
+        .agg(
+            (
+                F.sum(micro6(F.col("v"))).cast("double")
+                / 1000000.0
+                / F.count("v")
+            ).alias(VALUE)
+        )
+    )
+    t0 = slots.groupBy(NAME).agg(F.min(T).alias("t0"))
+    d = slots.join(t0, NAME).select(
+        NAME,
+        ((F.col(T) - F.col("t0")) / step).cast("bigint").alias("x"),
+        micro6(F.col(VALUE)).alias("y6"),
+    )
+    m = d.groupBy(NAME).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        F.col("den") != 0,
+        F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0,
+    )
+    return (
+        m.withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            NAME,
+            F.col("n").cast("bigint").alias("n_slots"),
+            slope.alias("slope"),
+        )
+        .where(F.col("slope").isNotNull())
+        .orderBy(F.col("slope").desc(), F.col(NAME).asc())
+        .limit(k)
+    )
+
+
+def series_trend_slope_sql(base: str, step: int = 3600, k: int = 10) -> str:
+    from ..model import micro6_sql
+
+    return (
+        f"WITH src AS ({base}), "
+        f"slots AS (SELECT name, t - (t % {step}) AS t, "
+        f"CAST(SUM({micro6_sql('v')}) AS DOUBLE) / 1000000.0 / COUNT(v) AS value "
+        "FROM (SELECT name, t, value AS v FROM src) GROUP BY 1, 2), "
+        "t0 AS (SELECT name, MIN(t) AS t0 FROM slots GROUP BY name), "
+        "d AS (SELECT slots.name AS name, "
+        f"CAST((t - t0) // {step} AS BIGINT) AS x, "
+        f"{micro6_sql('value')} AS y6 "
+        "FROM slots JOIN t0 ON slots.name = t0.name), "
+        "m AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y6) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM d GROUP BY name) "
+        "SELECT name, n AS n_slots, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0 AS slope "
+        "FROM m WHERE n * sxx - sx * sx <> 0 "
+        f"ORDER BY slope DESC, name ASC LIMIT {k}"
+    )

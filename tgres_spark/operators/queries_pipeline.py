@@ -110,6 +110,12 @@ register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
 register("pipeline_mix_temperature", sql=pp.mix_temperature_sql(10_000))(
     lambda s, d: pp.mix_temperature(_docs(s, d), 10_000)
 )
+register("text_tfidf_keywords", sql=tx.text_tfidf_keywords_sql())(
+    lambda s, d: tx.text_tfidf_keywords(_docs(s, d))
+)
+register("corpus_fingerprint", sql=tx.corpus_fingerprint_sql())(
+    lambda s, d: tx.corpus_fingerprint(_docs(s, d))
+)
 register("text_novelty", sql=tx.text_novelty_sql())(
     lambda s, d: tx.text_novelty(_docs(s, d))
 )

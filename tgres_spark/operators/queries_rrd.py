@@ -199,3 +199,19 @@ def series_cusum(spark, sf_dir):
     from .align import series_cusum as cs
 
     return cs(series_from_events(spark, sf_dir), step=STEP)
+
+
+@register(
+    "series_trend_slope",
+    sql=__import__(
+        "tgres_spark.operators.align", fromlist=["x"]
+    ).series_trend_slope_sql(EVENTS_SERIES_SQL, step=STEP),
+)
+def series_trend_slope(spark, sf_dir):
+    """Fastest-growing series by exact-integer OLS slope
+    (operators/align.py series_trend_slope) — the capacity-planning
+    scan: per-series slot indexing keeps every sum in int64, one
+    accumulator groupBy, distributed top-k."""
+    from .align import series_trend_slope as ts
+
+    return ts(series_from_events(spark, sf_dir), step=STEP)

@@ -1101,3 +1101,98 @@ def text_novelty_sql(k: int = 8) -> str:
         "FROM (SELECT DISTINCT doc_id FROM documents) d "
         "LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id"
     )
+
+
+def text_tfidf_keywords(docs: DataFrame, topn: int = 5) -> DataFrame:
+    """(doc_id, word, tf, tfidf, rk): the top-``topn`` TF-IDF keywords
+    per document — the classic content descriptor feeding search
+    indexes, topic drift monitors, and near-dup triage (two docs whose
+    keyword sets disagree are a false-positive dedup candidate).
+
+    tfidf = tf · ln(N/df) with tf the within-doc count, df the
+    document frequency, N the corpus document count. Determinism: tf /
+    df / N are exact integers; the single libm ln rounds at 9 decimals
+    (project rule); tf·idf multiplies an exact int by that rounded
+    double — identical in both engines; ties break (tfidf desc, word
+    asc). Scale: one explode → two groupBys on uniform word keys; the
+    df relation re-joins on the word key (co-keyed with the tf
+    relation — Catalyst reuses the exchange); the per-doc top-n is a
+    WindowGroupLimit rank, never a global sort."""
+    from .dedup import words
+
+    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    tf = w.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = w.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.select(F.count_distinct("doc_id").alias("n"))
+    idf = F.round(F.log(F.col("n").cast("double") / F.col("df")), 9)
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("word"),
+            F.col("tf").cast("bigint").alias("tf"),
+            (F.col("tf") * idf).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= topn)
+        .select("doc_id", "word", "tf", "tfidf", F.col("rk").cast("bigint"))
+    )
+
+
+def text_tfidf_keywords_sql(topn: int = 5) -> str:
+    w = f"SELECT doc_id, UNNEST({WORDS_SQL.format(c='text')}) AS w FROM documents"
+    return (
+        f"WITH wds AS ({w}), "
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wds GROUP BY 1, 2), "
+        "df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM wds GROUP BY w), "
+        "n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), "
+        "scored AS (SELECT doc_id, w AS word, CAST(tf AS BIGINT) AS tf, "
+        "tf * ROUND(LN(CAST(n AS DOUBLE) / df), 9) AS tfidf "
+        "FROM tf JOIN df USING (w) CROSS JOIN n) "
+        "SELECT doc_id, word, tf, tfidf, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, word ASC) AS rk FROM scored) "
+        f"WHERE rk <= {topn}"
+    )
+
+
+def corpus_fingerprint(docs: DataFrame) -> DataFrame:
+    """One-row corpus identity: (n_docs, n_unique_texts, checksum) —
+    the reproducibility receipt a training run records next to its
+    shards ("exactly this data"). checksum sums the first 8 hex chars
+    of each text's md5 as int64 — ORDER-FREE and MERGEABLE (+), so
+    shard-level fingerprints fold to the corpus fingerprint and any
+    engine, any partitioning, any replay produces the same triple;
+    32-bit terms keep the int64 sum safe to billions of docs."""
+    v = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique_texts"),
+        F.sum(v).cast("bigint").alias("checksum"),
+    )
+
+
+def corpus_fingerprint_sql() -> str:
+    hx = "md5(text)"
+    v = (
+        "CAST(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ") AS BIGINT)"
+    )
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts, "
+        f"CAST(SUM({v}) AS BIGINT) AS checksum FROM documents"
+    )
