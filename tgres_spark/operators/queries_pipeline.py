@@ -264,3 +264,8 @@ register("emb_power_iter", sql=sim.emb_power_iter_sql())(
 register("emb_covariance_np", sql=sim.emb_covariance_sql())(
     lambda s, d: sim.emb_covariance_np(_emb(s, d))
 )
+
+
+register("pipeline_shard_manifest", sql=pp.shard_manifest_sql())(
+    lambda s, d: pp.shard_manifest(_docs(s, d))
+)

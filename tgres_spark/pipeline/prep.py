@@ -429,3 +429,44 @@ def mix_unimax_sql(total_tokens: int = 120_000, epochs: int = 2) -> str:
         "CAST(capped AS BIGINT) AS capped, CAST(rk AS BIGINT) AS rk "
         "FROM c CROSS JOIN t"
     )
+
+
+def shard_manifest(
+    docs: DataFrame, budget: int = 2048, seed: int = 42
+) -> DataFrame:
+    """(lang, shard, n_docs, n_tokens, checksum): the per-shard
+    receipt a trainer records next to each packed shard — doc count,
+    exact token count, and an ORDER-FREE membership checksum (sum of
+    md5(doc_id)-derived 32-bit terms, the corpus_fingerprint rule), so
+    shard receipts fold to the dataset receipt and a re-pack that
+    moved any document is detected without reading text. Built on the
+    already-verified token_pack walk; one extra groupBy(lang, shard)."""
+    packed = token_pack(docs, budget, seed)
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return packed.groupBy("lang", "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(v).cast("bigint").alias("checksum"),
+    )
+
+
+def shard_manifest_sql(budget: int = 2048, seed: int = 42) -> str:
+    hx = "md5(CAST(doc_id AS VARCHAR))"
+    v = (
+        "CAST(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) "
+            f"* {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ") AS BIGINT)"
+    )
+    return (
+        f"WITH packed AS ({token_pack_sql(budget, seed)}) "
+        "SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+        f"CAST(SUM({v}) AS BIGINT) AS checksum "
+        "FROM packed GROUP BY lang, shard"
+    )

@@ -729,3 +729,120 @@ def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "avg_v",
     )
+
+
+_FEATURES_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+         epoch_ns(ts) // 1000000000 AS t FROM events
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(MAX(t) - MIN(t) AS BIGINT) AS lifetime_s,
+  CAST(SUM(CASE WHEN event_type = 'purchase'
+       THEN CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+    / 1000000.0 AS purchase_value,
+  CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END
+    AS purchase_per_click
+FROM e GROUP BY user_id
+"""
+
+
+@register("events_feature_matrix", sql=_FEATURES_SQL)
+def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature matrix in ONE pass: typed count pivots
+    (conditional sums combine map-side — no N-pass pivot), lifetime
+    span, micro6 purchase value, guarded ratio features. The feature-
+    engineering stage between the event log and a trainer; every
+    column exact or deterministically derived, so the whole matrix
+    hash-matches."""
+    from .model import micro6
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type",
+        F.col("value").cast("double").alias("v"),
+        epoch_s("ts", ev).alias("t"),
+    )
+
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    g = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        cnt("click").cast("bigint").alias("n_click"),
+        cnt("purchase").cast("bigint").alias("n_purchase"),
+        cnt("error").cast("bigint").alias("n_error"),
+        (F.max("t") - F.min("t")).cast("bigint").alias("lifetime_s"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", micro6(F.col("v"))
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 1000000.0
+        ).alias("purchase_value"),
+    )
+    return g.withColumn(
+        "purchase_per_click",
+        F.when(
+            F.col("n_click") > 0,
+            F.col("n_purchase").cast("double") / F.col("n_click"),
+        ),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t, event_id
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      AS prev_type
+  FROM e
+), c AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n FROM s
+  WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+), tot AS (
+  SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type
+)
+SELECT c.prev_type, next_type, CAST(n AS BIGINT) AS n,
+  CAST(n AS DOUBLE) / tot AS p
+FROM c JOIN tot ON c.prev_type = tot.prev_type
+"""
+
+
+@register("events_transitions", sql=_TRANSITIONS_SQL)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    (prev → next counts and probabilities) — one lag() per user
+    ordered by (t, event_id) (the unique id breaks same-second ties
+    identically in both engines), one groupBy of the pair, row
+    totals re-entering co-keyed. The 'what do users do after X?'
+    relation that drives funnel design."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_s("ts", ev).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = e.withColumn("prev_type", F.lag("event_type").over(w))
+    c = (
+        s.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return c.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("tot")).alias("p"),
+    )
