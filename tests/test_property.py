@@ -150,3 +150,108 @@ def test_micro6_sum_is_partition_invariant(vals, n_parts):
     whole = sum(micro)
     parts = [sum(micro[i::n_parts]) for i in range(n_parts)]
     assert sum(parts) == whole
+
+
+# --- round-5 closed-form cores ---------------------------------------------
+
+
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=200))
+def test_cusum_prefix_min_identity(terms):
+    """series_cusum's restatement: for ANY integer term sequence,
+    s_t = max(0, s_{t-1} + q_t) equals P_t - min_{j<=t} P_j (P the
+    inclusive prefix sum, min over P_0=0 included). This is the whole
+    correctness of the no-iteration CUSUM; the Spark/DuckDB sides are
+    pinned by the oracle, this pins the algebra itself."""
+    s, seq = 0, []
+    for q in terms:
+        s = max(0, s + q)
+        seq.append(s)
+    p, mn, closed = 0, 0, []
+    for q in terms:
+        p += q
+        mn = min(mn, p)
+        closed.append(p - mn)
+    assert closed == seq
+
+
+@given(
+    st.lists(st.integers(1, 10**6), min_size=1, max_size=30),
+    st.integers(1, 3 * 10**7),
+    st.integers(1, 4),
+)
+def test_unimax_closed_form_equals_greedy_loop(caps, budget, epochs):
+    """mix_unimax's water-filling: the monotone prefix test + one θ
+    division must allocate exactly like the textbook greedy loop
+    (ascending capacity, each language min(cap·E, equal share of the
+    remainder)) for ANY capacities/budget/epochs."""
+    u = sorted(c * epochs for c in caps)
+    n = len(u)
+    # greedy reference
+    remaining, greedy = float(budget), []
+    for i, ui in enumerate(u):
+        share = remaining / (n - i)
+        take = min(float(ui), share)
+        greedy.append(take)
+        remaining -= take
+    # closed form (the implementation's arithmetic)
+    cum, k, cum_k = 0, 0, 0
+    for i, ui in enumerate(u, start=1):
+        if cum + ui * (n - i + 1) <= budget:
+            k, cum_k = i, cum + ui
+        cum += ui
+    closed = []
+    for i, ui in enumerate(u, start=1):
+        if i <= k:
+            closed.append(float(ui))
+        else:
+            closed.append((budget - cum_k) / (n - k))
+    assert all(abs(a - b) < 1e-6 * max(1.0, abs(b)) for a, b in zip(closed, greedy)), (
+        u, budget, closed, greedy,
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_asof_semantics_match_duckdb_native(quotes, probes):
+    """asof_backward's contract — latest right row with
+    t_r <= t_l per key, NULL when none — re-derived by a pure-Python
+    scan and compared against DuckDB's native ASOF LEFT JOIN on the
+    same rows (the oracle engine), across random keys, ties, and
+    empty-match cases. Pins the inclusive-tie rule the Spark side's
+    (t, side-tag) sort ordering implements."""
+    import duckdb
+
+    q = {}
+    for k, t, v in quotes:  # dedup per (key, t): keep max v (arg_max)
+        q[(k, t)] = max(q.get((k, t), v), v)
+    want = []
+    for k, t in probes:
+        cand = [(qt, v) for (qk, qt), v in q.items() if qk == k and qt <= t]
+        best = max(cand) if cand else None
+        want.append((k, t, best[0] if best else None, best[1] if best else None))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (k INT, t INT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", [(k, t) for k, t in probes])
+    con.execute("CREATE TABLE c (k INT, t INT, v BIGINT)")
+    con.executemany(
+        "INSERT INTO c VALUES (?, ?, ?)", [(k, t, v) for (k, t), v in q.items()]
+    )
+    got = con.execute(
+        "SELECT p.k, p.t, c.t, c.v FROM p ASOF LEFT JOIN c "
+        "ON p.k = c.k AND p.t >= c.t ORDER BY ALL"
+    ).fetchall()
+    con.close()
+    assert sorted(got, key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0)) == sorted(
+        want, key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] or 0)
+    )
