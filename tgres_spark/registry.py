@@ -32,43 +32,48 @@ def register(key: str, sql: str | None = None):
     return deco
 
 
-# Frozen attestation-priority order (round 5). The driver attests a
-# fixed-size prefix (50 entries) of the registry each round; through
-# round 4 these keys had no green driver CORRECTNESS row (the whole
-# SURVEY §2.5 filter/sort and §2.6 alias/generated families among
-# them, plus events_sessionize whose r2 hash mismatch was fixed at
-# tpch.py:201 but never re-attested). Listing them first gives every
-# query driver-side evidence; afterwards the order is simply stable.
-# This tuple is a constant — registry order is a pure function of the
-# code, independent of any artifact files in the checkout.
+# Frozen attestation-priority order (round 6). The driver attests a
+# fixed-size prefix (50 entries) of the registry each round; these 85
+# keys (everything registered in round-5 sessions 3-4: the tpch2
+# shapes, the streaming suite, emb/series/corpus families, the
+# sketches, asof, prep_e2e...) have never appeared in any
+# CORRECTNESS_r{1..5} window. Listing them first gives the round-6
+# window 50 brand-new attestations and leaves 35 for round 7;
+# oracle-backed keys come first so hash checks land, the 3 declared
+# rows-only iterative fits last. Afterwards the order is simply
+# stable. This tuple is a constant — registry order is a pure
+# function of the code, independent of any artifact files in the
+# checkout.
 _ATTEST_PRIORITY: tuple[str, ...] = (
-    # §2.4 moving-window family (oracle-backed, local-green since r2)
-    "dsl_movingAverage", "dsl_movingMedian", "dsl_movingMin",
-    "dsl_movingMax", "dsl_movingSum", "dsl_stdev", "dsl_nPercentile",
-    # §2.5 filter/sort family
-    "dsl_highestCurrent", "dsl_highestAverage", "dsl_highestMax",
-    "dsl_lowestAverage", "dsl_lowestCurrent",
-    "dsl_averageAbove", "dsl_averageBelow", "dsl_currentAbove",
-    "dsl_currentBelow", "dsl_maximumAbove", "dsl_maximumBelow",
-    "dsl_minimumAbove", "dsl_minimumBelow",
-    "dsl_limit", "dsl_exclude", "dsl_grep", "dsl_mostDeviant",
-    "dsl_useSeriesAbove",
-    "dsl_removeAboveValue", "dsl_removeBelowValue",
-    "dsl_removeAbovePercentile", "dsl_removeBelowPercentile",
-    "dsl_sortByName", "dsl_sortByMaxima", "dsl_sortByMinima",
-    "dsl_sortByTotal",
-    # §2.6 alias/generated family
-    "dsl_alias", "dsl_cactiStyle", "dsl_aliasByMetric",
-    "dsl_aliasByNode", "dsl_aliasSub", "dsl_aliasSub_backref",
-    "dsl_constantLine", "dsl_sinusoid", "dsl_randomWalk", "dsl_color",
-    # r2 hash-fail fixed in r4, re-attest
-    "events_sessionize",
-    # newly oracle-backed in round 5
-    "ann_lsh_buckets", "whisper_import", "dsl_holtWintersForecast_fixed",
-    "mm_decode_stub", "streaming_ingest_pipeline", "streaming_paced_metric",
-    "streaming_name_catalog",
+    "streaming_name_catalog", "series_seasonal_decompose",
+    "events_anomaly", "text_pii_scrub", "mm_resize_stub",
+    "series_correlate", "text_tfidf_keywords", "mm_audio_chunks",
+    "series_xcorr", "ann_ivf_assign", "text_novelty", "series_cusum",
+    "dedup_minhash_est", "ann_ivf_lloyd_fixed", "text_entropy",
+    "series_trend_slope", "tpch_q4", "ann_pq_encode", "text_repetition",
+    "streaming_anomaly_zscore", "events_hll_distinct", "tpch_q12",
+    "ann_pq_search", "events_conversion_lag", "tpch_q14",
+    "ann_ivf_pq_search", "streaming_dedup_exact",
+    "events_cms_heavy_hitters", "tpch_q10", "ann_lsh_recall",
+    "rrd_bucketed_consolidate", "streaming_sessionize", "events_asof_join",
+    "tpch_q7", "dedup_text_vs_semantic", "ann_ivf_probe_sweep",
+    "streaming_hll_distinct", "events_rollup_cube", "tpch_q8",
+    "dedup_embedding_cluster", "streaming_hist_quantiles",
+    "events_feature_matrix", "tpch_q13", "streaming_interval_join",
+    "events_transitions", "tpch_q15", "streaming_enrich_join", "tpch_q17",
+    "streaming_cms_heavy_hitters", "tpch_q18", "streaming_asof_enrich",
+    "tpch_q19", "emb_label_centroids", "tpch_q22", "pipeline_c4_clean",
+    "tpch_q2", "corpus_top_ngrams", "tpch_q9", "corpus_bpe_pairs",
+    "tpch_q16", "emb_norm_outliers", "tpch_q21", "pipeline_quality_model",
+    "tpch_q11", "pipeline_dataset_card", "tpch_q20", "pipeline_prep_e2e",
+    "pipeline_mix_temperature", "corpus_fingerprint",
+    "pipeline_mix_unimax", "pipeline_gopher_filter", "pipeline_span_dedup",
+    "corpus_dedup_stats", "emb_covariance", "emb_outliers",
+    "emb_power_iter", "emb_covariance_np", "pipeline_shard_manifest",
+    "dsl_holtWintersConfidenceBands_fixed",
+    "dsl_holtWintersAberration_fixed", "dsl_align_lcm_sum",
+    "dsl_maxDataPoints",
     # declared rows-only (iterative fits), never inside a driver window
-    "ann_ivf_search",
     "dsl_holtWintersForecast", "dsl_holtWintersConfidenceBands",
     "dsl_holtWintersAberration",
 )
