@@ -148,21 +148,37 @@ def test_series_cusum_matches_sequential_recursion(spark):
     from tgres_spark.operators.align import series_cusum
 
     t0 = 1704067200
-    vals = [10.0] * 30 + [13.0] * 18  # level shift at i=30
-    rows = [("m", t0 + i * 3600, v) for i, v in enumerate(vals)]
+    series = {
+        # level shift at i=30; first term negative
+        "m": [10.0] * 30 + [13.0] * 18,
+        # starts ABOVE mu+k: every prefix sum is positive, so the
+        # min must include the empty prefix P_0=0 (without it s_1 is
+        # clamped to 0 and every s_t is under-reported — the round-5
+        # closed-form bug)
+        "hi": [30.0] + [10.0] * 20 + [14.0] * 6,
+    }
+    rows = [(n, t0 + i * 3600, v)
+            for n, vals in series.items() for i, v in enumerate(vals)]
     sf = spark.createDataFrame(rows, "name string, t long, value double")
-    out = sorted(series_cusum(sf, step=3600, drift_k=0.5).collect(),
-                 key=lambda r: r["t"])
-    mu = sum(vals) / len(vals)
-    s, want = 0.0, []
-    for v in vals:
-        # mirror micro6 quantization of the per-point term
-        q = __import__("math").floor((v - mu - 0.5) * 1e6 + 0.5)
-        s = max(0.0, s + q)
-        want.append(s / 1e6)
-    got = [r["cusum"] for r in out]
-    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
-    assert out[-1]["alarm"] == 1 and out[0]["alarm"] == 0
+    res = series_cusum(sf, step=3600, drift_k=0.5).collect()
+    for name, vals in series.items():
+        out = sorted((r for r in res if r["name"] == name),
+                     key=lambda r: r["t"])
+        mu = sum(vals) / len(vals)
+        s, want = 0.0, []
+        for v in vals:
+            # mirror micro6 quantization of the per-point term
+            q = __import__("math").floor((v - mu - 0.5) * 1e6 + 0.5)
+            s = max(0.0, s + q)
+            want.append(s / 1e6)
+        got = [r["cusum"] for r in out]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, want)), name
+    m = sorted((r for r in res if r["name"] == "m"), key=lambda r: r["t"])
+    assert m[-1]["alarm"] == 1 and m[0]["alarm"] == 0
+    # the high-start series' very first point must carry its positive
+    # excursion, not a clamped zero
+    hi = sorted((r for r in res if r["name"] == "hi"), key=lambda r: r["t"])
+    assert hi[0]["cusum"] > 0
 
 
 def test_series_trend_slope_recovers_planted_slopes(spark):

@@ -13,12 +13,15 @@ two calls behind any WSGI/ASGI front.
 from __future__ import annotations
 
 import http.server
+import logging
 import threading
 from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import DataFrame
 
 from .render import find_json, render_json
+
+_LOG = logging.getLogger(__name__)
 
 # 1x1 transparent GIF — the literal bytes http/pixel.go serves; the
 # response body is presentation, the datapoint is the payload.
@@ -31,8 +34,10 @@ _PIXEL_GIF = (
 
 def _make_handler(catalog: DataFrame, now: int | None):
     class Handler(http.server.BaseHTTPRequestHandler):
-        def log_message(self, fmt, *args):  # quiet test output
-            pass
+        def log_message(self, fmt, *args):
+            # route through logging (debug) instead of stderr so test
+            # output stays quiet but nothing is silently dropped
+            _LOG.debug(fmt, *args)
 
         def _reply(self, code: int, body: str, ctype="application/json"):
             data = body.encode("utf-8")
@@ -95,6 +100,7 @@ def _make_handler(catalog: DataFrame, now: int | None):
                 else:
                     self._reply(404, '{"error": "not found"}')
             except Exception as e:  # evaluation error → 500, not a hang
+                _LOG.warning("request %s failed: %s", self.path, e)
                 self._reply(500, '{"error": %s}' % repr(str(e)))
 
     return Handler

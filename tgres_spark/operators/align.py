@@ -487,8 +487,11 @@ def series_cusum(
     """One-sided CUSUM drift detection per series: the classic control
     chart s_t = max(0, s_{t-1} + (x_t − μ − k)) looks like an
     unavoidable sequential recursion, but it has the prefix-min closed
-    form s_t = P_t − min_{j≤t} P_j with P the running sum of
-    (x − μ − k) — so the whole detector is TWO running windows over
+    form s_t = P_t − min_{0≤j≤t} P_j with P the running sum of
+    (x − μ − k) and P_0 = 0 (the empty prefix — so a series whose
+    prefix sums are all positive still accumulates from zero rather
+    than having s_1 clamped to 0) — the whole detector is TWO running
+    windows over
     each series, no iteration, no state (the same restatement trick
     as mix_unimax's water-filling). Alarms where s_t > h·σ-units.
 
@@ -531,7 +534,14 @@ def series_cusum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     p = d.withColumn("p6", F.sum("term6").over(wrun))
-    s = p.withColumn("min6", F.min("p6").over(wrun)).withColumn(
+    # The recursion s_t = max(0, s_{t-1} + q_t) unrolls to
+    # P_t − min(P_0..P_t) with P_0 = 0 — the empty prefix participates
+    # in the min (otherwise s_1 is forced to 0 and every s_t is
+    # under-reported whenever all prefix sums are positive, i.e. a
+    # series that starts above μ+k never alarms).
+    s = p.withColumn(
+        "min6", F.least(F.lit(0).cast("bigint"), F.min("p6").over(wrun))
+    ).withColumn(
         "cusum",
         (F.col("p6") - F.col("min6")).cast("double") / 1000000.0,
     )
@@ -566,7 +576,7 @@ def series_cusum_sql(
         "p AS (SELECT *, CAST(SUM(term6) OVER w AS BIGINT) AS p6 FROM d "
         "WINDOW w AS (PARTITION BY name ORDER BY t "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
-        "s AS (SELECT *, CAST(MIN(p6) OVER w AS BIGINT) AS min6 FROM p "
+        "s AS (SELECT *, CAST(LEAST(0, MIN(p6) OVER w) AS BIGINT) AS min6 FROM p "
         "WINDOW w AS (PARTITION BY name ORDER BY t "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
         "SELECT name, t, value, "
@@ -585,9 +595,12 @@ def series_trend_slope(
 
     slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = the series' slot
     index from ITS OWN first slot (small ints — using raw epoch
-    seconds squares to ~3e18 per term and overflows int64 sums) and
-    y in micro6 BIGINT units: every sum is exact 64-bit integer
-    arithmetic, the two casts to double and one division happen last
+    seconds squares to ~3e18 per term and overflows even 128-bit
+    sums' comfort zone) and y in micro6 units: the moment sums
+    accumulate DECIMAL(38,0) on the Spark side and HUGEINT (int128)
+    in the oracle — exact integers with ~1e38 headroom, so long
+    series with large values (x~1e5, y6~1e10) can't overflow-throw
+    under ANSI; the two casts to double and one division happen last
     in oracle order, then one /1e6 returns to value units. Scale: one
     groupBy(name, slot), a min-slot broadcast-back join, one groupBy
     of four integer accumulators, TakeOrderedAndProject."""
@@ -611,15 +624,24 @@ def series_trend_slope(
         ((F.col(T) - F.col("t0")) / step).cast("bigint").alias("x"),
         micro6(F.col(VALUE)).alias("y6"),
     )
+    # Accumulate the moment sums in DECIMAL(38,0) (DuckDB twin:
+    # HUGEINT): with int64, sum(x*y6) overflows near 1e5 slots at
+    # values ~1e4 (x ~1e5, y6 ~1e10 → per-term 1e15, summed 1e19+) and
+    # ANSI mode turns that into a runtime throw, not a wrong slope.
+    # Both forms are exact integers, and an exact integer casts to
+    # double identically in both engines, so the hash contract holds.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y6").cast("decimal(38,0)")
     m = d.groupBy(NAME).agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y6").alias("sy"),
-        F.sum(F.col("x") * F.col("y6")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = F.when(
         F.col("den") != 0,
         F.col("num").cast("double") / F.col("den").cast("double") / 1000000.0,
@@ -651,11 +673,11 @@ def series_trend_slope_sql(base: str, step: int = 3600, k: int = 10) -> str:
         f"CAST((t - t0) // {step} AS BIGINT) AS x, "
         f"{micro6_sql('value')} AS y6 "
         "FROM slots JOIN t0 ON slots.name = t0.name), "
-        "m AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy, "
-        "CAST(SUM(x * y6) AS BIGINT) AS sxy, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM d GROUP BY name) "
-        "SELECT name, n AS n_slots, "
+        "m AS (SELECT name, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y6 AS HUGEINT)) AS sy, "
+        "SUM(CAST(x AS HUGEINT) * y6) AS sxy, "
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM d GROUP BY name) "
+        "SELECT name, CAST(n AS BIGINT) AS n_slots, "
         "CAST(n * sxy - sx * sy AS DOUBLE) "
         "/ CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0 AS slope "
         "FROM m WHERE n * sxx - sx * sx <> 0 "

@@ -66,22 +66,32 @@ def asof_backward(
         .orderBy(F.col(t).asc(), F.col("__l").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rt = F.last(
-        F.when(F.col("__l") == 0, F.col(t)), ignorenulls=True
+    # Carry the matched right row as ONE struct so matching is
+    # row-atomic: DuckDB's ASOF attaches the whole latest-at-or-before
+    # row, NULL attributes included. Independent per-column
+    # last(ignoreNulls) would stitch a NULL attribute from an OLDER
+    # right row while r_t comes from the newer one.
+    rstruct = F.last(
+        F.when(
+            F.col("__l") == 0,
+            F.struct(F.col(t).alias("t"), *[F.col(c) for c in right_cols]),
+        ),
+        ignorenulls=True,
     ).over(w)
-    matched = [
-        F.last(F.col(c), ignorenulls=True).over(w).alias(f"r_{c}")
-        for c in right_cols
-    ]
     return (
         u.select(
             on,
             t,
             "__l",
             *left_cols,
-            rt.alias("r_t"),
-            *matched,
+            rstruct.alias("__r"),
         )
         .where(F.col("__l") == 1)
-        .drop("__l")
+        .select(
+            on,
+            t,
+            *left_cols,
+            F.col("__r.t").alias("r_t"),
+            *[F.col(f"__r.{c}").alias(f"r_{c}") for c in right_cols],
+        )
     )
