@@ -1078,6 +1078,21 @@ def test_audio_chunks_slices_binary_jvm_side(spark):
             assert r.chunk_checksum == want
 
 
+def test_audio_chunks_empty_payload_yields_no_rows(spark):
+    """A zero-byte audio payload must emit ZERO chunk rows — not the
+    sequence(0, -1) descending-array pair [0, -1] (the _passages_of
+    trap); real media tables have empty/corrupt payloads."""
+    from tgres_spark.pipeline.multimodal import audio_chunks
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"")), (2, "audio", bytearray(b"abcdefgh"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = audio_chunks(media, chunk_bytes=8).collect()
+    assert {r.media_id for r in out} == {2}
+    assert len(out) == 1 and out[0].n_bytes == 8
+
+
 def test_asof_backward_semantics(spark):
     """Latest at-or-before match per key: inclusive at equal t, NULL
     when nothing precedes, latest wins among several, and keys never
@@ -1085,12 +1100,18 @@ def test_asof_backward_semantics(spark):
     from tgres_spark.operators.asof import asof_backward
 
     left = spark.createDataFrame(
-        [("u1", 100, "a"), ("u1", 5, "b"), ("u2", 50, "c"), ("u3", 9, "d")],
+        [("u1", 100, "a"), ("u1", 5, "b"), ("u2", 50, "c"), ("u3", 9, "d"),
+         ("u4", 40, "e")],
         "k string, t long, pid string",
     )
     right = spark.createDataFrame(
         [("u1", 10, 1.0), ("u1", 90, 2.0), ("u1", 100, 3.0),
-         ("u2", 60, 4.0), ("u3", 9, 5.0)],
+         ("u2", 60, 4.0), ("u3", 9, 5.0),
+         # u4's LATEST quote has a NULL attribute: the match must be
+         # row-atomic (r_t=30, r_v NULL) — never r_v stitched from the
+         # older t=20 row, which is what independent per-column
+         # last(ignoreNulls) would produce
+         ("u4", 20, 7.0), ("u4", 30, None)],
         "k string, t long, v double",
     )
     out = {r["pid"]: r for r in
@@ -1099,6 +1120,7 @@ def test_asof_backward_semantics(spark):
     assert out["b"]["r_t"] is None and out["b"]["r_v"] is None  # nothing before
     assert out["c"]["r_t"] is None  # u2's only quote is later
     assert out["d"]["r_v"] == 5.0  # equal-t match on another key
+    assert out["e"]["r_t"] == 30 and out["e"]["r_v"] is None  # atomic row
 
 
 def test_emb_outliers_flags_planted_vector(spark):
@@ -1217,3 +1239,57 @@ def test_corpus_fingerprint_merges_by_sum(spark):
         spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
     ).collect()[0]
     assert shuf == full
+
+
+def test_mm_phash_dedup_recall_and_twins(spark):
+    """The image near-dup bridge: (a) mm_phash_dedup must find EXACTLY
+    the pairs a brute-force all-pairs hamming scan over the phash
+    chunks finds (pigeonhole recall, shared engine with simhash),
+    (b) every planted twin (media_id % 10 == 0 → +1e9 copy of the
+    same payload) appears with hamming 0, and (c) a fingerprint is
+    thresholded against ITS OWN mean — a payload of identical nibbles
+    has no bit set (strict >)."""
+    from tgres_spark.pipeline.dedup import chunk_hamming_pairs
+    from tgres_spark.pipeline.multimodal import (
+        _TWIN_OFFSET, mm_phash, mm_phash_dedup, synthesize_media,
+    )
+
+    rows = [(i, f"document body {i} {'x' * (i % 17)}", "en", "s", 20)
+            for i in range(90)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r["media_a"], r["media_b"]): r["hamming"]
+           for r in mm_phash_dedup(docs).collect()}
+
+    # brute force over the same signature relation (images + twins)
+    from pyspark.sql import functions as F
+
+    media = synthesize_media(docs)
+    imgs = media.where(F.col("kind") == "image")
+    twins = imgs.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + _TWIN_OFFSET
+    )
+    sig = {r["doc_id"]: [r[f"q{j}"] for j in range(4)]
+           for r in mm_phash(imgs.unionByName(twins)).collect()}
+    ids = sorted(sig)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(sig[a][j] ^ sig[b][j]).count("1") for j in range(4))
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
+    # image media_ids are doc_id % 3 == 0; twins of those % 10 == 0
+    planted = [m for m in sig if m < _TWIN_OFFSET and m % 10 == 0 and m % 3 == 0]
+    assert planted, "fixture must contain twinned images"
+    for m in planted:
+        assert got[(m, m + _TWIN_OFFSET)] == 0
+
+    # (c) constant-nibble payload → all bits 0 (strict > its own mean)
+    const = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xaa" * 32))],
+        "media_id long, kind string, payload binary",
+    )
+    r = mm_phash(const).collect()[0]
+    assert [r[f"q{j}"] for j in range(4)] == [0, 0, 0, 0]

@@ -134,6 +134,16 @@ def mm_resize_stub(spark, sf_dir):
     recomputes both from doc_id/text (multimodal.mm_resize_stub_sql),
     hash-checking the batch path."""
     return mm.resize_stub(mm.synthesize_media(_docs(spark, sf_dir)))
+@register("mm_phash_dedup", sql=mm.mm_phash_dedup_sql())
+def mm_phash_dedup(spark, sf_dir):
+    """Image near-dup pairs: pHash-style average-hash fingerprint over
+    the deterministic decode, blocked by the SAME 4-table pigeonhole
+    engine as dedup_simhash (dedup.chunk_hamming_pairs) — the
+    multimodal column's first-class dedup consumer; deterministic
+    twins planted in-query so pairs provably flow end-to-end."""
+    return mm.mm_phash_dedup(_docs(spark, sf_dir))
+
+
 @register("mm_audio_chunks", sql=mm.mm_audio_chunks_sql())
 def mm_audio_chunks(spark, sf_dir):
     """Fixed-size audio chunking as pure JVM column algebra — binary

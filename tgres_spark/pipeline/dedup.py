@@ -454,15 +454,15 @@ def simhash_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate pairs with 64-bit simhash hamming ≤ max_hamming.
-
-    Exact over the hash for max_hamming ≤ 3 (pigeonhole blocking, see
-    simhash_candidates). One self-join shuffle on the uniform
-    (table, chunk) key + one distinct; hamming is computed in the join
-    projection from the carried chunks, and the hamming filter runs
-    BEFORE the distinct so the dedup shuffle only carries true pairs."""
-    keys = _simhash_keys(simhash(docs))
+def chunk_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with 64-bit hamming ≤ max_hamming
+    over ANY (doc_id, q0..q3) 4×16-bit signature relation — the
+    shared pigeonhole engine: exact for max_hamming ≤ 3 (a pair
+    differing in ≤3 of 4 chunks matches at least one chunk exactly),
+    one self-join shuffle on the uniform (table, chunk) key. Used by
+    dedup_simhash (text) and mm_phash_dedup (image fingerprints) —
+    the blocking doesn't care what hashed the bits."""
+    keys = _simhash_keys(sig)
     ham = None
     for j in range(SIMHASH_CHUNKS):
         term = F.bit_count(F.col(f"a.q{j}").bitwiseXOR(F.col(f"b.q{j}")))
@@ -479,6 +479,17 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
+
+
+def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs with 64-bit simhash hamming ≤ max_hamming.
+
+    Exact over the hash for max_hamming ≤ 3 (pigeonhole blocking, see
+    simhash_candidates). One self-join shuffle on the uniform
+    (table, chunk) key + one distinct; hamming is computed in the join
+    projection from the carried chunks, and the hamming filter runs
+    BEFORE the distinct so the dedup shuffle only carries true pairs."""
+    return chunk_hamming_pairs(simhash(docs), max_hamming)
 
 
 def dedup_simhash_sql(max_hamming: int = 3) -> str:

@@ -216,7 +216,15 @@ def audio_chunks(media: DataFrame, chunk_bytes: int = 8) -> DataFrame:
     partitions rebalance on (media_id, chunk_idx)."""
     a = media.where(F.col("kind") == "audio")
     n_chunks = F.ceil(F.length("payload") / F.lit(chunk_bytes)).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    # empty payload → n_chunks 0, where sequence(0, -1) would emit the
+    # DESCENDING [0, -1] (the _passages_of trap in contamination.py):
+    # guard to an empty array so zero-byte media yields zero chunks,
+    # matching the oracle's range(0, 0)
+    idx = F.explode(
+        F.when(
+            n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("chunk_idx")
     b = a.select("media_id", "payload", idx)
     chunk = F.expr(f"substring(payload, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
     return b.select(
@@ -244,4 +252,133 @@ def mm_audio_chunks_sql(chunk_bytes: int = 8) -> str:
         f"CAST(len(substr(h, CAST(chunk_idx * {cb2} + 1 AS INT), {cb2})) // 2 AS BIGINT) AS n_bytes, "
         f"md5(substr(h, CAST(chunk_idx * {cb2} + 1 AS INT), {cb2})) AS chunk_checksum "
         "FROM c"
+    )
+
+
+# --- perceptual fingerprint → dedup bridge ---------------------------------
+
+_PHASH_NIBBLES = 64   # first 64 hex chars of the payload = 64 "pixels"
+_PHASH_CHUNKS = 4     # 4 × 16-bit chunks feed the pigeonhole blocking
+_TWIN_OFFSET = 1_000_000_000
+
+
+def mm_phash(media: DataFrame) -> DataFrame:
+    """pHash-style 64-bit perceptual fingerprint per image, as the
+    (doc_id, q0..q3) 4×16-bit chunk relation dedup.chunk_hamming_pairs
+    blocks on.
+
+    Real pHash thresholds DCT coefficients of a downscaled grayscale
+    image against their median; over the deterministic fake decode the
+    'pixels' are the payload's 64 hex nibbles and the threshold is
+    their mean — the average-hash construction (bit_i = pixel_i >
+    mean), which shares pHash's defining property: a small local
+    change to the image flips few bits, so near-identical images land
+    within a small hamming distance. The comparison stays exact
+    integer algebra (nib*64 > Σnib — no division), so Spark and the
+    DuckDB oracle derive identical bits. All JVM-side ARRAY algebra,
+    not 64 unrolled substring/conv columns: the unrolled form
+    codegens a ~50 MiB task binary and ran ~100x slower (measured at
+    sf0.01); the nibble array + aggregate() folds keep the expression
+    tree constant-size. Per the repo HOF rule, h and the nibble array
+    materialize as real columns BEFORE the lambdas that reuse them
+    (no CSE inside higher-order functions)."""
+    per = _PHASH_NIBBLES // _PHASH_CHUNKS
+    imgs = media.where(F.col("kind") == "image").select(
+        "media_id", F.lower(F.hex(F.col("payload"))).alias("h")
+    )
+    nib = imgs.select(
+        "media_id",
+        F.expr(
+            f"transform(sequence(1, {_PHASH_NIBBLES}), "
+            "i -> CAST(conv(substring(h, i, 1), 16, 10) AS INT))"
+        ).alias("nib"),
+    )
+    summed = nib.select(
+        "media_id", "nib",
+        F.expr("aggregate(nib, 0, (a, x) -> a + x)").alias("s"),
+    )
+    chunks = [
+        F.expr(
+            f"CAST(aggregate(sequence({j * per}, {j * per + per - 1}), 0, "
+            f"(acc, i) -> acc * 2 + "
+            f"IF(element_at(nib, i + 1) * {_PHASH_NIBBLES} > s, 1, 0)) "
+            "AS INT)"
+        ).alias(f"q{j}")
+        for j in range(_PHASH_CHUNKS)
+    ]
+    return summed.select(F.col("media_id").alias("doc_id"), *chunks)
+
+
+def mm_phash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs — the multimodal column's dedup
+    consumer, closing the loop text already has: synthesize → phash →
+    the SAME 4-table pigeonhole blocking as dedup_simhash
+    (dedup.chunk_hamming_pairs; exact for hamming ≤ 3, no all-pairs
+    join anywhere).
+
+    The fixture corpus's fake payloads are md5-derived (uniform bits),
+    so genuine near-dups are vanishingly rare at test scale; every
+    tenth image therefore gets a deterministic TWIN (same payload,
+    media_id + 1e9) planted IN-QUERY — identical expression in the
+    oracle, same trick as pipeline_c4_clean's rule-exercising lines —
+    so the blocking provably carries pairs end-to-end. Returns
+    (media_a, media_b, hamming)."""
+    from .dedup import chunk_hamming_pairs
+
+    media = synthesize_media(docs)
+    imgs = media.where(F.col("kind") == "image")
+    twins = imgs.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + _TWIN_OFFSET
+    )
+    sig = mm_phash(imgs.unionByName(twins))
+    return chunk_hamming_pairs(sig, max_hamming).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
+def mm_phash_dedup_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin: nibble values via strpos over the same
+    md5(text)||md5(reverse(text)) hex, identical integer threshold,
+    identical twin planting, and the 4-table UNION ALL pigeonhole
+    join mirroring dedup_simhash_sql."""
+    nib = "(strpos('0123456789abcdef', h[{p}]) - 1)"
+    total = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "strpos('0123456789abcdef', h[CAST(i AS INT)]) - 1))"
+    )
+    per = _PHASH_NIBBLES // _PHASH_CHUNKS
+    chunk_exprs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {nib.format(p=j * per + i + 1)} * 64 > s "
+            f"THEN 1 ELSE 0 END) * {1 << (per - 1 - i)}"
+            for i in range(per)
+        )
+        + f" AS INTEGER) AS q{j}"
+        for j in range(_PHASH_CHUNKS)
+    )
+    cols = ", ".join(f"q{j}" for j in range(_PHASH_CHUNKS))
+    key_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {cols}, {j} AS tbl, q{j} AS key FROM sig"
+        for j in range(_PHASH_CHUNKS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.q{j}, b.q{j}))" for j in range(_PHASH_CHUNKS)
+    )
+    return (
+        "WITH imgs AS (SELECT doc_id AS media_id, "
+        "md5(text) || md5(reverse(text)) AS h FROM documents "
+        "WHERE doc_id % 3 = 0), "
+        "m AS (SELECT media_id, h FROM imgs UNION ALL "
+        f"SELECT media_id + {_TWIN_OFFSET}, h FROM imgs "
+        "WHERE media_id % 10 = 0), "
+        f"withsum AS (SELECT media_id, h, {total} AS s FROM m), "
+        f"sig AS (SELECT media_id AS doc_id, {chunk_exprs} FROM withsum), "
+        f"keys AS ({key_rows}) "
+        "SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b, "
+        f"CAST({ham} AS BIGINT) AS hamming "
+        "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key "
+        f"WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}"
     )
