@@ -337,3 +337,46 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plan_audit_window_detector(spark):
+    """plan_audit's global-window detector must be red on a crafted
+    no-partition window, and stay quiet on (a) a partitioned window,
+    (b) a partitioned-but-unordered window, and (c) the round-5
+    false-positive shape: a scalar aggregate's SinglePartition
+    Exchange in the same plan as an unrelated partitioned Window."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import global_window_specs
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+
+    bad = df.withColumn(
+        "rank", F.sum("id").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    assert global_window_specs(plan_of(bad)) == 1
+
+    good = df.withColumn(
+        "rank", F.sum("id").over(
+            Window.partitionBy("g").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    )
+    assert global_window_specs(plan_of(good)) == 0
+
+    unordered = df.withColumn(
+        "tot", F.sum("id").over(Window.partitionBy("g")))
+    assert global_window_specs(plan_of(unordered)) == 0
+
+    # partitioned window joined to a scalar aggregate: the scalar
+    # side's Exchange SinglePartition must not implicate the Window
+    scalar = df.agg(F.sum("id").alias("s"))
+    mixed = good.crossJoin(F.broadcast(scalar))
+    p = plan_of(mixed)
+    assert "SinglePartition" in p  # the decoy is really there
+    assert global_window_specs(p) == 0

@@ -40,7 +40,10 @@ SKIP = {
     "ann_ivf_search",  # iterative Lloyd: collects per round by design
 }
 
-# declared exceptions: query -> allowed smells
+# declared exceptions: query -> allowed smells. Every SinglePartition
+# entry is a window over a relation whose size is BOUNDED by
+# construction (cluster width, sketch bins, one render series) —
+# never by row count of the input tables.
 ALLOW = {
     # driver union-find shortcut collects the ≤10M-edge pair list;
     # the distributed loop is the pinned authority above the gate
@@ -50,9 +53,85 @@ ALLOW = {
     # per-LANGUAGE aggregate (hundreds of rows at any corpus scale —
     # languages, not documents); the corpus-size work is the groupBy
     "pipeline_mix_unimax": {"SinglePartition"},
+    # _distributed_rank's only global window runs over the
+    # per-partition COUNTS (≤ shuffle-partitions rows — cluster
+    # width, not series count); the per-series ranking itself is
+    # range-partitioned. Surfaced by the round-6 parsed detector
+    # (the round-5 substring heuristic false-negatived these).
+    "dsl_sortByName": {"SinglePartition"},
+    "dsl_sortByMaxima": {"SinglePartition"},
+    "dsl_sortByMinima": {"SinglePartition"},
+    "dsl_sortByTotal": {"SinglePartition"},
+    # quantile read-off windows run on the BIN relation (g, b, c) —
+    # bounded by value-range/width, not by event count — and the
+    # single literal funnel group constant-folds the partition key
+    # away entirely
+    "events_conversion_lag": {"SinglePartition"},
+    # movingAverage AFTER sumSeries: a combine emits ONE series with
+    # a literal name, so the per-series window constant-folds to
+    # global — bounded by the render's slot count (maxDataPoints),
+    # exactly like the reference evaluating one target expression
+    "dsl_expression_parser": {"SinglePartition"},
+    # a generated single series' cumulative walk: one series by
+    # definition, bounded by the requested time range
+    "dsl_randomWalk": {"SinglePartition"},
 }
 
 SMELLS = ("CartesianProduct", "BatchEvalPython")
+
+
+def _arg_groups(body: str) -> list[str]:
+    """Split a formatted-plan Arguments payload into its top-level
+    '[...]' groups (bracket-depth scan; window exprs nest brackets)."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(body[start : i + 1])
+                start = None
+    return groups
+
+
+def global_window_specs(plan: str) -> int:
+    """Count Window nodes whose OWN partition spec is empty (a global
+    sort: every row through one task).
+
+    Parses the formatted plan's detail section — each '(N) Window'
+    node prints 'Arguments: [window exprs](, [partition spec])?,
+    [order spec]' with the partition group OMITTED when empty — and
+    checks the node's own spec, instead of the round-5 heuristic of
+    'Window' and 'Exchange SinglePartition' co-occurring anywhere in
+    the plan text (which false-positives on a scalar aggregate's
+    Exchange next to an unrelated partitioned Window, and
+    false-negatives when the substrings land in an unexpected order).
+    With two groups the node is global iff the trailing group is an
+    ORDER spec ('col ASC NULLS FIRST'); an unordered-but-partitioned
+    window also prints two groups but its trailing group is a bare
+    column list."""
+    import re
+
+    n = 0
+    order_spec = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) Window(InPandas)?\b", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            arg = lines[j].strip()
+            if arg.startswith("Arguments: "):
+                groups = _arg_groups(arg[len("Arguments: ") :])
+                if len(groups) >= 3:
+                    if groups[-2] == "[]":
+                        n += 1
+                elif len(groups) == 2 and order_spec.search(groups[-1]):
+                    n += 1
+                break
+    return n
 
 
 def main() -> int:
@@ -79,21 +158,12 @@ def main() -> int:
         for smell in SMELLS:
             if smell in plan and smell not in allowed:
                 bad.append((name, smell))
-        if "SinglePartition" in plan and "Window" in plan and \
-                "SinglePartition" not in allowed:
-            # only flag single-partition WINDOWS (global sorts);
-            # scalar aggregates legitimately reduce to one partition
-            import re
-
-            # a Window node whose partitioning is SinglePartition
-            if re.search(r"Arguments: \[[^\]]*\], \[\]", plan) or \
-                    "Exchange SinglePartition" in plan and "Window" in plan:
-                # distinguish: Exchange SinglePartition feeding Window
-                wpos = [m.start() for m in re.finditer("Window", plan)]
-                spos = [m.start() for m in re.finditer(
-                    "Exchange SinglePartition", plan)]
-                if wpos and spos:
-                    bad.append((name, "SinglePartition window"))
+        # only flag single-partition WINDOWS (global sorts) — the
+        # Window node's own partition spec, parsed, not substring
+        # co-occurrence; scalar aggregates legitimately reduce to
+        # one partition
+        if "SinglePartition" not in allowed and global_window_specs(plan):
+            bad.append((name, "SinglePartition window"))
     for name, smell in bad:
         print(f"SMELL {name}: {smell}")
     print(f"== audited {len(qs) - len(SKIP)} plans, "
