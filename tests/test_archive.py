@@ -244,3 +244,121 @@ def test_refresh_lookback_boundary_inclusive(spark, tmp_path):
         for r in spark.read.parquet(f"{full_root}/wmean_3600").collect()
     }
     assert inc == full
+
+
+def test_retention_prune_drops_expired_days_bit_equal(spark, tmp_path):
+    """prune_archive must (a) physically remove exactly the day
+    directories strictly below the cutoff, (b) keep the boundary day
+    whole (its few expired slots included, as rra.includes tolerates),
+    (c) be idempotent, and (d) leave a re-read BIT-equal to the
+    span-windowed full rollup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.archive import materialize_archives, prune_archive
+
+    # 10 days of one series, hourly points
+    t0 = 1704067200
+    rows = [("s", t0 + i * 3600, float(i % 7)) for i in range(10 * 24)]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    root = str(tmp_path / "arch")
+    materialize_archives(
+        spark, sf, [("wmean", 3600)], root, base_step=3600, partitioned=True
+    )
+    path = f"{root}/wmean_3600"
+    full = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(path).select("name", "t", "value").collect()
+    }
+
+    span = 4 * 86400
+    m = prune_archive(spark, path, span_s=span)
+    latest = max(t for (_, t) in full)
+    cutoff_day = (latest - span) // 86400
+    assert m["latest"] == latest and m["cutoff_day"] == cutoff_day
+    # exactly the sub-cutoff days are gone from DISK
+    dirs = {d for d in os.listdir(path) if d.startswith("day=")}
+    assert dirs == {f"day={d}" for d in m["kept_days"]}
+    assert all(d < cutoff_day for d in m["dropped_days"])
+    assert all(d >= cutoff_day for d in m["kept_days"])
+    assert m["dropped_days"] and m["kept_days"]
+
+    # idempotent: second run deletes nothing
+    again = prune_archive(spark, path, span_s=span)
+    assert again["dropped_days"] == [] and again["kept_days"] == m["kept_days"]
+
+    # re-read == day-windowed slice of the pre-prune archive, bit-equal
+    got = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(path).select("name", "t", "value").collect()
+    }
+    want = {k: v for k, v in full.items() if k[1] // 86400 >= cutoff_day}
+    assert got == want
+    # the boundary day retains slots OLDER than latest-span (day ring
+    # granularity) — prune is day-atomic, not slot-atomic
+    assert any(t < latest - span for (_, t) in got)
+
+
+def test_compact_archive_merges_files_bit_equal(spark, tmp_path):
+    """compact_archive must (a) reduce every fragmented (day, bucket)
+    directory to ≤ max_files parquet files, (b) leave already-compact
+    directories' files untouched (no gratuitous rewrite), (c) be
+    idempotent, and (d) keep the re-read BIT-equal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.archive import compact_archive
+
+    t0 = 1704067200
+    rows = [(f"s{j}", t0 + i * 3600, float(i + j))
+            for i in range(5 * 24) for j in range(6)]
+    sf = spark.createDataFrame(rows, "name string, t long, value double")
+    path = str(tmp_path / "arch")
+    (
+        sf.withColumn("day", F.expr("CAST(t DIV 86400 AS BIGINT)"))
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("name")), 2))
+        .repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("day", "bucket")
+        .parquet(path)
+    )
+
+    def files_per_dir():
+        out = {}
+        for day in os.listdir(path):
+            if not day.startswith("day="):
+                continue
+            for b in os.listdir(f"{path}/{day}"):
+                if b.startswith("bucket="):
+                    out[f"{day}/{b}"] = sorted(
+                        f for f in os.listdir(f"{path}/{day}/{b}")
+                        if f.endswith(".parquet")
+                    )
+        return out
+
+    before = files_per_dir()
+    assert any(len(v) > 1 for v in before.values()), "fixture must fragment"
+    compact_ones = {k for k, v in before.items() if len(v) == 1}
+    full = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(path).select("name", "t", "value").collect()
+    }
+
+    m = compact_archive(spark, path, max_files=1)
+    after = files_per_dir()
+    assert set(m["compacted"]) == {k for k, v in before.items() if len(v) > 1}
+    assert all(len(v) == 1 for v in after.values())
+    # untouched directories keep their exact file names
+    for k in compact_ones:
+        assert after[k] == before[k]
+
+    again = compact_archive(spark, path, max_files=1)
+    assert again["n_partitions"] == 0
+
+    got = {
+        (r["name"], r["t"]): r["value"]
+        for r in spark.read.parquet(path).select("name", "t", "value").collect()
+    }
+    assert got == full

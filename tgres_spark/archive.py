@@ -216,6 +216,135 @@ def refresh_archives(
             )
 
 
+def prune_archive(
+    spark: SparkSession,
+    path: str,
+    span_s: int,
+    latest: int | None = None,
+) -> dict:
+    """Retention prune: drop the day partitions that have aged out of
+    an archive's span, the delete half of the reference's round-robin
+    ring (rrd/rra.go:113 — an RRA sized span/step never holds more
+    than span seconds; old slots are overwritten in place). Parquet
+    archives only ever append days, so without this job a 14-day
+    archive grows without bound — the gap a real operator hits in
+    month one.
+
+    Granularity is the DAY PARTITION: a directory is removed only
+    when every slot it can contain is strictly older than
+    ``latest − span`` (day < (latest−span) // 86400); the boundary
+    day keeps its handful of expired slots, exactly as rra.includes
+    (archive.py:47) already tolerates when routing. The delete is a
+    partition-metadata operation through the Hadoop FileSystem API —
+    no data rewrite, no shuffle, identical on file://, HDFS, or S3A —
+    and IDEMPOTENT: re-running finds nothing below the cutoff.
+
+    ``latest`` defaults to the archive's max slot (one bounded scalar
+    aggregate — the only read). Returns a manifest dict
+    (latest, cutoff_day, dropped/kept day lists) for audit logging;
+    the post-prune re-read is BIT-equal to the span-windowed full
+    archive (pinned in tests/test_archive.py and hash-checked as
+    ``rrd_retention_prune``)."""
+    if latest is None:
+        row = spark.read.parquet(path).agg(F.max(T)).collect()[0]
+        latest = row[0]
+    if latest is None:  # empty archive: nothing to prune
+        return {"path": path, "latest": None, "cutoff_day": None,
+                "dropped_days": [], "kept_days": []}
+    cutoff_day = (latest - span_s) // 86400
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    dropped, kept = [], []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("day="):
+            continue
+        day = int(name[len("day="):])
+        if day < cutoff_day:
+            fs.delete(st.getPath(), True)
+            dropped.append(day)
+        else:
+            kept.append(day)
+    return {
+        "path": path,
+        "latest": latest,
+        "cutoff_day": cutoff_day,
+        "dropped_days": sorted(dropped),
+        "kept_days": sorted(kept),
+    }
+
+
+def compact_archive(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 1,
+) -> dict:
+    """Small-file compaction — the other month-one operational job a
+    day/bucket-partitioned archive needs beside retention
+    (prune_archive): every incremental refresh_archives pass appends
+    task-count files to each touched (day, bucket) directory, and at
+    100 TB a year of nightly refreshes turns the scan's file listing
+    into the bottleneck (1000s of KB-sized footers per partition).
+
+    Reads ONLY the fragmented partitions (directories holding more
+    than ``max_files`` data files — found by listing, no data read),
+    rewrites each as one task's worth of row-identical output via
+    dynamic partition overwrite, and leaves every already-compact
+    directory untouched. Idempotent: after one pass no directory
+    exceeds ``max_files``, so a second pass rewrites nothing. The
+    re-read is BIT-equal (same rows, same values — compaction moves
+    bytes, not data; pinned in tests/test_archive.py and hash-checked
+    as ``rrd_compact_archive``). Returns a manifest dict with
+    files-before/after per compacted partition."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    frag: list[str] = []
+    files_before: dict[str, int] = {}
+    for day_st in fs.listStatus(jpath):
+        if not day_st.getPath().getName().startswith("day="):
+            continue
+        for b_st in fs.listStatus(day_st.getPath()):
+            bname = b_st.getPath().getName()
+            if not bname.startswith("bucket="):
+                continue
+            n = sum(
+                1
+                for f_st in fs.listStatus(b_st.getPath())
+                if f_st.getPath().getName().endswith(".parquet")
+            )
+            rel = f"{day_st.getPath().getName()}/{bname}"
+            if n > max_files:
+                frag.append(str(b_st.getPath()))
+                files_before[rel] = n
+    if not frag:
+        return {"path": path, "compacted": {}, "n_partitions": 0}
+    df = spark.read.option("basePath", path).parquet(*frag)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            # one task per fragmented partition → max_files=1 output
+            # files; hash collisions only co-locate partitions in a
+            # task, never split one across tasks
+            df.repartition(len(frag), F.col("day"), F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("day", "bucket")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "path": path,
+        "compacted": files_before,
+        "n_partitions": len(frag),
+    }
+
+
 class ArchiveDslContext(DslContext):
     """DslContext that serves fetches from the best archive instead of
     downsampling raw on the fly (dsl/ds_lru.go:271 → BestRRA). The

@@ -131,6 +131,87 @@ def rrd_bucketed_consolidate(spark, sf_dir):
     return consolidate(sf, STEP, cf="wmean")
 
 
+_PRUNE_SPAN = 14 * 86400  # retention: a 14-day RRA over ~30 days of data
+
+
+@register(
+    "rrd_retention_prune",
+    # the oracle IS the retention contract: the post-prune re-read
+    # must bit-equal the span-windowed full rollup at day granularity
+    # (days >= (latest − span) // 86400 survive; the boundary day
+    # keeps its few expired slots, as rra.includes tolerates)
+    sql=(
+        "WITH rolled AS ("
+        + oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "wmean")
+        + "), mx AS (SELECT MAX(t) AS latest FROM rolled) "
+        "SELECT name, t, value FROM rolled, mx "
+        f"WHERE t // 86400 >= (latest - {_PRUNE_SPAN}) // 86400"
+    ),
+)
+def rrd_retention_prune(spark, sf_dir):
+    """Archive retention expiry — the DELETE half of the reference's
+    round-robin ring (rrd/rra.go:113 size = span/step: an RRA never
+    holds more than span seconds; old slots are overwritten). The
+    parquet archive instead appends day partitions forever, so this
+    job drops the aged-out day directories (metadata-only Hadoop-FS
+    delete, no rewrite) and the re-read equals the span-windowed full
+    rollup. Runs the prune TWICE to pin idempotence before reading."""
+    import tempfile
+
+    from ..archive import materialize_archives, prune_archive
+
+    sf = series_from_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tgres_prune_")
+    materialize_archives(
+        spark, sf, [("wmean", STEP)], root, base_step=10, partitioned=True
+    )
+    path = f"{root}/wmean_{STEP}"
+    first = prune_archive(spark, path, span_s=_PRUNE_SPAN)
+    assert first["dropped_days"], "testdata spans ~30d; a 14d prune must drop"
+    again = prune_archive(spark, path, span_s=_PRUNE_SPAN)
+    assert again["dropped_days"] == [], "prune must be idempotent"
+    return spark.read.parquet(path).select("name", "t", "value")
+
+
+@register(
+    "rrd_compact_archive",
+    # compaction moves bytes, not data: the post-compaction re-read
+    # must hash-match the plain consolidate relation
+    sql=oracle_consolidate_sql(EVENTS_SERIES_SQL, STEP, "wmean"),
+)
+def rrd_compact_archive(spark, sf_dir):
+    """Small-file compaction of a day/bucket archive (the refresh-path
+    debt collector — see archive.compact_archive): the archive is
+    written deliberately FRAGMENTED (repartition(4) upstream of
+    partitionBy → up to 4 files per directory), compacted to ≤1 file
+    per directory, compacted AGAIN to pin idempotence, and the re-read
+    is hash-checked against the plain rollup oracle — same rows, same
+    values, fewer files."""
+    import tempfile
+
+    from ..archive import compact_archive
+
+    sf = series_from_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tgres_compact_")
+    path = f"{root}/wmean_{STEP}"
+    rolled = consolidate(sf, STEP, cf="wmean")
+    from pyspark.sql import functions as F
+
+    (
+        rolled.withColumn("day", F.expr("CAST(t DIV 86400 AS BIGINT)"))
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("name")), 4))
+        .repartition(4)
+        .write.mode("overwrite")
+        .partitionBy("day", "bucket")
+        .parquet(path)
+    )
+    first = compact_archive(spark, path, max_files=1)
+    assert first["n_partitions"] > 0, "repartition(4) must fragment"
+    again = compact_archive(spark, path, max_files=1)
+    assert again["n_partitions"] == 0, "compaction must be idempotent"
+    return spark.read.parquet(path).select("name", "t", "value")
+
+
 @register(
     "series_seasonal_decompose",
     sql=__import__(
