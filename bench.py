@@ -108,6 +108,26 @@ def main() -> None:
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # internal regression gate: BENCH_BUDGET.json freezes a known-good
+    # round's per-query times; any query beyond tolerance×budget is
+    # flagged LOUDLY here (stderr + JSON) so a perf regression is
+    # caught the round it lands, not by judge diff. Informational at
+    # other SFs (budgets are sf0.1 numbers).
+    budget_violations: dict[str, str] = {}
+    try:
+        bud = json.loads(
+            (Path(__file__).resolve().parent / "BENCH_BUDGET.json").read_text()
+        )
+        tol = float(bud.get("tolerance", 1.5))
+        for k, b in (bud.get("queries") or {}).items():
+            if k in timings and b and timings[k] > tol * b:
+                budget_violations[k] = (
+                    f"{timings[k]:.3f}s > {tol:g}x budget {b:.3f}s"
+                )
+                print(f"# BUDGET-EXCEEDED {k}: {budget_violations[k]}",
+                      file=sys.stderr)
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
     # the within-2x-of-baseline gate: BASELINE.json publishes the gate
     # definition but (as of round 4) no numeric timings — emit the
     # per-query ratios when numbers appear, else say so explicitly.
@@ -140,6 +160,7 @@ def main() -> None:
                 "runs": RUNS,
                 "estimator": "min",
                 "vs_baseline": vs_baseline,
+                "budget_violations": budget_violations,
             }
         )
     )
