@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "pipeline_span_dedup",
     "events_asof_join",
     "events_cms_heavy_hitters",
+    # round-6 additions: the multimodal dedup bridge (phash + shared
+    # pigeonhole blocking) and the fourth mergeable sketch
+    "mm_phash_dedup",
+    "events_bloom_membership",
 ]
 
 

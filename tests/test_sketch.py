@@ -75,3 +75,55 @@ def test_cms_sketch_merges_by_sum(spark):
         for r in cms_sketch(half, "key").collect():
             merged[(r.r, r.col)] = merged.get((r.r, r.col), 0) + r.c
     assert merged == full
+
+
+def test_bloom_no_false_negatives_and_fp_flag(spark):
+    """Every inserted key must probe present (structural — a Bloom
+    filter cannot false-negative); absent probes may false-positive
+    and the flag must be exactly in_bloom ∧ ¬in_exact."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.operators.sketch import bloom_membership, bloom_sketch
+
+    rows = [("g1", i) for i in range(80)] + [("g2", i) for i in range(40, 120)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    sk = bloom_sketch(df, "g", "k")
+    probes = spark.createDataFrame(
+        [(g, str(i)) for g in ("g1", "g2") for i in range(200)],
+        "g string, probe string",
+    )
+    exact = df.select("g", F.col("k").cast("string").alias("probe")).distinct()
+    out = {(r.g, r.probe): r for r in
+           bloom_membership(sk, probes, exact).collect()}
+    for g, lo, hi in (("g1", 0, 80), ("g2", 40, 120)):
+        for i in range(200):
+            r = out[(g, str(i))]
+            if lo <= i < hi:
+                assert r.in_bloom == 1 and r.in_exact == 1
+                assert r.false_positive == 0
+            else:
+                assert r.in_exact == 0
+                assert r.false_positive == r.in_bloom
+
+
+def test_bloom_merge_is_idempotent_or(spark):
+    """Word registers merge by OR: sketch(df ∪ df) == sketch(df)
+    (idempotent — at-least-once replay is free), and OR-folding the
+    two halves' sketches equals the whole's sketch (mergeable)."""
+    from tgres_spark.operators.sketch import bloom_sketch
+
+    rows = [("g", f"key{i}") for i in range(300)]
+    whole = spark.createDataFrame(rows, "g string, k string")
+    doubled = whole.union(whole)
+    one = {(r.g, r.w): r.bits for r in bloom_sketch(whole, "g", "k").collect()}
+    two = {(r.g, r.w): r.bits for r in bloom_sketch(doubled, "g", "k").collect()}
+    assert one == two
+    h1 = spark.createDataFrame(rows[:150], "g string, k string")
+    h2 = spark.createDataFrame(rows[150:], "g string, k string")
+    merged: dict = {}
+    for half in (h1, h2):
+        for r in bloom_sketch(half, "g", "k").collect():
+            merged[(r.g, r.w)] = merged.get((r.g, r.w), 0) | r.bits
+    assert merged == one
+    # every word stays in the positive 32-bit half (DuckDB shift-safe)
+    assert all(0 <= b < (1 << 32) for b in one.values())

@@ -625,6 +625,42 @@ def streaming_enrich_join(spark, sf_dir):
 
 
 @register(
+    "streaming_bloom_filter",
+    sql=__import__("tgres_spark.tpch", fromlist=["x"]).bloom_membership_sql(
+        "SELECT event_type, user_id FROM events",
+        "event_type",
+        "user_id",
+        __import__("tgres_spark.tpch", fromlist=["x"])._BLOOM_PROBES_SQL,
+    ),
+)
+def streaming_bloom_filter(spark, sf_dir):
+    """The Bloom filter folded as a STREAMING aggregation
+    (streaming/hll.py run_bloom_stream): four real micro-batches
+    OR-merge the 128 word registers per group; the membership read-off
+    from the final table hash-matches the batch
+    events_bloom_membership oracle because OR merges are
+    order-independent AND idempotent — the only sketch state where
+    at-least-once replay is provably free (re-OR-ing a batch is a
+    no-op), so exactly-once semantics need zero dedup bookkeeping."""
+    import tempfile
+
+    from ..operators.sketch import bloom_membership
+    from ..streaming.hll import run_bloom_stream
+    from ..tpch import _bloom_probes_and_exact
+
+    work = tempfile.mkdtemp(prefix="tgres_sbloom_")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_bloom_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema,
+        "event_type", "user_id", files_per_trigger=1,
+    )
+    sk = spark.read.parquet(f"{work}/out")
+    probes, exact = _bloom_probes_and_exact(spark, ev)
+    return bloom_membership(sk, probes, exact)
+
+
+@register(
     "streaming_cms_heavy_hitters",
     sql=__import__(
         "tgres_spark.operators.sketch", fromlist=["x"]

@@ -433,3 +433,153 @@ SELECT est.k AS {key_col}, CAST(est AS BIGINT) AS est,
 FROM est JOIN ex ON est.k = ex.k
 ORDER BY est DESC, est.k ASC LIMIT {topk}
 """
+
+
+# --- Deterministic Bloom filter --------------------------------------------
+
+BLOOM_K = 4              # hash functions
+BLOOM_M = 4096           # bits (3 md5 hex chars = exactly 16^3)
+_BLOOM_WORD = 32         # bits packed per BIGINT word: DuckDB raises on
+                         # 1::BIGINT << 63 (sign bit), so words stay in
+                         # the positive half — 128 words per filter
+
+
+def _bloom_bits(key):
+    """The BLOOM_K bit positions a key sets, as an array of structs
+    (w = word index, m = single-bit mask): position = first three hex
+    chars of md5(i ':' key) — 0..4095 exactly, the same engine-
+    portable hex-bucket trick as the HLL/CMS sketches above."""
+    out = []
+    for i in range(BLOOM_K):
+        h = F.md5(F.concat_ws(":", F.lit(i), key))
+        pos = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+        out.append(
+            F.struct(
+                (pos / _BLOOM_WORD).cast("int").alias("w"),
+                # 2^b exact in double for b <= 31 (pyspark's shiftleft
+                # only takes a literal bit count, not a column)
+                F.pow(F.lit(2.0), pos % _BLOOM_WORD)
+                .cast("bigint")
+                .alias("m"),
+            )
+        )
+    return F.array(*out)
+
+
+def bloom_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(g, w, bits): the Bloom-filter register relation per group —
+    the FOURTH mergeable sketch beside the histogram (+), the HLL
+    (max), and the CMS (+): words merge by bitwise OR, which is
+    idempotent AND commutative, so partial aggregation collapses each
+    map partition to <= 128 rows/group before the shuffle, two
+    filters union by OR-ing words, re-adding a key is a no-op, and
+    any batching of the input (streaming micro-batches included) ORs
+    to the identical filter. "Have we seen this key?" in 1 KB/group
+    with no key retention — the pre-filter shape for contamination
+    checks, dedup candidate pruning, and semi-join pushdown when the
+    key set is too big to broadcast exactly."""
+    pairs = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_bloom_bits(F.col(key_col).cast("string"))).alias("b"),
+    )
+    return pairs.groupBy("g", F.col("b.w").alias("w")).agg(
+        F.bit_or("b.m").alias("bits")
+    )
+
+
+def bloom_membership(
+    sk: DataFrame, probes: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """(g, probe, in_bloom, in_exact, false_positive) — the point
+    query over an existing (g, w, bits) filter: a probe is 'present'
+    iff ALL BLOOM_K of its bits are set. ``probes`` = (g, probe) rows;
+    ``exact`` = (g, probe) rows that are truly present (the accuracy
+    dial, like hll_distinct's exact count — no false negatives ever,
+    false positives measured not asserted). The filter is <= 128
+    rows/group, so it broadcasts; probes shuffle only on (g, w)."""
+    cells = probes.select(
+        "g",
+        "probe",
+        F.explode(_bloom_bits(F.col("probe").cast("string"))).alias("b"),
+    ).select("g", "probe", F.col("b.w").alias("w"), F.col("b.m").alias("m"))
+    hit = (
+        cells.join(F.broadcast(sk), ["g", "w"], "left")
+        .withColumn(
+            "bit_set",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("m")) == F.col("m"),
+                F.lit(False),
+            ).cast("int"),
+        )
+        .groupBy("g", "probe")
+        .agg((F.min("bit_set") == 1).alias("in_bloom"))
+    )
+    return (
+        hit.join(
+            exact.select("g", "probe", F.lit(True).alias("in_exact")),
+            ["g", "probe"],
+            "left",
+        )
+        .select(
+            "g",
+            "probe",
+            F.col("in_bloom").cast("int").alias("in_bloom"),
+            F.coalesce(F.col("in_exact"), F.lit(False))
+            .cast("int")
+            .alias("in_exact"),
+            (
+                F.col("in_bloom")
+                & ~F.coalesce(F.col("in_exact"), F.lit(False))
+            )
+            .cast("int")
+            .alias("false_positive"),
+        )
+    )
+
+
+def bloom_membership_sql(
+    base: str, group_col: str, key_col: str, probes_sql: str
+) -> str:
+    """DuckDB twin: identical md5 bit derivation (strpos hex algebra),
+    identical 32-bit word packing, bit_or fold, all-bits-set point
+    query. ``probes_sql`` must yield (g, probe) rows."""
+    def pos_expr(i: str, key: str) -> str:
+        h = f"md5({i} || ':' || {key})"
+        return (
+            f"(256 * (strpos('{_HEX}', substr({h}, 1, 1)) - 1)"
+            f" + 16 * (strpos('{_HEX}', substr({h}, 2, 1)) - 1)"
+            f" + (strpos('{_HEX}', substr({h}, 3, 1)) - 1))"
+        )
+
+    def cells(src: str, kcol: str, extra: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {extra}, CAST({pos_expr(str(i), kcol)} // {_BLOOM_WORD} "
+            f"AS INT) AS w, CAST(1 AS BIGINT) << "
+            f"({pos_expr(str(i), kcol)} % {_BLOOM_WORD}) AS m FROM {src}"
+            for i in range(BLOOM_K)
+        )
+
+    return f"""
+WITH e AS (
+  SELECT {group_col} AS g, CAST({key_col} AS VARCHAR) AS k FROM ({base})
+), sk AS (
+  SELECT g, w, bit_or(m) AS bits FROM ({cells("e", "k", "g")}) GROUP BY g, w
+), probes AS (
+  SELECT g, CAST(probe AS VARCHAR) AS probe FROM ({probes_sql})
+), pc AS (
+  {cells("probes", "probe", "g, probe")}
+), hit AS (
+  SELECT pc.g, pc.probe,
+         MIN(CASE WHEN sk.bits IS NOT NULL AND (sk.bits & pc.m) = pc.m
+                  THEN 1 ELSE 0 END) = 1 AS in_bloom
+  FROM pc LEFT JOIN sk ON pc.g = sk.g AND pc.w = sk.w
+  GROUP BY pc.g, pc.probe
+), ex AS (
+  SELECT DISTINCT g, k AS probe FROM e
+)
+SELECT hit.g AS g, hit.probe AS probe,
+       CAST(in_bloom AS INT) AS in_bloom,
+       CAST(ex.probe IS NOT NULL AS INT) AS in_exact,
+       CAST(in_bloom AND ex.probe IS NULL AS INT) AS false_positive
+FROM hit LEFT JOIN ex ON hit.g = ex.g AND hit.probe = ex.probe
+"""

@@ -124,3 +124,42 @@ def run_cms_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_bloom_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    group_col: str,
+    key_col: str,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming Bloom filter: the word registers OR-merge across
+    micro-batches — the fourth merge family (histogram +, HLL max,
+    CMS +, Bloom OR), and the only IDEMPOTENT one: replaying a batch
+    (at-least-once delivery) cannot change the filter, so this state
+    is exactly-once-equivalent under retries with no dedup bookkeeping
+    at all. Final word table is bit-identical to the batch
+    bloom_sketch over the same rows."""
+    from ..operators.sketch import bloom_sketch
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    sk = bloom_sketch(src, group_col, key_col)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        sk.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

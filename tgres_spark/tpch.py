@@ -629,6 +629,65 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(ev, "user_id", topk=20)
 
 
+from .operators.sketch import (  # noqa: E402
+    bloom_membership,
+    bloom_membership_sql,
+    bloom_sketch,
+)
+
+# deterministic probe set: low ids overlap real users (present mix
+# varies per event_type — a user active in one type is a natural
+# absent probe for another), the 1e6 block is never present (the
+# false-positive dial)
+_BLOOM_PROBES_SQL = (
+    "SELECT g, probe FROM "
+    "(SELECT DISTINCT event_type AS g FROM events) "
+    "CROSS JOIN (SELECT range AS probe FROM range(0, 200) "
+    "UNION ALL SELECT range FROM range(1000000, 1000100))"
+)
+
+
+@register(
+    "events_bloom_membership",
+    sql=bloom_membership_sql(
+        "SELECT event_type, user_id FROM events",
+        "event_type",
+        "user_id",
+        _BLOOM_PROBES_SQL,
+    ),
+)
+def events_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Bloom filter over user_id probed by a fixed id
+    set — the FOURTH mergeable sketch (histogram +, HLL max, CMS +,
+    Bloom OR; OR is also idempotent, so at-least-once replays are
+    free). 'Has this user triggered this event type?' in 128 int64
+    words per group with no key retention; no false negatives ever
+    (structural), false positives MEASURED beside the exact answer,
+    not asserted. Deterministic md5 bit positions hash-match the
+    DuckDB twin (operators/sketch.py bloom_membership)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = bloom_sketch(ev, "event_type", "user_id")
+    probes, exact = _bloom_probes_and_exact(spark, ev)
+    return bloom_membership(sk, probes, exact)
+
+
+def _bloom_probes_and_exact(spark, ev):
+    """(probes, exact) relations matching _BLOOM_PROBES_SQL: probe ids
+    0..199 + the never-present 1e6 block, crossed with the (tiny,
+    broadcast) distinct group set — a BroadcastNestedLoopJoin over
+    ~300×5 rows, never a CartesianProduct over data-sized inputs."""
+    groups = ev.select(F.col("event_type").alias("g")).distinct()
+    ids = spark.range(0, 200).union(spark.range(1000000, 1000100))
+    probes = ids.select(F.col("id").cast("string").alias("probe")).crossJoin(
+        F.broadcast(groups)
+    ).select("g", "probe")
+    exact = ev.select(
+        F.col("event_type").alias("g"),
+        F.col("user_id").cast("string").alias("probe"),
+    ).distinct()
+    return probes, exact
+
+
 _ASOF_JOIN_SQL = """
 WITH e AS (
   SELECT event_id, user_id, event_type, value,
