@@ -275,38 +275,59 @@ def mm_phash(media: DataFrame) -> DataFrame:
     change to the image flips few bits, so near-identical images land
     within a small hamming distance. The comparison stays exact
     integer algebra (nib*64 > Σnib — no division), so Spark and the
-    DuckDB oracle derive identical bits. All JVM-side ARRAY algebra,
-    not 64 unrolled substring/conv columns: the unrolled form
-    codegens a ~50 MiB task binary and ran ~100x slower (measured at
-    sf0.01); the nibble array + aggregate() folds keep the expression
-    tree constant-size. Per the repo HOF rule, h and the nibble array
-    materialize as real columns BEFORE the lambdas that reuse them
-    (no CSE inside higher-order functions)."""
+    DuckDB oracle derive identical bits.
+
+    Shape note (the simhash() lesson relearned): both a 64-column
+    unrolled form (~50 MiB codegen task binary) and an array-HOF form
+    (ProjectCollapse re-inlines the nibble transform — and through it
+    the md5-derived h — into every element_at of every chunk fold:
+    157 s at sf0.1 for 1.8k images) are pathological. This version
+    explodes nibble positions as ROWS and assembles chunks with two
+    tiny-expression groupBys + one co-keyed join — aggregation
+    barriers that the optimizer cannot inline through; same
+    O(64·images) arithmetic, milliseconds of codegen."""
     per = _PHASH_NIBBLES // _PHASH_CHUNKS
     imgs = media.where(F.col("kind") == "image").select(
         "media_id", F.lower(F.hex(F.col("payload"))).alias("h")
     )
-    nib = imgs.select(
+    nibs = imgs.select(
         "media_id",
-        F.expr(
-            f"transform(sequence(1, {_PHASH_NIBBLES}), "
-            "i -> CAST(conv(substring(h, i, 1), 16, 10) AS INT))"
-        ).alias("nib"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PHASH_NIBBLES - 1))
+        ).alias("i"),
+        "h",
+    ).select(
+        "media_id",
+        "i",
+        F.conv(F.expr("substring(h, i + 1, 1)"), 16, 10)
+        .cast("int")
+        .alias("nib"),
     )
-    summed = nib.select(
-        "media_id", "nib",
-        F.expr("aggregate(nib, 0, (a, x) -> a + x)").alias("s"),
+    tot = nibs.groupBy("media_id").agg(F.sum("nib").alias("s"))
+    bits = nibs.join(tot, "media_id").select(
+        "media_id",
+        (F.col("i") / per).cast("int").alias("c"),
+        F.when(
+            F.col("nib") * _PHASH_NIBBLES > F.col("s"),
+            F.expr(f"shiftleft(1, CAST({per - 1} - i % {per} AS INT))"),
+        )
+        .otherwise(0)
+        .alias("wt"),
     )
     chunks = [
-        F.expr(
-            f"CAST(aggregate(sequence({j * per}, {j * per + per - 1}), 0, "
-            f"(acc, i) -> acc * 2 + "
-            f"IF(element_at(nib, i + 1) * {_PHASH_NIBBLES} > s, 1, 0)) "
-            "AS INT)"
-        ).alias(f"q{j}")
+        F.sum(F.when(F.col("c") == j, F.col("wt")).otherwise(0))
+        .cast("int")
+        .alias(f"q{j}")
         for j in range(_PHASH_CHUNKS)
     ]
-    return summed.select(F.col("media_id").alias("doc_id"), *chunks)
+    return (
+        bits.groupBy("media_id")
+        .agg(*chunks)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            *[f"q{j}" for j in range(_PHASH_CHUNKS)],
+        )
+    )
 
 
 def mm_phash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
