@@ -1293,3 +1293,41 @@ def test_mm_phash_dedup_recall_and_twins(spark):
     )
     r = mm_phash(const).collect()[0]
     assert [r[f"q{j}"] for j in range(4)] == [0, 0, 0, 0]
+
+
+def test_bloom_decontaminate_equals_exact_check(spark):
+    """The bloom pre-filter must not change any contamination verdict:
+    (doc_id, n_grams, n_hit, frac, contaminated) identical to
+    contamination_check (no false negatives structurally; false
+    positives die in the exact verify), with n_hit <= n_bloom_pass <=
+    n_grams and at least one doc where the filter actually pruned."""
+    from tgres_spark.pipeline.contamination import (
+        bloom_decontaminate, contamination_check,
+    )
+
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, bench_txt, "en", "src0", 1)]
+    for d in range(1, 25):
+        if d % 5 == 0:  # contaminated: contains the benchmark text
+            rows.append((d, f"intro {d} " + bench_txt + " outro", "en", "s", 1))
+        else:
+            rows.append(
+                (d, " ".join(f"w{d}x{i}" for i in range(20)), "en", "s", 1)
+            )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    exact = {r["doc_id"]: r for r in contamination_check(docs).collect()}
+    bl = {r["doc_id"]: r for r in bloom_decontaminate(docs).collect()}
+    assert set(exact) == set(bl)
+    pruned_somewhere = False
+    for d, e in exact.items():
+        b = bl[d]
+        assert (b["n_grams"], b["n_hit"], b["frac"], b["contaminated"]) == (
+            e["n_grams"], e["n_hit"], e["frac"], e["contaminated"]), d
+        assert b["n_hit"] <= b["n_bloom_pass"] <= b["n_grams"]
+        if b["n_bloom_pass"] < b["n_grams"]:
+            pruned_somewhere = True
+    assert pruned_somewhere
+    contaminated = {d for d, r in bl.items() if r["contaminated"]}
+    assert contaminated == {5, 10, 15, 20}

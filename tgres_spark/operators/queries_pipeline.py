@@ -229,6 +229,25 @@ def pipeline_passage_dedup(spark, sf_dir):
 
 
 @register(
+    "pipeline_bloom_decontaminate",
+    sql=__import__(
+        "tgres_spark.pipeline.contamination", fromlist=["x"]
+    ).bloom_decontaminate_sql(),
+)
+def pipeline_bloom_decontaminate(spark, sf_dir):
+    """Decontamination with the Bloom filter as the gram pre-filter
+    (pipeline/contamination.py bloom_decontaminate): the benchmark
+    gram set rides as a 128-word broadcast filter instead of an exact
+    broadcast set; survivors get exact verification, so the
+    contamination verdicts are provably identical to
+    pipeline_contamination while the pruning rate is measured
+    (n_bloom_pass) — the sketch-composition story at 100 TB."""
+    from ..pipeline.contamination import bloom_decontaminate
+
+    return bloom_decontaminate(_docs(spark, sf_dir))
+
+
+@register(
     "pipeline_contamination",
     sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).contamination_check_sql(),
 )

@@ -537,28 +537,34 @@ def bloom_membership(
     )
 
 
+def _bloom_pos_sql(i: str, key: str) -> str:
+    h = f"md5({i} || ':' || {key})"
+    return (
+        f"(256 * (strpos('{_HEX}', substr({h}, 1, 1)) - 1)"
+        f" + 16 * (strpos('{_HEX}', substr({h}, 2, 1)) - 1)"
+        f" + (strpos('{_HEX}', substr({h}, 3, 1)) - 1))"
+    )
+
+
+def bloom_cells_sql(src: str, kcol: str, extra: str) -> str:
+    """The BLOOM_K (w, m) cell rows per key of ``src`` — the SQL twin
+    of _bloom_bits, shared by bloom_membership_sql and the
+    bloom-prefilter decontamination oracle."""
+    return " UNION ALL ".join(
+        f"SELECT {extra}, CAST({_bloom_pos_sql(str(i), kcol)} // {_BLOOM_WORD} "
+        f"AS INT) AS w, CAST(1 AS BIGINT) << "
+        f"({_bloom_pos_sql(str(i), kcol)} % {_BLOOM_WORD}) AS m FROM {src}"
+        for i in range(BLOOM_K)
+    )
+
+
 def bloom_membership_sql(
     base: str, group_col: str, key_col: str, probes_sql: str
 ) -> str:
     """DuckDB twin: identical md5 bit derivation (strpos hex algebra),
     identical 32-bit word packing, bit_or fold, all-bits-set point
     query. ``probes_sql`` must yield (g, probe) rows."""
-    def pos_expr(i: str, key: str) -> str:
-        h = f"md5({i} || ':' || {key})"
-        return (
-            f"(256 * (strpos('{_HEX}', substr({h}, 1, 1)) - 1)"
-            f" + 16 * (strpos('{_HEX}', substr({h}, 2, 1)) - 1)"
-            f" + (strpos('{_HEX}', substr({h}, 3, 1)) - 1))"
-        )
-
-    def cells(src: str, kcol: str, extra: str) -> str:
-        return " UNION ALL ".join(
-            f"SELECT {extra}, CAST({pos_expr(str(i), kcol)} // {_BLOOM_WORD} "
-            f"AS INT) AS w, CAST(1 AS BIGINT) << "
-            f"({pos_expr(str(i), kcol)} % {_BLOOM_WORD}) AS m FROM {src}"
-            for i in range(BLOOM_K)
-        )
-
+    cells = bloom_cells_sql
     return f"""
 WITH e AS (
   SELECT {group_col} AS g, CAST({key_col} AS VARCHAR) AS k FROM ({base})

@@ -305,3 +305,112 @@ def span_dedup_sql(k: int = 16) -> str:
         "LEFT JOIN dups USING (doc_id) "
         "LEFT JOIN cov USING (doc_id)"
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark_source: str = "src0",
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """contamination_check with the Bloom filter as the gram
+    pre-filter — the 100 TB decontamination shape: a real benchmark
+    suite's distinct-gram set (billions of rows across eval sets)
+    can't broadcast exactly, but its Bloom filter is 128 int64 words
+    REGARDLESS of gram count. Corpus grams probe the broadcast filter
+    map-side; only the survivors (true hits + measured-not-assumed
+    false positives) reach the exact semi-join. No false negatives is
+    STRUCTURAL, so (n_hit, frac, contaminated) are provably identical
+    to the exact contamination_check — the pytest pins that equality,
+    and n_bloom_pass rides along as the pruning dial (n_hit ≤
+    n_bloom_pass ≪ n_grams). Returns (doc_id, n_grams, n_bloom_pass,
+    n_hit, frac, contaminated)."""
+    from ..operators.sketch import _bloom_bits, bloom_sketch
+
+    grams = (
+        docs.select("doc_id", "source", words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles_of(F.col("w"), k)).alias("g"),
+        )
+        .select("doc_id", "source", F.md5("g").alias("h"))
+    )
+    bench = (
+        grams.where(F.col("source") == benchmark_source).select("h").distinct()
+    )
+    corpus = grams.where(F.col("source") != benchmark_source).select(
+        "doc_id", "h"
+    ).distinct()
+    sk = bloom_sketch(
+        bench.select(F.lit("b").alias("g"), "h"), "g", "h"
+    ).select("w", "bits")
+    cells = corpus.select(
+        "doc_id", "h", F.explode(_bloom_bits(F.col("h"))).alias("b")
+    ).select("doc_id", "h", F.col("b.w").alias("w"), F.col("b.m").alias("m"))
+    flag = (
+        cells.join(F.broadcast(sk), "w", "left")
+        .withColumn(
+            "bit_set",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("m")) == F.col("m"),
+                F.lit(False),
+            ).cast("int"),
+        )
+        .groupBy("doc_id", "h")
+        .agg((F.min("bit_set") == 1).alias("in_bloom"))
+    )
+    passed = flag.where(F.col("in_bloom")).select("doc_id", "h")
+    hits = passed.join(F.broadcast(bench), "h", "left_semi")
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    npass = passed.groupBy("doc_id").agg(F.count("*").alias("n_bloom_pass"))
+    nhit = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    return (
+        totals.join(npass, "doc_id", "left")
+        .join(nhit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce(frac, F.lit(0.0)).alias("frac"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("frac") >= float(threshold)).cast("bigint"),
+        )
+    )
+
+
+def bloom_decontaminate_sql(
+    benchmark_source: str = "src0", k: int = 8, threshold: float = 0.5
+) -> str:
+    from ..operators.sketch import bloom_cells_sql
+
+    grams = (
+        f"SELECT doc_id, source, md5(UNNEST({shingles_sql('text', k)})) AS h "
+        "FROM documents"
+    )
+    return (
+        f"WITH grams AS ({grams}), "
+        f"bench AS (SELECT DISTINCT h FROM grams WHERE source = '{benchmark_source}'), "
+        f"corpus AS (SELECT DISTINCT doc_id, h FROM grams WHERE source <> '{benchmark_source}'), "
+        "bsk AS (SELECT w, bit_or(m) AS bits FROM ("
+        + bloom_cells_sql("bench", "h", "1 AS one")
+        + ") GROUP BY w), "
+        "pc AS (" + bloom_cells_sql("corpus", "h", "doc_id, h") + "), "
+        "flag AS (SELECT doc_id, h, "
+        "MIN(CASE WHEN bits IS NOT NULL AND (bits & m) = m THEN 1 ELSE 0 END) = 1 "
+        "AS in_bloom FROM pc LEFT JOIN bsk USING (w) GROUP BY doc_id, h), "
+        "totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id), "
+        "np AS (SELECT doc_id, COUNT(*) AS n_bloom_pass FROM flag WHERE in_bloom GROUP BY doc_id), "
+        "nh AS (SELECT doc_id, COUNT(*) AS n_hit FROM flag "
+        "WHERE in_bloom AND h IN (SELECT h FROM bench) GROUP BY doc_id) "
+        "SELECT totals.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(n_bloom_pass, 0) AS BIGINT) AS n_bloom_pass, "
+        "CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, "
+        "COALESCE(CAST(n_hit AS DOUBLE) / n_grams, 0.0) AS frac, "
+        f"CAST(COALESCE(CAST(n_hit AS DOUBLE) / n_grams, 0.0) >= {float(threshold)!r} AS BIGINT) AS contaminated "
+        "FROM totals LEFT JOIN np USING (doc_id) LEFT JOIN nh USING (doc_id)"
+    )
