@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     # pigeonhole blocking) and the fourth mergeable sketch
     "mm_phash_dedup",
     "events_bloom_membership",
+    # round-7 addition: the video keyframe dedup bridge (stride
+    # explode multiplies rows BEFORE the fingerprint — the heaviest
+    # phash-family path)
+    "mm_video_keyframes",
 ]
 
 

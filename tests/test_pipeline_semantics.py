@@ -1295,6 +1295,75 @@ def test_mm_phash_dedup_recall_and_twins(spark):
     assert [r[f"q{j}"] for j in range(4)] == [0, 0, 0, 0]
 
 
+def test_mm_video_keyframes_recall_and_twins(spark):
+    """The video near-dup bridge: (a) mm_video_keyframes must equal a
+    brute-force all-pairs hamming scan over the per-keyframe phash
+    chunks, aggregated to video pairs (pigeonhole recall through the
+    frame→video bridge), and (b) every planted twin video
+    (media_id % 10 == 0 → +1e9 copy, same payload → identical frame
+    hashes) appears with min_hamming 0 and n_frame_matches ≥ its
+    keyframe count (≥: stride-aligned frames of OTHER videos could
+    collide, none do in this fixture)."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.multimodal import (
+        _KF_ID_BASE, _TWIN_OFFSET, mm_video_keyframes, phash_from_hex,
+        synthesize_media,
+    )
+
+    rows = [(i, f"video clip {i} {'y' * (i % 13)}", "en", "s", 20)
+            for i in range(120)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r["video_a"], r["video_b"]): (r["n_frame_matches"], r["min_hamming"])
+           for r in mm_video_keyframes(docs).collect()}
+
+    # brute force over the same keyframe signature relation
+    media = synthesize_media(docs)
+    vids = media.where(F.col("kind") == "video")
+    twins = vids.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + _TWIN_OFFSET
+    )
+    kf = vids.unionByName(twins).select(
+        "media_id",
+        F.lower(F.hex("payload")).alias("vh"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(30))
+        ).alias("frame_idx"),
+    )
+    hx = F.concat(F.col("vh"), F.lit(":"), F.col("frame_idx").cast("string"))
+    sig = {
+        r["doc_id"]: [r[f"q{j}"] for j in range(4)]
+        for r in phash_from_hex(
+            kf.select(
+                (F.col("media_id") * _KF_ID_BASE + F.col("frame_idx"))
+                .alias("media_id"),
+                F.concat(F.md5(hx), F.md5(F.reverse(hx))).alias("h"),
+            )
+        ).collect()
+    }
+    ids = sorted(sig)
+    expect: dict = {}
+    n_kf: dict = {}
+    for k in ids:
+        n_kf[k // _KF_ID_BASE] = n_kf.get(k // _KF_ID_BASE, 0) + 1
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(sig[a][j] ^ sig[b][j]).count("1") for j in range(4))
+            va, vb = a // _KF_ID_BASE, b // _KF_ID_BASE
+            if h <= 3 and va != vb:
+                n, m = expect.get((va, vb), (0, 64))
+                expect[(va, vb)] = (n + 1, min(m, h))
+    assert got == expect
+    # video media_ids are doc_id % 3 == 2; twins of those % 10 == 0
+    planted = [m for m in n_kf if m < _TWIN_OFFSET and m % 10 == 0 and m % 3 == 2]
+    assert planted, "fixture must contain twinned videos"
+    for m in planted:
+        n, h = got[(m, m + _TWIN_OFFSET)]
+        assert h == 0 and n >= n_kf[m]
+
+
 def test_bloom_decontaminate_equals_exact_check(spark):
     """The bloom pre-filter must not change any contamination verdict:
     (doc_id, n_grams, n_hit, frac, contaminated) identical to

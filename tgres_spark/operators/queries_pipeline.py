@@ -144,6 +144,17 @@ def mm_phash_dedup(spark, sf_dir):
     return mm.mm_phash_dedup(_docs(spark, sf_dir))
 
 
+@register("mm_video_keyframes", sql=mm.mm_video_keyframes_sql())
+def mm_video_keyframes(spark, sf_dir):
+    """Video near-dup pairs closing the modality matrix: JVM-side
+    keyframe sampling → per-frame pHash fingerprint (shared
+    phash_from_hex) → the SAME pigeonhole engine as simhash/phash →
+    frame matches aggregated to (video_a, video_b); deterministic
+    twins planted in-query so the frame→video bridge provably carries
+    pairs end-to-end."""
+    return mm.mm_video_keyframes(_docs(spark, sf_dir))
+
+
 @register("mm_audio_chunks", sql=mm.mm_audio_chunks_sql())
 def mm_audio_chunks(spark, sf_dir):
     """Fixed-size audio chunking as pure JVM column algebra — binary

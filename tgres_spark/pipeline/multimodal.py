@@ -262,20 +262,22 @@ _PHASH_CHUNKS = 4     # 4 × 16-bit chunks feed the pigeonhole blocking
 _TWIN_OFFSET = 1_000_000_000
 
 
-def mm_phash(media: DataFrame) -> DataFrame:
-    """pHash-style 64-bit perceptual fingerprint per image, as the
-    (doc_id, q0..q3) 4×16-bit chunk relation dedup.chunk_hamming_pairs
-    blocks on.
+def phash_from_hex(rel: DataFrame) -> DataFrame:
+    """pHash-style 64-bit perceptual fingerprint over ANY
+    (media_id, h) relation — h a 64-char lowercase-hex string whose
+    nibbles play the 'pixels' — returned as the (doc_id, q0..q3)
+    4×16-bit chunk relation dedup.chunk_hamming_pairs blocks on.
+    Shared by mm_phash (images: h = payload hex) and
+    mm_video_keyframes (videos: h = per-keyframe hash).
 
     Real pHash thresholds DCT coefficients of a downscaled grayscale
     image against their median; over the deterministic fake decode the
-    'pixels' are the payload's 64 hex nibbles and the threshold is
-    their mean — the average-hash construction (bit_i = pixel_i >
-    mean), which shares pHash's defining property: a small local
-    change to the image flips few bits, so near-identical images land
-    within a small hamming distance. The comparison stays exact
-    integer algebra (nib*64 > Σnib — no division), so Spark and the
-    DuckDB oracle derive identical bits.
+    'pixels' are the hex nibbles and the threshold is their mean — the
+    average-hash construction (bit_i = pixel_i > mean), which shares
+    pHash's defining property: a small local change flips few bits, so
+    near-identical inputs land within a small hamming distance. The
+    comparison stays exact integer algebra (nib*64 > Σnib — no
+    division), so Spark and the DuckDB oracle derive identical bits.
 
     Shape note (the simhash() lesson relearned): both a 64-column
     unrolled form (~50 MiB codegen task binary) and an array-HOF form
@@ -285,12 +287,9 @@ def mm_phash(media: DataFrame) -> DataFrame:
     explodes nibble positions as ROWS and assembles chunks with two
     tiny-expression groupBys + one co-keyed join — aggregation
     barriers that the optimizer cannot inline through; same
-    O(64·images) arithmetic, milliseconds of codegen."""
+    O(64·rows) arithmetic, milliseconds of codegen."""
     per = _PHASH_NIBBLES // _PHASH_CHUNKS
-    imgs = media.where(F.col("kind") == "image").select(
-        "media_id", F.lower(F.hex(F.col("payload"))).alias("h")
-    )
-    nibs = imgs.select(
+    nibs = rel.select(
         "media_id",
         F.explode(
             F.sequence(F.lit(0), F.lit(_PHASH_NIBBLES - 1))
@@ -330,6 +329,17 @@ def mm_phash(media: DataFrame) -> DataFrame:
     )
 
 
+def mm_phash(media: DataFrame) -> DataFrame:
+    """Per-image pHash fingerprint: the payload's 64 hex nibbles are
+    the 'pixels' (see phash_from_hex for the construction and the
+    codegen shape note)."""
+    return phash_from_hex(
+        media.where(F.col("kind") == "image").select(
+            "media_id", F.lower(F.hex(F.col("payload"))).alias("h")
+        )
+    )
+
+
 def mm_phash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-duplicate pairs — the multimodal column's dedup
     consumer, closing the loop text already has: synthesize → phash →
@@ -359,11 +369,13 @@ def mm_phash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def mm_phash_dedup_sql(max_hamming: int = 3) -> str:
-    """DuckDB twin: nibble values via strpos over the same
-    md5(text)||md5(reverse(text)) hex, identical integer threshold,
-    identical twin planting, and the 4-table UNION ALL pigeonhole
-    join mirroring dedup_simhash_sql."""
+def _phash_sql_parts() -> tuple[str, str, str, str]:
+    """Shared SQL fragments for the pHash-family oracles (images and
+    video keyframes): nibble values via strpos over a 64-char hex
+    column ``h``, identical integer threshold, and the 4-table UNION
+    ALL pigeonhole join mirroring dedup_simhash_sql. Assumes CTEs
+    ``withsum(media_id, h, s)`` → ``sig(doc_id, q0..q3)``; returns
+    (total_expr, chunk_exprs, key_rows, hamming_expr)."""
     nib = "(strpos('0123456789abcdef', h[{p}]) - 1)"
     total = (
         "list_sum(list_transform(range(1, 65), i -> "
@@ -388,6 +400,13 @@ def mm_phash_dedup_sql(max_hamming: int = 3) -> str:
     ham = " + ".join(
         f"bit_count(xor(a.q{j}, b.q{j}))" for j in range(_PHASH_CHUNKS)
     )
+    return total, chunk_exprs, key_rows, ham
+
+
+def mm_phash_dedup_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of mm_phash_dedup: same hex, same threshold, same
+    twin planting, shared pigeonhole fragments (_phash_sql_parts)."""
+    total, chunk_exprs, key_rows, ham = _phash_sql_parts()
     return (
         "WITH imgs AS (SELECT doc_id AS media_id, "
         "md5(text) || md5(reverse(text)) AS h FROM documents "
@@ -402,4 +421,111 @@ def mm_phash_dedup_sql(max_hamming: int = 3) -> str:
         f"CAST({ham} AS BIGINT) AS hamming "
         "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key "
         f"WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}"
+    )
+
+
+# keyframe id = media_id * _KF_ID_BASE + frame_idx; frame_idx < 300
+# by construction (n_frames = doc_id % 300 + 1) so the packing is
+# collision-free, and twin ids (~1e9) keep the product well inside
+# int64.
+_KF_ID_BASE = 1024
+
+
+def mm_video_keyframes(
+    docs: DataFrame, every_n: int = 30, max_hamming: int = 3
+) -> DataFrame:
+    """Video near-duplicate pairs — the video column's dedup consumer,
+    closing the modality matrix (round 6 gave images mm_phash_dedup):
+    sample keyframes JVM-side (frame_sample's stride explode), derive
+    a per-keyframe 64-nibble hash from (payload hex, frame_idx) —
+    standing in for 'decode frame, pHash it' exactly as the fake
+    decode stands in elsewhere — fingerprint with the SAME
+    phash_from_hex, block with the SAME 4-table pigeonhole engine
+    (dedup.chunk_hamming_pairs, exact for hamming ≤ 3), then
+    aggregate frame-level matches to video pairs. Returns (video_a,
+    video_b, n_frame_matches, min_hamming).
+
+    Twins (every tenth video, +1e9, same payload → identical frame
+    hashes) are planted IN-QUERY as in mm_phash_dedup so the
+    frame→video bridge provably carries pairs end-to-end; a twin pair
+    must surface with n_frame_matches = its keyframe count and
+    min_hamming 0.
+
+    Scale: keyframes multiply rows ~x(n_frames/every_n) BEFORE the
+    fingerprint, but everything that shuffles afterwards is 4 ints
+    per keyframe (signatures, never payloads) on uniform 65536-way
+    chunk keys; the final video-pair agg is co-keyed with the pair
+    derivation. No all-pairs join at any level — same guarantee as
+    the image path."""
+    from .dedup import chunk_hamming_pairs
+
+    media = synthesize_media(docs)
+    vids = media.where(F.col("kind") == "video")
+    twins = vids.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + _TWIN_OFFSET
+    )
+    kf = (
+        vids.unionByName(twins)
+        .select(
+            "media_id",
+            F.lower(F.hex(F.col("payload"))).alias("vh"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+    hx = F.concat(F.col("vh"), F.lit(":"), F.col("frame_idx").cast("string"))
+    keyframes = kf.select(
+        (F.col("media_id") * _KF_ID_BASE + F.col("frame_idx")).alias(
+            "media_id"
+        ),
+        F.concat(F.md5(hx), F.md5(F.reverse(hx))).alias("h"),
+    )
+    pairs = chunk_hamming_pairs(phash_from_hex(keyframes), max_hamming)
+    return (
+        pairs.select(
+            F.expr(f"doc_a div {_KF_ID_BASE}").alias("video_a"),
+            F.expr(f"doc_b div {_KF_ID_BASE}").alias("video_b"),
+            "hamming",
+        )
+        .where(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+
+
+def mm_video_keyframes_sql(every_n: int = 30, max_hamming: int = 3) -> str:
+    """DuckDB twin of mm_video_keyframes: videos are doc_id % 3 = 2,
+    n_frames = doc_id % 300 + 1 (synthesize_media), stride range =
+    Spark's sequence(0, n_frames-1, every_n), keyframe hash and
+    pigeonhole fragments shared with the image oracle."""
+    total, chunk_exprs, key_rows, ham = _phash_sql_parts()
+    hx = "vh || ':' || frame_idx"
+    return (
+        "WITH vids AS (SELECT doc_id AS media_id, "
+        "md5(text) || md5(reverse(text)) AS vh, "
+        "(doc_id % 300 + 1) AS n_frames FROM documents "
+        "WHERE doc_id % 3 = 2), "
+        "allv AS (SELECT media_id, vh, n_frames FROM vids UNION ALL "
+        f"SELECT media_id + {_TWIN_OFFSET}, vh, n_frames FROM vids "
+        "WHERE media_id % 10 = 0), "
+        "fr AS (SELECT media_id, vh, "
+        f"UNNEST(range(0, n_frames, {every_n})) AS frame_idx FROM allv), "
+        f"m AS (SELECT media_id * {_KF_ID_BASE} + frame_idx AS media_id, "
+        f"md5({hx}) || md5(reverse({hx})) AS h FROM fr), "
+        f"withsum AS (SELECT media_id, h, {total} AS s FROM m), "
+        f"sig AS (SELECT media_id AS doc_id, {chunk_exprs} FROM withsum), "
+        f"keys AS ({key_rows}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb, "
+        f"CAST({ham} AS BIGINT) AS hamming "
+        "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key "
+        f"WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}) "
+        f"SELECT ka // {_KF_ID_BASE} AS video_a, "
+        f"kb // {_KF_ID_BASE} AS video_b, "
+        "COUNT(*) AS n_frame_matches, MIN(hamming) AS min_hamming "
+        f"FROM pairs WHERE ka // {_KF_ID_BASE} <> kb // {_KF_ID_BASE} "
+        "GROUP BY 1, 2"
     )
