@@ -869,6 +869,12 @@ def test_ivf_lloyd_centroid_update_math(spark):
     before = {r["vec_id"]: r["dist"] for r in ann_ivf_assign(emb).collect()}
     after = {r["vec_id"]: r["dist"] for r in ann_ivf_lloyd(emb).collect()}
     assert sum(after.values()) <= sum(before.values()) + 1e-9
+    # composed second iteration (ann_ivf_lloyd2_fixed's tree): the
+    # Lloyd objective keeps descending monotonically
+    after2 = {
+        r["vec_id"]: r["dist"] for r in ann_ivf_lloyd(emb, iters=2).collect()
+    }
+    assert sum(after2.values()) <= sum(after.values()) + 1e-9
 
 
 def test_anomaly_zscore_flags_spike_only(spark):

@@ -54,7 +54,13 @@ register("ann_lsh_topk", sql=sim.ann_lsh_topk_sql())(
 register("ann_lsh_buckets", sql=sim.ann_lsh_buckets_sql())(
     lambda s, d: sim.ann_lsh_buckets(_emb(s, d))
 )
-register("ann_ivf_search")(  # rows-only: iterative k-means centroids
+# rows-only (declared): the convergence-looped k-means fit. Every
+# piece of its pipeline is hash-checked elsewhere — assignment
+# (ann_ivf_assign), one and two composed Lloyd updates
+# (ann_ivf_lloyd_fixed / ann_ivf_lloyd2_fixed), probing
+# (ann_ivf_probe_sweep) — so only the data-dependent iteration COUNT
+# itself lacks an oracle.
+register("ann_ivf_search")(
     lambda s, d: sim.ann_ivf_search(_emb(s, d))
 )
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
@@ -62,6 +68,9 @@ register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
 )
 register("ann_ivf_lloyd_fixed", sql=sim.ann_ivf_lloyd_sql())(
     lambda s, d: sim.ann_ivf_lloyd(_emb(s, d))
+)
+register("ann_ivf_lloyd2_fixed", sql=sim.ann_ivf_lloyd_sql(iters=2))(
+    lambda s, d: sim.ann_ivf_lloyd(_emb(s, d), iters=2)
 )
 register("ann_pq_encode", sql=sim.ann_pq_encode_sql())(
     lambda s, d: sim.ann_pq_encode(_emb(s, d))

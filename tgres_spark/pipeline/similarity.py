@@ -783,27 +783,12 @@ def ann_ivf_assign_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
     )
 
 
-def ann_ivf_lloyd(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> DataFrame:
-    """(vec_id, cell, dist): ONE full Lloyd iteration from the fixed
-    seeded codebook — assign → recompute centroids → re-assign — as a
-    single Catalyst tree, fully hash-checked (ann_ivf_lloyd_sql). The
-    iterative ann_ivf_search keeps Lloyd in a loop and stays rows-only;
-    this fixed-iteration sibling proves the update step itself is
-    cross-engine exact (reference ANN training loop analog).
-
-    Scale shape: assignment is map-only vs the broadcast codebook; the
-    centroid update is ONE groupBy(cell) with 64 map-side-combined
-    micro6 BIGINT sums (no explode — N·64 rows never shuffle); the k
-    new centroids collapse to a single broadcast row for re-assignment.
-    Determinism: micro6 member sums per dimension (order-free), mean =
-    (int64/1e6)/count with identical IEEE op order in DuckDB, squared
-    L2 left-folds, argmin ties to the first index."""
-    cents = _ivf_codebook(k, seed=seed)
-    cdf = emb.sparkSession.createDataFrame(
-        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
-    )
-    dists0 = F.transform(
-        F.col("cents"),
+def _sq_dists(cents_col):
+    """transform(cents, c -> left-folded squared L2 to `embedding`) —
+    the shared distance kernel; arrays materialized before any argmin
+    (no CSE inside HOF lambdas)."""
+    return F.transform(
+        cents_col,
         lambda c: F.aggregate(
             F.zip_with(
                 F.col("embedding"),
@@ -814,17 +799,15 @@ def ann_ivf_lloyd(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> Dat
             lambda acc, x: acc + x,
         ),
     )
-    a1 = (
-        emb.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "embedding", dists0.alias("dists"))
-        .select(
-            "vec_id",
-            "embedding",
-            F.array_position(F.col("dists"), F.array_min("dists")).alias("cell"),
-        )
-    )
+
+
+def _lloyd_step(a: DataFrame) -> DataFrame:
+    """One Lloyd update over (vec_id, embedding, cell): recompute cell
+    centroids (micro6 BIGINT member sums, map-side combined) and
+    re-assign every vector against the new centroid list broadcast as
+    ONE row. Returns (vec_id, embedding, cell, dist)."""
     dim = EMB_DIM
-    sums = a1.groupBy("cell").agg(
+    sums = a.groupBy("cell").agg(
         F.count(F.lit(1)).alias("cnt"),
         *[
             F.sum(
@@ -852,24 +835,13 @@ def ann_ivf_lloyd(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> Dat
         F.col("cs.cell").alias("cells"),
         F.col("cs.centroid").alias("cents2"),
     )
-    dists1 = F.transform(
-        F.col("cents2"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
     return (
-        a1.select("vec_id", "embedding")
+        a.select("vec_id", "embedding")
         .crossJoin(F.broadcast(clist))
-        .select("vec_id", "cells", dists1.alias("dists"))
+        .select("vec_id", "embedding", "cells", _sq_dists(F.col("cents2")).alias("dists"))
         .select(
             "vec_id",
+            "embedding",
             F.element_at(
                 F.col("cells"),
                 F.array_position(F.col("dists"), F.array_min("dists")).cast("int"),
@@ -881,10 +853,55 @@ def ann_ivf_lloyd(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> Dat
     )
 
 
-def ann_ivf_lloyd_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+def ann_ivf_lloyd(
+    emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7, iters: int = 1
+) -> DataFrame:
+    """(vec_id, cell, dist): ``iters`` full Lloyd iterations from the
+    fixed seeded codebook — assign → (recompute centroids → re-assign)
+    × iters — as a SINGLE Catalyst tree, fully hash-checked
+    (ann_ivf_lloyd_sql with the same ``iters``: the oracle's CTE chain
+    unrolls once per iteration). The iterative ann_ivf_search keeps
+    Lloyd in a convergence loop and stays rows-only; these
+    fixed-iteration siblings (iters=1 round 5, iters=2 round 7) prove
+    the update step composes cross-engine exactly (reference ANN
+    training loop analog).
+
+    Scale shape: assignment is map-only vs the broadcast codebook;
+    each centroid update is ONE groupBy(cell) with 64 map-side-
+    combined micro6 BIGINT sums (no explode — N·64 rows never
+    shuffle); the k new centroids collapse to a single broadcast row
+    for re-assignment. Iterations only deepen the tree linearly — the
+    per-iteration shuffle stays k rows wide.
+    Determinism: micro6 member sums per dimension (order-free), mean =
+    (int64/1e6)/count with identical IEEE op order in DuckDB, squared
+    L2 left-folds, argmin ties to the first index."""
+    cents = _ivf_codebook(k, seed=seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    a = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists")).alias("cell"),
+        )
+    )
+    for _ in range(iters):
+        a = _lloyd_step(a)
+    return a.select("vec_id", "cell", "dist")
+
+
+def ann_ivf_lloyd_sql(
+    k: int = IVF_CODEBOOK_K, seed: int = 7, iters: int = 1
+) -> str:
     """DuckDB twin of ann_ivf_lloyd: identical initial-codebook decimal
     literals, micro6 HUGEINT member sums cast back through the same
-    (sum/1e6)/cnt op order, list-folded squared L2, first-index ties."""
+    (sum/1e6)/cnt op order, list-folded squared L2, first-index ties.
+    The CTE chain unrolls once per iteration (sums{i} → nc{i} →
+    clist{i} → d{i} → a{i+1}) — each unroll is the same update the
+    iters=1 oracle already proved, composed."""
     cents = _ivf_codebook(k, seed=seed)
     dim = EMB_DIM
 
@@ -906,26 +923,36 @@ def ann_ivf_lloyd_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
         + ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / cnt" for i in range(dim))
         + "]"
     )
-    diff1 = "(CAST(a1.embedding[i] AS DOUBLE) - c[i])"
-    dists1 = (
-        "list_transform(clist.cents2, c -> "
-        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-        f"i -> {diff1} * {diff1})), (acc, x) -> acc + x))"
+    parts = [
+        f"d0 AS (SELECT vec_id, embedding, {dists0} AS dists FROM embeddings)",
+        "a1 AS (SELECT vec_id, embedding, "
+        "list_position(dists, list_min(dists)) AS cell FROM d0)",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"a{it}"
+        diff = f"(CAST({prev}.embedding[i] AS DOUBLE) - c[i])"
+        dists = (
+            f"list_transform(clist{it}.cents2, c -> "
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x))"
+        )
+        parts += [
+            f"sums{it} AS (SELECT cell, COUNT(*) AS cnt, {sum_cols} "
+            f"FROM {prev} GROUP BY cell)",
+            f"nc{it} AS (SELECT cell, {cent_arr} AS centroid FROM sums{it})",
+            f"clist{it} AS (SELECT list(cell ORDER BY cell) AS cells, "
+            f"list(centroid ORDER BY cell) AS cents2 FROM nc{it})",
+            f"d{it} AS (SELECT {prev}.vec_id, {prev}.embedding, "
+            f"clist{it}.cells, {dists} AS dists FROM {prev}, clist{it})",
+            f"a{it + 1} AS (SELECT vec_id, embedding, "
+            "CAST(cells[list_position(dists, list_min(dists))] AS BIGINT) AS cell, "
+            f"CAST(list_min(dists) AS DOUBLE) AS dist FROM d{it})",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cell, dist FROM a{iters + 1}"
     )
-    return f"""
-WITH d0 AS (SELECT vec_id, embedding, {dists0} AS dists FROM embeddings),
-a1 AS (SELECT vec_id, embedding,
-              list_position(dists, list_min(dists)) AS cell FROM d0),
-sums AS (SELECT cell, COUNT(*) AS cnt, {sum_cols} FROM a1 GROUP BY cell),
-nc AS (SELECT cell, {cent_arr} AS centroid FROM sums),
-clist AS (SELECT list(cell ORDER BY cell) AS cells,
-                 list(centroid ORDER BY cell) AS cents2 FROM nc),
-d1 AS (SELECT a1.vec_id, clist.cells, {dists1} AS dists FROM a1, clist)
-SELECT vec_id,
-       CAST(cells[list_position(dists, list_min(dists))] AS BIGINT) AS cell,
-       CAST(list_min(dists) AS DOUBLE) AS dist
-FROM d1
-"""
 
 
 # --- Product quantization ---------------------------------------------------
