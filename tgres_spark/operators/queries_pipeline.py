@@ -78,6 +78,9 @@ register("ann_pq_encode", sql=sim.ann_pq_encode_sql())(
 register("ann_pq_search", sql=sim.ann_pq_search_sql())(
     lambda s, d: sim.ann_pq_search(_emb(s, d))
 )
+register("ann_ivfadc_search", sql=sim.ann_ivfadc_search_sql())(
+    lambda s, d: sim.ann_ivfadc_search(_emb(s, d))
+)
 register("emb_label_centroids", sql=sim.emb_label_centroids_sql())(
     lambda s, d: sim.emb_label_centroids(_emb(s, d))
 )

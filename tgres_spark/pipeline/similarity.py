@@ -512,27 +512,43 @@ def _lsh_keys(sig: DataFrame, n_tables: int = DEDUP_LSH_TABLES) -> DataFrame:
 
 
 def _lsh_sig_sql(seed: int = 42) -> str:
+    """Mirrors _lsh_signatures: the 32 plane dots are ONE
+    list_transform over a hoisted flat plane column (nested WITH, so
+    this stays embeddable as a CTE body), then the sign-pattern
+    buckets read dots[t*n+i]. Hoisting matters for the same reason as
+    _pq_sub_sql: per-plane literals inside the lambda were rebuilt
+    per element — 13-15 s per LSH oracle at sf0.001, now sub-second,
+    same folds, bit-identical values."""
     planes = _planes(seed=seed)
-
-    def dot_sql(plane):
-        lits = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
-        return (
-            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])), "
-            "(acc, x) -> acc + x)"
+    n_planes = len(planes[0])
+    flat = [pl for table in planes for pl in table]
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in pl) + "]" for pl in flat
         )
-
+        + "]"
+    )
+    dots = (
+        "list_transform(planes, pl -> "
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * pl[i])), "
+        "(acc, x) -> acc + x))"
+    )
     bucket_cols = []
-    for t, table in enumerate(planes):
+    for t in range(len(planes)):
         bits = " + ".join(
-            f"CASE WHEN ({dot_sql(plane)}) > 0 THEN {1 << i} ELSE 0 END"
-            for i, plane in enumerate(table)
+            f"CASE WHEN dots[{t * n_planes + i + 1}] > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(n_planes)
         )
         bucket_cols.append(f"CAST({bits} AS INTEGER) AS t{t}")
     return (
-        f"SELECT vec_id, embedding, {_NORM_SQL} AS nrm, "
+        f"WITH lshp AS (SELECT ({lit}) AS planes) "
+        "SELECT vec_id, embedding, nrm, "
         + ", ".join(bucket_cols)
-        + " FROM embeddings"
+        + f" FROM (SELECT vec_id, embedding, {_NORM_SQL} AS nrm, "
+        f"{dots} AS dots FROM embeddings CROSS JOIN lshp)"
     )
 
 
@@ -766,18 +782,10 @@ def ann_ivf_assign(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> Da
 
 def ann_ivf_assign_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
     cents = _ivf_codebook(k, seed=seed)
-
-    def dist_sql(c):
-        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
-        diff = f"(CAST(embedding[i] AS DOUBLE) - ({lits})[i])"
-        return (
-            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
-        )
-
-    dists = "[" + ", ".join(dist_sql(c) for c in cents) + "]"
     return (
-        f"WITH d AS (SELECT vec_id, {dists} AS dists FROM embeddings) "
+        f"WITH {_ivf_cents_cte(cents)}, "
+        f"d AS (SELECT vec_id, {_ivf_dists_sql()} AS dists "
+        "FROM embeddings CROSS JOIN ivfk) "
         "SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell, "
         "CAST(list_min(dists) AS DOUBLE) AS dist FROM d"
     )
@@ -904,16 +912,6 @@ def ann_ivf_lloyd_sql(
     iters=1 oracle already proved, composed."""
     cents = _ivf_codebook(k, seed=seed)
     dim = EMB_DIM
-
-    def dist_sql(c):
-        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
-        diff = f"(CAST(embedding[i] AS DOUBLE) - ({lits})[i])"
-        return (
-            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
-        )
-
-    dists0 = "[" + ", ".join(dist_sql(c) for c in cents) + "]"
     sum_cols = ", ".join(
         f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
         for i in range(dim)
@@ -924,7 +922,9 @@ def ann_ivf_lloyd_sql(
         + "]"
     )
     parts = [
-        f"d0 AS (SELECT vec_id, embedding, {dists0} AS dists FROM embeddings)",
+        _ivf_cents_cte(cents),
+        f"d0 AS (SELECT vec_id, embedding, {_ivf_dists_sql()} AS dists "
+        "FROM embeddings CROSS JOIN ivfk)",
         "a1 AS (SELECT vec_id, embedding, "
         "list_position(dists, list_min(dists)) AS cell FROM d0)",
     ]
@@ -1032,29 +1032,51 @@ def ann_pq_encode(emb: DataFrame, seed: int = 11) -> DataFrame:
     return _pq_with_codes(emb, seed).drop("embedding")
 
 
-def _pq_sub_sql(s: int, cbs, vec: str = "embedding") -> str:
-    """DuckDB distance list for subvector s against its codebook."""
-    subs = []
-    for c in cbs[s]:
-        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
-        diff = f"(CAST({vec}[{s * PQ_DSUB} + i] AS DOUBLE) - ({lits})[i])"
-        subs.append(
-            f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
-            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+def _pq_sub_sql(s: int, vec: str = "embedding", b: str | None = None) -> str:
+    """DuckDB distance list for subvector s against its codebook,
+    referenced through the hoisted one-row constants column ``b`` (see
+    _pq_cb_cte): list_transform binds the codebook ONCE per row —
+    inlining the centroid literals instead makes DuckDB rebuild them
+    per list ELEMENT (measured 43-58 s per PQ oracle at sf0.001; this
+    form runs in seconds, same folds, bit-identical values)."""
+    b = b or f"b{s}"
+    diff = f"(CAST({vec}[{s * PQ_DSUB} + i] AS DOUBLE) - c[i])"
+    return (
+        f"list_transform({b}, c -> "
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x))"
+    )
+
+
+def _pq_cb_cte(seed: int = 11, name: str = "pqcb") -> str:
+    """One-row CTE holding the PQ sub-codebook literals as columns
+    b0..b{M-1}; consumers CROSS JOIN it so every lambda references a
+    column, never a literal."""
+    cbs = _pq_codebooks(seed)
+
+    def cb_lit(s):
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cbs[s]
+            )
+            + "]"
         )
-    return "[" + ", ".join(subs) + "]"
+
+    cols = ", ".join(f"({cb_lit(s)}) AS b{s}" for s in range(PQ_M))
+    return f"{name} AS (SELECT {cols})"
 
 
 def _pq_codes_cte(seed: int = 11) -> str:
-    cbs = _pq_codebooks(seed)
-    dcols = ", ".join(f"{_pq_sub_sql(s, cbs)} AS d{s}" for s in range(PQ_M))
+    dcols = ", ".join(f"{_pq_sub_sql(s)} AS d{s}" for s in range(PQ_M))
     ccols = ", ".join(
         f"CAST(list_position(d{s}, list_min(d{s})) AS BIGINT) AS c{s}"
         for s in range(PQ_M)
     )
     return (
+        f"WITH {_pq_cb_cte(seed)} "
         f"SELECT vec_id, embedding, {ccols} FROM "
-        f"(SELECT vec_id, embedding, {dcols} FROM embeddings)"
+        f"(SELECT vec_id, embedding, {dcols} FROM embeddings CROSS JOIN pqcb)"
     )
 
 
@@ -1142,19 +1164,8 @@ def ann_pq_search(
 
 
 def ann_pq_search_sql(n_queries: int = 10, k: int = 10, seed: int = 11) -> str:
-    cbs = _pq_codebooks(seed)
-
-    def cb_lit(s):
-        return (
-            "["
-            + ", ".join(
-                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cbs[s]
-            )
-            + "]"
-        )
-
     def sub_adc(s):
-        diff = f"(CAST(qv[{s * PQ_DSUB} + i] AS DOUBLE) - ({cb_lit(s)})[c{s}][i])"
+        diff = f"(CAST(qv[{s * PQ_DSUB} + i] AS DOUBLE) - b{s}[c{s}][i])"
         return (
             f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
             f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
@@ -1167,13 +1178,15 @@ def ann_pq_search_sql(n_queries: int = 10, k: int = 10, seed: int = 11) -> str:
         f"i -> {exact_diff} * {exact_diff})), (acc, x) -> acc + x)"
     )
     return f"""
-WITH codes AS ({_pq_codes_cte(seed)}),
+WITH {_pq_cb_cte(seed)},
+codes AS ({_pq_codes_cte(seed)}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
       WHERE vec_id < {n_queries}),
 scored AS (
   SELECT q.query_id, codes.vec_id AS neighbor_id,
          {adc} AS adc, {exact} AS exact
-  FROM q JOIN (SELECT vec_id, embedding AS cv,
+  FROM q CROSS JOIN pqcb
+       JOIN (SELECT vec_id, embedding AS cv,
                       {", ".join(f"c{s}" for s in range(PQ_M))} FROM codes) codes
     ON q.query_id <> codes.vec_id
 )
@@ -1245,19 +1258,32 @@ FROM sums CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) u
 """
 
 
-def _ivf_dists_sql(cents, vec: str = "embedding") -> str:
-    """DuckDB distance list of ``vec`` against the IVF centroid
-    literals — same fold as ann_ivf_assign_sql."""
-
-    def dist_sql(c):
-        lits = "[" + ", ".join(repr(float(x)) for x in c) + "]"
-        diff = f"(CAST({vec}[i] AS DOUBLE) - ({lits})[i])"
-        return (
-            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+def _ivf_cents_cte(cents, name: str = "ivfk") -> str:
+    """One-row CTE holding the IVF centroid literals as a single
+    nested-list column ``cs``; consumers CROSS JOIN it (see
+    _pq_sub_sql's docstring for why hoisting matters: inlined
+    literals are rebuilt per list element — 12-28 s per IVF oracle at
+    sf0.001)."""
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
         )
+        + "]"
+    )
+    return f"{name} AS (SELECT ({lit}) AS cs)"
 
-    return "[" + ", ".join(dist_sql(c) for c in cents) + "]"
+
+def _ivf_dists_sql(vec: str = "embedding", cs: str = "cs") -> str:
+    """DuckDB distance list of ``vec`` against the hoisted centroid
+    column (_ivf_cents_cte) — the same element order and left-fold as
+    the literal form, exactly Spark's transform(cents, ...)."""
+    diff = f"(CAST({vec}[i] AS DOUBLE) - c[i])"
+    return (
+        f"list_transform({cs}, c -> "
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x))"
+    )
 
 
 def ann_ivf_pq_search(
@@ -1380,19 +1406,9 @@ def ann_ivf_pq_search_sql(
     pq_seed: int = 11,
 ) -> str:
     cents = _ivf_codebook(seed=seed)
-    cbs = _pq_codebooks(pq_seed)
-
-    def cb_lit(s):
-        return (
-            "["
-            + ", ".join(
-                "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cbs[s]
-            )
-            + "]"
-        )
 
     def sub_adc(s):
-        diff = f"(CAST(qv[{s * PQ_DSUB} + i] AS DOUBLE) - ({cb_lit(s)})[c{s}][i])"
+        diff = f"(CAST(qv[{s * PQ_DSUB} + i] AS DOUBLE) - b{s}[c{s}][i])"
         return (
             f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
             f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
@@ -1401,16 +1417,19 @@ def ann_ivf_pq_search_sql(
     adc = " + ".join(sub_adc(s) for s in range(PQ_M))
     ccols = ", ".join(f"c{s}" for s in range(PQ_M))
     return f"""
-WITH codes AS ({_pq_codes_cte(pq_seed)}),
-cv AS (SELECT vec_id, {_ivf_dists_sql(cents)} AS dists FROM embeddings),
+WITH {_ivf_cents_cte(cents)},
+{_pq_cb_cte(pq_seed)},
+codes AS ({_pq_codes_cte(pq_seed)}),
+cv AS (SELECT vec_id, {_ivf_dists_sql()} AS dists
+       FROM embeddings CROSS JOIN ivfk),
 corp AS (
   SELECT codes.vec_id AS neighbor_id, {ccols},
          CAST(list_position(cv.dists, list_min(cv.dists)) AS BIGINT) AS cell
   FROM codes JOIN cv ON cv.vec_id = codes.vec_id
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qv,
-             {_ivf_dists_sql(cents)} AS dists
-      FROM embeddings WHERE vec_id < {n_queries}),
+             {_ivf_dists_sql()} AS dists
+      FROM embeddings CROSS JOIN ivfk WHERE vec_id < {n_queries}),
 qc AS (
   SELECT query_id, qv, u.i AS pos1, dists[u.i] AS dist
   FROM q CROSS JOIN (SELECT unnest(range(1, {IVF_CODEBOOK_K + 1})) AS i) u
@@ -1423,10 +1442,309 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, corp.neighbor_id, {adc} AS adc
-  FROM probes p JOIN corp ON corp.cell = p.cell
+  FROM probes p CROSS JOIN pqcb JOIN corp ON corp.cell = p.cell
   WHERE p.query_id <> corp.neighbor_id
 )
 SELECT query_id, neighbor_id, adc, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def ann_ivfadc_search(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    seed: int = 7,
+    pq_seed: int = 11,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc, exact, abs_err, rank): IVFADC with
+    RESIDUAL encoding — the published construction (Jégou et al.,
+    'Product Quantization for Nearest Neighbor Search', §IV): each
+    corpus vector stores PQ codes of its residual to the assigned IVF
+    centroid (r = x − c_cell), and a query builds a DIFFERENT residual
+    per probed cell (qr = q − c_cell) before the asymmetric-distance
+    fold. ann_ivf_pq_search composes the same two indexes but encodes
+    raw vectors; residual encoding is what makes the composition an
+    index rather than two stacked filters — when data clusters around
+    the coarse centroids, residuals are small and the 8-code ADC
+    becomes sharply more accurate (asserted in pytest on a clustered
+    fixture vs the raw-PQ error). The ``exact`` column is the
+    measurement instrument (full-precision L2 beside the estimate, as
+    in ann_pq_search); a production scan would drop it and the raw
+    embedding it rides on.
+
+    Scale shape: identical to ann_ivf_pq_search — cell + residual
+    codes from one map-only scan against broadcast codebooks, the tiny
+    probe relation broadcasts into the cell-bucketed join, never a
+    cartesian, and the index side of the corpus carries 8 codes + a
+    cell id. Determinism: residuals are float→double subtractions of
+    shared decimal literals (exact IEEE, same op in DuckDB), distance
+    folds are left-folds, residual arrays and query residuals are
+    MATERIALIZED as columns before any HOF consumes them (the CSE
+    rule), ties to lower ids."""
+    from pyspark.sql import Window
+
+    cents = _ivf_codebook(seed=seed)
+    ivf_cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    pq_cdf = emb.sparkSession.createDataFrame(
+        [(_pq_codebooks(pq_seed),)], "cbs array<array<array<double>>>"
+    )
+
+    def ivf_dists(vec: str):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    asg = (
+        emb.crossJoin(F.broadcast(ivf_cdf))
+        .select("vec_id", "embedding", "cents",
+                ivf_dists("embedding").alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            "cents",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    res = asg.select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.zip_with(
+            "embedding",
+            F.element_at(F.col("cents"), F.col("cell")),
+            lambda x, y: x.cast("double") - y,
+        ).alias("r"),
+    )
+    subs = res.crossJoin(F.broadcast(pq_cdf)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        "cbs",
+        *[
+            F.slice("r", s * PQ_DSUB + 1, PQ_DSUB).alias(f"sub{s}")
+            for s in range(PQ_M)
+        ],
+    )
+
+    def dist_col(s):
+        return F.transform(
+            F.col("cbs")[s],
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(f"sub{s}"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    withd = subs.select(
+        "vec_id",
+        "embedding",
+        "cell",
+        *[dist_col(s).alias(f"d{s}") for s in range(PQ_M)],
+    )
+    corp = withd.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("cell").cast("bigint").alias("cell"),
+        *[
+            F.array_position(F.col(f"d{s}"), F.array_min(f"d{s}"))
+            .cast("bigint")
+            .alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qd = (
+        q.crossJoin(F.broadcast(ivf_cdf))
+        .select("query_id", "qv", "cents", ivf_dists("qv").alias("dists"))
+        .select(
+            "query_id", "qv", "cents",
+            F.posexplode("dists").alias("pos", "dist"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("pos").asc()
+    )
+    # per-probed-cell query residual, computed ONCE on the tiny probe
+    # relation (n_queries × nprobe rows) BEFORE the cell join — not
+    # per candidate pair: the centroid literal then never appears in
+    # the per-pair expression (the first cut inlined it 16× there and
+    # the oracle ran 390 s at sf0.001; this shape runs in seconds and
+    # is also what you'd broadcast at 100 TB)
+    probes = (
+        qd.withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= nprobe)
+        .select(
+            "query_id",
+            "qv",
+            (F.col("pos") + 1).cast("bigint").alias("cell"),
+            F.zip_with(
+                "qv",
+                F.element_at(F.col("cents"), (F.col("pos") + 1).cast("int")),
+                lambda x, y: x.cast("double") - y,
+            ).alias("qr"),
+        )
+    )
+    with_qr = (
+        F.broadcast(probes)
+        .join(corp, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(pq_cdf))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            "cbs",
+            *[f"c{s}" for s in range(PQ_M)],
+            "qr",
+        )
+    )
+
+    def sub_adc(s):
+        cent = F.element_at(F.col("cbs")[s], F.col(f"c{s}").cast("int"))
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qr", s * PQ_DSUB + 1, PQ_DSUB),
+                cent,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc = sub_adc(0)
+    for s in range(1, PQ_M):
+        adc = adc + sub_adc(s)
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = with_qr.select(
+        "query_id", "neighbor_id", adc.alias("adc"), exact.alias("exact")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            "exact",
+            F.abs(F.col("adc") - F.col("exact")).alias("abs_err"),
+            F.col("rank").cast("bigint"),
+        )
+    )
+
+
+def ann_ivfadc_search_sql(
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    seed: int = 7,
+    pq_seed: int = 11,
+) -> str:
+    """DuckDB twin of ann_ivfadc_search: same centroid/codebook decimal
+    literals, residual lists built with the same float→double
+    subtraction, same left-folds and tie orders; the per-probed-cell
+    query residual indexes the centroid literal by p.cell exactly as
+    Spark's element_at does."""
+    cents = _ivf_codebook(seed=seed)
+    dcols = ", ".join(f"{_pq_sub_sql(s, vec='r')} AS d{s}" for s in range(PQ_M))
+    ccols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) AS BIGINT) AS c{s}"
+        for s in range(PQ_M)
+    )
+
+    def sub_adc(s):
+        diff = f"(qr[{s * PQ_DSUB} + i] - b{s}[c{s}][i])"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {PQ_DSUB + 1}), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+        )
+
+    adc = " + ".join(sub_adc(s) for s in range(PQ_M))
+    exact_diff = "(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))"
+    exact = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {exact_diff} * {exact_diff})), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH {_ivf_cents_cte(cents)},
+{_pq_cb_cte(pq_seed)},
+asg AS (
+  SELECT vec_id, embedding, cs, list_position(d, list_min(d)) AS cell
+  FROM (SELECT vec_id, embedding, cs, {_ivf_dists_sql()} AS d
+        FROM embeddings CROSS JOIN ivfk)
+),
+res AS (
+  SELECT vec_id, embedding, cell,
+         list_transform(range(1, {EMB_DIM + 1}),
+           i -> CAST(embedding[i] AS DOUBLE) - cs[cell][i]) AS r
+  FROM asg
+),
+codes AS (
+  SELECT vec_id, embedding, cell, {ccols}
+  FROM (SELECT vec_id, embedding, cell, {dcols}
+        FROM res CROSS JOIN pqcb)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_ivf_dists_sql()} AS dists
+      FROM embeddings CROSS JOIN ivfk WHERE vec_id < {n_queries}),
+qc AS (
+  SELECT query_id, qv, u.i AS pos1, dists[u.i] AS dist
+  FROM q CROSS JOIN (SELECT unnest(range(1, {IVF_CODEBOOK_K + 1})) AS i) u
+),
+probes AS (
+  SELECT query_id, qv, CAST(pos1 AS BIGINT) AS cell,
+         list_transform(range(1, {EMB_DIM + 1}),
+           i -> CAST(qv[i] AS DOUBLE) - cs[pos1][i]) AS qr
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY dist ASC, pos1 ASC) AS prank FROM qc) CROSS JOIN ivfk
+  WHERE prank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {adc} AS adc, {exact} AS exact
+  FROM probes p CROSS JOIN pqcb
+       JOIN (SELECT vec_id, embedding AS cv, cell,
+                             {", ".join(f"c{s}" for s in range(PQ_M))}
+                      FROM codes) c
+    ON c.cell = p.cell
+  WHERE p.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, adc, exact, ABS(adc - exact) AS abs_err, rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
 WHERE rank <= {k}

@@ -64,7 +64,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "events_bloom_membership", "rrd_retention_prune",
     "rrd_compact_archive", "pipeline_bloom_decontaminate",
     # -- new round-7 operators (first driver exposure this round) --
-    "mm_video_keyframes", "ann_ivf_lloyd2_fixed",
+    "mm_video_keyframes", "ann_ivf_lloyd2_fixed", "ann_ivfadc_search",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",
