@@ -375,26 +375,49 @@ def _hw_fixed_ctes(
     def q6(e: str) -> str:
         return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
 
+    # The recursive member computes each intermediate ONCE in a
+    # layered subquery chain (x1 → x5). The first cut inlined L
+    # textually into TR/SE/RES and RES into FACTOR/SDUP — the
+    # expression tree expanded L ~30× per step and the three HW
+    # oracles took 49/63/20 s at sf0.01; this form computes the same
+    # quantized values (identical q6 points, identical IEEE order) in
+    # a few seconds. Deviation chain per series/holtwinters.go:118-127:
+    # factor folded into (0,1], update only past the 3rd point;
+    # 1.0/(res/val) — NOT val/res — to match the Python fold's IEEE
+    # op order exactly.
     SI = f"((r.i + 1) % {slen}) + 1"  # 1-based list index
     L = q6(f"{A} * d.value / r.seasonal[{SI}] + {IA} * (r.level + r.trend)")
-    TR = q6(f"{B} * (({L}) - r.level) + {IB} * r.trend")
-    SE = q6(f"{G} * d.value / ({L}) + {IG} * r.seasonal[{SI}]")
-    RES = q6(f"(({L}) + ({TR})) * ({SE})")
-    # deviation chain (series/holtwinters.go:118-127): factor folded
-    # into (0,1], update only past the 3rd point. 1.0/(res/val) — NOT
-    # val/res — to match the Python fold's IEEE op order exactly.
+    TR = q6(f"{B} * (lv - level) + {IB} * trend")
+    SE = q6(f"{G} * dv / lv + {IG} * seasonal[si]")
+    RES = q6("(lv + trv) * sev")
     FACTOR = (
-        f"CASE WHEN d.value = 0 THEN 1.0 "
-        f"WHEN ({RES}) / d.value > 1 THEN 1.0 / (({RES}) / d.value) "
-        f"ELSE ({RES}) / d.value END"
+        "CASE WHEN dv = 0 THEN 1.0 "
+        "WHEN resv / dv > 1 THEN 1.0 / (resv / dv) "
+        "ELSE resv / dv END"
     )
-    SDUP = q6(f"{G} * (1.0 - ({FACTOR})) + {IG} * r.sdev[{SI}]")
-    SDEV_LIST = (
-        f"CASE WHEN r.i + 1 > 2 THEN list_transform(r.sdev, "
-        f"(x, k) -> CASE WHEN k = {SI} THEN {SDUP} ELSE x END) "
-        f"ELSE r.sdev END"
-    )
-    DEVV = f"CASE WHEN r.i + 1 > 2 THEN {SDUP} ELSE r.sdev[{SI}] END"
+    SDUP = q6(f"{G} * (1.0 - factorv) + {IG} * sdev[si]")
+    REC_STEP = f"""
+  SELECT name, i + 1 AS i, lv AS level, trv AS trend,
+         list_transform(seasonal,
+                        (x, k) -> CASE WHEN k = si THEN sev ELSE x END) AS seasonal,
+         CASE WHEN i + 1 > 2 THEN list_transform(sdev,
+                (x, k) -> CASE WHEN k = si THEN sdup ELSE x END)
+              ELSE sdev END AS sdev,
+         CASE WHEN i + 1 > 2 THEN sdup ELSE sdev[si] END AS devv,
+         resv AS result, dt AS t
+  FROM (
+    SELECT x4.*, {SDUP} AS sdup FROM (
+      SELECT x3.*, {FACTOR} AS factorv FROM (
+        SELECT x2.*, {RES} AS resv FROM (
+          SELECT x1.*, {TR} AS trv, {SE} AS sev FROM (
+            SELECT r.name, r.i, r.level, r.trend, r.seasonal, r.sdev,
+                   d.value AS dv, d.t AS dt, {SI} AS si, {L} AS lv
+            FROM rec r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
+          ) x1
+        ) x2
+      ) x3
+    ) x4
+  ) x5"""
     return f"""
 WITH RECURSIVE
 idx AS (
@@ -446,16 +469,7 @@ rec AS (
   JOIN sl ON sl.name = d.name
   WHERE d.i = 0
   UNION ALL
-  SELECT r.name, r.i + 1,
-         {L} AS level,
-         {TR} AS trend,
-         list_transform(r.seasonal,
-                        (x, k) -> CASE WHEN k = {SI} THEN {SE} ELSE x END) AS seasonal,
-         {SDEV_LIST} AS sdev,
-         {DEVV} AS devv,
-         {RES} AS result,
-         d.t
-  FROM rec r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
+{REC_STEP}
 ),
 fin AS (
   SELECT r.* FROM rec r JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
