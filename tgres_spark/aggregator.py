@@ -157,26 +157,53 @@ def timer_stats_from_sorted(
     arr = F.col("arr")
     n = F.size(arr)
     lfold = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    # fold the sorted array ONCE per distinct prefix: `total` feeds
+    # both sum and mean, `s_{th}` feeds sum_th and mean_th —
+    # expressed as a pre-projection because expressions get no CSE
+    # across select-list entries (the naive form folded arr 2+2/th
+    # times; CollapseProject keeps this split since the folds are
+    # non-cheap and multiply referenced). Same folds, same division
+    # order — values unchanged.
+    folded = grouped.select(
+        NAME,
+        "slot",
+        "arr",
+        lfold(arr).alias("total"),
+        *[
+            F.when(
+                F.floor(F.lit(th / 100.0) * n.cast("double") + 0.5).cast("int")
+                - 1
+                >= 0,
+                lfold(
+                    F.slice(
+                        arr,
+                        1,
+                        F.floor(
+                            F.lit(th / 100.0) * n.cast("double") + 0.5
+                        ).cast("int"),
+                    )
+                ),
+            ).alias(f"s_{th}")
+            for th in thresholds
+        ],
+    )
     cols = [
         n.cast("double").alias("count"),
         F.element_at(arr, 1).alias("lower"),
         F.element_at(arr, n).alias("upper"),
-        lfold(arr).alias("sum"),
-        (lfold(arr) / n.cast("double")).alias("mean"),
+        F.col("total").alias("sum"),
+        (F.col("total") / n.cast("double")).alias("mean"),
     ]
     suffixes = ["count", "lower", "upper", "sum", "mean"]
     for th in thresholds:
         idx = F.floor(F.lit(th / 100.0) * n.cast("double") + 0.5).cast("int") - 1
-        head = F.slice(arr, 1, idx + 1)
         cols += [
             F.when(idx >= 0, F.element_at(arr, idx + 1)).alias(f"upper_{th}"),
-            F.when(idx >= 0, lfold(head)).alias(f"sum_{th}"),
-            F.when(idx >= 0, lfold(head) / (idx + 1).cast("double")).alias(
-                f"mean_{th}"
-            ),
+            F.col(f"s_{th}").alias(f"sum_{th}"),
+            (F.col(f"s_{th}") / (idx + 1).cast("double")).alias(f"mean_{th}"),
         ]
         suffixes += [f"upper_{th}", f"sum_{th}", f"mean_{th}"]
-    wide = grouped.select(NAME, "slot", *cols)
+    wide = folded.select(NAME, "slot", *cols)
     stack = ", ".join(f"'{s}', `{s}`" for s in suffixes)
     return wide.selectExpr(
         "name", "slot", f"stack({len(suffixes)}, {stack}) AS (suffix, value)"

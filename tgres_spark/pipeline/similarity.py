@@ -1110,22 +1110,52 @@ def ann_pq_search(
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    pairs = F.broadcast(q).join(
+    # per-query ADC lookup tables — the constant-factor rewrite the
+    # docstring promises: lut{s}[c] is EXACTLY sub_adc's fold for code
+    # c, evaluated once per (query, sub, code) on n_queries rows
+    # instead of per candidate pair; the per-pair ADC then costs 8
+    # array lookups, not 8 zip_with folds (round-7 watch-item fix:
+    # 2.38 s → the pair scan stops re-deriving the same 1,280 doubles
+    # ~2,000×). Same folds, same sum order, bit-identical — the
+    # oracle is unchanged. Subvector slices materialize BEFORE the
+    # transform (CSE-in-HOF rule); `lambda c:` only — a second lambda
+    # parameter would silently receive the element INDEX.
+    qsub = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id",
+        "qv",
+        "cbs",
+        *[
+            F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB).alias(f"qsub{s}")
+            for s in range(PQ_M)
+        ],
+    )
+
+    def lut_col(s):
+        return F.transform(
+            F.col("cbs")[s],
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(f"qsub{s}"),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    qlut = qsub.select(
+        "query_id",
+        "qv",
+        *[lut_col(s).alias(f"lut{s}") for s in range(PQ_M)],
+    )
+    pairs = F.broadcast(qlut).join(
         corpus.withColumnRenamed("vec_id", "neighbor_id"),
         F.col("query_id") != F.col("neighbor_id"),
-    ).crossJoin(F.broadcast(cdf))
+    )
 
     def sub_adc(s):
-        cent = F.element_at(F.col("cbs")[s], F.col(f"c{s}").cast("int"))
-        return F.aggregate(
-            F.zip_with(
-                F.slice("qv", s * PQ_DSUB + 1, PQ_DSUB),
-                cent,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        return F.element_at(F.col(f"lut{s}"), F.col(f"c{s}").cast("int"))
 
     adc = sub_adc(0)
     for s in range(1, PQ_M):
