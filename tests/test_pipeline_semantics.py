@@ -877,6 +877,59 @@ def test_ivf_lloyd_centroid_update_math(spark):
     assert sum(after2.values()) <= sum(after.values()) + 1e-9
 
 
+def test_bigram_lm_stupid_backoff_math(spark):
+    """Hand-computed stupid-backoff scores on a 3-doc corpus, plus the
+    ordering property the filter relies on: a doc of corpus-frequent
+    bigrams outscores one stitched from never-adjacent tokens (whose
+    every bigram backs off)."""
+    import math
+
+    from tgres_spark.pipeline.textstats import text_bigram_lm
+
+    # reference split = even doc_ids: d0 'a b a b' + d2 'c a' train.
+    # Train unigrams: a=3, b=2, c=1 (T=6, V=3); train bigrams:
+    # (a,b)=2, (b,a)=1, (c,a)=1.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "en", "s", 7),
+            (1, "a b", "en", "s", 3),
+            (2, "c a", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in text_bigram_lm(docs).collect()}
+
+    def lp(x):
+        return round(math.log10(x), 9)
+
+    def m6(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    # d0: bigrams (a,b),(b,a),(a,b) → 2/3, 1/2, 2/3 — all seen
+    exp0 = (m6(lp(2 / 3)) + m6(lp(1 / 2)) + m6(lp(2 / 3))) / 1e6 / 3
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["avg_logp"] - exp0) < 1e-12
+    assert out[0]["backoff_frac"] == 0.0
+    # d1 (held out): (a,b) = 2/3 seen
+    assert abs(out[1]["avg_logp"] - m6(lp(2 / 3)) / 1e6) < 1e-12
+    # d2: (c,a) seen once in its only context → 1/1 → logp 0
+    assert out[2]["avg_logp"] == 0.0 and out[2]["backoff_frac"] == 0.0
+
+    # ordering property: a held-out doc of reference-frequent bigrams
+    # ≫ one stitched from never-adjacent tokens (every bigram backs
+    # off through the Laplace-floored unigram)
+    corpus = [(i, "the quick fox " * 3, "en", "s", 40) for i in range(5)]
+    corpus.append((101, "quick the fox", "en", "s", 13))  # reversed pairs
+    docs2 = spark.createDataFrame(
+        corpus,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = {r["doc_id"]: r for r in text_bigram_lm(docs2).collect()}
+    assert out2[1]["avg_logp"] > out2[101]["avg_logp"]
+    assert out2[101]["backoff_frac"] == 1.0
+    assert out2[1]["backoff_frac"] == 0.0
+
+
 def test_ivfadc_residual_beats_raw_pq_on_clustered_data(spark):
     """IVFADC's defining property: when data clusters around the
     coarse centroids, residuals are small and the residual-encoded ADC

@@ -283,6 +283,9 @@ def pipeline_contamination(spark, sf_dir):
     return contamination_check(_docs(spark, sf_dir))
 
 
+register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
+    lambda spark, sf_dir: tx.text_bigram_lm(_docs(spark, sf_dir))
+)
 register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
     lambda spark, sf_dir: tx.text_unigram_logprob(_docs(spark, sf_dir))
 )

@@ -350,6 +350,125 @@ def text_unigram_logprob_sql() -> str:
     )
 
 
+def text_bigram_lm(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp, backoff_frac): corpus-trained
+    bigram LM score with stupid backoff (Brants et al. 2007, 'Large
+    Language Models in Machine Translation') — the next step up from
+    text_unigram_logprob toward a perplexity filter: S(w2|w1) =
+    c(w1w2)/c(w1) when the bigram was seen, else backoff·c(w2)/T.
+    Low avg_logp flags incoherent token sequences unigram frequency
+    can't see; backoff_frac (share of unseen bigrams) is itself a
+    novelty/gibberish signal.
+
+    The LM trains on a REFERENCE SPLIT (even doc_ids), exactly the
+    CCNet deployment shape (train on the trusted corpus, score the
+    crawl) — training on the full corpus would leave every scored
+    doc's own bigrams 'seen' and the backoff path structurally dead.
+    OOV mass gets a Laplace floor: unseen-branch probability is
+    backoff·(c(w2)+1)/(T+V) so a token absent from the reference
+    still scores finite. Scoring covers docs with ≥ 2 tokens
+    (mirrored in the oracle).
+
+    Shape: two reference-frequency aggregates (unigram + bigram),
+    then the doc bigram stream joins both co-keyed on uniform token
+    keys — the bigram table is NOT broadcast (vocab² at 100 TB; AQE
+    may still choose broadcast at small SF), and only (doc_id, two
+    words) rows shuffle. Determinism: exact int64 counts, the
+    probability division and log10 rounded at 9 digits (the libm
+    rule), per-doc micro6 BIGINT sums (order-free; |logp| < 20),
+    int/int double divisions for the fractions."""
+    from ..model import micro6
+
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    train_tok = (
+        base.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ws").alias("w"))
+    )
+    cu = train_tok.groupBy("w").agg(F.count("*").alias("cu"))
+    totals = cu.agg(
+        F.sum("cu").alias("tot"), F.count("*").alias("vocab")
+    )
+    b2 = base.where(F.size("ws") >= 2)
+    big = (
+        b2.select("doc_id", "ws", F.posexplode("ws").alias("i", "w1"))
+        .where(F.col("i") < F.size("ws") - 1)
+        .select(
+            "doc_id",
+            "w1",
+            F.element_at(F.col("ws"), F.col("i") + 2).alias("w2"),
+        )
+    )
+    cb = (
+        big.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    u1 = cu.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = cu.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    seen = F.col("cb").isNotNull()
+    p = F.when(seen, F.col("cb").cast("double") / F.col("c1")).otherwise(
+        F.lit(backoff)
+        * (
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot") + F.col("vocab"))
+        )
+    )
+    logp = F.round(F.log(10.0, p), 9)
+    scored = (
+        big.join(cb, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            logp.alias("lp"),
+            (~seen).cast("bigint").alias("backed"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(micro6(F.col("lp"))).cast("double")
+            / 1000000.0
+            / F.count("*")
+        ).alias("avg_logp"),
+        (F.sum("backed").cast("double") / F.count("*")).alias("backoff_frac"),
+    )
+
+
+def text_bigram_lm_sql(backoff: float = 0.4) -> str:
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH base AS (SELECT doc_id, {w} AS ws FROM documents), "
+        "cu AS (SELECT w, COUNT(*) AS cu FROM "
+        "(SELECT UNNEST(ws) AS w FROM base WHERE doc_id % 2 = 0) GROUP BY w), "
+        "totals AS (SELECT SUM(cu) AS tot, COUNT(*) AS vocab FROM cu), "
+        "b2 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 2), "
+        "big AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, "
+        "ws[CAST(i AS INT) + 1] AS w2 "
+        "FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i FROM b2)), "
+        "cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big "
+        "WHERE doc_id % 2 = 0 GROUP BY w1, w2), "
+        "scored AS (SELECT big.doc_id, "
+        "ROUND(LN(CASE WHEN cb.cb IS NOT NULL "
+        "THEN CAST(cb.cb AS DOUBLE) / u1.cu "
+        f"ELSE {float(backoff)!r} * "
+        "(CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE) / (tot + vocab)) END) "
+        "/ LN(10.0), 9) AS lp, "
+        "CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS backed "
+        "FROM big "
+        "LEFT JOIN cb ON big.w1 = cb.w1 AND big.w2 = cb.w2 "
+        "LEFT JOIN cu u1 ON big.w1 = u1.w "
+        "LEFT JOIN cu u2 ON big.w2 = u2.w "
+        "CROSS JOIN totals) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(CAST(FLOOR(lp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 / COUNT(*) AS avg_logp, "
+        "CAST(SUM(backed) AS DOUBLE) / COUNT(*) AS backoff_frac "
+        "FROM scored GROUP BY doc_id"
+    )
+
+
 def text_repetition(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac):
     Gopher-style repetition signals (Rae et al. 2021 §A1.1 — excessive
