@@ -68,10 +68,14 @@ BENCH_QUERIES = [
     # pigeonhole blocking) and the fourth mergeable sketch
     "mm_phash_dedup",
     "events_bloom_membership",
-    # round-7 addition: the video keyframe dedup bridge (stride
+    # round-7 additions: the video keyframe dedup bridge (stride
     # explode multiplies rows BEFORE the fingerprint — the heaviest
-    # phash-family path)
+    # phash-family path), the residual-encoded IVFADC, and the
+    # bigram-LM quality scorer (two corpus aggregates + co-keyed
+    # token joins)
     "mm_video_keyframes",
+    "ann_ivfadc_search",
+    "text_bigram_lm",
 ]
 
 
