@@ -307,6 +307,9 @@ register("emb_covariance", sql=sim.emb_covariance_sql())(
     lambda s, d: sim.emb_covariance(_emb(s, d))
 )
 
+register("ann_ivfadc_probe_sweep", sql=sim.ann_ivfadc_probe_sweep_sql())(
+    lambda s, d: sim.ann_ivfadc_probe_sweep(_emb(s, d))
+)
 register("ann_ivf_probe_sweep", sql=sim.ann_ivf_probe_sweep_sql())(
     lambda s, d: sim.ann_ivf_probe_sweep(_emb(s, d))
 )

@@ -2450,6 +2450,72 @@ def ann_ivf_probe_sweep(
     return res
 
 
+def ann_ivfadc_probe_sweep(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    probes: tuple = (1, 2, 4),
+) -> DataFrame:
+    """(nprobe, n_hits, recall): the recall-vs-cost curve for the
+    RESIDUAL-encoded path (ann_ivfadc_search), measured against the
+    same exact-L2 ground truth as ann_ivf_probe_sweep — side by side
+    the two sweeps show what residual encoding buys at each dial
+    position. Deterministic end to end, so the curve itself is
+    hash-checked."""
+    truth = _exact_l2_topk(emb, n_queries, k)
+    outs = []
+    for p in probes:
+        appr = ann_ivfadc_search(emb, n_queries, k, nprobe=p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = truth.join(appr, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("n_hits")
+        )
+        outs.append(
+            hits.select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.col("n_hits").cast("bigint"),
+                (
+                    F.col("n_hits").cast("double") / float(n_queries * k)
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def ann_ivfadc_probe_sweep_sql(
+    n_queries: int = 10, k: int = 10, probes: tuple = (1, 2, 4)
+) -> str:
+    diff = "(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
+    d2 = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x)"
+    )
+    truth = (
+        "SELECT query_id, neighbor_id FROM ("
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {d2} AS d2 "
+        "FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id "
+        f"WHERE q.vec_id < {n_queries}) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY d2 ASC, neighbor_id ASC) <= {k}"
+    )
+    parts = []
+    for p in probes:
+        parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS nprobe, "
+            "CAST(COUNT(*) AS BIGINT) AS n_hits, "
+            f"CAST(COUNT(*) AS DOUBLE) / {float(n_queries * k)!r} AS recall "
+            "FROM truth JOIN ("
+            + ann_ivfadc_search_sql(n_queries, k, nprobe=p)
+            + ") a ON truth.query_id = a.query_id "
+            "AND truth.neighbor_id = a.neighbor_id"
+        )
+    return f"WITH truth AS ({truth}) " + " UNION ALL ".join(parts)
+
+
 def ann_ivf_probe_sweep_sql(
     n_queries: int = 10, k: int = 10, probes: tuple = (1, 2, 4)
 ) -> str:
