@@ -73,3 +73,44 @@ def test_spark_bands_bracket_forecast(spark):
     lo = {r["t"]: r["value"] for r in out if "Lower" in r["name"]}
     assert up.keys() == lo.keys()
     assert all(up[t] >= lo[t] for t in up)
+
+
+def test_nm1_winner_never_worse_than_initial_best():
+    """One Nelder-Mead iteration must produce a winner whose exact
+    integer SSE is <= the best initial simplex point's (the new
+    simplex always retains the previous best), and strictly improves
+    on data where the simplex's reflection helps; all winner
+    coordinates stay q6-quantized."""
+    from tgres_spark.operators.holtwinters import (
+        _NM_SIMPLEX,
+        _hw_init_state,
+        _hw_nm1_winner,
+        _hw_sse_int,
+        _q6,
+    )
+
+    data = _seasonal_data(n_seasons=6, slen=12)
+    vals = [_q6(float(v)) for v in data]
+    trend0, seasonal0 = _hw_init_state(vals, 12)
+
+    def f(p):
+        return _hw_sse_int(vals, 12, trend0, seasonal0, *p)
+
+    f_init_best = min(f(p) for p in _NM_SIMPLEX)
+    win = _hw_nm1_winner(vals, 12)
+    assert f(win) <= f_init_best
+    for c in win:
+        assert c == _q6(c)
+
+
+def test_nm1_spark_forecast_shape(spark):
+    """hw_nm1_forecast emits n + n_pred rows per series with the
+    family name, like the fixed variant."""
+    from tgres_spark.operators.holtwinters import hw_nm1_forecast
+
+    data = _seasonal_data(n_seasons=6)
+    rows = [("s", int(3600 * i), float(v)) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "name string, t long, value double")
+    out = hw_nm1_forecast(df, 12, 12).collect()
+    assert len(out) == len(data) + 12
+    assert all(r["name"] == "holtWintersForecast(s)" for r in out)

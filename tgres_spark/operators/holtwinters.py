@@ -259,6 +259,164 @@ def _hw_fixed_series(vals, ts, slen, n_pred, a, b, g):
     return out_t, result, dev
 
 
+# the production fit's initial simplex (hw_fit), frozen for the
+# fixed-iteration NM sibling — every coordinate is exact at micro6
+_NM_SIMPLEX = (
+    (0.1, 0.01, 0.9),
+    (0.9, 0.1, 0.1),
+    (0.5, 0.2, 0.5),
+    (0.1, 0.9, 0.1),
+)
+_NM_BIG = 1 << 62  # out-of-range-parameter SSE sentinel (hw_smooth's _BIG)
+
+
+def _hw_init_state(vals, slen):
+    """(trend, seasonal) q6 initialization shared by the fixed and
+    NM-fixed paths — exactly _hw_fixed_series's init block."""
+    import math
+
+    n = len(vals)
+    acc = 0
+    for j in range(slen):
+        acc += math.floor((vals[slen + j] - vals[j]) / slen * 1000000.0 + 0.5)
+    trend = _q6(float(acc) / 1000000.0 / float(slen))
+    ns = n // slen
+    savg = []
+    for s in range(ns):
+        m = 0
+        for j in range(slen):
+            m += math.floor(vals[s * slen + j] * 1000000.0 + 0.5)
+        savg.append(float(m) / 1000000.0 / float(slen))
+    seasonal = []
+    for si in range(slen):
+        m = 0
+        for s in range(ns):
+            m += math.floor(vals[s * slen + si] / savg[s] * 1000000.0 + 0.5)
+        seasonal.append(_q6(float(m) / 1000000.0 / float(ns)))
+    return trend, seasonal
+
+
+def _hw_sse_int(vals, slen, trend0, seasonal0, a, b, g):
+    """Exact integer SSE (micro6 units) of the q6-quantized recursion
+    at (a, b, g) — the NM objective. Out-of-range parameters return
+    the _NM_BIG sentinel (hw_smooth's guard). Integer accumulation is
+    what lets the DuckDB twin make identical branch decisions: both
+    engines compare the same int, never a float."""
+    import math
+
+    if not (0.0 < a < 1.0 and 0.0 < b < 1.0 and 0.0 < g < 1.0):
+        return _NM_BIG
+    n = len(vals)
+    level = vals[0]
+    trend = trend0
+    seasonal = list(seasonal0)
+    sse = 0
+    for i in range(1, n):
+        si = i % slen
+        val = vals[i]
+        new_level = _q6(a * val / seasonal[si] + (1.0 - a) * (level + trend))
+        trend = _q6(b * (new_level - level) + (1.0 - b) * trend)
+        seasonal[si] = _q6(g * val / new_level + (1.0 - g) * seasonal[si])
+        level = new_level
+        res_i = _q6((level + trend) * seasonal[si])
+        if i > 2:
+            d = res_i - val
+            sse += math.floor(d * d * 1000000.0 + 0.5)
+    return sse
+
+
+def _hw_nm1_winner(vals, slen):
+    """ONE Nelder-Mead iteration (standard coefficients: reflect 1,
+    expand 2, contract 0.5, shrink 0.5) from the production simplex
+    over the exact-integer SSE objective; returns the winning
+    (a, b, g). Control flow is made relational-friendly: ALL candidate
+    points (reflection, expansion, contraction, 3 shrinks) are
+    evaluated unconditionally with deterministic point ids (originals
+    0-3, refl 4, exp 5, contr 6, shrinks 7-9 by rank), the branch is
+    chosen per nelder_mead()'s exact condition order, and the winner
+    is min by (sse, pid) — the SQL twin computes the same ints and
+    the same CASE, so both engines pick the same point."""
+    trend0, seasonal0 = _hw_init_state(vals, slen)
+
+    def f(p):
+        return _hw_sse_int(vals, slen, trend0, seasonal0, *p)
+
+    pts = [
+        (pid, _NM_SIMPLEX[pid], f(_NM_SIMPLEX[pid]))
+        for pid in range(len(_NM_SIMPLEX))
+    ]
+    pts.sort(key=lambda r: (r[2], r[0]))
+    import math
+
+    def m6(x):
+        return math.floor(x * 1000000.0 + 0.5)
+
+    def cmean(j):
+        return _q6(
+            float(sum(m6(pts[i][1][j]) for i in range(3))) / 1000000.0 / 3.0
+        )
+
+    c = tuple(cmean(j) for j in range(3))
+    w = pts[3][1]
+    best = pts[0][1]
+    refl = tuple(_q6(c[j] + (c[j] - w[j])) for j in range(3))
+    expa = tuple(_q6(c[j] + 2.0 * (c[j] - w[j])) for j in range(3))
+    contr = tuple(_q6(c[j] + 0.5 * (w[j] - c[j])) for j in range(3))
+    shr = [
+        tuple(_q6(best[j] + 0.5 * (pts[i][1][j] - best[j])) for j in range(3))
+        for i in (1, 2, 3)
+    ]
+    cand = {4: refl, 5: expa, 6: contr, 7: shr[0], 8: shr[1], 9: shr[2]}
+    fcand = {pid: f(p) for pid, p in cand.items()}
+    f0, f3rd, fworst = pts[0][2], pts[2][2], pts[3][2]
+    fr, fe, fc = fcand[4], fcand[5], fcand[6]
+    if f0 <= fr < f3rd:
+        newpid = 4
+    elif fr < f0:
+        newpid = 5 if fe < fr else 4
+    elif fc < fworst:
+        newpid = 6
+    else:
+        newpid = -1  # shrink
+    if newpid != -1:
+        pool = [(p[0], p[1], p[2]) for p in pts[:3]]
+        pool.append((newpid, cand[newpid], fcand[newpid]))
+    else:
+        pool = [pts[0]] + [(pid, cand[pid], fcand[pid]) for pid in (7, 8, 9)]
+    pool.sort(key=lambda r: (r[2], r[0]))
+    return pool[0][1]
+
+
+def hw_nm1_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFrame:
+    """holtWintersForecast after ONE hash-checked Nelder-Mead
+    iteration — the optimizer-layer sibling of hw_fixed_forecast:
+    hw_fixed proves the RECURSION is cross-engine exact, this proves
+    the NM UPDATE STEP (order, centroid, reflect/expand/contract/
+    shrink, accept) is too, leaving only the adaptive iteration count
+    of the full fits rows-only. Same applyInPandas fan-out shape as
+    every HW variant (one small group per series)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        name = pdf["name"].iloc[0]
+        vals = [_q6(float(v)) for v in pdf["value"]]
+        ts = [int(t) for t in pdf["t"]]
+        if len(vals) < 2 * slen:
+            return pd.DataFrame({"name": [], "t": [], "value": []})
+        a, b, g = _hw_nm1_winner(vals, slen)
+        fit = _hw_fixed_series(vals, ts, slen, n_pred, a, b, g)
+        out_t, result, _dev = fit
+        return pd.DataFrame(
+            {"name": f"holtWintersForecast({name})", "t": out_t, "value": result}
+        )
+
+    return (
+        df.where(F.col(VALUE).isNotNull())
+        .groupBy(NAME)
+        .applyInPandas(fn, schema="name string, t long, value double")
+    )
+
+
 def _hw_fixed_apply(df, slen, n_pred, a, b, g, mode, dev_scale):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -354,6 +512,52 @@ def hw_fixed_aberration(
     return _hw_fixed_apply(df, slen, 0, a, b, g, "aberration", dev_scale)
 
 
+def _hw_init_sql(base: str, slen: int) -> str:
+    """The init CTE chain (idx…stp) shared verbatim by the fixed and
+    NM-fixed oracles: q6 inputs, micro6-int trend/seasonal sums."""
+
+    def q6(e: str) -> str:
+        return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
+
+    return f"""idx AS (
+  SELECT name, t, {q6('value')} AS value,
+         row_number() OVER (PARTITION BY name ORDER BY t) - 1 AS i
+  FROM (SELECT * FROM ({base}) b WHERE b.value IS NOT NULL)
+),
+cnt AS (
+  SELECT name, COUNT(*) AS n, COUNT(*) // {slen} AS ns
+  FROM idx GROUP BY name HAVING COUNT(*) >= {2 * slen}
+),
+tr AS (
+  SELECT a.name,
+         {q6(f"CAST(SUM(CAST(FLOOR((b.value - a.value) / {slen} * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / {float(slen)!r}")} AS trend
+  FROM idx a JOIN idx b ON b.name = a.name AND b.i = a.i + {slen}
+  WHERE a.i < {slen} GROUP BY a.name
+),
+savg AS (
+  SELECT idx.name, idx.i // {slen} AS s,
+         CAST(SUM(CAST(FLOOR(idx.value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / {float(slen)!r} AS avg
+  FROM idx JOIN cnt ON cnt.name = idx.name
+  WHERE idx.i < cnt.ns * {slen}
+  GROUP BY idx.name, idx.i // {slen}
+),
+seas AS (
+  SELECT idx.name, idx.i % {slen} AS si,
+         {q6("CAST(SUM(CAST(FLOOR(idx.value / savg.avg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(ANY_VALUE(cnt.ns) AS DOUBLE)")} AS sv
+  FROM idx
+  JOIN cnt ON cnt.name = idx.name
+  JOIN savg ON savg.name = idx.name AND savg.s = idx.i // {slen}
+  WHERE idx.i < cnt.ns * {slen}
+  GROUP BY idx.name, idx.i % {slen}
+),
+sl AS (SELECT name, list(sv ORDER BY si) AS seasonal FROM seas GROUP BY name),
+stp AS (
+  SELECT name,
+         MAX(CASE WHEN i = 1 THEN t END) - MAX(CASE WHEN i = 0 THEN t END) AS st
+  FROM idx WHERE i < 2 GROUP BY name
+)"""
+
+
 def _hw_fixed_ctes(
     base: str,
     slen: int,
@@ -420,43 +624,7 @@ def _hw_fixed_ctes(
   ) x5"""
     return f"""
 WITH RECURSIVE
-idx AS (
-  SELECT name, t, {q6('value')} AS value,
-         row_number() OVER (PARTITION BY name ORDER BY t) - 1 AS i
-  FROM (SELECT * FROM ({base}) b WHERE b.value IS NOT NULL)
-),
-cnt AS (
-  SELECT name, COUNT(*) AS n, COUNT(*) // {slen} AS ns
-  FROM idx GROUP BY name HAVING COUNT(*) >= {2 * slen}
-),
-tr AS (
-  SELECT a.name,
-         {q6(f"CAST(SUM(CAST(FLOOR((b.value - a.value) / {slen} * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / {float(slen)!r}")} AS trend
-  FROM idx a JOIN idx b ON b.name = a.name AND b.i = a.i + {slen}
-  WHERE a.i < {slen} GROUP BY a.name
-),
-savg AS (
-  SELECT idx.name, idx.i // {slen} AS s,
-         CAST(SUM(CAST(FLOOR(idx.value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / {float(slen)!r} AS avg
-  FROM idx JOIN cnt ON cnt.name = idx.name
-  WHERE idx.i < cnt.ns * {slen}
-  GROUP BY idx.name, idx.i // {slen}
-),
-seas AS (
-  SELECT idx.name, idx.i % {slen} AS si,
-         {q6("CAST(SUM(CAST(FLOOR(idx.value / savg.avg * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / CAST(ANY_VALUE(cnt.ns) AS DOUBLE)")} AS sv
-  FROM idx
-  JOIN cnt ON cnt.name = idx.name
-  JOIN savg ON savg.name = idx.name AND savg.s = idx.i // {slen}
-  WHERE idx.i < cnt.ns * {slen}
-  GROUP BY idx.name, idx.i % {slen}
-),
-sl AS (SELECT name, list(sv ORDER BY si) AS seasonal FROM seas GROUP BY name),
-stp AS (
-  SELECT name,
-         MAX(CASE WHEN i = 1 THEN t END) - MAX(CASE WHEN i = 0 THEN t END) AS st
-  FROM idx WHERE i < 2 GROUP BY name
-),
+{_hw_init_sql(base, slen)},
 rec AS (
   SELECT d.name, 0 AS i, d.value AS level, tr.trend AS trend,
          sl.seasonal AS seasonal,
@@ -543,6 +711,210 @@ SELECT 'holtWintersAberration(' || r.name || ')' AS name, r.t,
                  WHEN i.value < {LO} THEN i.value - ({LO})
                  ELSE 0.0 END AS DOUBLE) AS value
 FROM rec r JOIN idx i ON i.name = r.name AND i.i = r.i
+"""
+
+
+def _hw_sse_rec_sql(rec: str, pts: str, join_on: str, slen: int) -> str:
+    """Recursive exact-integer SSE evaluation of the q6 recursion at
+    every point of ``pts``(name?, pid, a, b, g) — the NM objective,
+    layered like _hw_fixed_ctes's member (each intermediate once).
+    Out-of-(0,1) points are excluded at the anchor; the consumer
+    COALESCEs their SSE to the _NM_BIG sentinel."""
+
+    def q6(e: str) -> str:
+        return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
+
+    SI = f"((r.i + 1) % {slen}) + 1"
+    L = q6(f"r.a * d.value / r.seasonal[{SI}] + (1.0 - r.a) * (r.level + r.trend)")
+    TR = q6("b * (lv - level) + (1.0 - b) * trend")
+    SE = q6("g * dv / lv + (1.0 - g) * seasonal[si]")
+    RES = q6("(lv + trv) * sev")
+    return f"""{rec} AS (
+  SELECT p.pid, p.a, p.b, p.g, d.name, 0 AS i, d.value AS level,
+         tr.trend AS trend, sl.seasonal AS seasonal,
+         CAST(0 AS HUGEINT) AS sse
+  FROM idx d
+  JOIN cnt ON cnt.name = d.name
+  JOIN tr ON tr.name = d.name
+  JOIN sl ON sl.name = d.name
+  JOIN {pts} p ON {join_on}
+  WHERE d.i = 0 AND p.a > 0 AND p.a < 1 AND p.b > 0 AND p.b < 1
+        AND p.g > 0 AND p.g < 1
+  UNION ALL
+  SELECT pid, a, b, g, name, i + 1 AS i, lv AS level, trv AS trend,
+         list_transform(seasonal,
+                        (x, k) -> CASE WHEN k = si THEN sev ELSE x END) AS seasonal,
+         sse + CASE WHEN i + 1 > 2
+           THEN CAST(FLOOR((resv - dv) * (resv - dv) * 1000000.0 + 0.5) AS HUGEINT)
+           ELSE CAST(0 AS HUGEINT) END AS sse
+  FROM (
+    SELECT x2.*, {RES} AS resv FROM (
+      SELECT x1.*, {TR} AS trv, {SE} AS sev FROM (
+        SELECT r.pid, r.a, r.b, r.g, r.name, r.i, r.level, r.trend,
+               r.seasonal, r.sse, d.value AS dv, {SI} AS si, {L} AS lv
+        FROM {rec} r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
+      ) x1) x2) x3
+)"""
+
+
+def hw_nm1_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
+    """DuckDB twin of hw_nm1_forecast: the whole NM iteration is
+    relational — both recursions compare the SAME exact micro6-int
+    SSEs, the ordering ties to pid, centroid coordinates fold micro6
+    ints (order-free), every candidate is evaluated unconditionally,
+    and the branch CASE mirrors nelder_mead()'s condition order — so
+    both engines pick the same winning point before the final
+    forecast recursion."""
+
+    def q6(e: str) -> str:
+        return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
+
+    def m6sum(col: str) -> str:
+        return (
+            f"FLOOR((CAST(SUM(CAST(FLOOR({col} * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 1000000.0 / 3.0) * 1000000.0 + 0.5) / 1000000.0"
+        )
+
+    pts0_rows = ", ".join(
+        f"({pid}, {a!r}, {b!r}, {g!r})"
+        for pid, (a, b, g) in enumerate(_NM_SIMPLEX)
+    )
+    shr = {c: q6(f"b_{c} + 0.5 * (o.{c} - b_{c})") for c in ("a", "b", "g")}
+    refl = {c: q6(f"c_{c} + (c_{c} - w_{c})") for c in ("a", "b", "g")}
+    expa = {c: q6(f"c_{c} + 2.0 * (c_{c} - w_{c})") for c in ("a", "b", "g")}
+    contr = {c: q6(f"c_{c} + 0.5 * (w_{c} - c_{c})") for c in ("a", "b", "g")}
+    SI = f"((r.i + 1) % {slen}) + 1"
+    L = q6(f"r.a * d.value / r.seasonal[{SI}] + (1.0 - r.a) * (r.level + r.trend)")
+    TR = q6("b * (lv - level) + (1.0 - b) * trend")
+    SE = q6("g * dv / lv + (1.0 - g) * seasonal[si]")
+    RES = q6("(lv + trv) * sev")
+    return f"""
+WITH RECURSIVE
+{_hw_init_sql(base, slen)},
+pts0 AS (SELECT * FROM (VALUES {pts0_rows}) p(pid, a, b, g)),
+{_hw_sse_rec_sql('recs', 'pts0', 'TRUE', slen)},
+f1 AS (
+  SELECT r.name, r.pid, r.sse FROM recs r
+  JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
+),
+ord AS (
+  SELECT f1.name, f1.pid, f1.sse, p.a, p.b, p.g,
+         ROW_NUMBER() OVER (PARTITION BY f1.name
+                            ORDER BY f1.sse, f1.pid) AS rk
+  FROM f1 JOIN pts0 p ON p.pid = f1.pid
+),
+cent AS (
+  SELECT name, {m6sum('a')} AS c_a, {m6sum('b')} AS c_b, {m6sum('g')} AS c_g
+  FROM ord WHERE rk <= 3 GROUP BY name
+),
+wb AS (
+  SELECT name,
+         MAX(CASE WHEN rk = 4 THEN a END) AS w_a,
+         MAX(CASE WHEN rk = 4 THEN b END) AS w_b,
+         MAX(CASE WHEN rk = 4 THEN g END) AS w_g,
+         MAX(CASE WHEN rk = 1 THEN a END) AS b_a,
+         MAX(CASE WHEN rk = 1 THEN b END) AS b_b,
+         MAX(CASE WHEN rk = 1 THEN g END) AS b_g
+  FROM ord GROUP BY name
+),
+cand AS (
+  SELECT c.name, 4 AS pid, {refl['a']} AS a, {refl['b']} AS b, {refl['g']} AS g
+  FROM cent c JOIN wb USING (name)
+  UNION ALL
+  SELECT c.name, 5, {expa['a']}, {expa['b']}, {expa['g']}
+  FROM cent c JOIN wb USING (name)
+  UNION ALL
+  SELECT c.name, 6, {contr['a']}, {contr['b']}, {contr['g']}
+  FROM cent c JOIN wb USING (name)
+  UNION ALL
+  SELECT o.name, o.rk + 5, {shr['a']}, {shr['b']}, {shr['g']}
+  FROM ord o JOIN wb USING (name) WHERE o.rk >= 2
+),
+{_hw_sse_rec_sql('recc', 'cand', 'p.name = d.name', slen)},
+f2 AS (
+  SELECT c.name, c.pid, c.a, c.b, c.g,
+         COALESCE(r2.sse, CAST({_NM_BIG} AS HUGEINT)) AS sse
+  FROM cand c LEFT JOIN (
+    SELECT r.name, r.pid, r.sse FROM recc r
+    JOIN cnt ct ON ct.name = r.name AND r.i = ct.n - 1
+  ) r2 ON r2.name = c.name AND r2.pid = c.pid
+),
+sc AS (
+  SELECT name,
+         MAX(CASE WHEN rk = 1 THEN sse END) AS f0,
+         MAX(CASE WHEN rk = 3 THEN sse END) AS f3rd,
+         MAX(CASE WHEN rk = 4 THEN sse END) AS fworst
+  FROM ord GROUP BY name
+),
+cf AS (
+  SELECT name,
+         MAX(CASE WHEN pid = 4 THEN sse END) AS fr,
+         MAX(CASE WHEN pid = 5 THEN sse END) AS fe,
+         MAX(CASE WHEN pid = 6 THEN sse END) AS fc
+  FROM f2 GROUP BY name
+),
+br AS (
+  SELECT name,
+         CASE WHEN fr >= f0 AND fr < f3rd THEN 4
+              WHEN fr < f0 AND fe < fr THEN 5
+              WHEN fr < f0 THEN 4
+              WHEN fc < fworst THEN 6
+              ELSE -1 END AS newpid
+  FROM sc JOIN cf USING (name)
+),
+pool AS (
+  SELECT o.name, o.pid, o.sse, o.a, o.b, o.g
+  FROM ord o JOIN br USING (name)
+  WHERE (br.newpid <> -1 AND o.rk <= 3) OR (br.newpid = -1 AND o.rk = 1)
+  UNION ALL
+  SELECT f.name, f.pid, f.sse, f.a, f.b, f.g
+  FROM f2 f JOIN br USING (name)
+  WHERE f.pid = br.newpid OR (br.newpid = -1 AND f.pid IN (7, 8, 9))
+),
+win AS (
+  SELECT name, a, b, g FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+                                 ORDER BY sse, pid) AS rk2 FROM pool
+  ) WHERE rk2 = 1
+),
+recf AS (
+  SELECT d.name, w.a, w.b, w.g, 0 AS i, d.value AS level,
+         tr.trend AS trend, sl.seasonal AS seasonal,
+         d.value AS result, d.t AS t
+  FROM idx d
+  JOIN cnt ON cnt.name = d.name
+  JOIN tr ON tr.name = d.name
+  JOIN sl ON sl.name = d.name
+  JOIN win w ON w.name = d.name
+  WHERE d.i = 0
+  UNION ALL
+  SELECT name, a, b, g, i + 1 AS i, lv AS level, trv AS trend,
+         list_transform(seasonal,
+                        (x, k) -> CASE WHEN k = si THEN sev ELSE x END) AS seasonal,
+         resv AS result, dt AS t
+  FROM (
+    SELECT x2.*, {RES} AS resv FROM (
+      SELECT x1.*, {TR} AS trv, {SE} AS sev FROM (
+        SELECT r.name, r.a, r.b, r.g, r.i, r.level, r.trend, r.seasonal,
+               d.value AS dv, d.t AS dt, {SI} AS si, {L} AS lv
+        FROM recf r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
+      ) x1) x2) x3
+),
+finf AS (
+  SELECT r.* FROM recf r JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
+),
+fcf AS (
+  SELECT f.name, f.t + m.m * s.st AS t,
+         {q6(f"(f.level + m.m * f.trend) * f.seasonal[((f.i + m.m) % {slen}) + 1]")} AS value
+  FROM finf f
+  JOIN stp s ON s.name = f.name
+  CROSS JOIN (SELECT unnest(range(1, {n_pred + 1})) AS m) m
+)
+SELECT 'holtWintersForecast(' || name || ')' AS name, t,
+       CAST(result AS DOUBLE) AS value FROM recf
+UNION ALL
+SELECT 'holtWintersForecast(' || name || ')' AS name, t,
+       CAST(value AS DOUBLE) AS value FROM fcf
 """
 
 

@@ -392,6 +392,21 @@ def _hw_aberration(spark, sf_dir):
     return hw.holt_winters_aberration(base(spark, sf_dir), 24)
 
 
+# One hash-checked Nelder-Mead iteration (round 7): the optimizer
+# layer itself — ordering, micro6 centroid, reflect/expand/contract/
+# shrink, accept — runs relationally in the oracle against exact
+# integer SSEs, so both engines pick the same winning (α,β,γ) before
+# the forecast recursion. With the recursion (the _fixed family) and
+# the NM step both oracled, only the full fits' adaptive iteration
+# count remains rows-only.
+@register(
+    "dsl_holtWintersForecast_nm1",
+    sql=hw.hw_nm1_forecast_sql(BASE_SQL, 24, 12),
+)
+def _hw_forecast_nm1(spark, sf_dir):
+    return hw.hw_nm1_forecast(base(spark, sf_dir), 24, 12)
+
+
 # Fixed (α,β,γ): the recursion becomes SQL-expressible — a DuckDB
 # recursive CTE is the oracle, so this variant is hash-checked while
 # the Nelder-Mead-fitted ones above stay rows-only (declared).
