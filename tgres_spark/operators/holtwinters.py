@@ -387,14 +387,11 @@ def _hw_nm1_winner(vals, slen):
     return pool[0][1]
 
 
-def hw_nm1_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFrame:
-    """holtWintersForecast after ONE hash-checked Nelder-Mead
-    iteration — the optimizer-layer sibling of hw_fixed_forecast:
-    hw_fixed proves the RECURSION is cross-engine exact, this proves
-    the NM UPDATE STEP (order, centroid, reflect/expand/contract/
-    shrink, accept) is too, leaving only the adaptive iteration count
-    of the full fits rows-only. Same applyInPandas fan-out shape as
-    every HW variant (one small group per series)."""
+def _hw_nm1_apply(df, slen, n_pred, mode, dev_scale):
+    """applyInPandas assembly for the NM1 family — identical output
+    shaping to _hw_fixed_apply (shared _hw_mode_rows), with the
+    per-series (α, β, γ) coming from one hash-checked Nelder-Mead
+    iteration instead of fixed literals."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -405,15 +402,74 @@ def hw_nm1_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFram
             return pd.DataFrame({"name": [], "t": [], "value": []})
         a, b, g = _hw_nm1_winner(vals, slen)
         fit = _hw_fixed_series(vals, ts, slen, n_pred, a, b, g)
-        out_t, result, _dev = fit
-        return pd.DataFrame(
-            {"name": f"holtWintersForecast({name})", "t": out_t, "value": result}
-        )
+        out_t, result, dev = fit
+        return _hw_mode_rows(name, vals, ts, out_t, result, dev, mode, dev_scale)
 
     return (
         df.where(F.col(VALUE).isNotNull())
         .groupBy(NAME)
         .applyInPandas(fn, schema="name string, t long, value double")
+    )
+
+
+def hw_nm1_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFrame:
+    """holtWintersForecast after ONE hash-checked Nelder-Mead
+    iteration — the optimizer-layer sibling of hw_fixed_forecast:
+    hw_fixed proves the RECURSION is cross-engine exact, this proves
+    the NM UPDATE STEP (order, centroid, reflect/expand/contract/
+    shrink, accept) is too, leaving only the adaptive iteration count
+    of the full fits rows-only. Same applyInPandas fan-out shape as
+    every HW variant (one small group per series)."""
+    return _hw_nm1_apply(df, slen, n_pred, "forecast", 0.0)
+
+
+def hw_nm1_bands(
+    df: DataFrame, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
+) -> DataFrame:
+    """holtWintersConfidenceBands over the NM1-fitted parameters —
+    the deviation chain runs at the per-series winning (α, β, γ);
+    same oracle construction as hw_nm1_forecast with the sdev state
+    carried through the final recursion."""
+    return _hw_nm1_apply(df, slen, n_pred, "bands", dev_scale)
+
+
+def hw_nm1_aberration(
+    df: DataFrame, slen: int = 24, dev_scale: float = 10.0
+) -> DataFrame:
+    """holtWintersAberration over the NM1-fitted parameters."""
+    return _hw_nm1_apply(df, slen, 0, "aberration", dev_scale)
+
+
+def _hw_mode_rows(name, vals, ts, out_t, result, dev, mode, dev_scale):
+    """Shared output shaping for the fixed and NM1 families:
+    forecast rows, upper/lower bands, or aberration distances."""
+    if mode == "forecast":
+        return pd.DataFrame(
+            {"name": f"holtWintersForecast({name})", "t": out_t, "value": result}
+        )
+    up = [r + r * d * dev_scale for r, d in zip(result, dev)]
+    lo = [r - r * d * dev_scale for r, d in zip(result, dev)]
+    if mode == "bands":
+        return pd.DataFrame(
+            {
+                "name": [f"holtWintersConfidenceUpper({name})"] * len(out_t)
+                + [f"holtWintersConfidenceLower({name})"] * len(out_t),
+                "t": out_t + out_t,
+                "value": up + lo,
+            }
+        )
+    # aberration: actual region only, value poking outside the bands
+    n = len(vals)
+    ab = []
+    for i in range(n):
+        if vals[i] > up[i]:
+            ab.append(vals[i] - up[i])
+        elif vals[i] < lo[i]:
+            ab.append(vals[i] - lo[i])
+        else:
+            ab.append(0.0)
+    return pd.DataFrame(
+        {"name": f"holtWintersAberration({name})", "t": ts, "value": ab}
     )
 
 
@@ -427,34 +483,7 @@ def _hw_fixed_apply(df, slen, n_pred, a, b, g, mode, dev_scale):
         if fit is None:
             return pd.DataFrame({"name": [], "t": [], "value": []})
         out_t, result, dev = fit
-        if mode == "forecast":
-            return pd.DataFrame(
-                {"name": f"holtWintersForecast({name})", "t": out_t, "value": result}
-            )
-        up = [r + r * d * dev_scale for r, d in zip(result, dev)]
-        lo = [r - r * d * dev_scale for r, d in zip(result, dev)]
-        if mode == "bands":
-            return pd.DataFrame(
-                {
-                    "name": [f"holtWintersConfidenceUpper({name})"] * len(out_t)
-                    + [f"holtWintersConfidenceLower({name})"] * len(out_t),
-                    "t": out_t + out_t,
-                    "value": up + lo,
-                }
-            )
-        # aberration: actual region only, value poking outside the bands
-        n = len(vals)
-        ab = []
-        for i in range(n):
-            if vals[i] > up[i]:
-                ab.append(vals[i] - up[i])
-            elif vals[i] < lo[i]:
-                ab.append(vals[i] - lo[i])
-            else:
-                ab.append(0.0)
-        return pd.DataFrame(
-            {"name": f"holtWintersAberration({name})", "t": ts, "value": ab}
-        )
+        return _hw_mode_rows(name, vals, ts, out_t, result, dev, mode, dev_scale)
 
     return (
         df.where(F.col(VALUE).isNotNull())
@@ -514,12 +543,17 @@ def hw_fixed_aberration(
 
 def _hw_init_sql(base: str, slen: int) -> str:
     """The init CTE chain (idx…stp) shared verbatim by the fixed and
-    NM-fixed oracles: q6 inputs, micro6-int trend/seasonal sums."""
+    NM-fixed oracles: q6 inputs, micro6-int trend/seasonal sums.
+
+    ``idx`` is MATERIALIZED: the recursive members join it every
+    iteration, and DuckDB otherwise INLINES the whole consolidate
+    base into each iteration — measured 305 s → 3.5 s on the bounded
+    NM1 oracle from this one hint (same rows, same values)."""
 
     def q6(e: str) -> str:
         return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
 
-    return f"""idx AS (
+    return f"""idx AS MATERIALIZED (
   SELECT name, t, {q6('value')} AS value,
          row_number() OVER (PARTITION BY name ORDER BY t) - 1 AS i
   FROM (SELECT * FROM ({base}) b WHERE b.value IS NOT NULL)
@@ -757,14 +791,16 @@ def _hw_sse_rec_sql(rec: str, pts: str, join_on: str, slen: int) -> str:
 )"""
 
 
-def hw_nm1_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
-    """DuckDB twin of hw_nm1_forecast: the whole NM iteration is
-    relational — both recursions compare the SAME exact micro6-int
+def _hw_nm1_ctes(base: str, slen: int = 24, n_pred: int = 12) -> str:
+    """DuckDB CTE chain for the NM1 family: the whole NM iteration is
+    relational — both SSE recursions compare the SAME exact micro6-int
     SSEs, the ordering ties to pid, centroid coordinates fold micro6
     ints (order-free), every candidate is evaluated unconditionally,
     and the branch CASE mirrors nelder_mead()'s condition order — so
     both engines pick the same winning point before the final
-    forecast recursion."""
+    recursion. Exposes ``rec``/``fin``/``fc`` with the SAME column
+    contract as _hw_fixed_ctes (incl. the sdev/devv deviation chain),
+    so the three mode tails are shared verbatim."""
 
     def q6(e: str) -> str:
         return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
@@ -788,6 +824,12 @@ def hw_nm1_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
     TR = q6("b * (lv - level) + (1.0 - b) * trend")
     SE = q6("g * dv / lv + (1.0 - g) * seasonal[si]")
     RES = q6("(lv + trv) * sev")
+    FACTOR = (
+        "CASE WHEN dv = 0 THEN 1.0 "
+        "WHEN resv / dv > 1 THEN 1.0 / (resv / dv) "
+        "ELSE resv / dv END"
+    )
+    SDUP = q6("g * (1.0 - factorv) + (1.0 - g) * sdev[si]")
     return f"""
 WITH RECURSIVE
 {_hw_init_sql(base, slen)},
@@ -797,7 +839,7 @@ f1 AS (
   SELECT r.name, r.pid, r.sse FROM recs r
   JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
 ),
-ord AS (
+ord AS MATERIALIZED (
   SELECT f1.name, f1.pid, f1.sse, p.a, p.b, p.g,
          ROW_NUMBER() OVER (PARTITION BY f1.name
                             ORDER BY f1.sse, f1.pid) AS rk
@@ -817,7 +859,7 @@ wb AS (
          MAX(CASE WHEN rk = 1 THEN g END) AS b_g
   FROM ord GROUP BY name
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT c.name, 4 AS pid, {refl['a']} AS a, {refl['b']} AS b, {refl['g']} AS g
   FROM cent c JOIN wb USING (name)
   UNION ALL
@@ -831,7 +873,7 @@ cand AS (
   FROM ord o JOIN wb USING (name) WHERE o.rk >= 2
 ),
 {_hw_sse_rec_sql('recc', 'cand', 'p.name = d.name', slen)},
-f2 AS (
+f2 AS MATERIALIZED (
   SELECT c.name, c.pid, c.a, c.b, c.g,
          COALESCE(r2.sse, CAST({_NM_BIG} AS HUGEINT)) AS sse
   FROM cand c LEFT JOIN (
@@ -877,9 +919,11 @@ win AS (
                                  ORDER BY sse, pid) AS rk2 FROM pool
   ) WHERE rk2 = 1
 ),
-recf AS (
+rec AS (
   SELECT d.name, w.a, w.b, w.g, 0 AS i, d.value AS level,
          tr.trend AS trend, sl.seasonal AS seasonal,
+         list_transform(range({slen}), x -> CAST(0.0 AS DOUBLE)) AS sdev,
+         CAST(0.0 AS DOUBLE) AS devv,
          d.value AS result, d.t AS t
   FROM idx d
   JOIN cnt ON cnt.name = d.name
@@ -891,30 +935,76 @@ recf AS (
   SELECT name, a, b, g, i + 1 AS i, lv AS level, trv AS trend,
          list_transform(seasonal,
                         (x, k) -> CASE WHEN k = si THEN sev ELSE x END) AS seasonal,
+         CASE WHEN i + 1 > 2 THEN list_transform(sdev,
+                (x, k) -> CASE WHEN k = si THEN sdup ELSE x END)
+              ELSE sdev END AS sdev,
+         CASE WHEN i + 1 > 2 THEN sdup ELSE sdev[si] END AS devv,
          resv AS result, dt AS t
   FROM (
-    SELECT x2.*, {RES} AS resv FROM (
-      SELECT x1.*, {TR} AS trv, {SE} AS sev FROM (
-        SELECT r.name, r.a, r.b, r.g, r.i, r.level, r.trend, r.seasonal,
-               d.value AS dv, d.t AS dt, {SI} AS si, {L} AS lv
-        FROM recf r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
-      ) x1) x2) x3
+    SELECT x4.*, {SDUP} AS sdup FROM (
+      SELECT x3.*, {FACTOR} AS factorv FROM (
+        SELECT x2.*, {RES} AS resv FROM (
+          SELECT x1.*, {TR} AS trv, {SE} AS sev FROM (
+            SELECT r.name, r.a, r.b, r.g, r.i, r.level, r.trend,
+                   r.seasonal, r.sdev, d.value AS dv, d.t AS dt,
+                   {SI} AS si, {L} AS lv
+            FROM rec r JOIN idx d ON d.name = r.name AND d.i = r.i + 1
+          ) x1) x2) x3) x4) x5
 ),
-finf AS (
-  SELECT r.* FROM recf r JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
+fin AS (
+  SELECT r.* FROM rec r JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
 ),
-fcf AS (
+fc AS (
   SELECT f.name, f.t + m.m * s.st AS t,
-         {q6(f"(f.level + m.m * f.trend) * f.seasonal[((f.i + m.m) % {slen}) + 1]")} AS value
-  FROM finf f
+         {q6(f"(f.level + m.m * f.trend) * f.seasonal[((f.i + m.m) % {slen}) + 1]")} AS value,
+         f.sdev[((f.i + m.m) % {slen}) + 1] AS devv
+  FROM fin f
   JOIN stp s ON s.name = f.name
   CROSS JOIN (SELECT unnest(range(1, {n_pred + 1})) AS m) m
 )
+"""
+
+
+def hw_nm1_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
+    return _hw_nm1_ctes(base, slen, n_pred) + """
 SELECT 'holtWintersForecast(' || name || ')' AS name, t,
-       CAST(result AS DOUBLE) AS value FROM recf
+       CAST(result AS DOUBLE) AS value FROM rec
 UNION ALL
 SELECT 'holtWintersForecast(' || name || ')' AS name, t,
-       CAST(value AS DOUBLE) AS value FROM fcf
+       CAST(value AS DOUBLE) AS value FROM fc
+"""
+
+
+def hw_nm1_bands_sql(
+    base: str, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
+) -> str:
+    DS = repr(dev_scale)
+    return _hw_nm1_ctes(base, slen, n_pred) + f""",
+allpts AS (
+  SELECT name, t, result, devv FROM rec
+  UNION ALL
+  SELECT name, t, value AS result, devv FROM fc
+)
+SELECT 'holtWintersConfidenceUpper(' || name || ')' AS name, t,
+       CAST(result + result * devv * {DS} AS DOUBLE) AS value FROM allpts
+UNION ALL
+SELECT 'holtWintersConfidenceLower(' || name || ')' AS name, t,
+       CAST(result - result * devv * {DS} AS DOUBLE) AS value FROM allpts
+"""
+
+
+def hw_nm1_aberration_sql(
+    base: str, slen: int = 24, dev_scale: float = 10.0
+) -> str:
+    DS = repr(dev_scale)
+    UP = f"r.result + r.result * r.devv * {DS}"
+    LO = f"r.result - r.result * r.devv * {DS}"
+    return _hw_nm1_ctes(base, slen, 0) + f"""
+SELECT 'holtWintersAberration(' || r.name || ')' AS name, r.t,
+       CAST(CASE WHEN i.value > {UP} THEN i.value - ({UP})
+                 WHEN i.value < {LO} THEN i.value - ({LO})
+                 ELSE 0.0 END AS DOUBLE) AS value
+FROM rec r JOIN idx i ON i.name = r.name AND i.i = r.i
 """
 
 

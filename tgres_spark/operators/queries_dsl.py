@@ -399,12 +399,56 @@ def _hw_aberration(spark, sf_dir):
 # the forecast recursion. With the recursion (the _fixed family) and
 # the NM step both oracled, only the full fits' adaptive iteration
 # count remains rows-only.
+#
+# The NM1 queries run on a FIXED 200-slot window of the base (global
+# min(t) anchor) so the oracle's ~11 logical recursion passes stay
+# constant-cost at any SF — the recursion depth, not the row width,
+# is what DuckDB's recursive CTE pays for, and an attestation query
+# must not scale its depth with the corpus. The NM algebra being
+# proved is identical at any length (200 slots = 8 seasons at
+# slen=24).
+_NM1_SLOTS = 200
+NM1_BASE_SQL = (
+    f"SELECT * FROM ({BASE_SQL}) WHERE t < "
+    f"(SELECT MIN(t) + {_NM1_SLOTS * STEP} FROM ({BASE_SQL}))"
+)
+
+
+def _nm1_base(spark, sf_dir):
+    b = base(spark, sf_dir)
+    lo = b.agg(F.min("t").alias("tmin"))
+    return (
+        b.crossJoin(F.broadcast(lo))
+        .where(F.col("t") < F.col("tmin") + _NM1_SLOTS * STEP)
+        .drop("tmin")
+    )
+
+
 @register(
     "dsl_holtWintersForecast_nm1",
-    sql=hw.hw_nm1_forecast_sql(BASE_SQL, 24, 12),
+    sql=hw.hw_nm1_forecast_sql(NM1_BASE_SQL, 24, 12),
 )
 def _hw_forecast_nm1(spark, sf_dir):
-    return hw.hw_nm1_forecast(base(spark, sf_dir), 24, 12)
+    return hw.hw_nm1_forecast(_nm1_base(spark, sf_dir), 24, 12)
+
+
+@register(
+    "dsl_holtWintersConfidenceBands_nm1",
+    sql=hw.hw_nm1_bands_sql(NM1_BASE_SQL, 24, 12, 10.0),
+)
+def _hw_bands_nm1(spark, sf_dir):
+    """Bands over the NM1-fitted parameters: the deviation chain runs
+    at the per-series winning (α,β,γ) — same shared-tail oracle as
+    the fixed variant over the NM1 CTE chain."""
+    return hw.hw_nm1_bands(_nm1_base(spark, sf_dir), 24, 12, 10.0)
+
+
+@register(
+    "dsl_holtWintersAberration_nm1",
+    sql=hw.hw_nm1_aberration_sql(NM1_BASE_SQL, 24, 10.0),
+)
+def _hw_aberration_nm1(spark, sf_dir):
+    return hw.hw_nm1_aberration(_nm1_base(spark, sf_dir), 24, 10.0)
 
 
 # Fixed (α,β,γ): the recursion becomes SQL-expressible — a DuckDB
