@@ -1496,3 +1496,75 @@ def test_bloom_decontaminate_equals_exact_check(spark):
     assert pruned_somewhere
     contaminated = {d for d, r in bl.items() if r["contaminated"]}
     assert contaminated == {5, 10, 15, 20}
+
+
+def test_perplexity_filter_ccnet_terciles(spark):
+    """Value-threshold head/middle/tail semantics: 6 distinctly-scored
+    held-out docs split 2/2/2 with monotone score bands, and tied
+    scores all take the better bucket (the CCNet frozen-cutoff rule)."""
+    from tgres_spark.pipeline.textstats import perplexity_filter
+
+    # Reference split (even ids) fixes bigram frequencies: 'a b' is
+    # the dominant bigram, 'b c' rarer, 'c d' rarer still.
+    rows = [
+        (0, "a b " * 8 + "b c " * 2 + "c d", "en", "s", 1),
+        (2, "a b a b b c", "en", "s", 1),
+    ]
+    # Held-out odd docs, best → worst: pure 'a b' repeats, then
+    # mixes, then never-adjacent inversions that back off.
+    texts = [
+        "a b a b a b",     # all top bigrams
+        "a b a b b c",     # mostly top
+        "a b b c b c",     # mid
+        "b c c d c d",     # rare bigrams
+        "b a d c b a",     # all backoff
+        "d a c a d b",     # all backoff, rarer unigrams
+    ]
+    rows += [(2 * i + 1, t, "en", "s", 1) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r["lang"], r["bucket"]): r for r in perplexity_filter(docs).collect()
+    }
+    assert set(out) == {("en", "head"), ("en", "middle"), ("en", "tail")}
+    assert [out[("en", b)]["n_docs"] for b in ("head", "middle", "tail")] == [
+        2, 2, 2,
+    ]
+    # value bands are disjoint and ordered
+    assert out[("en", "head")]["logp_lo"] > out[("en", "middle")]["logp_hi"]
+    assert out[("en", "middle")]["logp_lo"] > out[("en", "tail")]["logp_hi"]
+
+    # ties: identical held-out docs share one score → all 'head'
+    rows2 = [(0, "a b a b", "en", "s", 1)] + [
+        (2 * i + 1, "a b a b", "en", "s", 1) for i in range(3)
+    ]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out2 = perplexity_filter(docs2).collect()
+    assert len(out2) == 1
+    assert out2[0]["bucket"] == "head" and out2[0]["n_docs"] == 3
+
+
+def test_emb_int8_quantize_exact_roundtrip(spark):
+    """Hand-checked scales/codes/errors on power-of-two values (exact
+    in float32): max-abs scaling never clips, a half-step value lands
+    exactly between codes (err 0.25·scale² per dim), an all-zero
+    corpus dimension yields scale 0 → code 0 without dividing."""
+    from tgres_spark.pipeline.similarity import EMB_DIM, emb_int8_quantize
+
+    d = EMB_DIM
+    v0 = [0.0] + [127.0] * (d - 1)   # defines scale 1.0 on dims 1..63
+    v1 = [0.0] + [63.5] * (d - 1)    # 63.5/1.0 → code 64, err 0.25
+    v2 = [0.0] * d                   # zero vector
+    emb = spark.createDataFrame(
+        [(0, v0, 0), (1, v1, 0), (2, v2, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r for r in emb_int8_quantize(emb).collect()}
+    assert out[0]["l2sq_err"] == 0.0 and out[0]["nnz_codes"] == d - 1
+    assert out[1]["l2sq_err"] == 0.25 * (d - 1)
+    assert out[1]["max_sq_err"] == 0.25
+    assert out[1]["nnz_codes"] == d - 1
+    assert out[2]["l2sq_err"] == 0.0 and out[2]["nnz_codes"] == 0

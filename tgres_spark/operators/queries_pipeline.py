@@ -289,6 +289,12 @@ register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
 register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
     lambda spark, sf_dir: tx.text_unigram_logprob(_docs(spark, sf_dir))
 )
+register("pipeline_perplexity_filter", sql=tx.perplexity_filter_sql())(
+    lambda spark, sf_dir: tx.perplexity_filter(_docs(spark, sf_dir))
+)
+register("emb_int8_quantize", sql=sim.emb_int8_quantize_sql())(
+    lambda s, d: sim.emb_int8_quantize(_emb(s, d))
+)
 
 
 register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(

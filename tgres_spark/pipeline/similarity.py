@@ -2128,6 +2128,107 @@ FROM b CROSS JOIN s
 """
 
 
+def emb_int8_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, l2sq_err, max_sq_err, nnz_codes): symmetric per-dim
+    int8 scalar quantization — the OTHER standard 100 TB embedding
+    compressor beside PQ (ann_pq_encode): 4 B/float → 1 B/code at a
+    reconstruction error this query measures per vector. scale_j =
+    max|x_j|/127 over the corpus, code = floor(x/scale + 0.5) — with
+    max-abs scaling |x/scale| ≤ 127 by construction, so the clamp
+    branch is structurally dead and omitted (documented in place of a
+    clipped-count column that would always read 0).
+
+    Scale shape: ONE global aggregate (64 map-side-combined MAX
+    columns — the emb_label_centroids unroll, bounded by d not N)
+    produces the one scales row that re-enters as a broadcast
+    nested-loop join; the code/reconstruction/error pass is map-only
+    column algebra. Determinism: each zip_with stage materializes as
+    its own column (the no-CSE-in-HOF rule), error folds run in array
+    index order (mirrored by DuckDB list_reduce), and every op is
+    + * / floor — no libm, no rounding needed."""
+    dim = EMB_DIM
+    scales_row = emb.agg(
+        *[
+            F.max(F.abs(F.col("embedding")[i].cast("double"))).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).select(
+        F.array(*[(F.col(f"m{i}") / 127.0) for i in range(dim)]).alias("scales")
+    )
+    codes = F.zip_with(
+        F.col("embedding"),
+        F.col("scales"),
+        lambda x, s: F.when(
+            s > 0.0, F.floor(x.cast("double") / s + F.lit(0.5))
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    recon = F.zip_with(
+        F.col("codes"), F.col("scales"), lambda c, s: c.cast("double") * s
+    )
+    errs = F.zip_with(
+        F.col("embedding"),
+        F.col("recon"),
+        lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(scales_row))
+        .select("vec_id", "embedding", "scales", codes.alias("codes"))
+        .select("vec_id", "embedding", "codes", recon.alias("recon"))
+        .select("vec_id", "codes", errs.alias("errs"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.col("errs"), F.lit(0.0), lambda a, e: a + e
+            ).alias("l2sq_err"),
+            F.array_max(F.col("errs")).alias("max_sq_err"),
+            F.size(F.filter(F.col("codes"), lambda c: c != 0))
+            .cast("bigint")
+            .alias("nnz_codes"),
+        )
+    )
+
+
+def emb_int8_quantize_sql() -> str:
+    dim = EMB_DIM
+    maxes = ", ".join(
+        f"MAX(ABS(CAST(embedding[{i + 1}] AS DOUBLE))) AS m{i}"
+        for i in range(dim)
+    )
+    scales = "[" + ", ".join(f"m{i} / 127.0" for i in range(dim)) + "]"
+    code = (
+        "CASE WHEN scales[i] > 0.0 "
+        "THEN FLOOR(CAST(embedding[i] AS DOUBLE) / scales[i] + 0.5) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH s AS (SELECT {scales} AS scales FROM (SELECT {maxes} FROM embeddings)),
+coded AS (
+  SELECT vec_id, embedding, scales,
+         list_transform(range(1, {dim + 1}), i -> {code}) AS codes
+  FROM embeddings CROSS JOIN s
+),
+rec AS (
+  SELECT vec_id, embedding, codes,
+         list_transform(range(1, {dim + 1}),
+                        i -> CAST(codes[i] AS DOUBLE) * scales[i]) AS recon
+  FROM coded
+),
+erred AS (
+  SELECT vec_id, codes,
+         list_transform(range(1, {dim + 1}),
+                        i -> (CAST(embedding[i] AS DOUBLE) - recon[i])
+                             * (CAST(embedding[i] AS DOUBLE) - recon[i])) AS errs
+  FROM rec
+)
+SELECT vec_id,
+       list_reduce(list_prepend(0.0, errs), (a, e) -> a + e) AS l2sq_err,
+       list_max(errs) AS max_sq_err,
+       CAST(len(list_filter(codes, c -> c <> 0)) AS BIGINT) AS nnz_codes
+FROM erred
+"""
+
+
 def dedup_text_vs_semantic(
     docs: DataFrame, emb: DataFrame, threshold: float = 0.4, seed: int = 42
 ) -> DataFrame:

@@ -469,6 +469,114 @@ def text_bigram_lm_sql(backoff: float = 0.4) -> str:
     )
 
 
+def perplexity_filter(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
+    """(lang, bucket, n_docs, n_bigrams, mean_logp, logp_lo, logp_hi):
+    CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3) — the filter the bigram LM exists to feed: the
+    reference-split LM (even doc_ids = the trusted corpus) scores the
+    crawl side (odd doc_ids), and each language is cut into terciles
+    by LM score; 'head' is the best-scoring third (lowest perplexity
+    = highest avg log-prob). The published artifact of the real CCNet
+    run is exactly these per-language cutoffs, so the output is the
+    per-(lang, bucket) stats incl. the boundary scores.
+
+    Semantics are VALUE-THRESHOLD, not rank: the per-lang cutoffs
+    t_head / t_mid are the scores of the ceil(n/3)-th and
+    ceil(2n/3)-th best docs, and a doc buckets by comparing its own
+    score against them (ties take the better bucket) — the same rule
+    CCNet applies when it reuses frozen cutoffs on new crawls.
+
+    Scale shape: the cutoff pass runs over a (lang, micro6-score)
+    HISTOGRAM, not per-doc rows — avg_logp lives in (-20, 0], so the
+    quantized key domain is ≤ 2·10⁷ distinct values per language
+    REGARDLESS of corpus size; the per-lang window sorts that bounded
+    relation, never the doc stream. Docs then bucket via a broadcast
+    join of n_langs cutoff rows — map-only. Determinism: the bucket
+    compare and the cutoffs are micro6 BIGINTs (both engines compare
+    the same int, never a float); per-bucket means re-fold the same
+    ints; lo/hi are min/max (order-free)."""
+    lm = text_bigram_lm(docs, backoff)
+    scored = (
+        lm.where(F.col("doc_id") % 2 == 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "n_bigrams",
+            "avg_logp",
+            F.floor(F.col("avg_logp") * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    hist = scored.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    h2 = hist.select(
+        "lang",
+        "q",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    k1 = F.floor((F.col("n") + 2) / 3)
+    k2 = F.floor((2 * F.col("n") + 2) / 3)
+    cuts = h2.groupBy("lang").agg(
+        F.max(F.when(F.col("cum") >= k1, F.col("q"))).alias("t_head"),
+        F.max(F.when(F.col("cum") >= k2, F.col("q"))).alias("t_mid"),
+    )
+    bucket = (
+        F.when(F.col("q") >= F.col("t_head"), "head")
+        .when(F.col("q") >= F.col("t_mid"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "n_bigrams", "avg_logp", "q")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (F.sum("q").cast("double") / 1000000.0 / F.count(F.lit(1))).alias(
+                "mean_logp"
+            ),
+            F.min("avg_logp").alias("logp_lo"),
+            F.max("avg_logp").alias("logp_hi"),
+        )
+    )
+
+
+def perplexity_filter_sql(backoff: float = 0.4) -> str:
+    lm = text_bigram_lm_sql(backoff)
+    return (
+        f"WITH scored AS MATERIALIZED (SELECT d.lang, lm.n_bigrams, "
+        "lm.avg_logp, CAST(FLOOR(lm.avg_logp * 1000000.0 + 0.5) AS BIGINT) AS q "
+        f"FROM ({lm}) lm JOIN documents d ON lm.doc_id = d.doc_id "
+        "WHERE lm.doc_id % 2 = 1), "
+        "hist AS (SELECT lang, q, COUNT(*) AS cnt FROM scored GROUP BY lang, q), "
+        "h2 AS (SELECT lang, q, "
+        "SUM(cnt) OVER (PARTITION BY lang ORDER BY q DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "SUM(cnt) OVER (PARTITION BY lang) AS n FROM hist), "
+        "cuts AS (SELECT lang, "
+        "MAX(CASE WHEN cum >= (n + 2) // 3 THEN q END) AS t_head, "
+        "MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN q END) AS t_mid "
+        "FROM h2 GROUP BY lang) "
+        "SELECT s.lang, CASE WHEN s.q >= c.t_head THEN 'head' "
+        "WHEN s.q >= c.t_mid THEN 'middle' ELSE 'tail' END AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(s.n_bigrams) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(s.q) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_logp, "
+        "MIN(s.avg_logp) AS logp_lo, MAX(s.avg_logp) AS logp_hi "
+        "FROM scored s JOIN cuts c ON s.lang = c.lang "
+        "GROUP BY s.lang, bucket"
+    )
+
+
 def text_repetition(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac):
     Gopher-style repetition signals (Rae et al. 2021 §A1.1 — excessive

@@ -67,7 +67,8 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "mm_video_keyframes", "ann_ivf_lloyd2_fixed", "ann_ivfadc_search",
     "text_bigram_lm", "ann_ivfadc_probe_sweep",
     "dsl_holtWintersForecast_nm1", "dsl_holtWintersConfidenceBands_nm1",
-    "dsl_holtWintersAberration_nm1",
+    "dsl_holtWintersAberration_nm1", "pipeline_perplexity_filter",
+    "emb_int8_quantize",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",
