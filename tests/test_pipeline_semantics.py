@@ -1568,3 +1568,61 @@ def test_emb_int8_quantize_exact_roundtrip(spark):
     assert out[1]["max_sq_err"] == 0.25
     assert out[1]["nnz_codes"] == d - 1
     assert out[2]["l2sq_err"] == 0.0 and out[2]["nnz_codes"] == 0
+
+
+def test_ivf_balance_degenerate_and_invariants(spark):
+    """All-identical vectors land in ONE cell: imbalance = k and
+    exp_scan_frac = 1.0 exactly (the index is useless and the
+    diagnostic says so); a spread corpus satisfies the structural
+    invariants."""
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        IVF_CODEBOOK_K,
+        ann_ivf_balance,
+    )
+
+    d, k = EMB_DIM, IVF_CODEBOOK_K
+    same = spark.createDataFrame(
+        [(i, [1.0] * d, 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = ann_ivf_balance(same).collect()[0]
+    assert r["n_vecs"] == 10 and r["n_cells"] == k
+    assert r["n_empty"] == k - 1
+    assert r["max_cell"] == r["min_cell"] == 10
+    assert r["imbalance"] == float(k)
+    assert r["exp_scan_frac"] == 1.0
+
+    spread = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 13 - 6) for j in range(d)], 0)
+            for i in range(50)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r2 = ann_ivf_balance(spread).collect()[0]
+    assert r2["n_vecs"] == 50
+    assert r2["imbalance"] >= 1.0
+    assert 0.0 < r2["exp_scan_frac"] <= 1.0
+    assert r2["n_empty"] + (r2["n_vecs"] - 0) >= 0  # structural sanity
+    assert r2["min_cell"] >= 1
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """Counts 36/9/4 = 36·rank⁻² are exactly log-log linear: the OLS
+    slope recovers -2 to micro6 precision, the intercept log10(36),
+    and top1_frac the exact count ratio."""
+    import math
+
+    from tgres_spark.pipeline.textstats import corpus_zipf_fit
+
+    text = " ".join(["a"] * 36 + ["b"] * 9 + ["c"] * 4)
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = corpus_zipf_fit(docs).collect()[0]
+    assert r["n_terms"] == 3
+    assert abs(r["slope"] - (-2.0)) < 1e-4
+    assert abs(r["intercept"] - math.log10(36)) < 1e-4
+    assert r["top1_frac"] == 36 / 49

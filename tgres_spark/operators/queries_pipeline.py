@@ -295,6 +295,12 @@ register("pipeline_perplexity_filter", sql=tx.perplexity_filter_sql())(
 register("emb_int8_quantize", sql=sim.emb_int8_quantize_sql())(
     lambda s, d: sim.emb_int8_quantize(_emb(s, d))
 )
+register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
+    lambda s, d: sim.ann_ivf_balance(_emb(s, d))
+)
+register("corpus_zipf_fit", sql=tx.corpus_zipf_fit_sql())(
+    lambda s, d: tx.corpus_zipf_fit(_docs(s, d))
+)
 
 
 register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(

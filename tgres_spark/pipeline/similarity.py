@@ -791,6 +791,64 @@ def ann_ivf_assign_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
     )
 
 
+def ann_ivf_balance(
+    emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7
+) -> DataFrame:
+    """One-row IVF index health check: (n_vecs, n_cells, n_empty,
+    max_cell, min_cell, imbalance, exp_scan_frac). Skewed inverted
+    lists are THE production IVF failure at scale — a hot cell turns
+    nprobe=1 into a near-linear scan for every query that lands in
+    it. imbalance = max_cell/(n/k) (1.0 = perfectly balanced);
+    exp_scan_frac = Σ cnt²/n² is the expected fraction of the corpus
+    scanned at nprobe=1 when queries are distributed like the data —
+    the number that tells you whether to re-fit or split cells.
+
+    Scale shape: the assignment is the shared map-only broadcast
+    argmin (ann_ivf_assign); per-cell counts partial-aggregate to ≤k
+    rows, and the final stats fold k rows — output size is constant
+    in N. Determinism: every stat is exact integer algebra; cnt²
+    accumulates DECIMAL(38,0) (oracle: HUGEINT — the trend-slope
+    rule: int64 sums of squared counts overflow near n=3e9) and the
+    two divisions happen after the final casts, in oracle order."""
+    a = ann_ivf_assign(emb, k, seed)
+    cells = a.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    cd = F.col("cnt").cast("decimal(38,0)")
+    return cells.agg(
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+        F.lit(k).cast("bigint").alias("n_cells"),
+        (F.lit(k) - F.count(F.lit(1))).cast("bigint").alias("n_empty"),
+        F.max("cnt").cast("bigint").alias("max_cell"),
+        F.min("cnt").cast("bigint").alias("min_cell"),
+        (
+            F.max("cnt").cast("double") * k / F.sum("cnt").cast("double")
+        ).alias("imbalance"),
+        (
+            F.sum(cd * cd).cast("double")
+            / F.sum("cnt").cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("exp_scan_frac"),
+    )
+
+
+def ann_ivf_balance_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+    assign = ann_ivf_assign_sql(k, seed)
+    return (
+        f"WITH cells AS (SELECT cell, COUNT(*) AS cnt FROM ({assign}) "
+        "GROUP BY cell) "
+        "SELECT CAST(SUM(cnt) AS BIGINT) AS n_vecs, "
+        f"CAST({k} AS BIGINT) AS n_cells, "
+        f"CAST({k} - COUNT(*) AS BIGINT) AS n_empty, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_cell, "
+        "CAST(MIN(cnt) AS BIGINT) AS min_cell, "
+        f"CAST(MAX(cnt) AS DOUBLE) * {k} / CAST(SUM(cnt) AS DOUBLE) "
+        "AS imbalance, "
+        "CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE) "
+        "/ CAST(SUM(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) "
+        "AS exp_scan_frac "
+        "FROM cells"
+    )
+
+
 def _sq_dists(cents_col):
     """transform(cents, c -> left-folded squared L2 to `embedding`) —
     the shared distance kernel; arrays materialized before any argmin

@@ -794,6 +794,96 @@ def corpus_top_ngrams_sql(n: int = 3, k: int = 50) -> str:
     )
 
 
+def corpus_zipf_fit(docs: DataFrame, k: int = 100) -> DataFrame:
+    """One-row corpus health diagnostic: OLS fit of log10(freq) vs
+    log10(rank) over the top-k unigrams — natural language follows
+    Zipf's law with slope ≈ −1; a much flatter slope flags synthetic
+    or templated text, a much steeper one a degenerate vocabulary.
+    Returns (n_terms, slope, intercept, top1_frac).
+
+    Scale shape: the only corpus-size work is the word-count groupBy
+    (map-side combined); top-k is TakeOrderedAndProject, and the rank
+    window + moment sums run on k = {k} rows — a literal-bounded
+    relation (declared single-partition window, the
+    events_conversion_lag class). Determinism: ranks are exact ints
+    with ties broken on the term string; log10 outputs round at 9
+    (the libm rule); moment sums accumulate micro6 BIGINTs over
+    exactly k rows (sx6² ~ 4e16 ≪ int64); the slope division casts
+    to double last, in oracle order."""
+    from ..model import micro6
+    from .dedup import words
+
+    base = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    counts = base.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(k)
+
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    ranked = top.select(
+        F.row_number().over(w_rank).alias("r"), "cnt"
+    ).select(
+        F.round(F.log(10.0, F.col("r").cast("double")), 9).alias("x"),
+        F.round(F.log(10.0, F.col("cnt").cast("double")), 9).alias("y"),
+        "cnt",
+        F.col("r"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro6(F.col("x"))).alias("sx6"),
+        F.sum(micro6(F.col("y"))).alias("sy6"),
+        F.sum(micro6(F.col("x") * F.col("y"))).alias("sxy6"),
+        F.sum(micro6(F.col("x") * F.col("x"))).alias("sxx6"),
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.max(F.when(F.col("r") == 1, F.col("cnt"))).alias("c1"),
+    )
+    num = F.col("n") * F.col("sxy6") * 1000000 - F.col("sx6") * F.col("sy6")
+    den = F.col("n") * F.col("sxx6") * 1000000 - F.col("sx6") * F.col("sx6")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        (F.col("sy6").cast("double") - slope * F.col("sx6").cast("double"))
+        / 1000000.0
+        / F.col("n")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (F.col("c1").cast("double") / F.col("tot").cast("double")).alias(
+            "top1_frac"
+        ),
+    )
+
+
+def corpus_zipf_fit_sql(k: int = 100) -> str:
+    from ..model import micro6_sql
+
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH base AS (SELECT UNNEST({w}) AS w FROM documents), "
+        "counts AS (SELECT w, COUNT(*) AS cnt FROM base GROUP BY w), "
+        f"top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w ASC LIMIT {k}), "
+        "ranked AS (SELECT ROUND(LN(CAST(r AS DOUBLE)) / LN(10.0), 9) AS x, "
+        "ROUND(LN(CAST(cnt AS DOUBLE)) / LN(10.0), 9) AS y, cnt, r FROM ("
+        "SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS r "
+        "FROM top)), "
+        "m AS (SELECT COUNT(*) AS n, "
+        f"SUM({micro6_sql('x')}) AS sx6, SUM({micro6_sql('y')}) AS sy6, "
+        f"SUM({micro6_sql('x * y')}) AS sxy6, "
+        f"SUM({micro6_sql('x * x')}) AS sxx6, "
+        "CAST(SUM(cnt) AS BIGINT) AS tot, "
+        "MAX(CASE WHEN r = 1 THEN cnt END) AS c1 FROM ranked) "
+        "SELECT CAST(n AS BIGINT) AS n_terms, "
+        "CAST(n * sxy6 * 1000000 - sx6 * sy6 AS DOUBLE) "
+        "/ CAST(n * sxx6 * 1000000 - sx6 * sx6 AS DOUBLE) AS slope, "
+        "(CAST(sy6 AS DOUBLE) - CAST(n * sxy6 * 1000000 - sx6 * sy6 AS DOUBLE) "
+        "/ CAST(n * sxx6 * 1000000 - sx6 * sx6 AS DOUBLE) "
+        "* CAST(sx6 AS DOUBLE)) / 1000000.0 / n AS intercept, "
+        "CAST(c1 AS DOUBLE) / CAST(tot AS DOUBLE) AS top1_frac "
+        "FROM m"
+    )
+
+
 def text_entropy(docs: DataFrame) -> DataFrame:
     """(doc_id, n_chars, n_distinct, entropy): character-level Shannon
     entropy of the lowercased text — the cheap garbage detector (runs

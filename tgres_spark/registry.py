@@ -42,9 +42,12 @@ def register(key: str, sql: str | None = None):
 # an `err: no_oracle` row, burning the slot). After the never-attested
 # block come the 26 keys whose LATEST driver row is the round-3
 # testdata-drift wipeout (green in r1/r2 and in every local gate run
-# since) so their stale red gets overwritten in rounds 7-8. New
-# round-7 operators are inserted at position 39 so their first driver
-# attestation lands the round they ship. This tuple is a constant —
+# since) so their stale red gets overwritten in round 8. New round-7
+# operators are inserted at position 39 so their first driver
+# attestation lands the round they ship — with the 12 round-7
+# additions the 50-slot window is exactly the 38 never-attested plus
+# the 12 new keys, and ALL 26 stale-red keys fall to round 8's
+# re-freeze. This tuple is a constant —
 # registry order is a pure function of the code, independent of any
 # artifact files in the checkout.
 _ATTEST_PRIORITY: tuple[str, ...] = (
@@ -68,7 +71,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "text_bigram_lm", "ann_ivfadc_probe_sweep",
     "dsl_holtWintersForecast_nm1", "dsl_holtWintersConfidenceBands_nm1",
     "dsl_holtWintersAberration_nm1", "pipeline_perplexity_filter",
-    "emb_int8_quantize",
+    "emb_int8_quantize", "ann_ivf_balance", "corpus_zipf_fit",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",

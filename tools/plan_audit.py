@@ -75,6 +75,10 @@ ALLOW = {
     # a generated single series' cumulative walk: one series by
     # definition, bounded by the requested time range
     "dsl_randomWalk": {"SinglePartition"},
+    # the Zipf rank window runs on the top-k relation AFTER
+    # TakeOrderedAndProject — bounded by the k=100 literal, never by
+    # corpus size (the events_conversion_lag class)
+    "corpus_zipf_fit": {"SinglePartition"},
 }
 
 SMELLS = ("CartesianProduct", "BatchEvalPython")
