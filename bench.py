@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "mm_video_keyframes",
     "ann_ivfadc_search",
     "text_bigram_lm",
+    # round-7 continuation: the CCNet perplexity cut (bigram LM +
+    # histogram terciles — the heaviest text-pipeline composition)
+    # and the int8 scalar quantizer (map-only, measures the
+    # 64-wide zip_with algebra path)
+    "pipeline_perplexity_filter",
+    "emb_int8_quantize",
 ]
 
 
@@ -144,12 +150,34 @@ def main() -> None:
     # are meaningless at other scales, so mismatched-SF runs emit no
     # violations (round-6 ADVICE: the old code flagged regardless).
     budget_violations: dict[str, str] = {}
+    # median ratio across ALL budgeted keys: the one number that
+    # separates a real regression (one key violating while the median
+    # sits at ~1.0) from a box-level throughput shift (everything
+    # uniformly inflated — round 6 measured 1.23x from driver-box
+    # contention, and round 7 measured a persistent 1.3x on an IDLE
+    # box with zero hypervisor steal across three runs). Violations
+    # should be read AGAINST this: key_ratio >> median = code;
+    # median >> 1 with uniform ratios = environment.
+    budget_median_ratio: float | None = None
     try:
         bud = json.loads(
             (Path(__file__).resolve().parent / "BENCH_BUDGET.json").read_text()
         )
         tol = float(bud.get("tolerance", 1.5))
         if bud.get("sf") == sf_num:
+            ratios = sorted(
+                timings[k] / b
+                for k, b in (bud.get("queries") or {}).items()
+                if k in timings and b
+            )
+            if ratios:
+                mid = len(ratios) // 2
+                budget_median_ratio = round(
+                    ratios[mid]
+                    if len(ratios) % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2,
+                    3,
+                )
             for k, b in (bud.get("queries") or {}).items():
                 if k in timings and b and timings[k] > tol * b:
                     budget_violations[k] = (
@@ -194,6 +222,7 @@ def main() -> None:
                 "estimator": "min",
                 "vs_baseline": vs_baseline,
                 "budget_violations": budget_violations,
+                "budget_median_ratio": budget_median_ratio,
             }
         )
     )
