@@ -1626,3 +1626,29 @@ def test_zipf_fit_exact_power_law(spark):
     assert abs(r["slope"] - (-2.0)) < 1e-4
     assert abs(r["intercept"] - math.log10(36)) < 1e-4
     assert r["top1_frac"] == 36 / 49
+
+
+def test_heaps_curve_hand_computed(spark):
+    """10 docs, doc i = 'base w{i}': prefix k covers docs 0..k-1, so
+    n_docs = k, n_tokens = 2k, vocab = k+1 exactly; a fully-duplicated
+    corpus saturates (vocab flat while tokens grow)."""
+    from tgres_spark.pipeline.textstats import corpus_heaps_curve
+
+    docs = spark.createDataFrame(
+        [(i, f"base w{i}", "en", "s", 8) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["decile"]: r for r in corpus_heaps_curve(docs).collect()}
+    assert len(out) == 10
+    for k in range(1, 11):
+        assert out[k]["n_docs"] == k
+        assert out[k]["n_tokens"] == 2 * k
+        assert out[k]["vocab"] == k + 1
+
+    dup = spark.createDataFrame(
+        [(i, "same old words", "en", "s", 14) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = {r["decile"]: r for r in corpus_heaps_curve(dup).collect()}
+    assert all(out2[k]["vocab"] == 3 for k in range(1, 11))
+    assert out2[10]["n_tokens"] == 30

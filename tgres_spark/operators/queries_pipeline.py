@@ -301,6 +301,9 @@ register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
 register("corpus_zipf_fit", sql=tx.corpus_zipf_fit_sql())(
     lambda s, d: tx.corpus_zipf_fit(_docs(s, d))
 )
+register("corpus_heaps_curve", sql=tx.corpus_heaps_curve_sql())(
+    lambda s, d: tx.corpus_heaps_curve(_docs(s, d))
+)
 
 
 register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(

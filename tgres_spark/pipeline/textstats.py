@@ -884,6 +884,100 @@ def corpus_zipf_fit_sql(k: int = 100) -> str:
     )
 
 
+def corpus_heaps_curve(docs: DataFrame, n_points: int = 10) -> DataFrame:
+    """(decile, n_docs, n_tokens, vocab): vocabulary-growth curve over
+    doc_id-value prefixes — Heaps' law says vocab ~ K·tokensᵝ with
+    β ≈ 0.5 for natural text; a curve that SATURATES early (vocab flat
+    while tokens grow) is the cheapest corpus-level duplication signal
+    there is, and the growth view corpus_dedup_stats' totals can't
+    show. Prefix k covers doc_id ≤ lo−1+((hi−lo+1)·k)//n — value
+    thresholds, so the curve is deterministic without ranking docs.
+
+    Scale shape: per-doc token counts are map-only (size(words), no
+    explode shuffle); the vocab side shuffles once to the
+    word→min(doc_id) first-occurrence index (the text_novelty
+    relation — incrementally maintainable, min merges order-free);
+    both then cross the 10-row broadcast threshold relation for
+    conditional sums. No windows anywhere; every output is an exact
+    integer."""
+    from .dedup import words
+
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    per_doc = base.select("doc_id", F.size("ws").alias("n_tok"))
+    wmin = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("md"))
+    )
+    bounds = per_doc.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, n_points + 1)]))
+    decs = bounds.select(ks.alias("decile"), "lo", "hi").select(
+        F.col("decile").cast("bigint").alias("decile"),
+        (
+            F.col("lo")
+            - 1
+            + F.floor(
+                (F.col("hi") - F.col("lo") + 1)
+                * F.col("decile")
+                / F.lit(n_points)
+            )
+        ).cast("bigint").alias("thresh"),
+    )
+    toks = (
+        per_doc.crossJoin(F.broadcast(decs))
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("thresh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") <= F.col("thresh"), F.col("n_tok")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    voc = (
+        wmin.crossJoin(F.broadcast(decs))
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("md") <= F.col("thresh"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("vocab")
+        )
+    )
+    return toks.join(voc, "decile").select(
+        "decile", "n_docs", "n_tokens", "vocab"
+    )
+
+
+def corpus_heaps_curve_sql(n_points: int = 10) -> str:
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH base AS (SELECT doc_id, {w} AS ws FROM documents), "
+        "per_doc AS (SELECT doc_id, len(ws) AS n_tok FROM base), "
+        "wmin AS (SELECT w, MIN(doc_id) AS md FROM "
+        "(SELECT doc_id, UNNEST(ws) AS w FROM base) GROUP BY w), "
+        "bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM per_doc), "
+        "decs AS (SELECT CAST(k AS BIGINT) AS decile, "
+        f"CAST(lo - 1 + FLOOR((hi - lo + 1) * k / {n_points}) AS BIGINT) AS thresh "
+        f"FROM bounds CROSS JOIN (SELECT UNNEST(range(1, {n_points + 1})) AS k)), "
+        "toks AS (SELECT decile, "
+        "CAST(SUM(CASE WHEN doc_id <= thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN doc_id <= thresh THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens "
+        "FROM per_doc CROSS JOIN decs GROUP BY decile), "
+        "voc AS (SELECT decile, "
+        "CAST(SUM(CASE WHEN md <= thresh THEN 1 ELSE 0 END) AS BIGINT) AS vocab "
+        "FROM wmin CROSS JOIN decs GROUP BY decile) "
+        "SELECT toks.decile AS decile, n_docs, n_tokens, vocab "
+        "FROM toks JOIN voc ON toks.decile = voc.decile"
+    )
+
+
 def text_entropy(docs: DataFrame) -> DataFrame:
     """(doc_id, n_chars, n_distinct, entropy): character-level Shannon
     entropy of the lowercased text — the cheap garbage detector (runs
