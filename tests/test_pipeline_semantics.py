@@ -1652,3 +1652,28 @@ def test_heaps_curve_hand_computed(spark):
     out2 = {r["decile"]: r for r in corpus_heaps_curve(dup).collect()}
     assert all(out2[k]["vocab"] == 3 for k in range(1, 11))
     assert out2[10]["n_tokens"] == 30
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """DSIR's defining property: a crawl doc sharing the target
+    split's bigram features outweighs one that shares none, and only
+    non-target docs are scored."""
+    from tgres_spark.pipeline.textstats import dsir_select
+
+    rows = [
+        (100 + i, "red fox red fox red fox", "en", "src0", 1) for i in range(3)
+    ] + [
+        (1, "red fox red fox", "en", "src1", 1),
+        (3, "blue whale blue whale", "en", "src1", 1),
+        (5, "red fox blue whale", "en", "src2", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dsir_select(docs).collect()
+    ids = [r["doc_id"] for r in out]
+    assert set(ids) == {1, 3, 5}          # target docs never selected
+    w = {r["doc_id"]: r["weight"] for r in out}
+    assert w[1] > w[5] > w[3]             # more shared features = higher
+    nf = {r["doc_id"]: r["n_feats"] for r in out}
+    assert nf[1] == 3 and nf[3] == 3 and nf[5] == 3

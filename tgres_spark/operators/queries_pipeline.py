@@ -304,6 +304,9 @@ register("corpus_zipf_fit", sql=tx.corpus_zipf_fit_sql())(
 register("corpus_heaps_curve", sql=tx.corpus_heaps_curve_sql())(
     lambda s, d: tx.corpus_heaps_curve(_docs(s, d))
 )
+register("pipeline_dsir_select", sql=tx.dsir_select_sql())(
+    lambda s, d: tx.dsir_select(_docs(s, d))
+)
 
 
 register("pipeline_mix_rebalance", sql=pp.mix_rebalance_sql())(

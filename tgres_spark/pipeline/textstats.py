@@ -884,6 +884,136 @@ def corpus_zipf_fit_sql(k: int = 100) -> str:
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 4096,
+    k: int = 100,
+) -> DataFrame:
+    """(doc_id, n_feats, weight): DSIR data selection (Xie et al.
+    2023, 'Data Selection for Language Models via Importance
+    Resampling') — the standard "pick crawl data that looks like the
+    target domain" operator: every non-target doc scores the hashed
+    bigram-feature log-likelihood ratio between a target-split LM
+    (source = ``target_source``, the contamination convention) and
+    the rest-of-corpus LM, Laplace-smoothed over ``n_buckets``
+    buckets; top-k by weight are the docs to keep.
+
+    The hashed-feature trick IS the scale story: both LMs are
+    ≤ n_buckets rows REGARDLESS of corpus size, so the model
+    broadcasts and scoring is one map-side join over the doc bigram
+    stream + a per-doc sum — no vocab²-sized state anywhere (the
+    contrast with text_bigram_lm, whose exact bigram table shuffles).
+    Buckets are the first 3 md5 hex chars of 'w1 w2' (string keys,
+    no integer parse — uniform by construction). Determinism: counts
+    are exact ints; each log10 rounds at 9 (the libm rule) BEFORE the
+    subtraction; per-doc sums fold micro6 BIGINTs; top-k ties break
+    on doc_id; the (c+1)/(T+B) divisions cast to double first, in
+    oracle order."""
+    from ..model import micro6
+    from .dedup import words
+
+    base = docs.select("doc_id", "source", words(F.col("text")).alias("ws"))
+    b2 = base.where(F.size("ws") >= 2)
+    bg = (
+        b2.select(
+            "doc_id", "source", "ws", F.posexplode("ws").alias("i", "w1")
+        )
+        .where(F.col("i") < F.size("ws") - 1)
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("w1"),
+                        F.lit(" "),
+                        F.element_at(F.col("ws"), F.col("i") + 2),
+                    )
+                ),
+                1,
+                3,
+            ).alias("bkt"),
+        )
+    )
+    tgt = bg.where(F.col("source") == target_source)
+    src = bg.where(F.col("source") != target_source)
+    ct = tgt.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_t"))
+    cs = src.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_s"))
+    tot = tgt.select(F.count(F.lit(1)).alias("t_t")).crossJoin(
+        src.select(F.count(F.lit(1)).alias("t_s"))
+    )
+    model = (
+        cs.join(ct, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            (
+                F.round(
+                    F.log(
+                        10.0,
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("t_t") + n_buckets),
+                    ),
+                    9,
+                )
+                - F.round(
+                    F.log(
+                        10.0,
+                        (F.col("c_s") + 1).cast("double")
+                        / (F.col("t_s") + n_buckets),
+                    ),
+                    9,
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = src.join(F.broadcast(model), "bkt").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        (F.sum(micro6(F.col("lr"))).cast("double") / 1000000.0).alias(
+            "weight"
+        ),
+    )
+    return scored.orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def dsir_select_sql(
+    target_source: str = "src0", n_buckets: int = 4096, k: int = 100
+) -> str:
+    from ..model import micro6_sql
+
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH base AS (SELECT doc_id, source, {w} AS ws FROM documents), "
+        "b2 AS (SELECT doc_id, source, ws FROM base WHERE len(ws) >= 2), "
+        "bg AS (SELECT doc_id, source, "
+        "substr(md5(ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]), 1, 3) AS bkt "
+        "FROM (SELECT doc_id, source, ws, UNNEST(range(1, len(ws))) AS i FROM b2)), "
+        f"tgt AS (SELECT bkt FROM bg WHERE source = '{target_source}'), "
+        f"src AS MATERIALIZED (SELECT doc_id, bkt FROM bg "
+        f"WHERE source <> '{target_source}'), "
+        "ct AS (SELECT bkt, COUNT(*) AS c_t FROM tgt GROUP BY bkt), "
+        "cs AS (SELECT bkt, COUNT(*) AS c_s FROM src GROUP BY bkt), "
+        "tot AS (SELECT (SELECT COUNT(*) FROM tgt) AS t_t, "
+        "(SELECT COUNT(*) FROM src) AS t_s), "
+        "model AS (SELECT cs.bkt, "
+        f"ROUND(LN(CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) / (t_t + {n_buckets})) "
+        "/ LN(10.0), 9) - "
+        f"ROUND(LN(CAST(c_s + 1 AS DOUBLE) / (t_s + {n_buckets})) "
+        "/ LN(10.0), 9) AS lr "
+        "FROM cs LEFT JOIN ct ON cs.bkt = ct.bkt CROSS JOIN tot), "
+        "scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, "
+        f"CAST(SUM({micro6_sql('lr')}) AS DOUBLE) / 1000000.0 AS weight "
+        "FROM src JOIN model ON src.bkt = model.bkt GROUP BY doc_id) "
+        "SELECT doc_id, n_feats, weight FROM scored "
+        f"ORDER BY weight DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def corpus_heaps_curve(docs: DataFrame, n_points: int = 10) -> DataFrame:
     """(decile, n_docs, n_tokens, vocab): vocabulary-growth curve over
     doc_id-value prefixes — Heaps' law says vocab ~ K·tokensᵝ with
