@@ -1677,3 +1677,73 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert w[1] > w[5] > w[3]             # more shared features = higher
     nf = {r["doc_id"]: r["n_feats"] for r in out}
     assert nf[1] == 3 and nf[3] == 3 and nf[5] == 3
+
+
+def test_mm_audio_dedup_recall_and_twins(spark):
+    """The audio near-dup bridge (last modality-matrix cell): (a)
+    mm_audio_dedup must equal a brute-force all-pairs hamming scan
+    over the per-chunk fingerprints aggregated to audio pairs, and
+    (b) every planted twin audio surfaces with min_hamming 0 and
+    n_chunk_matches >= its chunk count."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.multimodal import (
+        _KF_ID_BASE, _TWIN_OFFSET, mm_audio_dedup, phash_from_hex,
+        synthesize_media,
+    )
+
+    rows = [(i, f"audio take {i} {'z' * (i % 11)}", "en", "s", 20)
+            for i in range(120)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r["audio_a"], r["audio_b"]): (r["n_chunk_matches"], r["min_hamming"])
+           for r in mm_audio_dedup(docs).collect()}
+
+    media = synthesize_media(docs)
+    auds = media.where(F.col("kind") == "audio")
+    twins = auds.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + _TWIN_OFFSET
+    )
+    ck = (
+        auds.unionByName(twins)
+        .select("media_id", F.lower(F.hex("payload")).alias("ah"))
+        .select(
+            "media_id",
+            "ah",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            F.expr("substring(ah, chunk_idx * 16 + 1, 16)").alias("ch"),
+        )
+    )
+    sig = {
+        r["doc_id"]: [r[f"q{j}"] for j in range(4)]
+        for r in phash_from_hex(
+            ck.select(
+                (F.col("media_id") * _KF_ID_BASE + F.col("chunk_idx"))
+                .alias("media_id"),
+                F.concat(F.md5("ch"), F.md5(F.reverse("ch"))).alias("h"),
+            )
+        ).collect()
+    }
+    ids = sorted(sig)
+    expect: dict = {}
+    n_ck: dict = {}
+    for k in ids:
+        n_ck[k // _KF_ID_BASE] = n_ck.get(k // _KF_ID_BASE, 0) + 1
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(sig[a][j] ^ sig[b][j]).count("1") for j in range(4))
+            ua, ub = a // _KF_ID_BASE, b // _KF_ID_BASE
+            if h <= 3 and ua != ub:
+                n, m = expect.get((ua, ub), (0, 64))
+                expect[(ua, ub)] = (n + 1, min(m, h))
+    assert got == expect
+    planted = [m for m in n_ck if m < _TWIN_OFFSET and m % 10 == 0 and m % 3 == 1]
+    assert planted, "fixture must contain twinned audio"
+    for m in planted:
+        n, h = got[(m, m + _TWIN_OFFSET)]
+        assert h == 0 and n >= n_ck[m]

@@ -167,6 +167,17 @@ def mm_video_keyframes(spark, sf_dir):
     return mm.mm_video_keyframes(_docs(spark, sf_dir))
 
 
+@register("mm_audio_dedup", sql=mm.mm_audio_dedup_sql())
+def mm_audio_dedup(spark, sf_dir):
+    """Audio near-dup pairs — the LAST modality-matrix cell (text,
+    image, video each already have a dedup consumer): audio_chunks'
+    fixed windows → per-chunk fingerprint (shared phash_from_hex,
+    standing in for a chromaprint-style spectral fingerprint) → the
+    SAME pigeonhole engine → chunk matches aggregated to
+    (audio_a, audio_b); deterministic twins planted in-query."""
+    return mm.mm_audio_dedup(_docs(spark, sf_dir))
+
+
 @register("mm_audio_chunks", sql=mm.mm_audio_chunks_sql())
 def mm_audio_chunks(spark, sf_dir):
     """Fixed-size audio chunking as pure JVM column algebra — binary

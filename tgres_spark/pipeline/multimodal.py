@@ -424,6 +424,114 @@ def mm_phash_dedup_sql(max_hamming: int = 3) -> str:
     )
 
 
+def mm_audio_dedup(
+    docs: DataFrame, chunk_bytes: int = 8, max_hamming: int = 3
+) -> DataFrame:
+    """Audio near-duplicate pairs — the audio column's dedup consumer,
+    the LAST cell of the modality matrix (text: simhash/minhash,
+    images: mm_phash_dedup, video: mm_video_keyframes): window the
+    payload into audio_chunks' fixed-size chunks JVM-side, derive a
+    per-chunk 64-nibble hash (standing in for 'decode window,
+    spectral-fingerprint it' — the chromaprint shape — exactly as the
+    fake decode stands in elsewhere), fingerprint with the SAME
+    phash_from_hex and block with the SAME 4-table pigeonhole engine
+    (dedup.chunk_hamming_pairs, exact for hamming ≤ 3), then
+    aggregate chunk matches to audio pairs. Returns (audio_a,
+    audio_b, n_chunk_matches, min_hamming).
+
+    Twins (every tenth audio, +1e9, same payload → identical chunk
+    hashes) are planted IN-QUERY as in the image/video paths, so a
+    twin pair must surface with n_chunk_matches = its chunk count and
+    min_hamming 0. Chunk id packing media_id·_KF_ID_BASE + idx is
+    collision-free (idx < payload/chunk_bytes = 4 ≪ 1024).
+
+    Scale: chunking multiplies rows ×(payload/chunk_bytes) BEFORE the
+    fingerprint; everything that shuffles afterwards is 4 ints per
+    chunk on uniform 65536-way keys, and the pair agg is co-keyed
+    with the pair derivation. No all-pairs join at any level."""
+    from .dedup import chunk_hamming_pairs
+
+    media = synthesize_media(docs)
+    auds = media.where(F.col("kind") == "audio")
+    twins = auds.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + _TWIN_OFFSET
+    )
+    cb2 = 2 * chunk_bytes
+    both = auds.unionByName(twins).select(
+        "media_id", F.lower(F.hex(F.col("payload"))).alias("ah")
+    )
+    n_chunks = F.ceil(F.length("ah") / F.lit(cb2)).cast("int")
+    ck = both.select(
+        "media_id",
+        "ah",
+        F.explode(
+            F.when(
+                n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_idx"),
+    ).select(
+        "media_id",
+        "chunk_idx",
+        F.expr(f"substring(ah, chunk_idx * {cb2} + 1, {cb2})").alias("ch"),
+    )
+    chunks = ck.select(
+        (F.col("media_id") * _KF_ID_BASE + F.col("chunk_idx")).alias(
+            "media_id"
+        ),
+        F.concat(F.md5("ch"), F.md5(F.reverse("ch"))).alias("h"),
+    )
+    pairs = chunk_hamming_pairs(phash_from_hex(chunks), max_hamming)
+    return (
+        pairs.select(
+            F.expr(f"doc_a div {_KF_ID_BASE}").alias("audio_a"),
+            F.expr(f"doc_b div {_KF_ID_BASE}").alias("audio_b"),
+            "hamming",
+        )
+        .where(F.col("audio_a") != F.col("audio_b"))
+        .groupBy("audio_a", "audio_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+
+
+def mm_audio_dedup_sql(chunk_bytes: int = 8, max_hamming: int = 3) -> str:
+    """DuckDB twin of mm_audio_dedup: audio is doc_id % 3 = 1, the
+    payload hex IS md5(text)||md5(reverse(text)), chunk hex windows
+    and the pigeonhole fragments shared with the image/video oracles
+    (_phash_sql_parts)."""
+    total, chunk_exprs, key_rows, ham = _phash_sql_parts()
+    cb2 = 2 * chunk_bytes
+    return (
+        "WITH auds AS (SELECT doc_id AS media_id, "
+        "md5(text) || md5(reverse(text)) AS ah FROM documents "
+        "WHERE doc_id % 3 = 1), "
+        "alla AS (SELECT media_id, ah FROM auds UNION ALL "
+        f"SELECT media_id + {_TWIN_OFFSET}, ah FROM auds "
+        "WHERE media_id % 10 = 0), "
+        "ck AS (SELECT media_id, "
+        f"UNNEST(range(0, CAST(CEIL(len(ah) / {cb2}.0) AS BIGINT))) AS chunk_idx, "
+        "ah FROM alla), "
+        f"m AS (SELECT media_id * {_KF_ID_BASE} + chunk_idx AS media_id, "
+        f"md5(substr(ah, CAST(chunk_idx * {cb2} + 1 AS INT), {cb2})) || "
+        f"md5(reverse(substr(ah, CAST(chunk_idx * {cb2} + 1 AS INT), {cb2}))) AS h "
+        "FROM ck), "
+        f"withsum AS (SELECT media_id, h, {total} AS s FROM m), "
+        f"sig AS (SELECT media_id AS doc_id, {chunk_exprs} FROM withsum), "
+        f"keys AS ({key_rows}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb, "
+        f"CAST({ham} AS BIGINT) AS hamming "
+        "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key "
+        f"WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}) "
+        f"SELECT ka // {_KF_ID_BASE} AS audio_a, "
+        f"kb // {_KF_ID_BASE} AS audio_b, "
+        "COUNT(*) AS n_chunk_matches, MIN(hamming) AS min_hamming "
+        f"FROM pairs WHERE ka // {_KF_ID_BASE} <> kb // {_KF_ID_BASE} "
+        "GROUP BY 1, 2"
+    )
+
+
 # keyframe id = media_id * _KF_ID_BASE + frame_idx; frame_idx < 300
 # by construction (n_frames = doc_id % 300 + 1) so the packing is
 # collision-free, and twin ids (~1e9) keep the product well inside
