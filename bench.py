@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     # 64-wide zip_with algebra path)
     "pipeline_perplexity_filter",
     "emb_int8_quantize",
+    # round-7 final: DSIR selection (two hashed-feature aggs + a
+    # broadcast-model scoring join) and the audio chunk dedup (the
+    # last pigeonhole-family modality bridge)
+    "pipeline_dsir_select",
+    "mm_audio_dedup",
 ]
 
 

@@ -380,3 +380,60 @@ def test_plan_audit_window_detector(spark):
     p = plan_of(mixed)
     assert "SinglePartition" in p  # the decoy is really there
     assert global_window_specs(p) == 0
+
+
+def test_perplexity_filter_plan_shape(spark, qs):
+    """The CCNet cut: cutoffs broadcast back to the scored stream, no
+    cartesian, no Python anywhere, and the tercile window is
+    partitioned (by lang over the histogram), never global."""
+    p = plan_of(qs["pipeline_perplexity_filter"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_int8_quantize_is_one_agg_plus_map(spark, qs):
+    """Scalar quantization: ONE global aggregate re-enters as a
+    broadcast; the code/error pass is map-only (no shuffle of the
+    corpus beyond the d-value stats row)."""
+    p = plan_of(qs["emb_int8_quantize"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_zipf_topk_is_distributed(spark, qs):
+    """The only corpus-size work is the word-count groupBy; top-k must
+    be TakeOrderedAndProject (per-partition heads), never a global
+    sort of the count relation."""
+    p = plan_of(qs["corpus_zipf_fit"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_heaps_curve_has_no_windows(spark, qs):
+    """The growth curve is pure aggregation: threshold relation
+    broadcast, zero Window nodes, zero Python."""
+    p = plan_of(qs["corpus_heaps_curve"](spark, SF))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dsir_model_broadcasts_and_topk_distributed(spark, qs):
+    """DSIR: the <=4096-row log-ratio model must broadcast onto the
+    doc bigram stream (the hashed-feature constant-size property) and
+    the selection must be distributed top-k."""
+    p = plan_of(qs["pipeline_dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_audio_dedup_shuffles_signatures_not_payloads(spark, qs):
+    """The audio bridge inherits the pigeonhole guarantees: no
+    cartesian, no Python, and the pair join runs on the 4-int chunk
+    keys (hash-partitioned exchange), never on payload bytes."""
+    p = plan_of(qs["mm_audio_dedup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
