@@ -1747,3 +1747,47 @@ def test_mm_audio_dedup_recall_and_twins(spark):
     for m in planted:
         n, h = got[(m, m + _TWIN_OFFSET)]
         assert h == 0 and n >= n_ck[m]
+
+
+def test_dsir_stream_scoring_matches_batch_and_handles_unseen(spark):
+    """(a) Static application of the stream scorer reproduces the
+    batch selector's weights on the same corpus (in-row micro6 fold ≡
+    shuffled micro6 sum); (b) a genuinely NEW doc whose buckets appear
+    in NEITHER split scores exactly n_feats · lr_unseen — the
+    fallback path only live deployment (train on corpus A, score
+    crawl B) exercises."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import (
+        dsir_model_row, dsir_score_stream, dsir_select,
+    )
+
+    rows = [
+        (100 + i, "red fox red fox red fox", "en", "src0", 1) for i in range(3)
+    ] + [
+        (1, "red fox red fox", "en", "src1", 1),
+        (3, "blue whale blue whale", "en", "src1", 1),
+        (5, "red fox blue whale", "en", "src2", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    model = dsir_model_row(docs)
+    batch = {r["doc_id"]: r["weight"] for r in dsir_select(docs).collect()}
+    crawl = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    stream_like = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_score_stream(crawl, model).collect()
+    }
+    assert stream_like == batch
+
+    new = spark.createDataFrame(
+        [(999, "qqq www eee rrr")], "doc_id long, text string"
+    )
+    out = dsir_score_stream(new, model).collect()[0]
+    lr_unseen = model.collect()[0]["lr_unseen"]
+    import math
+
+    exp = math.floor(lr_unseen * 1e6 + 0.5) * out["n_feats"] / 1e6
+    assert out["n_feats"] == 3
+    assert abs(out["weight"] - exp) < 1e-12

@@ -737,3 +737,35 @@ def streaming_asof_enrich(spark, sf_dir):
         F.col("r_click_value").alias("click_value"),
         (F.col("t") - F.col("r_t")).cast("double").alias("gap_s"),
     )
+
+
+@register(
+    "streaming_dsir_score",
+    sql=__import__(
+        "tgres_spark.pipeline.textstats", fromlist=["x"]
+    ).dsir_scores_sql(),
+)
+def streaming_dsir_score(spark, sf_dir):
+    """DSIR scoring run STREAMING (streaming/dsir.py): the trained
+    one-row model (constant-size hashed-feature map) broadcasts into
+    a stateless projection over the crawl stream — zero streaming
+    state, no watermark, no aggregation; each doc's weight derives
+    in-row. Hash-checks against the SAME per-doc oracle as the batch
+    path (dsir_scores_sql) because a doc's score depends only on its
+    own text and the static model — any micro-batching appends the
+    identical relation."""
+    import tempfile
+
+    from ..pipeline.textstats import dsir_model_row
+    from ..streaming.dsir import run_dsir_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sdsir_")
+    docs = load_table(spark, sf_dir, "documents")
+    model = dsir_model_row(docs)
+    crawl = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    crawl.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_dsir_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", crawl.schema,
+        model,
+    )
+    return spark.read.parquet(f"{work}/out")

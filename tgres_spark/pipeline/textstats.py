@@ -884,6 +884,145 @@ def corpus_zipf_fit_sql(k: int = 100) -> str:
     )
 
 
+def _dsir_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bkt): the hashed bigram-feature stream —
+    bucket = first 3 md5 hex chars of 'w1 w2' (string key, uniform by
+    construction, no integer parse). Shared by the batch selector and
+    the streaming scorer's model build."""
+    from .dedup import words
+
+    base = docs.select("doc_id", "source", words(F.col("text")).alias("ws"))
+    b2 = base.where(F.size("ws") >= 2)
+    return (
+        b2.select(
+            "doc_id", "source", "ws", F.posexplode("ws").alias("i", "w1")
+        )
+        .where(F.col("i") < F.size("ws") - 1)
+        .select(
+            "doc_id",
+            "source",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("w1"),
+                        F.lit(" "),
+                        F.element_at(F.col("ws"), F.col("i") + 2),
+                    )
+                ),
+                1,
+                3,
+            ).alias("bkt"),
+        )
+    )
+
+
+def dsir_model_row(
+    docs: DataFrame, target_source: str = "src0", n_buckets: int = 4096
+) -> DataFrame:
+    """ONE-row DSIR model for stream scoring: (m, lr_unseen) where m
+    maps bucket → log-ratio over the FULL OUTER union of target and
+    source buckets (a stream doc may hit a target-only bucket the
+    batch selector never needs) and lr_unseen is the closed-form
+    score of a bucket absent from BOTH splits. The map is DATA (≤
+    n_buckets entries in one map value), not plan literals — the
+    codebook-as-literal codegen trap does not apply — and the
+    collect_list feeding it folds a ≤ n_buckets-row relation, bounded
+    by the hash range at any corpus size."""
+    bg = _dsir_buckets(docs)
+    tgt = bg.where(F.col("source") == target_source)
+    src = bg.where(F.col("source") != target_source)
+    ct = tgt.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_t"))
+    cs = src.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_s"))
+    tot = tgt.select(F.count(F.lit(1)).alias("t_t")).crossJoin(
+        src.select(F.count(F.lit(1)).alias("t_s"))
+    )
+    lr = (
+        F.round(
+            F.log(
+                10.0,
+                (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                / (F.col("t_t") + n_buckets),
+            ),
+            9,
+        )
+        - F.round(
+            F.log(
+                10.0,
+                (F.coalesce(F.col("c_s"), F.lit(0)) + 1).cast("double")
+                / (F.col("t_s") + n_buckets),
+            ),
+            9,
+        )
+    )
+    model = (
+        ct.join(cs, "bkt", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select("bkt", lr.alias("lr"))
+    )
+    unseen = (
+        F.round(
+            F.log(10.0, F.lit(1.0) / (F.col("t_t") + n_buckets)), 9
+        )
+        - F.round(
+            F.log(10.0, F.lit(1.0) / (F.col("t_s") + n_buckets)), 9
+        )
+    )
+    return model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bkt"), F.col("lr")))
+        ).alias("m")
+    ).crossJoin(F.broadcast(tot.select(unseen.alias("lr_unseen"))))
+
+
+def dsir_score_stream(df: DataFrame, model_row: DataFrame) -> DataFrame:
+    """Stateless per-row DSIR scoring — the streaming deployment
+    shape: the one-row model crossJoins in as a broadcast, bigrams
+    derive in-row (transform over the words array, no explode → no
+    per-doc aggregation state), and the weight folds the SAME micro6
+    ints the batch groupBy sums (int sums are order-free, so in-array
+    fold ≡ shuffled sum). Works identically on a static or streaming
+    ``df`` of (doc_id, text, ...); zero streaming state, zero
+    shuffle. Each derivation stage materializes as its own select
+    (the no-CSE-in-HOF rule)."""
+    from .dedup import words
+
+    s1 = df.crossJoin(F.broadcast(model_row)).select(
+        "doc_id", words(F.col("text")).alias("ws"), "m", "lr_unseen"
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.substring(
+            F.md5(
+                F.concat(
+                    F.element_at(F.col("ws"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("ws"), i + 1),
+                )
+            ),
+            1,
+            3,
+        ),
+    )
+    s2 = s1.where(F.size("ws") >= 2).select(
+        "doc_id", bg.alias("bg"), "m", "lr_unseen"
+    )
+    lrs = F.transform(
+        F.col("bg"),
+        lambda b: F.coalesce(F.element_at(F.col("m"), b), F.col("lr_unseen")),
+    )
+    s3 = s2.select("doc_id", F.col("bg"), lrs.alias("lrs"))
+    w6 = F.aggregate(
+        F.col("lrs"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"),
+    )
+    return s3.select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n_feats"),
+        (w6.cast("double") / 1000000.0).alias("weight"),
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_source: str = "src0",
@@ -911,31 +1050,8 @@ def dsir_select(
     on doc_id; the (c+1)/(T+B) divisions cast to double first, in
     oracle order."""
     from ..model import micro6
-    from .dedup import words
 
-    base = docs.select("doc_id", "source", words(F.col("text")).alias("ws"))
-    b2 = base.where(F.size("ws") >= 2)
-    bg = (
-        b2.select(
-            "doc_id", "source", "ws", F.posexplode("ws").alias("i", "w1")
-        )
-        .where(F.col("i") < F.size("ws") - 1)
-        .select(
-            "doc_id",
-            "source",
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("w1"),
-                        F.lit(" "),
-                        F.element_at(F.col("ws"), F.col("i") + 2),
-                    )
-                ),
-                1,
-                3,
-            ).alias("bkt"),
-        )
-    )
+    bg = _dsir_buckets(docs)
     tgt = bg.where(F.col("source") == target_source)
     src = bg.where(F.col("source") != target_source)
     ct = tgt.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_t"))
@@ -981,9 +1097,10 @@ def dsir_select(
     ).limit(k)
 
 
-def dsir_select_sql(
-    target_source: str = "src0", n_buckets: int = 4096, k: int = 100
-) -> str:
+def _dsir_scored_sql(target_source: str, n_buckets: int) -> str:
+    """Shared WITH chain through the per-doc ``scored`` relation —
+    the batch selector appends a top-k, the streaming scorer hashes
+    the relation as-is."""
     from ..model import micro6_sql
 
     w = WORDS_SQL.format(c="text")
@@ -1009,8 +1126,21 @@ def dsir_select_sql(
         "scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, "
         f"CAST(SUM({micro6_sql('lr')}) AS DOUBLE) / 1000000.0 AS weight "
         "FROM src JOIN model ON src.bkt = model.bkt GROUP BY doc_id) "
+    )
+
+
+def dsir_select_sql(
+    target_source: str = "src0", n_buckets: int = 4096, k: int = 100
+) -> str:
+    return _dsir_scored_sql(target_source, n_buckets) + (
         "SELECT doc_id, n_feats, weight FROM scored "
         f"ORDER BY weight DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def dsir_scores_sql(target_source: str = "src0", n_buckets: int = 4096) -> str:
+    return _dsir_scored_sql(target_source, n_buckets) + (
+        "SELECT doc_id, n_feats, weight FROM scored"
     )
 
 
