@@ -114,3 +114,30 @@ def test_nm1_spark_forecast_shape(spark):
     out = hw_nm1_forecast(df, 12, 12).collect()
     assert len(out) == len(data) + 12
     assert all(r["name"] == "holtWintersForecast(s)" for r in out)
+
+
+def test_nm2_composes_and_never_worse_than_nm1():
+    """The second Nelder-Mead iteration starts from iteration 1's
+    pool simplex, so its winner's exact integer SSE is <= the NM1
+    winner's (the pool always retains the running best); coordinates
+    stay q6-quantized and candidate pids never collide across
+    iterations (14-19 vs 4-9)."""
+    from tgres_spark.operators.holtwinters import (
+        _hw_init_state,
+        _hw_nm_winner,
+        _hw_sse_int,
+        _q6,
+    )
+
+    data = _seasonal_data(n_seasons=6, slen=12)
+    vals = [_q6(float(v)) for v in data]
+    trend0, seasonal0 = _hw_init_state(vals, 12)
+
+    def f(p):
+        return _hw_sse_int(vals, 12, trend0, seasonal0, *p)
+
+    w1 = _hw_nm_winner(vals, 12, 1)
+    w2 = _hw_nm_winner(vals, 12, 2)
+    assert f(w2) <= f(w1)
+    for c in w2:
+        assert c == _q6(c)

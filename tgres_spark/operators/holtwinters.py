@@ -325,27 +325,13 @@ def _hw_sse_int(vals, slen, trend0, seasonal0, a, b, g):
     return sse
 
 
-def _hw_nm1_winner(vals, slen):
-    """ONE Nelder-Mead iteration (standard coefficients: reflect 1,
-    expand 2, contract 0.5, shrink 0.5) from the production simplex
-    over the exact-integer SSE objective; returns the winning
-    (a, b, g). Control flow is made relational-friendly: ALL candidate
-    points (reflection, expansion, contraction, 3 shrinks) are
-    evaluated unconditionally with deterministic point ids (originals
-    0-3, refl 4, exp 5, contr 6, shrinks 7-9 by rank), the branch is
-    chosen per nelder_mead()'s exact condition order, and the winner
-    is min by (sse, pid) — the SQL twin computes the same ints and
-    the same CASE, so both engines pick the same point."""
-    trend0, seasonal0 = _hw_init_state(vals, slen)
-
-    def f(p):
-        return _hw_sse_int(vals, slen, trend0, seasonal0, *p)
-
-    pts = [
-        (pid, _NM_SIMPLEX[pid], f(_NM_SIMPLEX[pid]))
-        for pid in range(len(_NM_SIMPLEX))
-    ]
-    pts.sort(key=lambda r: (r[2], r[0]))
+def _hw_nm_iter(f, pts, pid_base):
+    """ONE Nelder-Mead update on a sorted 4-point simplex ``pts``
+    (list of (pid, point, sse) ordered by (sse, pid)); candidate
+    point ids are pid_base+0..5 (refl, exp, contr, shrinks by rank)
+    so pids stay unique across iterations and the (sse, pid)
+    tie-break is never ambiguous. Returns the NEXT simplex, sorted —
+    which is also the relation the SQL twin's ``pool`` CTE holds."""
     import math
 
     def m6(x):
@@ -366,32 +352,70 @@ def _hw_nm1_winner(vals, slen):
         tuple(_q6(best[j] + 0.5 * (pts[i][1][j] - best[j])) for j in range(3))
         for i in (1, 2, 3)
     ]
-    cand = {4: refl, 5: expa, 6: contr, 7: shr[0], 8: shr[1], 9: shr[2]}
+    P = pid_base
+    cand = {
+        P: refl, P + 1: expa, P + 2: contr,
+        P + 3: shr[0], P + 4: shr[1], P + 5: shr[2],
+    }
     fcand = {pid: f(p) for pid, p in cand.items()}
     f0, f3rd, fworst = pts[0][2], pts[2][2], pts[3][2]
-    fr, fe, fc = fcand[4], fcand[5], fcand[6]
+    fr, fe, fc = fcand[P], fcand[P + 1], fcand[P + 2]
     if f0 <= fr < f3rd:
-        newpid = 4
+        newpid = P
     elif fr < f0:
-        newpid = 5 if fe < fr else 4
+        newpid = P + 1 if fe < fr else P
     elif fc < fworst:
-        newpid = 6
+        newpid = P + 2
     else:
         newpid = -1  # shrink
     if newpid != -1:
         pool = [(p[0], p[1], p[2]) for p in pts[:3]]
         pool.append((newpid, cand[newpid], fcand[newpid]))
     else:
-        pool = [pts[0]] + [(pid, cand[pid], fcand[pid]) for pid in (7, 8, 9)]
+        pool = [pts[0]] + [
+            (pid, cand[pid], fcand[pid]) for pid in (P + 3, P + 4, P + 5)
+        ]
     pool.sort(key=lambda r: (r[2], r[0]))
-    return pool[0][1]
+    return pool
 
 
-def _hw_nm1_apply(df, slen, n_pred, mode, dev_scale):
-    """applyInPandas assembly for the NM1 family — identical output
+def _hw_nm_winner(vals, slen, iters=1):
+    """``iters`` Nelder-Mead iterations (standard coefficients:
+    reflect 1, expand 2, contract 0.5, shrink 0.5) from the
+    production simplex over the exact-integer SSE objective; returns
+    the winning (a, b, g). Control flow is made relational-friendly:
+    ALL candidate points are evaluated unconditionally with
+    deterministic point ids (originals 0-3; iteration k's refl/exp/
+    contr/shrinks = 10k+4..10k+9), the branch is chosen per
+    nelder_mead()'s exact condition order, and the winner is min by
+    (sse, pid) — the SQL twin computes the same ints and the same
+    CASEs, so both engines pick the same point. iters=1 is the
+    original hash-checked NM1; iters=2 proves the update step
+    COMPOSES (the ann_ivf_lloyd2 pattern)."""
+    trend0, seasonal0 = _hw_init_state(vals, slen)
+
+    def f(p):
+        return _hw_sse_int(vals, slen, trend0, seasonal0, *p)
+
+    pts = [
+        (pid, _NM_SIMPLEX[pid], f(_NM_SIMPLEX[pid]))
+        for pid in range(len(_NM_SIMPLEX))
+    ]
+    pts.sort(key=lambda r: (r[2], r[0]))
+    for k in range(iters):
+        pts = _hw_nm_iter(f, pts, 10 * k + 4)
+    return pts[0][1]
+
+
+def _hw_nm1_winner(vals, slen):
+    return _hw_nm_winner(vals, slen, 1)
+
+
+def _hw_nm1_apply(df, slen, n_pred, mode, dev_scale, iters=1):
+    """applyInPandas assembly for the NM family — identical output
     shaping to _hw_fixed_apply (shared _hw_mode_rows), with the
-    per-series (α, β, γ) coming from one hash-checked Nelder-Mead
-    iteration instead of fixed literals."""
+    per-series (α, β, γ) coming from ``iters`` hash-checked
+    Nelder-Mead iterations instead of fixed literals."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -400,7 +424,7 @@ def _hw_nm1_apply(df, slen, n_pred, mode, dev_scale):
         ts = [int(t) for t in pdf["t"]]
         if len(vals) < 2 * slen:
             return pd.DataFrame({"name": [], "t": [], "value": []})
-        a, b, g = _hw_nm1_winner(vals, slen)
+        a, b, g = _hw_nm_winner(vals, slen, iters)
         fit = _hw_fixed_series(vals, ts, slen, n_pred, a, b, g)
         out_t, result, dev = fit
         return _hw_mode_rows(name, vals, ts, out_t, result, dev, mode, dev_scale)
@@ -421,6 +445,15 @@ def hw_nm1_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFram
     of the full fits rows-only. Same applyInPandas fan-out shape as
     every HW variant (one small group per series)."""
     return _hw_nm1_apply(df, slen, n_pred, "forecast", 0.0)
+
+
+def hw_nm2_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFrame:
+    """holtWintersForecast after TWO hash-checked Nelder-Mead
+    iterations — nm1 proves the update STEP, this proves the step
+    COMPOSES (the ann_ivf_lloyd2 pattern): iteration 2 starts from
+    iteration 1's pool simplex, so only the full fit's ADAPTIVE
+    iteration count remains rows-only."""
+    return _hw_nm1_apply(df, slen, n_pred, "forecast", 0.0, iters=2)
 
 
 def hw_nm1_bands(
@@ -791,16 +824,21 @@ def _hw_sse_rec_sql(rec: str, pts: str, join_on: str, slen: int) -> str:
 )"""
 
 
-def _hw_nm1_ctes(base: str, slen: int = 24, n_pred: int = 12) -> str:
-    """DuckDB CTE chain for the NM1 family: the whole NM iteration is
-    relational — both SSE recursions compare the SAME exact micro6-int
-    SSEs, the ordering ties to pid, centroid coordinates fold micro6
-    ints (order-free), every candidate is evaluated unconditionally,
-    and the branch CASE mirrors nelder_mead()'s condition order — so
-    both engines pick the same winning point before the final
-    recursion. Exposes ``rec``/``fin``/``fc`` with the SAME column
-    contract as _hw_fixed_ctes (incl. the sdev/devv deviation chain),
-    so the three mode tails are shared verbatim."""
+def _hw_nm1_ctes(
+    base: str, slen: int = 24, n_pred: int = 12, iters: int = 1
+) -> str:
+    """DuckDB CTE chain for the NM family: ``iters`` whole NM
+    iterations run relationally — every SSE recursion compares the
+    SAME exact micro6-int SSEs, the ordering ties to pid (candidate
+    pids 10k+4..10k+9 per iteration k, unique across iterations so
+    the tie-break is never ambiguous), centroid coordinates fold
+    micro6 ints (order-free), every candidate is evaluated
+    unconditionally, and each branch CASE mirrors nelder_mead()'s
+    condition order — so both engines walk the same simplex chain
+    (each iteration's ``pool{k}`` IS the next simplex) before the
+    final recursion. Exposes ``rec``/``fin``/``fc`` with the SAME
+    column contract as _hw_fixed_ctes (incl. the sdev/devv deviation
+    chain), so the three mode tails are shared verbatim."""
 
     def q6(e: str) -> str:
         return f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"
@@ -819,6 +857,91 @@ def _hw_nm1_ctes(base: str, slen: int = 24, n_pred: int = 12) -> str:
     refl = {c: q6(f"c_{c} + (c_{c} - w_{c})") for c in ("a", "b", "g")}
     expa = {c: q6(f"c_{c} + 2.0 * (c_{c} - w_{c})") for c in ("a", "b", "g")}
     contr = {c: q6(f"c_{c} + 0.5 * (w_{c} - c_{c})") for c in ("a", "b", "g")}
+
+    def _iter_block(k: int) -> str:
+        """One relational NM iteration: rank the 4-point simplex,
+        evaluate ALL candidates (pids 10k+4..10k+9 — unique across
+        iterations so the (sse, pid) tie-break is never ambiguous),
+        branch per nelder_mead()'s condition order, emit the next
+        simplex as pool{k}. Iteration 0's input is sim0; iteration
+        k's is the previous pool."""
+        src = "sim0" if k == 0 else f"pool{k - 1}"
+        P = 10 * k + 4
+        return f"""ord{k} AS MATERIALIZED (
+  SELECT s.name, s.pid, s.sse, s.a, s.b, s.g,
+         ROW_NUMBER() OVER (PARTITION BY s.name
+                            ORDER BY s.sse, s.pid) AS rk
+  FROM {src} s
+),
+cent{k} AS (
+  SELECT name, {m6sum('a')} AS c_a, {m6sum('b')} AS c_b, {m6sum('g')} AS c_g
+  FROM ord{k} WHERE rk <= 3 GROUP BY name
+),
+wb{k} AS (
+  SELECT name,
+         MAX(CASE WHEN rk = 4 THEN a END) AS w_a,
+         MAX(CASE WHEN rk = 4 THEN b END) AS w_b,
+         MAX(CASE WHEN rk = 4 THEN g END) AS w_g,
+         MAX(CASE WHEN rk = 1 THEN a END) AS b_a,
+         MAX(CASE WHEN rk = 1 THEN b END) AS b_b,
+         MAX(CASE WHEN rk = 1 THEN g END) AS b_g
+  FROM ord{k} GROUP BY name
+),
+cand{k} AS MATERIALIZED (
+  SELECT c.name, {P} AS pid, {refl['a']} AS a, {refl['b']} AS b, {refl['g']} AS g
+  FROM cent{k} c JOIN wb{k} USING (name)
+  UNION ALL
+  SELECT c.name, {P + 1}, {expa['a']}, {expa['b']}, {expa['g']}
+  FROM cent{k} c JOIN wb{k} USING (name)
+  UNION ALL
+  SELECT c.name, {P + 2}, {contr['a']}, {contr['b']}, {contr['g']}
+  FROM cent{k} c JOIN wb{k} USING (name)
+  UNION ALL
+  SELECT o.name, o.rk + {P + 1}, {shr['a']}, {shr['b']}, {shr['g']}
+  FROM ord{k} o JOIN wb{k} USING (name) WHERE o.rk >= 2
+),
+{_hw_sse_rec_sql(f'recc{k}', f'cand{k}', 'p.name = d.name', slen)},
+f2{k} AS MATERIALIZED (
+  SELECT c.name, c.pid, c.a, c.b, c.g,
+         COALESCE(r2.sse, CAST({_NM_BIG} AS HUGEINT)) AS sse
+  FROM cand{k} c LEFT JOIN (
+    SELECT r.name, r.pid, r.sse FROM recc{k} r
+    JOIN cnt ct ON ct.name = r.name AND r.i = ct.n - 1
+  ) r2 ON r2.name = c.name AND r2.pid = c.pid
+),
+sc{k} AS (
+  SELECT name,
+         MAX(CASE WHEN rk = 1 THEN sse END) AS f0,
+         MAX(CASE WHEN rk = 3 THEN sse END) AS f3rd,
+         MAX(CASE WHEN rk = 4 THEN sse END) AS fworst
+  FROM ord{k} GROUP BY name
+),
+cf{k} AS (
+  SELECT name,
+         MAX(CASE WHEN pid = {P} THEN sse END) AS fr,
+         MAX(CASE WHEN pid = {P + 1} THEN sse END) AS fe,
+         MAX(CASE WHEN pid = {P + 2} THEN sse END) AS fc
+  FROM f2{k} GROUP BY name
+),
+br{k} AS (
+  SELECT name,
+         CASE WHEN fr >= f0 AND fr < f3rd THEN {P}
+              WHEN fr < f0 AND fe < fr THEN {P + 1}
+              WHEN fr < f0 THEN {P}
+              WHEN fc < fworst THEN {P + 2}
+              ELSE -1 END AS newpid
+  FROM sc{k} JOIN cf{k} USING (name)
+),
+pool{k} AS MATERIALIZED (
+  SELECT o.name, o.pid, o.sse, o.a, o.b, o.g
+  FROM ord{k} o JOIN br{k} USING (name)
+  WHERE (br{k}.newpid <> -1 AND o.rk <= 3) OR (br{k}.newpid = -1 AND o.rk = 1)
+  UNION ALL
+  SELECT f.name, f.pid, f.sse, f.a, f.b, f.g
+  FROM f2{k} f JOIN br{k} USING (name)
+  WHERE f.pid = br{k}.newpid
+     OR (br{k}.newpid = -1 AND f.pid IN ({P + 3}, {P + 4}, {P + 5}))
+)"""
     SI = f"((r.i + 1) % {slen}) + 1"
     L = q6(f"r.a * d.value / r.seasonal[{SI}] + (1.0 - r.a) * (r.level + r.trend)")
     TR = q6("b * (lv - level) + (1.0 - b) * trend")
@@ -830,6 +953,7 @@ def _hw_nm1_ctes(base: str, slen: int = 24, n_pred: int = 12) -> str:
         "ELSE resv / dv END"
     )
     SDUP = q6("g * (1.0 - factorv) + (1.0 - g) * sdev[si]")
+    blocks = ",\n".join(_iter_block(k) for k in range(iters))
     return f"""
 WITH RECURSIVE
 {_hw_init_sql(base, slen)},
@@ -839,84 +963,15 @@ f1 AS (
   SELECT r.name, r.pid, r.sse FROM recs r
   JOIN cnt c ON c.name = r.name AND r.i = c.n - 1
 ),
-ord AS MATERIALIZED (
-  SELECT f1.name, f1.pid, f1.sse, p.a, p.b, p.g,
-         ROW_NUMBER() OVER (PARTITION BY f1.name
-                            ORDER BY f1.sse, f1.pid) AS rk
+sim0 AS (
+  SELECT f1.name, f1.pid, f1.sse, p.a, p.b, p.g
   FROM f1 JOIN pts0 p ON p.pid = f1.pid
 ),
-cent AS (
-  SELECT name, {m6sum('a')} AS c_a, {m6sum('b')} AS c_b, {m6sum('g')} AS c_g
-  FROM ord WHERE rk <= 3 GROUP BY name
-),
-wb AS (
-  SELECT name,
-         MAX(CASE WHEN rk = 4 THEN a END) AS w_a,
-         MAX(CASE WHEN rk = 4 THEN b END) AS w_b,
-         MAX(CASE WHEN rk = 4 THEN g END) AS w_g,
-         MAX(CASE WHEN rk = 1 THEN a END) AS b_a,
-         MAX(CASE WHEN rk = 1 THEN b END) AS b_b,
-         MAX(CASE WHEN rk = 1 THEN g END) AS b_g
-  FROM ord GROUP BY name
-),
-cand AS MATERIALIZED (
-  SELECT c.name, 4 AS pid, {refl['a']} AS a, {refl['b']} AS b, {refl['g']} AS g
-  FROM cent c JOIN wb USING (name)
-  UNION ALL
-  SELECT c.name, 5, {expa['a']}, {expa['b']}, {expa['g']}
-  FROM cent c JOIN wb USING (name)
-  UNION ALL
-  SELECT c.name, 6, {contr['a']}, {contr['b']}, {contr['g']}
-  FROM cent c JOIN wb USING (name)
-  UNION ALL
-  SELECT o.name, o.rk + 5, {shr['a']}, {shr['b']}, {shr['g']}
-  FROM ord o JOIN wb USING (name) WHERE o.rk >= 2
-),
-{_hw_sse_rec_sql('recc', 'cand', 'p.name = d.name', slen)},
-f2 AS MATERIALIZED (
-  SELECT c.name, c.pid, c.a, c.b, c.g,
-         COALESCE(r2.sse, CAST({_NM_BIG} AS HUGEINT)) AS sse
-  FROM cand c LEFT JOIN (
-    SELECT r.name, r.pid, r.sse FROM recc r
-    JOIN cnt ct ON ct.name = r.name AND r.i = ct.n - 1
-  ) r2 ON r2.name = c.name AND r2.pid = c.pid
-),
-sc AS (
-  SELECT name,
-         MAX(CASE WHEN rk = 1 THEN sse END) AS f0,
-         MAX(CASE WHEN rk = 3 THEN sse END) AS f3rd,
-         MAX(CASE WHEN rk = 4 THEN sse END) AS fworst
-  FROM ord GROUP BY name
-),
-cf AS (
-  SELECT name,
-         MAX(CASE WHEN pid = 4 THEN sse END) AS fr,
-         MAX(CASE WHEN pid = 5 THEN sse END) AS fe,
-         MAX(CASE WHEN pid = 6 THEN sse END) AS fc
-  FROM f2 GROUP BY name
-),
-br AS (
-  SELECT name,
-         CASE WHEN fr >= f0 AND fr < f3rd THEN 4
-              WHEN fr < f0 AND fe < fr THEN 5
-              WHEN fr < f0 THEN 4
-              WHEN fc < fworst THEN 6
-              ELSE -1 END AS newpid
-  FROM sc JOIN cf USING (name)
-),
-pool AS (
-  SELECT o.name, o.pid, o.sse, o.a, o.b, o.g
-  FROM ord o JOIN br USING (name)
-  WHERE (br.newpid <> -1 AND o.rk <= 3) OR (br.newpid = -1 AND o.rk = 1)
-  UNION ALL
-  SELECT f.name, f.pid, f.sse, f.a, f.b, f.g
-  FROM f2 f JOIN br USING (name)
-  WHERE f.pid = br.newpid OR (br.newpid = -1 AND f.pid IN (7, 8, 9))
-),
+{blocks},
 win AS (
   SELECT name, a, b, g FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY name
-                                 ORDER BY sse, pid) AS rk2 FROM pool
+                                 ORDER BY sse, pid) AS rk2 FROM pool{iters - 1}
   ) WHERE rk2 = 1
 ),
 rec AS (
@@ -962,6 +1017,16 @@ fc AS (
   JOIN stp s ON s.name = f.name
   CROSS JOIN (SELECT unnest(range(1, {n_pred + 1})) AS m) m
 )
+"""
+
+
+def hw_nm2_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
+    return _hw_nm1_ctes(base, slen, n_pred, iters=2) + """
+SELECT 'holtWintersForecast(' || name || ')' AS name, t,
+       CAST(result AS DOUBLE) AS value FROM rec
+UNION ALL
+SELECT 'holtWintersForecast(' || name || ')' AS name, t,
+       CAST(value AS DOUBLE) AS value FROM fc
 """
 
 

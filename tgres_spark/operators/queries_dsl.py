@@ -433,6 +433,20 @@ def _hw_forecast_nm1(spark, sf_dir):
 
 
 @register(
+    "dsl_holtWintersForecast_nm2",
+    sql=hw.hw_nm2_forecast_sql(NM1_BASE_SQL, 24, 12),
+)
+def _hw_forecast_nm2(spark, sf_dir):
+    """TWO hash-checked Nelder-Mead iterations (the ann_ivf_lloyd2
+    pattern): nm1 proves the update step, this proves the step
+    COMPOSES — iteration 2 starts from iteration 1's pool simplex.
+    With init, recursion, one step, and two composed steps all
+    oracled, only the full fit's ADAPTIVE iteration count remains
+    rows-only."""
+    return hw.hw_nm2_forecast(_nm1_base(spark, sf_dir), 24, 12)
+
+
+@register(
     "dsl_holtWintersConfidenceBands_nm1",
     sql=hw.hw_nm1_bands_sql(NM1_BASE_SQL, 24, 12, 10.0),
 )
