@@ -456,6 +456,20 @@ def hw_nm2_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFram
     return _hw_nm1_apply(df, slen, n_pred, "forecast", 0.0, iters=2)
 
 
+def hw_nm2_bands(
+    df: DataFrame, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
+) -> DataFrame:
+    """holtWintersConfidenceBands over the two-iteration NM fit."""
+    return _hw_nm1_apply(df, slen, n_pred, "bands", dev_scale, iters=2)
+
+
+def hw_nm2_aberration(
+    df: DataFrame, slen: int = 24, dev_scale: float = 10.0
+) -> DataFrame:
+    """holtWintersAberration over the two-iteration NM fit."""
+    return _hw_nm1_apply(df, slen, 0, "aberration", dev_scale, iters=2)
+
+
 def hw_nm1_bands(
     df: DataFrame, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
 ) -> DataFrame:
@@ -1041,10 +1055,11 @@ SELECT 'holtWintersForecast(' || name || ')' AS name, t,
 
 
 def hw_nm1_bands_sql(
-    base: str, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
+    base: str, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0,
+    iters: int = 1,
 ) -> str:
     DS = repr(dev_scale)
-    return _hw_nm1_ctes(base, slen, n_pred) + f""",
+    return _hw_nm1_ctes(base, slen, n_pred, iters) + f""",
 allpts AS (
   SELECT name, t, result, devv FROM rec
   UNION ALL
@@ -1059,12 +1074,12 @@ SELECT 'holtWintersConfidenceLower(' || name || ')' AS name, t,
 
 
 def hw_nm1_aberration_sql(
-    base: str, slen: int = 24, dev_scale: float = 10.0
+    base: str, slen: int = 24, dev_scale: float = 10.0, iters: int = 1
 ) -> str:
     DS = repr(dev_scale)
     UP = f"r.result + r.result * r.devv * {DS}"
     LO = f"r.result - r.result * r.devv * {DS}"
-    return _hw_nm1_ctes(base, slen, 0) + f"""
+    return _hw_nm1_ctes(base, slen, 0, iters) + f"""
 SELECT 'holtWintersAberration(' || r.name || ')' AS name, r.t,
        CAST(CASE WHEN i.value > {UP} THEN i.value - ({UP})
                  WHEN i.value < {LO} THEN i.value - ({LO})

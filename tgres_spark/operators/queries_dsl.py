@@ -465,6 +465,24 @@ def _hw_aberration_nm1(spark, sf_dir):
     return hw.hw_nm1_aberration(_nm1_base(spark, sf_dir), 24, 10.0)
 
 
+@register(
+    "dsl_holtWintersConfidenceBands_nm2",
+    sql=hw.hw_nm1_bands_sql(NM1_BASE_SQL, 24, 12, 10.0, iters=2),
+)
+def _hw_bands_nm2(spark, sf_dir):
+    """Bands over the two-iteration NM fit — the deviation chain runs
+    at the nm2 winner; mode tail shared verbatim with nm1/fixed."""
+    return hw.hw_nm2_bands(_nm1_base(spark, sf_dir), 24, 12, 10.0)
+
+
+@register(
+    "dsl_holtWintersAberration_nm2",
+    sql=hw.hw_nm1_aberration_sql(NM1_BASE_SQL, 24, 10.0, iters=2),
+)
+def _hw_aberration_nm2(spark, sf_dir):
+    return hw.hw_nm2_aberration(_nm1_base(spark, sf_dir), 24, 10.0)
+
+
 # Fixed (α,β,γ): the recursion becomes SQL-expressible — a DuckDB
 # recursive CTE is the oracle, so this variant is hash-checked while
 # the Nelder-Mead-fitted ones above stay rows-only (declared).
