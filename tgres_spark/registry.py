@@ -44,10 +44,10 @@ def register(key: str, sql: str | None = None):
 # testdata-drift wipeout (green in r1/r2 and in every local gate run
 # since) so their stale red gets overwritten in round 8. New round-7
 # operators are inserted at position 39 so their first driver
-# attestation lands the round they ship — with 19 round-7 additions
+# attestation lands the round they ship — with 20 round-7 additions
 # the 50-slot window is the 38 never-attested plus the first 12 new
-# keys; positions 51-57 (corpus_heaps_curve, pipeline_dsir_select,
-# mm_audio_dedup, streaming_dsir_score, hw nm2 ×3) and ALL 26
+# keys; positions 51-58 (corpus_heaps_curve, pipeline_dsir_select,
+# mm_audio_dedup, streaming_dsir_score, hw nm2 ×3, markov paths) and ALL 26
 # stale-red keys fall to round 8's re-freeze. This tuple is a
 # constant —
 # registry order is a pure function of the code, independent of any
@@ -77,6 +77,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "corpus_heaps_curve", "pipeline_dsir_select", "mm_audio_dedup",
     "streaming_dsir_score", "dsl_holtWintersForecast_nm2",
     "dsl_holtWintersConfidenceBands_nm2", "dsl_holtWintersAberration_nm2",
+    "events_markov_paths",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",

@@ -877,6 +877,73 @@ FROM c JOIN tot ON c.prev_type = tot.prev_type
 """
 
 
+_MARKOV_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t, event_id
+  FROM events
+), s AS (
+  SELECT event_type AS step1,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      AS step2,
+    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      AS step3
+  FROM e
+), c AS (
+  SELECT step1, step2, step3, COUNT(*) AS n FROM s
+  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+  GROUP BY step1, step2, step3
+), tot AS (SELECT SUM(n) AS tot FROM c)
+SELECT step1, step2, step3, CAST(n AS BIGINT) AS n,
+  CAST(n AS DOUBLE) / tot AS share
+FROM c CROSS JOIN tot
+ORDER BY n DESC, step1, step2, step3 LIMIT 25
+"""
+
+
+@register("events_markov_paths", sql=_MARKOV_PATHS_SQL)
+def events_markov_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order behavior model: the top-25 event-type TRIGRAM
+    paths with corpus share — the path-analysis step up from
+    events_transitions' bigram matrix ('what three-step journeys
+    dominate?'). Two lead()s share ONE per-user window ordered by
+    (t, event_id) (the unique id breaks same-second ties identically
+    in both engines), the path groupBy map-side combines (≤
+    |event_types|³ keys), the total re-enters as a one-row broadcast,
+    and the top-k is TakeOrderedAndProject with full-path tie-break."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", epoch_s("ts", ev).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = e.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type").over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    c = (
+        s.where(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("tot")).alias("share"),
+        )
+        .orderBy(
+            F.col("n").desc(), "step1", "step2", "step3"
+        )
+        .limit(25)
+    )
+
+
 @register("events_transitions", sql=_TRANSITIONS_SQL)
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavior model: the event-type transition matrix
