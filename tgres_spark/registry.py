@@ -32,52 +32,30 @@ def register(key: str, sql: str | None = None):
     return deco
 
 
-# Frozen attestation-priority order (round 7). The driver attests a
-# fixed-size prefix (50 entries) of the registry each round. Through
-# round 6, 41 registered keys had never appeared in ANY
-# CORRECTNESS_r{1..6} window: the 38 oracle-backed keys listed first
-# below (round-5 backlog leftovers + the six round-6 additions), plus
-# the 3 rows-only Holt-Winters fits now pinned to the registry TAIL
-# (see _ATTEST_TAIL — a rows-only key inside a window can only produce
-# an `err: no_oracle` row, burning the slot). After the never-attested
-# block come the 26 keys whose LATEST driver row is the round-3
-# testdata-drift wipeout (green in r1/r2 and in every local gate run
-# since) so their stale red gets overwritten in round 8. New round-7
-# operators are inserted at position 39 so their first driver
-# attestation lands the round they ship — with 20 round-7 additions
-# the 50-slot window is the 38 never-attested plus the first 12 new
-# keys; positions 51-58 (corpus_heaps_curve, pipeline_dsir_select,
-# mm_audio_dedup, streaming_dsir_score, hw nm2 ×3, markov paths) and ALL 26
-# stale-red keys fall to round 8's re-freeze. This tuple is a
-# constant —
-# registry order is a pure function of the code, independent of any
-# artifact files in the checkout.
+# Frozen attestation-priority order (round 8). The driver attests a
+# fixed-size prefix (50 entries) of the registry each round. This is
+# the FINAL backlog tranche: after round 7's window (50/50 green, all
+# first-time), exactly 8 oracle-backed keys have never appeared in any
+# CORRECTNESS_r{1..7} window (positions 1-8 below) and 26 oracle-backed
+# keys' LATEST driver row is still the round-3 testdata-drift red
+# (green in r1/r2 and in every local three-SF gate since; they follow
+# the new-operator block so the stale red gets overwritten). New
+# round-8 operators are inserted after the never-attested block so
+# their first driver attestation lands the round they ship. The
+# remainder of the window (50 − 8 − #new − 26 slots) falls to the
+# oldest-green re-attestation list at the end — keys whose latest
+# green row is round 1/3, refreshed oldest-first. Rows-only keys stay
+# pinned in _ATTEST_TAIL (a window slot spent on them can only produce
+# an `err: no_oracle` row). This tuple is a constant — registry order
+# is a pure function of the code, independent of artifact files.
 _ATTEST_PRIORITY: tuple[str, ...] = (
-    # -- never attested through r6 (oracle-backed), positions 1-38 --
-    "streaming_asof_enrich", "tpch_q19", "emb_label_centroids",
-    "tpch_q22", "pipeline_c4_clean", "tpch_q2", "corpus_top_ngrams",
-    "tpch_q9", "corpus_bpe_pairs", "tpch_q16", "emb_norm_outliers",
-    "tpch_q21", "pipeline_quality_model", "tpch_q11",
-    "pipeline_dataset_card", "tpch_q20", "pipeline_prep_e2e",
-    "pipeline_mix_temperature", "corpus_fingerprint",
-    "pipeline_mix_unimax", "pipeline_gopher_filter",
-    "pipeline_span_dedup", "corpus_dedup_stats", "emb_covariance",
-    "emb_outliers", "emb_power_iter", "emb_covariance_np",
-    "pipeline_shard_manifest", "dsl_holtWintersConfidenceBands_fixed",
-    "dsl_holtWintersAberration_fixed", "dsl_align_lcm_sum",
-    "dsl_maxDataPoints", "mm_phash_dedup", "streaming_bloom_filter",
-    "events_bloom_membership", "rrd_retention_prune",
-    "rrd_compact_archive", "pipeline_bloom_decontaminate",
-    # -- new round-7 operators (first driver exposure this round) --
-    "mm_video_keyframes", "ann_ivf_lloyd2_fixed", "ann_ivfadc_search",
-    "text_bigram_lm", "ann_ivfadc_probe_sweep",
-    "dsl_holtWintersForecast_nm1", "dsl_holtWintersConfidenceBands_nm1",
-    "dsl_holtWintersAberration_nm1", "pipeline_perplexity_filter",
-    "emb_int8_quantize", "ann_ivf_balance", "corpus_zipf_fit",
-    "corpus_heaps_curve", "pipeline_dsir_select", "mm_audio_dedup",
-    "streaming_dsir_score", "dsl_holtWintersForecast_nm2",
-    "dsl_holtWintersConfidenceBands_nm2", "dsl_holtWintersAberration_nm2",
-    "events_markov_paths",
+    # -- never attested through r7 (oracle-backed), positions 1-8 --
+    "corpus_heaps_curve", "events_markov_paths", "mm_audio_dedup",
+    "pipeline_dsir_select", "streaming_dsir_score",
+    "dsl_holtWintersForecast_nm2", "dsl_holtWintersConfidenceBands_nm2",
+    "dsl_holtWintersAberration_nm2",
+    # -- new round-8 operators (first driver exposure this round) --
+    # (inserted here as they are implemented)
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",
@@ -89,6 +67,17 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dsl_maxSeries", "statsd_flush_timers", "events_retention",
     "dsl_expression_timerange", "rrd_xff", "dsl_multiplySeries",
     "statsd_flush_all",
+    # -- oldest-green re-attestations (latest green row r1/r3);
+    #    fills whatever window slots remain, oldest first --
+    "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
+    "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
+    "dsl_scaleToSeconds", "dsl_smartSummarize", "dsl_summarize",
+    "dsl_timeStack", "dsl_transformNull", "ann_cosine_topk",
+    "ann_lsh_topk", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "events_props_extract",
+    "mm_frame_sample", "text_fingerprint", "text_langid",
+    "text_quality", "text_tokens", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q6",
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
