@@ -171,3 +171,92 @@ def test_render_relative_from_until(catalog):
     )
     pts = out[0]["datapoints"]
     assert [p[1] for p in pts] == [120, 180, 240]
+
+
+def test_http_facade_tail_routes(catalog):
+    """/ping (daemon/http.go:45), /events/get_data (http/graphite.go:
+    188-195 — the reference stubs annotations to []), and the four
+    pixel aggregator routes (http/pixel.go:87-105): pixel always comes
+    back, each form pair queues one command, bad values drop the pair
+    only."""
+    from urllib.request import Request, urlopen
+
+    from tgres_spark.http_api import serve
+
+    server = serve(catalog, now=300)
+    try:
+        host, port = server.server_address
+
+        def get(path):
+            with urlopen(f"http://{host}:{port}{path}", timeout=60) as r:
+                return r.status, r.headers["Content-Type"], r.read()
+
+        st, ct, body = get("/ping")
+        assert (st, body) == (200, b"OK\n") and ct.startswith("text/plain")
+        for p in ("/events/get_data", "/events/get_data/"):
+            st, _, body = get(p)
+            assert (st, body) == (200, b"[]\n"), p
+
+        # GET with query-string form pairs — one command per pair
+        st, ct, body = get("/pixel/add?app.req=1&app.err=2.5")
+        assert st == 200 and ct == "image/gif" and body.startswith(b"GIF89a")
+        get("/pixel/addgauge?pool.size=-3")
+        get("/pixel/setgauge?pool.size=10")
+        # bad value drops the pair, never the response (pixel.go
+        # recovers and still serves the pixel)
+        st, _, body = get("/pixel/append?lat=12.5&lat=oops")
+        assert st == 200 and body.startswith(b"GIF89a")
+
+        # POST urlencoded body, like the reference's ParseForm
+        req = Request(
+            f"http://{host}:{port}/pixel/append",
+            data=b"lat=40", method="POST",
+        )
+        with urlopen(req, timeout=60) as r:
+            assert r.status == 200 and r.read().startswith(b"GIF89a")
+
+        assert server.agg_commands == [
+            ("add", "app.req", 1.0, 300),
+            ("add", "app.err", 2.5, 300),
+            ("addgauge", "pool.size", -3.0, 300),
+            ("setgauge", "pool.size", 10.0, 300),
+            ("append", "lat", 12.5, 300),
+            ("append", "lat", 40.0, 300),
+        ]
+    finally:
+        server.shutdown()
+
+
+def test_pixel_agg_commands_flow_through_statsd_flush(spark, catalog):
+    """The queued pixel agg commands flush through the SAME statsd
+    engine as the socket sources: add → counter rate, setgauge/addgauge
+    → gauge set+delta, append → timer stats (aggregator.go:217-220)."""
+    import math
+
+    from tgres_spark.aggregator import pixel_agg_frame, statsd_flush
+    from tgres_spark.http_api import serve
+    from urllib.request import urlopen
+
+    server = serve(catalog, now=30)
+    try:
+        host, port = server.server_address
+        for path in (
+            "/pixel/add?req|s=6",      # name sanitized like statsd
+            "/pixel/setgauge?depth=100",
+            "/pixel/addgauge?depth=%2B7",   # +7
+            "/pixel/addgauge?depth=-2",
+            "/pixel/append?lat=10&lat=30",
+        ):
+            with urlopen(f"http://{host}:{port}{path}", timeout=60) as r:
+                assert r.status == 200
+        out = statsd_flush(
+            pixel_agg_frame(spark, server.agg_commands), 60
+        )
+        r = {x["name"]: x for x in out.collect()}
+        assert math.isclose(r["stats.reqs"]["value"], 6.0 / 60.0)
+        assert r["stats.gauges.depth"]["value"] == 105.0  # 100 +7 -2
+        assert r["stats.timers.lat.count"]["value"] == 2.0
+        assert r["stats.timers.lat.mean"]["value"] == 20.0
+        assert all(x["t"] == 60 for x in r.values())
+    finally:
+        server.shutdown()

@@ -276,3 +276,33 @@ def paced_metrics_sql(base_sql: str, pace_s: int, kind: str = "sum") -> str:
     return oracle_consolidate_sql(
         base_sql, pace_s, "sum" if kind == "sum" else "wmean"
     )
+
+
+def pixel_agg_frame(spark, commands) -> DataFrame:
+    """http/pixel.go:87-145 parity: the `/pixel/{add,addgauge,setgauge,
+    append}` routes queue aggregator commands (aggregator.go:217-220 —
+    CmdAdd counter, CmdAddGauge gauge delta, CmdSetGauge gauge set,
+    CmdAppend timer list). This turns the façade's queued
+    ``(cmd, name, value, t)`` tuples into the SAME parsed-statsd frame
+    ``parse_statsd_packets`` emits, so one flush path (``statsd_flush``)
+    serves sockets and pixels alike — no second aggregation engine.
+    Name sanitization happens here (misc.SanitizeName parity), like
+    ``render.pixel_datapoints`` does for the count pixels."""
+    from .model import sanitize_name
+
+    cmds = spark.createDataFrame(
+        list(commands), "cmd string, name string, value double, t long"
+    )
+    metric = (
+        F.when(F.col("cmd") == "add", F.lit("c"))
+        .when(F.col("cmd") == "append", F.lit("ms"))
+        .otherwise(F.lit("g"))
+    )
+    return cmds.select(
+        F.col("t"),
+        sanitize_name(F.col("name")).alias("name"),
+        F.col("value"),
+        metric.alias("metric"),
+        F.lit(1.0).alias("sample"),
+        (F.col("cmd") == "addgauge").alias("delta"),
+    )

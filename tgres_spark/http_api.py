@@ -32,6 +32,18 @@ _PIXEL_GIF = (
 )
 
 
+# /pixel/{add,addgauge,setgauge,append} → aggregator command kind
+# (http/pixel.go:87-105; semantics in aggregator.go:217-220). Queued
+# as (cmd, name, value, t); aggregator.pixel_agg_frame feeds them to
+# the same statsd_flush path the socket sources use.
+_AGG_ROUTES = {
+    "/pixel/add": "add",
+    "/pixel/addgauge": "addgauge",
+    "/pixel/setgauge": "setgauge",
+    "/pixel/append": "append",
+}
+
+
 def _make_handler(catalog: DataFrame, now: int | None):
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -47,11 +59,55 @@ def _make_handler(catalog: DataFrame, now: int | None):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_pixel(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "image/gif")
+            self.send_header("Content-Length", str(len(_PIXEL_GIF)))
+            self.end_headers()
+            self.wfile.write(_PIXEL_GIF)
+
+        def _handle_agg(self, cmd: str, q: dict):
+            # http/pixel.go pixelAggHandler: the pixel goes out FIRST,
+            # then each form pair name=value queues one command; an
+            # unparseable value drops the pair, never the response.
+            import time as _time
+
+            t = now if now is not None else int(_time.time())
+            for name, vals in q.items():
+                for v in vals:
+                    try:
+                        val = float(v)
+                    except ValueError:
+                        _LOG.warning("pixel %s: bad value %r=%r", cmd, name, v)
+                        continue
+                    self.server.agg_commands.append((cmd, name, val, t))
+            self._send_pixel()
+
+        def do_POST(self):
+            # the reference's ParseForm reads urlencoded POST bodies
+            # for the pixel agg routes; everything else is GET-only
+            u = urlparse(self.path)
+            if u.path in _AGG_ROUTES:
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                self._handle_agg(_AGG_ROUTES[u.path], parse_qs(body))
+            else:
+                self._reply(404, '{"error": "not found"}')
+
         def do_GET(self):
             u = urlparse(self.path)
             q = parse_qs(u.query)
             try:
-                if u.path == "/render":
+                if u.path == "/ping":
+                    # daemon/http.go:45
+                    self._reply(200, "OK\n", ctype="text/plain")
+                elif u.path in ("/events/get_data", "/events/get_data/"):
+                    # http/graphite.go:188-195 — annotations are
+                    # stubbed to an empty list in the reference too
+                    self._reply(200, "[]\n")
+                elif u.path in _AGG_ROUTES:
+                    self._handle_agg(_AGG_ROUTES[u.path], q)
+                elif u.path == "/render":
                     targets = q.get("target", [])
                     if not targets:
                         self._reply(400, '{"error": "target required"}')
@@ -120,6 +176,9 @@ def serve(
         (host, port), _make_handler(catalog, now)
     )
     server.pixel_hits = []  # (metric, t) hits recorded by /pixel/
+    # (cmd, name, value, t) from /pixel/{add,addgauge,setgauge,append};
+    # aggregator.pixel_agg_frame → statsd_flush turns them into series
+    server.agg_commands = []
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
