@@ -141,3 +141,129 @@ def test_nm2_composes_and_never_worse_than_nm1():
     assert f(w2) <= f(w1)
     for c in w2:
         assert c == _q6(c)
+
+
+def _float_nm_decisions(f, simplex, steps):
+    """Branch decisions of the ADAPTIVE optimizer's (nelder_mead's)
+    first ``steps`` iterations — the exact float control flow of
+    nelder_mead(), instrumented. Also reports whether the tol break
+    fired within ``steps``."""
+    s = [np.asarray(p, dtype=float) for p in simplex]
+    fv = [f(p) for p in s]
+    dec, converged = [], False
+    for _ in range(steps):
+        order = np.argsort(fv)
+        s = [s[j] for j in order]
+        fv = [fv[j] for j in order]
+        if abs(fv[-1] - fv[0]) < 1e-8:
+            converged = True
+            break
+        centroid = np.mean(s[:-1], axis=0)
+        refl = centroid + (centroid - s[-1])
+        fr = f(refl)
+        if fv[0] <= fr < fv[-2]:
+            s[-1], fv[-1] = refl, fr
+            dec.append("refl")
+        elif fr < fv[0]:
+            exp = centroid + 2 * (centroid - s[-1])
+            fe = f(exp)
+            if fe < fr:
+                s[-1], fv[-1] = exp, fe
+                dec.append("exp")
+            else:
+                s[-1], fv[-1] = refl, fr
+                dec.append("refl")
+        else:
+            contr = centroid + 0.5 * (s[-1] - centroid)
+            fc = f(contr)
+            if fc < fv[-1]:
+                s[-1], fv[-1] = contr, fc
+                dec.append("contr")
+            else:
+                for j in range(1, len(s)):
+                    s[j] = s[0] + 0.5 * (s[j] - s[0])
+                    fv[j] = f(s[j])
+                dec.append("shrink")
+    return dec, converged
+
+
+def _int_nm_decisions(vals, slen, steps):
+    """Branch decisions of the ORACLED micro6-integer NM chain (the
+    _nm1/_nm2/_nm3 prefix), read off the candidate pid that entered
+    each iteration's pool."""
+    from tgres_spark.operators.holtwinters import (
+        _NM_SIMPLEX,
+        _hw_init_state,
+        _hw_nm_iter,
+        _hw_sse_int,
+    )
+
+    trend0, seasonal0 = _hw_init_state(vals, slen)
+
+    def f(p):
+        return _hw_sse_int(vals, slen, trend0, seasonal0, *p)
+
+    pts = [(pid, _NM_SIMPLEX[pid], f(_NM_SIMPLEX[pid])) for pid in range(4)]
+    pts.sort(key=lambda r: (r[2], r[0]))
+    dec = []
+    for k in range(steps):
+        new = _hw_nm_iter(f, pts, 10 * k + 4)
+        fresh = {p[0] for p in new} - {p[0] for p in pts}
+        P = 10 * k + 4
+        if {P + 3, P + 4, P + 5} & fresh:
+            dec.append("shrink")
+        elif P + 1 in fresh:
+            dec.append("exp")
+        elif P + 2 in fresh:
+            dec.append("contr")
+        else:
+            dec.append("refl")
+        pts = new
+    return dec
+
+
+def test_nm3_is_the_adaptive_fits_exact_prefix_on_driver_fixture():
+    """The rows-only adaptive holtWintersForecast is 'the oracled nm3
+    chain continued': on EVERY series of the driver's sf0.01 fixture
+    (the same _nm1_base window the attested queries run on) the
+    adaptive float optimizer's first three branch decisions equal the
+    hash-checked integer chain's — and the adaptive loop does NOT hit
+    its tol break within 3 iterations (measured 137-200 on this
+    fixture), which is exactly why the full fit stays declared
+    rows-only: only iterations > 3 are unoracled."""
+    import os
+
+    import pytest
+
+    from tgres_spark.operators.holtwinters import (
+        _q6,
+        hw_initial_seasonal,
+        hw_initial_trend,
+        hw_smooth,
+    )
+    from tgres_spark.operators.queries_dsl import _nm1_base
+    from tests.conftest import SF_ORACLE
+
+    if not os.path.isdir(SF_ORACLE):
+        pytest.skip("driver testdata absent")
+    from tgres_spark.session import get_spark
+
+    spark = get_spark("test")
+    rows = _nm1_base(spark, SF_ORACLE).orderBy("name", "t").collect()
+    series: dict[str, list[float]] = {}
+    for r in rows:
+        series.setdefault(r["name"], []).append(r["value"])
+    assert len(series) >= 3
+    start = [[0.1, 0.01, 0.9], [0.9, 0.1, 0.1], [0.5, 0.2, 0.5], [0.1, 0.9, 0.1]]
+    for name, v in series.items():
+        data = np.asarray(v, float)
+        trend = hw_initial_trend(data, 24)
+        seasonal = hw_initial_seasonal(data, 24)
+
+        def f(x):
+            return hw_smooth(data, 24, trend, seasonal, 12, *x)[2]
+
+        fdec, converged = _float_nm_decisions(f, start, 3)
+        idec = _int_nm_decisions([_q6(float(x)) for x in v], 24, 3)
+        assert not converged, name  # adaptive tail really is adaptive
+        assert fdec == idec, name   # oracled prefix = adaptive prefix

@@ -470,6 +470,32 @@ def hw_nm2_aberration(
     return _hw_nm1_apply(df, slen, 0, "aberration", dev_scale, iters=2)
 
 
+def hw_nm3_forecast(df: DataFrame, slen: int = 24, n_pred: int = 12) -> DataFrame:
+    """holtWintersForecast after THREE hash-checked Nelder-Mead
+    iterations — one more unrolled step of the same generated chain
+    (candidate pids 24-29). On the driver fixture the adaptive fit's
+    first three branch decisions match this oracled prefix exactly
+    (pinned in tests/test_holtwinters.py), so the full
+    holtWintersForecast (series/neldermead.go:1) is 'this chain
+    continued': only iterations > 3 of the adaptive loop remain
+    unoracled."""
+    return _hw_nm1_apply(df, slen, n_pred, "forecast", 0.0, iters=3)
+
+
+def hw_nm3_bands(
+    df: DataFrame, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
+) -> DataFrame:
+    """holtWintersConfidenceBands over the three-iteration NM fit."""
+    return _hw_nm1_apply(df, slen, n_pred, "bands", dev_scale, iters=3)
+
+
+def hw_nm3_aberration(
+    df: DataFrame, slen: int = 24, dev_scale: float = 10.0
+) -> DataFrame:
+    """holtWintersAberration over the three-iteration NM fit."""
+    return _hw_nm1_apply(df, slen, 0, "aberration", dev_scale, iters=3)
+
+
 def hw_nm1_bands(
     df: DataFrame, slen: int = 24, n_pred: int = 12, dev_scale: float = 10.0
 ) -> DataFrame:
@@ -1036,6 +1062,16 @@ fc AS (
 
 def hw_nm2_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
     return _hw_nm1_ctes(base, slen, n_pred, iters=2) + """
+SELECT 'holtWintersForecast(' || name || ')' AS name, t,
+       CAST(result AS DOUBLE) AS value FROM rec
+UNION ALL
+SELECT 'holtWintersForecast(' || name || ')' AS name, t,
+       CAST(value AS DOUBLE) AS value FROM fc
+"""
+
+
+def hw_nm3_forecast_sql(base: str, slen: int = 24, n_pred: int = 12) -> str:
+    return _hw_nm1_ctes(base, slen, n_pred, iters=3) + """
 SELECT 'holtWintersForecast(' || name || ')' AS name, t,
        CAST(result AS DOUBLE) AS value FROM rec
 UNION ALL

@@ -483,6 +483,38 @@ def _hw_aberration_nm2(spark, sf_dir):
     return hw.hw_nm2_aberration(_nm1_base(spark, sf_dir), 24, 10.0)
 
 
+@register(
+    "dsl_holtWintersForecast_nm3",
+    sql=hw.hw_nm3_forecast_sql(NM1_BASE_SQL, 24, 12),
+)
+def _hw_forecast_nm3(spark, sf_dir):
+    """THREE hash-checked Nelder-Mead iterations — one more unrolled
+    step of the same generated CTE chain (round 8). The adaptive
+    fit's first three branch decisions match this oracled prefix on
+    every fixture series (pinned in tests/test_holtwinters.py), so
+    the rows-only full fit is exactly 'this chain continued': only
+    adaptive iterations > 3 remain unoracled."""
+    return hw.hw_nm3_forecast(_nm1_base(spark, sf_dir), 24, 12)
+
+
+@register(
+    "dsl_holtWintersConfidenceBands_nm3",
+    sql=hw.hw_nm1_bands_sql(NM1_BASE_SQL, 24, 12, 10.0, iters=3),
+)
+def _hw_bands_nm3(spark, sf_dir):
+    """Bands over the three-iteration NM fit — deviation chain at the
+    nm3 winner; mode tail shared verbatim with nm1/nm2/fixed."""
+    return hw.hw_nm3_bands(_nm1_base(spark, sf_dir), 24, 12, 10.0)
+
+
+@register(
+    "dsl_holtWintersAberration_nm3",
+    sql=hw.hw_nm1_aberration_sql(NM1_BASE_SQL, 24, 10.0, iters=3),
+)
+def _hw_aberration_nm3(spark, sf_dir):
+    return hw.hw_nm3_aberration(_nm1_base(spark, sf_dir), 24, 10.0)
+
+
 # Fixed (α,β,γ): the recursion becomes SQL-expressible — a DuckDB
 # recursive CTE is the oracle, so this variant is hash-checked while
 # the Nelder-Mead-fitted ones above stay rows-only (declared).
