@@ -1791,3 +1791,41 @@ def test_dsir_stream_scoring_matches_batch_and_handles_unseen(spark):
     exp = math.floor(lr_unseen * 1e6 + 0.5) * out["n_feats"] / 1e6
     assert out["n_feats"] == 3
     assert abs(out["weight"] - exp) < 1e-12
+
+
+def test_boilerplate_strip_removes_cross_doc_chunks_only(spark):
+    """Hand-computable corpus with k=4: a chunk shared by two docs is
+    stripped from BOTH; a chunk duplicated only WITHIN one doc stays
+    (cross-doc criterion); the <k-word tail is always kept and lands
+    after the surviving chunks in original order."""
+    from tgres_spark.pipeline.contamination import boilerplate_strip
+
+    boiler = "b1 b2 b3 b4"          # shared by doc 0 and doc 1
+    own = "o1 o2 o3 o4"             # only in doc 0 (twice!)
+    docs = spark.createDataFrame(
+        [
+            (0, f"{own} {boiler} {own} t1 t2"),   # own ×2 + boiler + tail
+            (1, f"{boiler} u1 u2 u3 u4"),         # boiler + own chunk
+            (2, "v1 v2 v3"),                      # shorter than k: tail only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(docs, k=4).collect()}
+    # doc 0: 3 chunks, boiler removed, both own copies kept, tail kept
+    assert out[0]["n_chunks"] == 3 and out[0]["kept_chunks"] == 2
+    assert abs(out[0]["removed_frac"] - 1.0 / 3.0) < 1e-12
+    # doc 1: 2 chunks, boiler removed
+    assert out[1]["n_chunks"] == 2 and out[1]["kept_chunks"] == 1
+    # doc 2: no full chunk, tail only — nothing to remove
+    assert out[2]["n_chunks"] == 0 and out[2]["kept_chunks"] == 0
+    assert out[2]["removed_frac"] is None
+
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0]["clean_hash"] == h(f"{own} {own} t1 t2")
+    assert out[0]["clean_chars"] == len(f"{own} {own} t1 t2")
+    assert out[1]["clean_hash"] == h("u1 u2 u3 u4")
+    assert out[2]["clean_hash"] == h("v1 v2 v3")

@@ -252,6 +252,19 @@ def pipeline_span_dedup(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir))
 
 
+@register("pipeline_boilerplate_strip", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).boilerplate_strip_sql())
+def pipeline_boilerplate_strip(spark, sf_dir):
+    """CCNet-style boilerplate REMOVAL (round 8): chunks occurring in
+    >= 2 distinct docs are stripped and each doc reassembled in chunk
+    order (tail always kept); emits per-doc removal stats plus the
+    md5/length of the cleaned text — the cleaning step whose profile
+    pipeline_passage_dedup measures (pipeline/contamination.py
+    boilerplate_strip)."""
+    from ..pipeline.contamination import boilerplate_strip
+
+    return boilerplate_strip(_docs(spark, sf_dir))
+
+
 @register("pipeline_passage_dedup", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).passage_dedup_sql())
 def pipeline_passage_dedup(spark, sf_dir):
     """Cross-document boilerplate detection: per doc, the share of its

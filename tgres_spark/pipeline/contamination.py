@@ -414,3 +414,148 @@ def bloom_decontaminate_sql(
         f"CAST(COALESCE(CAST(n_hit AS DOUBLE) / n_grams, 0.0) >= {float(threshold)!r} AS BIGINT) AS contaminated "
         "FROM totals LEFT JOIN np USING (doc_id) LEFT JOIN nh USING (doc_id)"
     )
+
+
+def boilerplate_strip(docs: DataFrame, k: int = 16, min_docs: int = 2) -> DataFrame:
+    """CCNet-style cross-document boilerplate REMOVAL (the cleaning
+    step whose profile passage_dedup measures): every non-overlapping
+    k-word chunk that occurs in >= ``min_docs`` DISTINCT documents is
+    stripped, and each document is reassembled in chunk order from its
+    surviving chunks plus the (<k-word) tail, which is always kept.
+    Output: (doc_id, n_chunks, kept_chunks, removed_frac, clean_hash,
+    clean_chars) — the hash/length of the CLEANED text stand in for
+    shipping the text itself through the correctness gate.
+
+    Scale shape: the only non-doc-keyed shuffle is the chunk-hash
+    groupBy, bounded by the DISTINCT chunk domain (boilerplate is by
+    definition low-cardinality); reassembly shuffles (i, chunk) rows
+    co-keyed by doc_id — linear in corpus words / k, no all-pairs
+    anywhere. Reference analogue: none (the reference has no corpus
+    ops); this is the CCNet dedup deployment shape.
+    """
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        "w",
+        F.floor(F.size("w") / k).cast("bigint").alias("nch"),
+    )
+    ch = (
+        base.select(
+            "doc_id", F.posexplode(_passages_of(F.col("w"), k)).alias("i", "p")
+        )
+        .select("doc_id", F.col("i").cast("bigint").alias("i"), "p",
+                F.md5("p").alias("h"))
+    )
+    spread = (
+        ch.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count("*").alias("n_docs"))
+    )
+    judged = ch.join(spread, "h").select(
+        "doc_id", "i", "p", (F.col("n_docs") < min_docs).alias("keep")
+    )
+    stats = judged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_chunks"),
+    )
+    tail = base.where(F.size("w") % k != 0).select(
+        "doc_id",
+        F.col("nch").alias("i"),
+        F.array_join(
+            F.slice(
+                F.col("w"),
+                (F.col("nch") * k + 1).cast("int"),
+                (F.size("w") - F.col("nch") * k).cast("int"),
+            ),
+            " ",
+        ).alias("p"),
+    )
+    cleaned = (
+        judged.where(F.col("keep")).select("doc_id", "i", "p")
+        .unionByName(tail)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "p"))),
+                    lambda s: s["p"],
+                ),
+                " ",
+            ).alias("cleaned")
+        )
+    )
+    return (
+        docs.select("doc_id").distinct()
+        .join(stats, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("kept_chunks", F.lit(0)).cast("bigint").alias(
+                "kept_chunks"
+            ),
+            F.when(
+                F.coalesce("n_chunks", F.lit(0)) > 0,
+                (F.col("n_chunks") - F.col("kept_chunks")).cast("double")
+                / F.col("n_chunks"),
+            ).alias("removed_frac"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("clean_hash"),
+            F.length(F.coalesce("cleaned", F.lit(""))).cast("bigint").alias(
+                "clean_chars"
+            ),
+        )
+    )
+
+
+def boilerplate_strip_sql(k: int = 16, min_docs: int = 2) -> str:
+    w = WORDS_SQL.format(c="text")
+    joined = " || ' ' || ".join(f"w[i * {k} + {j + 1}]" for j in range(k))
+    return f"""
+WITH base AS (
+  SELECT doc_id, ({w}) AS w,
+         CAST(FLOOR(len(({w})) / {k}) AS BIGINT) AS nch
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         UNNEST(range(0, nch)) AS i,
+         UNNEST(list_transform(range(0, nch), i -> {joined})) AS p
+  FROM base
+),
+ch2 AS (SELECT doc_id, i, p, md5(p) AS h FROM ch),
+spread AS (
+  SELECT h, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, h FROM ch2) GROUP BY h
+),
+judged AS (
+  SELECT c.doc_id, c.i, c.p, (s.n_docs < {min_docs}) AS keep
+  FROM ch2 c JOIN spread s USING (h)
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_chunks
+  FROM judged GROUP BY doc_id
+),
+tail AS (
+  SELECT doc_id, nch AS i,
+         array_to_string(w[CAST(nch * {k} + 1 AS BIGINT):], ' ') AS p
+  FROM base WHERE len(w) % {k} <> 0
+),
+cleaned AS (
+  SELECT doc_id, COALESCE(string_agg(p, ' ' ORDER BY i), '') AS cleaned
+  FROM (SELECT doc_id, i, p FROM judged WHERE keep
+        UNION ALL SELECT doc_id, i, p FROM tail)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(st.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(st.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       CASE WHEN COALESCE(st.n_chunks, 0) > 0
+            THEN CAST(st.n_chunks - st.kept_chunks AS DOUBLE) / st.n_chunks
+       END AS removed_frac,
+       md5(COALESCE(cl.cleaned, '')) AS clean_hash,
+       CAST(length(COALESCE(cl.cleaned, '')) AS BIGINT) AS clean_chars
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN stats st ON st.doc_id = d.doc_id
+LEFT JOIN cleaned cl ON cl.doc_id = d.doc_id
+"""
