@@ -1829,3 +1829,28 @@ def test_boilerplate_strip_removes_cross_doc_chunks_only(spark):
     assert out[0]["clean_chars"] == len(f"{own} {own} t1 t2")
     assert out[1]["clean_hash"] == h("u1 u2 u3 u4")
     assert out[2]["clean_hash"] == h("v1 v2 v3")
+
+
+def test_keep_best_selects_highest_quality_cluster_member(spark):
+    """Three exact copies of a high-quality text (one cluster) plus a
+    singleton: the cluster's keeper must be the member the quality
+    score ranks first (all scores tie on identical text → lowest
+    doc_id wins the deterministic tie-break), every member points at
+    the same keeper_id, and the singleton keeps itself."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import dedup_keep_best
+
+    good = " ".join(f"the w{i} and" for i in range(20))  # 60 words, stops
+    docs = spark.createDataFrame(
+        [(7, good), (3, good), (9, good), (1, "zz qq")],
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    ).withColumn("lang", F.lit("en"))
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs).collect()}
+    assert out[3]["keep"] and not out[7]["keep"] and not out[9]["keep"]
+    assert {out[k]["keeper_id"] for k in (3, 7, 9)} == {3}
+    assert out[3]["cluster_size"] == 3
+    assert out[1]["keep"] and out[1]["keeper_id"] == 1
+    assert out[1]["cluster_size"] == 1

@@ -813,3 +813,58 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_chars) AS BIGINT) AS tot_chars
 FROM documents GROUP BY source
 """
+
+
+def dedup_keep_best(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Canonicalization — the step AFTER clustering: inside every
+    near-dup component, keep the highest-QUALITY member rather than
+    the arbitrary min-id root (what a production dedup actually ships:
+    of N crawls of the same page, keep the cleanest). Composes
+    dedup_components (min-label propagation) with text_quality's
+    integer-derived score; winner per cluster by (score DESC, doc_id)
+    so ties are deterministic. Output per doc: its cluster, score,
+    cluster size, whether it is the keeper, and the cluster's keeper
+    id (the replacement pointer a rewrite join would broadcast).
+
+    Scale shape: quality is map-only; the join and both windows are
+    keyed by doc_id/root_id (components output is already root-keyed)
+    — no new shuffle class beyond dedup_components itself."""
+    from pyspark.sql import Window
+
+    from .textstats import text_quality
+
+    comp = dedup_components(docs, threshold)
+    q = text_quality(docs).select("doc_id", "score")
+    w = Window.partitionBy("root_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "root_id",
+            "score",
+            F.count("*").over(Window.partitionBy("root_id"))
+            .cast("bigint")
+            .alias("cluster_size"),
+            (F.row_number().over(w) == 1).alias("keep"),
+            F.first_value("doc_id").over(w).cast("bigint").alias("keeper_id"),
+        )
+    )
+
+
+def dedup_keep_best_sql(threshold: float = 0.5) -> str:
+    from .textstats import text_quality_sql
+
+    return (
+        f"WITH comp AS ({dedup_components_sql(threshold)}), "
+        f"q AS (SELECT doc_id, score FROM ({text_quality_sql()})) "
+        "SELECT c.doc_id, c.root_id, q.score, "
+        "CAST(COUNT(*) OVER (PARTITION BY c.root_id) AS BIGINT) "
+        "AS cluster_size, "
+        "(ROW_NUMBER() OVER (PARTITION BY c.root_id "
+        "ORDER BY q.score DESC, c.doc_id) = 1) AS keep, "
+        "CAST(FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.root_id "
+        "ORDER BY q.score DESC, c.doc_id) AS BIGINT) AS keeper_id "
+        "FROM comp c JOIN q ON q.doc_id = c.doc_id"
+    )
