@@ -1112,6 +1112,44 @@ def test_emb_power_iter_matches_numpy(spark):
     assert abs(out[0]["rayleigh"] - v0 @ w) < 1e-6  # dec6-quantized cov
 
 
+def test_emb_power_iter2_composes_and_tightens(spark):
+    """Two composed steps == numpy's C @ (C v0 / ||C v0||) with a
+    unit-norm second iterate; the Rayleigh quotient after step 2 is a
+    TIGHTER (not smaller) eigenvalue estimate than step 1's, and the
+    iterate is closer to the dominant axis than v1."""
+    import math
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        emb_power_iter,
+        emb_power_iter2,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.01, (40, EMB_DIM))
+    x[:, 0] += rng.normal(0, 3.0, 40)
+    x[:, 1] += rng.normal(0, 1.0, 40)  # second axis so v1 isn't exact
+    rows = [(i, [float(v) for v in x[i]], "l") for i in range(len(x))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out1 = sorted(emb_power_iter(emb).collect(), key=lambda r: r["i"])
+    out2 = sorted(emb_power_iter2(emb).collect(), key=lambda r: r["i"])
+    c = np.cov(x, rowvar=False, bias=True)
+    v0 = np.full(EMB_DIM, 1.0 / math.sqrt(EMB_DIM))
+    w1 = c @ v0
+    v1 = w1 / np.linalg.norm(w1)
+    w2 = c @ v1
+    got_w2 = np.array([r["wi"] for r in out2])
+    assert np.allclose(got_w2, w2, atol=1e-5)
+    v2 = np.array([r["v2"] for r in out2])
+    assert abs(np.linalg.norm(v2) - 1.0) < 1e-9
+    # Rayleigh improves monotonically along power iteration
+    assert out2[0]["rayleigh"] >= out1[0]["rayleigh"] - 1e-9
+    assert abs(v2[0]) >= abs(np.array([r["v1"] for r in out1])[0]) - 1e-12
+
+
 def test_text_novelty_order_semantics(spark):
     """First doc fully novel, an exact later duplicate fully seen, a
     half-overlapping doc in between — and appending a new doc never

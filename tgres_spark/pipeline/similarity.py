@@ -2419,6 +2419,128 @@ def emb_power_iter(emb: DataFrame) -> DataFrame:
     )
 
 
+def emb_power_iter2(emb: DataFrame) -> DataFrame:
+    """TWO composed power-iteration steps (round 8; the
+    ann_ivf_lloyd2 / holtWinters_nm2 pattern applied to the PCA
+    primitive): w1 = C·v0, v1 = w1/‖w1‖, w2 = C·v1 — iteration 2
+    consumes iteration 1's normalized iterate inside one Catalyst
+    tree, so the step PLUS its composition (including the
+    normalization between steps, which lloyd2 does not have an
+    analogue of) is hash-checked; only a run-to-convergence loop
+    remains outside the oracle. Returns (i, v2, wi, rayleigh) with
+    rayleigh = v1ᵀ·C·v1 = v1·w2, the second (much tighter) eigenvalue
+    estimate.
+
+    Determinism: the matvec folds each row's 64 terms in j order
+    against the broadcast v1 array (element products are single IEEE
+    ops), ‖w‖²/rayleigh fold one sorted 64-array, sqrt is correctly
+    rounded in both engines. Scale: identical to emb_power_iter —
+    everything after the covariance groupBy lives on d² rows; v1
+    re-enters as a one-row broadcast array."""
+    import math
+
+    v0 = 1.0 / math.sqrt(EMB_DIM)
+    cov = emb_covariance(emb)
+    full = cov.union(
+        cov.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    )
+    rows = full.groupBy("i").agg(
+        F.array_sort(F.collect_list(F.struct("j", "cov"))).alias("arr")
+    )
+    w1 = rows.select(
+        "i",
+        (
+            F.lit(v0)
+            * F.aggregate(F.col("arr"), F.lit(0.0), lambda a, s: a + s["cov"])
+        ).alias("w1i"),
+    )
+    g1 = w1.agg(
+        F.array_sort(F.collect_list(F.struct("i", "w1i"))).alias("ws")
+    ).select(
+        F.aggregate(
+            F.col("ws"), F.lit(0.0), lambda a, s: a + s["w1i"] * s["w1i"]
+        ).alias("ss1")
+    )
+    v1 = w1.crossJoin(F.broadcast(g1)).select(
+        "i",
+        F.when(F.col("ss1") > 0, F.col("w1i") / F.sqrt("ss1")).alias("v1i"),
+    )
+    v1arr = v1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v1i"))),
+            lambda s: s["v1i"],
+        ).alias("v1a")
+    )
+    w2 = rows.crossJoin(F.broadcast(v1arr)).select(
+        "i",
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0.0),
+            lambda a, s: a + s["cov"] * F.element_at(F.col("v1a"), s["j"]),
+        ).alias("wi"),
+    )
+    g2 = (
+        w2.join(v1, "i")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "wi", "v1i"))
+            ).alias("ws")
+        )
+        .select(
+            F.aggregate(
+                F.col("ws"), F.lit(0.0), lambda a, s: a + s["wi"] * s["wi"]
+            ).alias("ss2"),
+            F.aggregate(
+                F.col("ws"), F.lit(0.0), lambda a, s: a + s["v1i"] * s["wi"]
+            ).alias("r2"),
+        )
+    )
+    return w2.crossJoin(F.broadcast(g2)).select(
+        "i",
+        F.when(F.col("ss2") > 0, F.col("wi") / F.sqrt("ss2")).alias("v2"),
+        "wi",
+        F.col("r2").alias("rayleigh"),
+    )
+
+
+def emb_power_iter2_sql() -> str:
+    import math
+
+    v0 = repr(1.0 / math.sqrt(EMB_DIM))
+    fold = "list_reduce(list_prepend(0.0, {l}), (a, x) -> a + x)"
+    return (
+        f"WITH cov AS ({emb_covariance_sql()}), "
+        "fullm AS (SELECT i, j, cov FROM cov "
+        "UNION ALL SELECT j AS i, i AS j, cov FROM cov WHERE i <> j), "
+        f"w1 AS (SELECT i, {v0} * "
+        + fold.format(l="list(cov ORDER BY j ASC)")
+        + " AS w1i FROM fullm GROUP BY i), "
+        "g1 AS (SELECT "
+        + fold.format(l="list(w1i * w1i ORDER BY i ASC)")
+        + " AS ss1 FROM w1), "
+        "v1 AS (SELECT i, CASE WHEN ss1 > 0 THEN w1i / SQRT(ss1) END AS v1i "
+        "FROM w1 CROSS JOIN g1), "
+        "v1l AS (SELECT list(v1i ORDER BY i ASC) AS v1a FROM v1), "
+        "rows2 AS (SELECT i, list(cov ORDER BY j ASC) AS rowv "
+        "FROM fullm GROUP BY i), "
+        "w2 AS (SELECT i, "
+        + fold.format(
+            l=f"list_transform(range(1, {EMB_DIM + 1}), "
+            "k -> rowv[k] * v1a[k])"
+        )
+        + " AS wi FROM rows2 CROSS JOIN v1l), "
+        "g2 AS (SELECT "
+        + fold.format(l="list(wi * wi ORDER BY i ASC)")
+        + " AS ss2, "
+        + fold.format(l="list(v1i * wi ORDER BY i ASC)")
+        + " AS r2 FROM w2 JOIN v1 USING (i)) "
+        "SELECT i, CASE WHEN ss2 > 0 THEN wi / SQRT(ss2) END AS v2, wi, "
+        "r2 AS rayleigh FROM w2 CROSS JOIN g2"
+    )
+
+
 def emb_power_iter_sql() -> str:
     import math
 
