@@ -1892,3 +1892,33 @@ def test_keep_best_selects_highest_quality_cluster_member(spark):
     assert out[3]["cluster_size"] == 3
     assert out[1]["keep"] and out[1]["keeper_id"] == 1
     assert out[1]["cluster_size"] == 1
+
+
+def test_oov_rate_scores_held_out_split_against_even_vocab(spark):
+    """Vocab comes from even doc_ids only (top-V by count, ties by
+    word); odd docs are scored. With V=2 the even split's two dominant
+    words are in-vocab and everything else in the odd split counts as
+    OOV — hand-computable."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import corpus_oov_rate
+
+    rows = [
+        (0, "aa aa bb bb cc", "en", "s1"),   # even: vocab counts
+        (2, "aa bb", "en", "s1"),            # even
+        (1, "aa bb cc dd", "en", "s1"),      # odd: 2 in-vocab, 2 oov
+        (3, "dd dd", "en", "s2"),            # odd: all oov
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    out = {
+        (r["lang"], r["source"]): r
+        for r in corpus_oov_rate(docs, vocab_size=2).collect()
+    }
+    r1 = out[("en", "s1")]
+    assert (r1["n_docs"], r1["tot_tokens"], r1["tot_oov"]) == (1, 4, 2)
+    assert abs(r1["oov_rate"] - 0.5) < 1e-12
+    r2 = out[("en", "s2")]
+    assert (r2["tot_tokens"], r2["tot_oov"]) == (2, 2)
+    assert r2["oov_rate"] == 1.0

@@ -1867,3 +1867,85 @@ def corpus_fingerprint_sql() -> str:
         f"CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts, "
         f"CAST(SUM({v}) AS BIGINT) AS checksum FROM documents"
     )
+
+
+def corpus_oov_rate(docs: DataFrame, vocab_size: int = 24) -> DataFrame:
+    """Tokenizer-coverage audit: build a top-``vocab_size`` word
+    vocabulary from the REFERENCE split (doc_id % 2 = 0 — the same
+    held-out convention as text_bigram_lm; a vocab fit on the corpus
+    it scores reports optimistic coverage) and report the
+    out-of-vocabulary token rate per (lang, source) over the scored
+    split. The relation every tokenizer-budget decision reads: which
+    corpus slices a fixed vocab fails to cover.
+
+    Scale: the word-count groupBy is bounded by the TYPE domain (not
+    corpus size), the vocab is ≤vocab_size rows and broadcasts into
+    the scoring join, scoring is map-side after it; the final groupBy
+    has (lang × source) keys. No doc-row sort anywhere; top-V is
+    TakeOrdered, not a global window."""
+    base = docs.select(
+        "doc_id", "lang", "source", words(F.col("text")).alias("ws")
+    )
+    wcount = (
+        base.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        wcount.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    tok = base.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", F.explode("ws").alias("w")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("tot_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tot_oov"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "tot_tokens",
+            "tot_oov",
+            (F.col("tot_oov").cast("double") / F.col("tot_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def corpus_oov_rate_sql(vocab_size: int = 24) -> str:
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH base AS (SELECT doc_id, lang, source, ({w}) AS ws FROM documents),
+wcount AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(ws) AS w FROM base WHERE doc_id % 2 = 0
+  ) GROUP BY w
+),
+vocab AS (
+  SELECT w, 1 AS iv FROM wcount ORDER BY cnt DESC, w ASC LIMIT {vocab_size}
+),
+tok AS (
+  SELECT doc_id, lang, source, UNNEST(ws) AS w FROM base
+  WHERE doc_id % 2 = 1
+)
+SELECT t.lang, t.source,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS tot_tokens,
+       CAST(SUM(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS tot_oov,
+       CAST(SUM(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.lang, t.source
+"""
