@@ -679,3 +679,45 @@ def test_streaming_enrich_join_multibatch_matches_batch(spark, tmp_path):
         ("A", 7200): (1, 4.0),
         ("A", 10800): (1, 8.0),
     }
+
+
+def test_streaming_oov_multibatch_matches_batch(spark, tmp_path):
+    """The zero-state OOV scorer over four real micro-batches must
+    equal the batch projection row-for-row (structural equivalence:
+    each doc's stats depend only on its own text and the static
+    one-row vocab)."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import (
+        oov_score_stream,
+        oov_vocab_row,
+    )
+    from tgres_spark.streaming.oov import run_oov_stream
+
+    rows = [
+        (i, f"aa bb w{i} w{i + 1}", "en", "s%d" % (i % 2))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    vocab = oov_vocab_row(docs, vocab_size=2)  # {aa, bb} dominate
+    scored = docs.where(F.col("doc_id") % 2 == 1)
+    scored.repartition(4).write.parquet(f"{tmp_path}/in")
+    run_oov_stream(
+        spark, f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        scored.schema, vocab,
+    )
+    got = {
+        r["doc_id"]: r for r in spark.read.parquet(f"{tmp_path}/out").collect()
+    }
+    want = {
+        r["doc_id"]: r for r in oov_score_stream(scored, vocab).collect()
+    }
+    assert got.keys() == want.keys() and len(got) == 6
+    for k in want:
+        assert (
+            got[k]["n_tokens"], got[k]["n_oov"], got[k]["oov_rate"]
+        ) == (want[k]["n_tokens"], want[k]["n_oov"], want[k]["oov_rate"])
+    # hand check: every scored doc has 4 tokens, exactly 2 oov
+    assert all(r["n_tokens"] == 4 and r["n_oov"] == 2 for r in want.values())

@@ -769,3 +769,36 @@ def streaming_dsir_score(spark, sf_dir):
         model,
     )
     return spark.read.parquet(f"{work}/out")
+
+
+@register(
+    "streaming_oov_score",
+    sql=__import__(
+        "tgres_spark.pipeline.textstats", fromlist=["x"]
+    ).oov_doc_scores_sql(),
+)
+def streaming_oov_score(spark, sf_dir):
+    """Per-doc OOV scoring run STREAMING (streaming/oov.py): the
+    reference-split vocabulary is a one-row sorted array (constant
+    size at any corpus scale), broadcast into a stateless projection
+    over the scored-split stream — in-row array algebra, no explode,
+    no watermark, zero state. Hash-checks against the batch per-doc
+    oracle (oov_doc_scores_sql) because each doc's stats depend only
+    on its own text and the static vocab."""
+    import tempfile
+
+    from ..pipeline.textstats import oov_vocab_row
+    from ..streaming.oov import run_oov_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_soov_")
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = oov_vocab_row(docs)
+    scored = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "text"
+    )
+    scored.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_oov_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", scored.schema,
+        vocab,
+    )
+    return spark.read.parquet(f"{work}/out")

@@ -1886,17 +1886,7 @@ def corpus_oov_rate(docs: DataFrame, vocab_size: int = 24) -> DataFrame:
     base = docs.select(
         "doc_id", "lang", "source", words(F.col("text")).alias("ws")
     )
-    wcount = (
-        base.where(F.col("doc_id") % 2 == 0)
-        .select(F.explode("ws").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    vocab = (
-        wcount.orderBy(F.col("cnt").desc(), F.col("w").asc())
-        .limit(vocab_size)
-        .select("w", F.lit(1).alias("iv"))
-    )
+    vocab = _oov_vocab(base, vocab_size).select("w", F.lit(1).alias("iv"))
     tok = base.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", "source", F.explode("ws").alias("w")
     )
@@ -1948,4 +1938,75 @@ SELECT t.lang, t.source,
          / COUNT(*) AS oov_rate
 FROM tok t LEFT JOIN vocab v ON v.w = t.w
 GROUP BY t.lang, t.source
+"""
+
+
+def _oov_vocab(base: DataFrame, vocab_size: int) -> DataFrame:
+    """Top-``vocab_size`` words of the doc_id%2=0 reference split by
+    (count DESC, word ASC) — the shared vocab relation of
+    corpus_oov_rate and the streaming scorer."""
+    return (
+        base.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w")
+    )
+
+
+def oov_vocab_row(docs: DataFrame, vocab_size: int = 24) -> DataFrame:
+    """The vocab as ONE row holding a sorted array — like
+    dsir_model_row, the constant-size artifact that broadcasts into a
+    stateless stream projection (≤vocab_size entries at ANY corpus
+    size)."""
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    return _oov_vocab(base, vocab_size).agg(
+        F.array_sort(F.collect_list("w")).alias("va")
+    )
+
+
+def oov_score_stream(src: DataFrame, vocab_row: DataFrame) -> DataFrame:
+    """Stateless per-doc OOV scoring: the one-row vocab array
+    cross-joins (broadcast) into the stream and every stat derives
+    IN-ROW — no explode, no aggregation, no watermark, zero streaming
+    state. Works identically on a batch or streaming ``src`` with
+    (doc_id, lang, source, text)."""
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    oov = F.size(F.filter(ws, lambda x: ~F.array_contains(F.col("va"), x)))
+    return src.crossJoin(vocab_row).select(
+        "doc_id",
+        "lang",
+        "source",
+        n.cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.when(n > 0, oov.cast("double") / n).alias("oov_rate"),
+    )
+
+
+def oov_doc_scores_sql(vocab_size: int = 24) -> str:
+    """Per-doc oracle for the streaming scorer (the batch relation a
+    zero-state stream provably appends)."""
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH base AS (SELECT doc_id, lang, source, ({w}) AS ws FROM documents),
+wcount AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(ws) AS w FROM base WHERE doc_id % 2 = 0
+  ) GROUP BY w
+),
+vocab AS (SELECT w FROM wcount ORDER BY cnt DESC, w ASC LIMIT {vocab_size}),
+vl AS (SELECT list(w ORDER BY w ASC) AS va FROM vocab)
+SELECT doc_id, lang, source,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(ws, x -> NOT list_contains(va, x))) AS BIGINT)
+         AS n_oov,
+       CASE WHEN len(ws) > 0
+            THEN CAST(len(list_filter(ws, x -> NOT list_contains(va, x)))
+                      AS DOUBLE) / len(ws)
+       END AS oov_rate
+FROM base CROSS JOIN vl
+WHERE doc_id % 2 = 1
 """

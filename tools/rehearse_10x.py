@@ -15,7 +15,7 @@ perturbs one embedding coordinate — otherwise every doc/vector gains
 blowup instead of 10x data. Per-replica duplicate structure (what the
 operators are FOR) is preserved exactly.
 
-Usage: python tools/rehearse_10x.py [--out .scratch/sf1x] [--keys k1,k2]
+Usage: python tools/rehearse_10x.py [--replicas N] [--keys k1,k2]
 Writes a markdown table + plan diffs to stdout; exits 1 on a plan
 smell appearing only at 10x (new CartesianProduct / BatchEvalPython /
 single-partition global Exchange).
@@ -33,7 +33,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
 
 # the five most expensive round-7 bench keys (BENCH_r07 ordering)
 DEFAULT_KEYS = [
@@ -50,7 +49,7 @@ TABLES = (
 ).split()
 
 
-def build_10x(spark, out: str) -> None:
+def build_10x(spark, out: str, replicas: int) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out, exist_ok=True)
@@ -66,7 +65,7 @@ def build_10x(spark, out: str) -> None:
             continue
         n = df.count()
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             r = df
             if tbl == "events":
                 r = (
@@ -109,7 +108,7 @@ def build_10x(spark, out: str) -> None:
         for p in parts[1:]:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(dst)
-        print(f"# built {dst}: {n} -> {n * REPLICAS} rows", file=sys.stderr)
+        print(f"# built {dst}: {n} -> {n * replicas} rows", file=sys.stderr)
 
 
 _SMELLS = ("CartesianProduct", "BatchEvalPython")
@@ -147,9 +146,11 @@ def run_key(spark, qs, key, sf_dir):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=".scratch/sf1x")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
     args = ap.parse_args()
+    out = args.out or f".scratch/sf{args.replicas}x"
     keys = [k for k in args.keys.split(",") if k]
 
     from tgres_spark.session import get_spark
@@ -157,13 +158,13 @@ def main() -> int:
     import __spark_entry__ as e
 
     spark = get_spark("rehearse_10x")
-    build_10x(spark, args.out)
+    build_10x(spark, out, args.replicas)
     qs = e.queries()
 
     rows, failures = [], []
     for key in keys:
         t1, n1, h1 = run_key(spark, qs, key, SRC)
-        t10, n10, h10 = run_key(spark, qs, key, args.out)
+        t10, n10, h10 = run_key(spark, qs, key, out)
         ratio = t10 / t1 if t1 else float("inf")
         diff = {
             op: (h1.get(op, 0), h10.get(op, 0))
