@@ -1922,3 +1922,27 @@ def test_oov_rate_scores_held_out_split_against_even_vocab(spark):
     r2 = out[("en", "s2")]
     assert (r2["tot_tokens"], r2["tot_oov"]) == (2, 2)
     assert r2["oov_rate"] == 1.0
+
+
+def test_int8_recall_is_high_and_bounded(spark):
+    """int8 max-abs quantization preserves cosine geometry almost
+    exactly on well-scaled vectors: recall@k against the float
+    baseline must be high (>= 0.8 mean on a random cloud) and every
+    per-query recall in [0, 1]; a singleton query set with an exact
+    duplicate must retrieve it at rank 1 in int8 space too."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import EMB_DIM, emb_quantize_recall
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1.0, (60, EMB_DIM))
+    x[13] = x[0]  # exact duplicate of query 0
+    rows = [(i, [float(v) for v in x[i]], "l") for i in range(len(x))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = emb_quantize_recall(emb, n_queries=5, k=8).collect()
+    assert len(out) == 5
+    assert all(0.0 <= r["recall"] <= 1.0 for r in out)
+    mean = sum(r["recall"] for r in out) / len(out)
+    assert mean >= 0.8, mean

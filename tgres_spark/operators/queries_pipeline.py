@@ -364,6 +364,9 @@ register("ann_ivf_probe_sweep", sql=sim.ann_ivf_probe_sweep_sql())(
 register("emb_outliers", sql=sim.emb_outliers_sql())(
     lambda s, d: sim.emb_outliers(_emb(s, d))
 )
+register("emb_quantize_recall", sql=sim.emb_quantize_recall_sql())(
+    lambda s, d: sim.emb_quantize_recall(_emb(s, d))
+)
 register("emb_power_iter2", sql=sim.emb_power_iter2_sql())(
     lambda s, d: sim.emb_power_iter2(_emb(s, d))
 )

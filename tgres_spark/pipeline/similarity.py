@@ -2287,6 +2287,155 @@ FROM erred
 """
 
 
+def _int8_recon(emb: DataFrame) -> DataFrame:
+    """(vec_id, rv): the int8-reconstructed corpus — code*scale per
+    dim with emb_int8_quantize's exact construction (shared max-abs
+    scales row, broadcast re-entry, per-stage column materialization
+    per the no-CSE-in-HOF rule)."""
+    dim = EMB_DIM
+    scales_row = emb.agg(
+        *[
+            F.max(F.abs(F.col("embedding")[i].cast("double"))).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).select(
+        F.array(*[(F.col(f"m{i}") / 127.0) for i in range(dim)]).alias("scales")
+    )
+    codes = F.zip_with(
+        F.col("embedding"),
+        F.col("scales"),
+        lambda x, s: F.when(
+            s > 0.0, F.floor(x.cast("double") / s + F.lit(0.5))
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    recon = F.zip_with(
+        F.col("codes"), F.col("scales"), lambda c, s: c.cast("double") * s
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(scales_row))
+        .select("vec_id", "scales", codes.alias("codes"))
+        .select("vec_id", recon.alias("rv"))
+    )
+
+
+def _int8_recon_sql() -> str:
+    dim = EMB_DIM
+    maxes = ", ".join(
+        f"MAX(ABS(CAST(embedding[{i + 1}] AS DOUBLE))) AS m{i}"
+        for i in range(dim)
+    )
+    scales = "[" + ", ".join(f"m{i} / 127.0" for i in range(dim)) + "]"
+    code = (
+        "CASE WHEN scales[i] > 0.0 "
+        "THEN FLOOR(CAST(embedding[i] AS DOUBLE) / scales[i] + 0.5) "
+        "ELSE 0.0 END"
+    )
+    return (
+        f"WITH s AS (SELECT {scales} AS scales "
+        f"FROM (SELECT {maxes} FROM embeddings)), "
+        "coded AS (SELECT vec_id, embedding, scales, "
+        f"list_transform(range(1, {dim + 1}), i -> {code}) AS codes "
+        "FROM embeddings CROSS JOIN s) "
+        "SELECT vec_id, "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> CAST(codes[i] AS DOUBLE) * scales[i]) AS rv FROM coded"
+    )
+
+
+def emb_quantize_recall(
+    emb: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """(query_id, n_hits, recall): recall@k of brute-force cosine
+    search run entirely in the int8-RECONSTRUCTED space (both query
+    and corpus quantized — the symmetric deployment) against the
+    float baseline — the accuracy audit that decides whether the 4x
+    compression of emb_int8_quantize is admissible for retrieval, the
+    int8 twin of ann_lsh_recall. Pure composition of deterministic
+    relations: recon values are single IEEE products, the same
+    index-order dot folds as ann_cosine_topk, ranks tie-broken by id
+    — so the measurement hash-checks. Scale: recon is map-only after
+    the one broadcast scales row; the scored join is the declared
+    brute-force baseline shape (broadcast query side), never the
+    production path."""
+    from pyspark.sql import Window
+
+    exact = ann_cosine_topk(emb, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    r = _int8_recon(emb)
+    q = r.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("rv").alias("qv")
+    )
+    c = r.select(F.col("vec_id").alias("neighbor_id"), F.col("rv").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / float(k)).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def emb_quantize_recall_sql(n_queries: int = 10, k: int = 10) -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qv) + 1), "
+        "i -> q.qv[i] * c.cv[i])), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "SQRT(list_reduce(list_prepend(0.0, list_transform({v}, "
+        "x -> x * x)), (acc, x) -> acc + x))"
+    )
+    cos = f"({dot}) / ({nrm.format(v='q.qv')} * {nrm.format(v='c.cv')})"
+    return (
+        f"WITH exact AS (SELECT query_id, neighbor_id "
+        f"FROM ({ann_cosine_topk_sql(n_queries, k)})), "
+        f"recon AS ({_int8_recon_sql()}), "
+        f"q AS (SELECT vec_id AS query_id, rv AS qv FROM recon "
+        f"WHERE vec_id < {n_queries}), "
+        "c AS (SELECT vec_id AS neighbor_id, rv AS cv FROM recon), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos "
+        "FROM q JOIN c ON query_id <> neighbor_id), "
+        "approx AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+        f"FROM scored) WHERE rank <= {k}), "
+        "hits AS (SELECT exact.query_id, COUNT(*) AS n_hits FROM exact "
+        "JOIN approx ON exact.query_id = approx.query_id "
+        "AND exact.neighbor_id = approx.neighbor_id GROUP BY exact.query_id) "
+        "SELECT qq.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, "
+        f"CAST(COALESCE(n_hits, 0) AS DOUBLE) / {float(k)!r} AS recall "
+        "FROM (SELECT DISTINCT query_id FROM exact) qq "
+        "LEFT JOIN hits ON qq.query_id = hits.query_id"
+    )
+
+
 def dedup_text_vs_semantic(
     docs: DataFrame, emb: DataFrame, threshold: float = 0.4, seed: int = 42
 ) -> DataFrame:

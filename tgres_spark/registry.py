@@ -58,7 +58,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dsl_holtWintersForecast_nm3", "dsl_holtWintersConfidenceBands_nm3",
     "dsl_holtWintersAberration_nm3", "pipeline_boilerplate_strip",
     "dedup_keep_best", "emb_power_iter2", "corpus_oov_rate",
-    "streaming_oov_score",
+    "streaming_oov_score", "emb_quantize_recall",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",
