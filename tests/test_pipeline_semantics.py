@@ -1946,3 +1946,35 @@ def test_int8_recall_is_high_and_bounded(spark):
     assert all(0.0 <= r["recall"] <= 1.0 for r in out)
     mean = sum(r["recall"] for r in out) / len(out)
     assert mean >= 0.8, mean
+
+
+def test_prep_full_quality_gates_on_cleaned_text(spark):
+    """The round-8 prep path judges quality AFTER boilerplate removal:
+    two docs that FAIL the Gopher top-word-fraction rule on their raw
+    text (a shared 16-'spam' boilerplate chunk dominates) must pass
+    once the cross-doc chunk is stripped, and both survive to the
+    training set with exactly their 40 unique tokens; gopher_filter on
+    the RAW text rejects them (the prep_e2e ordering)."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.prep import prep_full
+    from tgres_spark.pipeline.textstats import gopher_filter
+
+    boiler = " ".join(["spam"] * 16)
+    body_a = " ".join(f"alpha{i:02d}" for i in range(40))
+    body_b = " ".join(f"bravo{i:02d}" for i in range(40))
+    rows = [
+        (1, f"{boiler} {body_a}", "en", "s"),
+        (2, f"{boiler} {body_b}", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    raw_keep = {
+        r["doc_id"]: r["keep"] for r in gopher_filter(docs).collect()
+    }
+    assert raw_keep == {1: False, 2: False}  # 16/56 spam > 0.14
+    out = {r["doc_id"]: r for r in prep_full(docs).collect()}
+    assert set(out) == {1, 2}
+    assert all(out[k]["n_tokens"] == 40 for k in out)
+    assert out[1]["root_id"] != out[2]["root_id"]  # not near-dups

@@ -117,6 +117,9 @@ register("dedup_text_vs_semantic", sql=sim.dedup_text_vs_semantic_sql())(
 register("pipeline_dataset_card", sql=tx.dataset_card_sql())(
     lambda s, d: tx.dataset_card(_docs(s, d))
 )
+register("pipeline_prep_full", sql=pp.prep_full_sql())(
+    lambda s, d: pp.prep_full(_docs(s, d))
+)
 register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
     lambda s, d: pp.prep_e2e(_docs(s, d))
 )

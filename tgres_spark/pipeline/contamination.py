@@ -416,23 +416,10 @@ def bloom_decontaminate_sql(
     )
 
 
-def boilerplate_strip(docs: DataFrame, k: int = 16, min_docs: int = 2) -> DataFrame:
-    """CCNet-style cross-document boilerplate REMOVAL (the cleaning
-    step whose profile passage_dedup measures): every non-overlapping
-    k-word chunk that occurs in >= ``min_docs`` DISTINCT documents is
-    stripped, and each document is reassembled in chunk order from its
-    surviving chunks plus the (<k-word) tail, which is always kept.
-    Output: (doc_id, n_chunks, kept_chunks, removed_frac, clean_hash,
-    clean_chars) — the hash/length of the CLEANED text stand in for
-    shipping the text itself through the correctness gate.
-
-    Scale shape: the only non-doc-keyed shuffle is the chunk-hash
-    groupBy, bounded by the DISTINCT chunk domain (boilerplate is by
-    definition low-cardinality); reassembly shuffles (i, chunk) rows
-    co-keyed by doc_id — linear in corpus words / k, no all-pairs
-    anywhere. Reference analogue: none (the reference has no corpus
-    ops); this is the CCNet dedup deployment shape.
-    """
+def _boiler_parts(docs: DataFrame, k: int, min_docs: int):
+    """Shared internals of the boilerplate family: returns
+    (stats, cleaned) — per-doc chunk counts and the reassembled
+    cleaned text relation (doc_id, cleaned)."""
     base = docs.select(
         "doc_id", words(F.col("text")).alias("w")
     ).select(
@@ -478,12 +465,57 @@ def boilerplate_strip(docs: DataFrame, k: int = 16, min_docs: int = 2) -> DataFr
             F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("i", "p"))),
-                    lambda s: s["p"],
+                    lambda st: st["p"],
                 ),
                 " ",
             ).alias("cleaned")
         )
     )
+    return stats, cleaned
+
+
+def boilerplate_clean_docs(
+    docs: DataFrame, k: int = 16, min_docs: int = 2
+) -> DataFrame:
+    """The cleaned CORPUS as a documents-shaped relation (doc_id,
+    text, lang, source, n_chars) — boilerplate_strip's transform with
+    the text carried instead of hashed, so downstream operators
+    (quality gates, dedup, packing) can run ON the cleaned corpus.
+    Same shuffle shape as boilerplate_strip."""
+    _, cleaned = _boiler_parts(docs, k, min_docs)
+    return (
+        docs.select("doc_id", "lang", "source").distinct()
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("text"),
+            "lang",
+            "source",
+            F.length(F.coalesce("cleaned", F.lit(""))).cast("bigint").alias(
+                "n_chars"
+            ),
+        )
+    )
+
+
+def boilerplate_strip(docs: DataFrame, k: int = 16, min_docs: int = 2) -> DataFrame:
+    """CCNet-style cross-document boilerplate REMOVAL (the cleaning
+    step whose profile passage_dedup measures): every non-overlapping
+    k-word chunk that occurs in >= ``min_docs`` DISTINCT documents is
+    stripped, and each document is reassembled in chunk order from its
+    surviving chunks plus the (<k-word) tail, which is always kept.
+    Output: (doc_id, n_chunks, kept_chunks, removed_frac, clean_hash,
+    clean_chars) — the hash/length of the CLEANED text stand in for
+    shipping the text itself through the correctness gate.
+
+    Scale shape: the only non-doc-keyed shuffle is the chunk-hash
+    groupBy, bounded by the DISTINCT chunk domain (boilerplate is by
+    definition low-cardinality); reassembly shuffles (i, chunk) rows
+    co-keyed by doc_id — linear in corpus words / k, no all-pairs
+    anywhere. Reference analogue: none (the reference has no corpus
+    ops); this is the CCNet dedup deployment shape.
+    """
+    stats, cleaned = _boiler_parts(docs, k, min_docs)
     return (
         docs.select("doc_id").distinct()
         .join(stats, "doc_id", "left")
@@ -507,11 +539,12 @@ def boilerplate_strip(docs: DataFrame, k: int = 16, min_docs: int = 2) -> DataFr
     )
 
 
-def boilerplate_strip_sql(k: int = 16, min_docs: int = 2) -> str:
+def _boiler_ctes(k: int = 16, min_docs: int = 2) -> str:
+    """Shared CTE chain (base…cleaned) of the boilerplate family —
+    reads the `documents` relation in scope (view or shadowing CTE)."""
     w = WORDS_SQL.format(c="text")
     joined = " || ' ' || ".join(f"w[i * {k} + {j + 1}]" for j in range(k))
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, ({w}) AS w,
          CAST(FLOOR(len(({w})) / {k}) AS BIGINT) AS nch
   FROM documents
@@ -546,7 +579,23 @@ cleaned AS (
   FROM (SELECT doc_id, i, p FROM judged WHERE keep
         UNION ALL SELECT doc_id, i, p FROM tail)
   GROUP BY doc_id
-)
+)"""
+
+
+def boilerplate_clean_docs_sql(k: int = 16, min_docs: int = 2) -> str:
+    """The cleaned corpus as a documents-shaped relation."""
+    return f"""
+WITH {_boiler_ctes(k, min_docs)}
+SELECT d.doc_id, COALESCE(cl.cleaned, '') AS text, d.lang, d.source,
+       CAST(length(COALESCE(cl.cleaned, '')) AS BIGINT) AS n_chars
+FROM (SELECT DISTINCT doc_id, lang, source FROM documents) d
+LEFT JOIN cleaned cl ON cl.doc_id = d.doc_id
+"""
+
+
+def boilerplate_strip_sql(k: int = 16, min_docs: int = 2) -> str:
+    return f"""
+WITH {_boiler_ctes(k, min_docs)}
 SELECT d.doc_id,
        CAST(COALESCE(st.n_chunks, 0) AS BIGINT) AS n_chunks,
        CAST(COALESCE(st.kept_chunks, 0) AS BIGINT) AS kept_chunks,

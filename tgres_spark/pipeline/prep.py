@@ -470,3 +470,67 @@ def shard_manifest_sql(budget: int = 2048, seed: int = 42) -> str:
         f"CAST(SUM({v}) AS BIGINT) AS checksum "
         "FROM packed GROUP BY lang, shard"
     )
+
+
+def prep_full(docs: DataFrame, k: int = 16) -> DataFrame:
+    """The round-8 prep path — prep_e2e's successor with the modern
+    cleaning stages, still ONE Spark plan: CCNet boilerplate removal
+    (cross-doc chunk strip, docs reassembled) → Gopher quality gate ON
+    THE CLEANED TEXT (cleaning changes the signals — a doc can pass
+    only after its boilerplate is gone, or stop passing once the
+    boilerplate that padded its word count is removed) → near-dup
+    clustering with quality-ranked canonicalization (dedup_keep_best:
+    keep the BEST member, not the min id). Returns the surviving
+    training set as (doc_id, lang, source, n_tokens, root_id).
+
+    Every stage is the already-hash-checked operator; the composition
+    chains them relationally so Catalyst sees one tree — stage
+    boundaries are semi-joins on doc_id (co-keyed, the cleaned text
+    shuffles once into the quality/dedup stages, never again).
+    """
+    from .contamination import boilerplate_clean_docs
+    from .dedup import dedup_keep_best
+    from .textstats import gopher_filter, words
+
+    cleaned = boilerplate_clean_docs(docs, k)
+    gf = gopher_filter(cleaned).where(F.col("keep")).select("doc_id")
+    kept = cleaned.join(gf, "doc_id")
+    kb = (
+        dedup_keep_best(kept)
+        .where(F.col("keep"))
+        .select("doc_id", "root_id")
+    )
+    return kept.join(kb, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        "root_id",
+    )
+
+
+def prep_full_sql(k: int = 16) -> str:
+    import re
+
+    from .contamination import boilerplate_clean_docs_sql
+    from .dedup import dedup_keep_best_sql
+    from .textstats import WORDS_SQL, gopher_filter_sql
+
+    def rebind(sql: str, rel: str) -> str:
+        # the stage oracles read the `documents` view; rebind them to
+        # the upstream CTE (DuckDB's binder rejects a shadowing CTE
+        # named `documents` here as circular)
+        return re.sub(r"\bdocuments\b", rel, sql)
+
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH cleaned AS ({boilerplate_clean_docs_sql(k)}), "
+        "gf AS (SELECT doc_id FROM ("
+        f"{rebind(gopher_filter_sql(), 'cleaned')}) gx WHERE keep), "
+        "kept AS (SELECT c.* FROM cleaned c JOIN gf USING (doc_id)), "
+        "kb AS (SELECT doc_id, root_id FROM ("
+        f"{rebind(dedup_keep_best_sql(), 'kept')}) kx WHERE keep) "
+        "SELECT kept.doc_id, kept.lang, kept.source, "
+        f"CAST(len({w}) AS BIGINT) AS n_tokens, kb.root_id "
+        "FROM kept JOIN kb USING (doc_id)"
+    )
