@@ -1978,3 +1978,31 @@ def test_prep_full_quality_gates_on_cleaned_text(spark):
     assert set(out) == {1, 2}
     assert all(out[k]["n_tokens"] == 40 for k in out)
     assert out[1]["root_id"] != out[2]["root_id"]  # not near-dups
+
+
+def test_corpus_diversity_hand_computed(spark):
+    """Exact checks on a two-source corpus: a uniform source (maximum
+    diversity: simpson = 0 for all-distinct words) vs a degenerate
+    one-word source (simpson = 1, shannon = 0)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import corpus_diversity
+
+    rows = [
+        (1, "aa bb cc dd", "en", "uni"),
+        (2, "zz zz zz zz", "en", "mono"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    out = {r["source"]: r for r in corpus_diversity(docs).collect()}
+    u = out["uni"]
+    assert (u["n_tokens"], u["n_types"]) == (4, 4) and u["ttr"] == 1.0
+    assert u["simpson"] == 0.0
+    assert abs(u["shannon"] - 2.0) < 1e-5  # 4 equiprobable words
+    m = out["mono"]
+    assert (m["n_tokens"], m["n_types"]) == (4, 1)
+    assert m["simpson"] == 1.0 and m["shannon"] == 0.0
+    assert math.isclose(m["ttr"], 0.25)

@@ -328,6 +328,9 @@ register("emb_int8_quantize", sql=sim.emb_int8_quantize_sql())(
 register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
     lambda s, d: sim.ann_ivf_balance(_emb(s, d))
 )
+register("corpus_diversity", sql=tx.corpus_diversity_sql())(
+    lambda s, d: tx.corpus_diversity(_docs(s, d))
+)
 register("corpus_oov_rate", sql=tx.corpus_oov_rate_sql())(
     lambda s, d: tx.corpus_oov_rate(_docs(s, d))
 )

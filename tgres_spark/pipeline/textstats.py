@@ -2010,3 +2010,91 @@ SELECT doc_id, lang, source,
 FROM base CROSS JOIN vl
 WHERE doc_id % 2 = 1
 """
+
+
+def corpus_diversity(docs: DataFrame) -> DataFrame:
+    """Per-source lexical diversity: (source, n_tokens, n_types, ttr,
+    simpson, shannon) — the corpus-health panel (a source whose
+    diversity collapses is template spam even when per-doc signals
+    look fine). Complements per-doc text_entropy with corpus-level
+    word statistics.
+
+    Determinism without array folds: Simpson's index is EXACT integer
+    algebra — Σ c·(c−1) in DECIMAL(38,0) (the unbounded-squared-sums
+    rule: c² overflows int64 at web scale) over N·(N−1) as a double
+    product, divided once; Shannon terms quantize each
+    (c/N)·log2(c/N) to micro6 BIGINT units after the 9-decimal libm
+    round, so the per-source sum is ORDER-FREE integer addition — no
+    sorted-array materialization, plain partial aggregation all the
+    way. Scale: the only shuffles are the (source, word) count
+    (bounded by type domain × sources) and the per-source fold;
+    source totals re-enter by broadcast join."""
+    wc = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = p * F.round(F.log(p) / F.log(F.lit(2.0)), 9)
+    term_m6 = F.floor(term * 1000000.0 + 0.5).cast("bigint")
+    return (
+        wc.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(
+                (F.col("c") * (F.col("c") - 1)).cast("decimal(38,0)")
+            ).alias("sim_num"),
+            F.sum(term_m6).alias("sh_m6"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.col("sim_num").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("n_tokens") - 1).cast("double")
+                ),
+            ).alias("simpson"),
+            (-(F.col("sh_m6").cast("double")) / 1000000.0).alias("shannon"),
+        )
+    )
+
+
+def corpus_diversity_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    p = "(CAST(c AS DOUBLE) / n)"
+    term = f"{p} * ROUND(LN({p}) / LN(2.0), 9)"
+    return f"""
+WITH wc AS (
+  SELECT source, w, COUNT(*) AS c FROM (
+    SELECT source, UNNEST(({w})) AS w FROM documents
+  ) GROUP BY source, w
+),
+tot AS (SELECT source, SUM(c) AS n FROM wc GROUP BY source),
+agg AS (
+  SELECT wc.source,
+         MAX(n) AS n_tokens,
+         COUNT(*) AS n_types,
+         SUM(CAST(CAST(c AS HUGEINT) * (c - 1) AS DECIMAL(38,0))) AS sim_num,
+         SUM(CAST(FLOOR(({term}) * 1000000.0 + 0.5) AS BIGINT)) AS sh_m6
+  FROM wc JOIN tot ON tot.source = wc.source
+  GROUP BY wc.source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+       CASE WHEN n_tokens > 1
+            THEN CAST(sim_num AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+       END AS simpson,
+       -(CAST(sh_m6 AS DOUBLE)) / 1000000.0 AS shannon
+FROM agg
+"""

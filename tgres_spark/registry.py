@@ -59,7 +59,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dsl_holtWintersAberration_nm3", "pipeline_boilerplate_strip",
     "dedup_keep_best", "emb_power_iter2", "corpus_oov_rate",
     "streaming_oov_score", "emb_quantize_recall",
-    "pipeline_prep_full",
+    "pipeline_prep_full", "corpus_diversity",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",
