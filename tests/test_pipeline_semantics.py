@@ -2006,3 +2006,33 @@ def test_corpus_diversity_hand_computed(spark):
     assert (m["n_tokens"], m["n_types"]) == (4, 1)
     assert m["simpson"] == 1.0 and m["shannon"] == 0.0
     assert math.isclose(m["ttr"], 0.25)
+
+
+def test_mix_after_dedup_budgets_ignore_duplicate_tokens(spark):
+    """A language inflated by exact duplicates must NOT buy budget
+    with them: 'fr' has 3 identical docs (one keeper) while 'de' has 3
+    distinct docs of the same size — after dedup both languages have
+    equal keeper tokens, so their budgets must be EQUAL, where raw
+    mix_temperature would give fr a larger one."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.prep import mix_after_dedup
+
+    fr = " ".join(f"lefr{i}" for i in range(30))
+    rows = [(i, fr, "fr", "s") for i in range(3)] + [
+        (10 + i, " ".join(f"dede{i}x{j}" for j in range(30)), "de", "s")
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    out = mix_after_dedup(docs, total_tokens=60).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["budget"])
+    assert len(by_lang["fr"]) == 1 and len(by_lang["de"]) == 1
+    # fr keeper tokens = 30, de keeper tokens = 90 → de budget larger
+    assert by_lang["de"].pop() > by_lang["fr"].pop()
+    # only ONE fr doc (the keeper) can ever be selected
+    fr_docs = {r["doc_id"] for r in out if r["lang"] == "fr"}
+    assert len(fr_docs) <= 1

@@ -125,6 +125,9 @@ register("pipeline_prep_e2e", sql=pp.prep_e2e_sql())(
 )
 # 10k-token budget so the α=0.5 mixture actually SELECTS at sf0.01
 # (the corpus is ~28k tokens; a budget above it degenerates to all-docs)
+register("pipeline_mix_after_dedup", sql=pp.mix_after_dedup_sql(10_000))(
+    lambda s, d: pp.mix_after_dedup(_docs(s, d), 10_000)
+)
 register("pipeline_mix_temperature", sql=pp.mix_temperature_sql(10_000))(
     lambda s, d: pp.mix_temperature(_docs(s, d), 10_000)
 )

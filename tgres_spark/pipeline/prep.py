@@ -534,3 +534,42 @@ def prep_full_sql(k: int = 16) -> str:
         f"CAST(len({w}) AS BIGINT) AS n_tokens, kb.root_id "
         "FROM kept JOIN kb USING (doc_id)"
     )
+
+
+def mix_after_dedup(
+    docs: DataFrame, total_tokens: int = 10_000, seed: int = 42
+) -> DataFrame:
+    """Dedup-aware mixture: temperature mixing whose language budgets
+    come from KEEPER tokens only (dedup_keep_best survivors), not raw
+    corpus counts — the ordering a production mix must use: duplicated
+    languages otherwise buy budget with tokens the dedup pass then
+    deletes, and the realized mixture under-delivers exactly the
+    languages that were over-duplicated. Same deterministic machinery
+    as mix_temperature (micro6 sqrt weights, integer DIV budgets,
+    seeded-hash prefix walk) over the canonicalized corpus."""
+    from .dedup import dedup_keep_best
+
+    keepers = (
+        dedup_keep_best(docs).where(F.col("keep")).select("doc_id")
+    )
+    return mix_temperature(docs.join(keepers, "doc_id"), total_tokens, seed)
+
+
+def mix_after_dedup_sql(total_tokens: int = 10_000, seed: int = 42) -> str:
+    import re
+
+    from .dedup import dedup_keep_best_sql
+
+    inner = mix_temperature_sql(total_tokens, seed)
+    # rebind the mixer's documents reference to the keeper join (the
+    # prep_full composition pattern)
+    inner = re.sub(r"\bdocuments\b", "survivors", inner)
+    # mix_temperature_sql starts with "WITH d AS ..." — prepend our
+    # CTEs into the same WITH list
+    assert inner.startswith("WITH ")
+    return (
+        "WITH kb AS (SELECT doc_id FROM ("
+        f"{dedup_keep_best_sql()}) kx WHERE keep), "
+        "survivors AS (SELECT d.* FROM documents d JOIN kb USING (doc_id)), "
+        + inner[len("WITH "):]
+    )
