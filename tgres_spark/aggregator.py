@@ -293,6 +293,17 @@ def pixel_agg_frame(spark, commands) -> DataFrame:
     cmds = spark.createDataFrame(
         list(commands), "cmd string, name string, value double, t long"
     )
+    return pixel_agg_parsed(cmds)
+
+
+def pixel_agg_parsed(cmds: DataFrame) -> DataFrame:
+    """(cmd, name, value, t) relation → the parsed-statsd frame shape
+    (t, name, value, metric, sample, delta); the distributed half of
+    pixel_agg_frame, reusable over any command relation (the
+    statsd_pixel_flush attestation query synthesizes one from
+    events)."""
+    from .model import sanitize_name
+
     metric = (
         F.when(F.col("cmd") == "add", F.lit("c"))
         .when(F.col("cmd") == "append", F.lit("ms"))

@@ -802,3 +802,64 @@ def streaming_oov_score(spark, sf_dir):
         vocab,
     )
     return spark.read.parquet(f"{work}/out")
+
+
+# --- pixel aggregator routes (http/pixel.go:87-145) ------------------------
+
+def pixel_commands(spark, sf_dir):
+    """events → pixel aggregator commands, mirroring what the façade's
+    /pixel/{add,addgauge,setgauge,append} routes queue: clicks/views
+    are counter adds, errors/signups append to timers, purchases hit
+    the gauge (every third as a +delta, like the statsd synthesis)."""
+    ev = load_table(spark, sf_dir, "events")
+    cmd = (
+        F.when(F.col("event_type").isin("click", "view"), "add")
+        .when(F.col("event_type").isin("error", "signup"), "append")
+        .when(F.col("event_id") % 3 == 0, "addgauge")
+        .otherwise("setgauge")
+    )
+    return ev.select(
+        cmd.alias("cmd"),
+        F.concat(F.lit("px."), F.col("event_type")).alias("name"),
+        F.col("value").cast("double").alias("value"),
+        epoch_s("ts", ev).alias("t"),
+    )
+
+
+from ..model import sanitize_name_sql as _san_sql  # noqa: E402
+
+PIXEL_PARSED_SQL = (
+    "SELECT epoch_ns(ts) // 1000000000 AS t, "
+    + _san_sql("'px.' || event_type")
+    + " AS name, CAST(value AS DOUBLE) AS value, "
+    "CASE WHEN event_type IN ('click', 'view') THEN 'c' "
+    "WHEN event_type IN ('error', 'signup') THEN 'ms' "
+    "ELSE 'g' END AS metric, 1.0 AS sample, "
+    "(event_type = 'purchase' AND event_id % 3 = 0) AS delta FROM events"
+)
+
+
+@register(
+    "statsd_pixel_flush",
+    sql=(
+        flush_counters_sql(PIXEL_PARSED_SQL, FLUSH)
+        + " UNION ALL "
+        + flush_gauges_sql(PIXEL_PARSED_SQL, FLUSH)
+        + " UNION ALL SELECT * FROM ("
+        + flush_timers_sql(PIXEL_PARSED_SQL, FLUSH)
+        + ")"
+    ),
+)
+def statsd_pixel_flush(spark, sf_dir):
+    """The pixel HTTP routes' aggregation loop end-to-end as an
+    attested query (round 8): synthesized /pixel/{add,addgauge,
+    setgauge,append} commands → aggregator.pixel_agg_parsed (the same
+    conversion the façade queue uses) → the SAME statsd_flush engine
+    the socket sources share — counter rates, gauge set+delta, timer
+    stats, one oracle per flush family (aggregator.go:217-220
+    semantics)."""
+    from ..aggregator import pixel_agg_parsed, statsd_flush
+
+    return statsd_flush(
+        pixel_agg_parsed(pixel_commands(spark, sf_dir)), FLUSH, "stats"
+    )
