@@ -2036,3 +2036,34 @@ def test_mix_after_dedup_budgets_ignore_duplicate_tokens(spark):
     # only ONE fr doc (the keeper) can ever be selected
     fr_docs = {r["doc_id"] for r in out if r["lang"] == "fr"}
     assert len(fr_docs) <= 1
+
+
+def test_band_sweep_nesting_and_duplicate_recall(spark):
+    """Candidate sets must be nested (2x8 ⊆ 4x4 ⊆ 8x2 ⊆ 16x1 by band
+    alignment), every layout must find an exact duplicate pair
+    (J = 1.0 matches every band), and recall must be monotone
+    non-decreasing with band count."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import dedup_minhash_band_sweep
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "s"),
+        (2, base, "en", "s"),                       # exact dup of 1
+        (3, base.replace("tok3", "zzz"), "en", "s"),  # near dup
+        (4, " ".join(f"other{i}" for i in range(40)), "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    out = {r["cfg"]: r for r in dedup_minhash_band_sweep(docs).collect()}
+    assert set(out) == {"2x8", "4x4", "8x2", "16x1"}
+    order = ["2x8", "4x4", "8x2", "16x1"]
+    cands = [out[c]["n_candidates"] for c in order]
+    assert cands == sorted(cands)  # nesting → monotone volume
+    recalls = [out[c]["recall"] for c in order]
+    assert all(r is not None for r in recalls)
+    assert recalls == sorted(recalls)  # more bands, never less recall
+    assert all(out[c]["n_hits"] >= 1 for c in order)  # the exact dup
+    assert out["16x1"]["n_true_pairs"] >= 1

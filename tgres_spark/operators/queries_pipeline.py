@@ -39,6 +39,9 @@ register("dedup_ngram_jaccard", sql=dd.dedup_ngram_jaccard_sql())(
 register("dedup_components", sql=dd.dedup_components_sql())(
     lambda s, d: dd.dedup_components(_docs(s, d))
 )
+register("dedup_minhash_band_sweep", sql=dd.dedup_minhash_band_sweep_sql())(
+    lambda s, d: dd.dedup_minhash_band_sweep(_docs(s, d))
+)
 register("dedup_keep_best", sql=dd.dedup_keep_best_sql())(
     lambda s, d: dd.dedup_keep_best(_docs(s, d))
 )

@@ -868,3 +868,196 @@ def dedup_keep_best_sql(threshold: float = 0.5) -> str:
         "ORDER BY q.score DESC, c.doc_id) AS BIGINT) AS keeper_id "
         "FROM comp c JOIN q ON q.doc_id = c.doc_id"
     )
+
+
+# (bands, rows) layouts of the 16 minhash components for the band
+# parameter sweep; candidate sets are NESTED (2x8 ⊆ 4x4 ⊆ 8x2 ⊆ 16x1
+# — a longer matching band contains every aligned shorter one), which
+# is what makes the 16x1 candidate domain a valid truth universe.
+_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1))
+
+
+def dedup_minhash_band_sweep(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """The LSH tuning relation (round 8): candidate volume, recall,
+    and precision of every (bands × rows) layout of the 16 minhash
+    components against exact-Jaccard truth — the table a production
+    dedup reads to pick its banding (more bands = higher recall, more
+    candidate volume to verify). Returns one row per layout:
+    (cfg, bands, rows_per_band, n_candidates, n_true_pairs, n_hits,
+    recall, precision).
+
+    Truth = exact shingle Jaccard >= threshold over the 16x1 candidate
+    domain (single-component collision) — a SUPERSET of every other
+    layout's candidates by band nesting, and near-complete for real
+    dups (a J >= 0.5 pair misses all 16 components with probability
+    (1-J)^16 ≈ 1.5e-5). Exact Jaccard is computed ONLY on that
+    bucket-local domain, never all pairs; per-layout joins stay on
+    (cfg, band, key) and (doc_a, doc_b) keys. Determinism: integer
+    counts, double divisions with identical op order."""
+    sig = minhash_signatures(docs).persist()
+
+    def band_rel(bands: int, rows: int):
+        return sig.select(
+            F.lit(f"{bands}x{rows}").alias("cfg"),
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.element_at("sig", b * rows + j + 1)
+                                        for j in range(rows)
+                                    ],
+                                )
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("cfg", "doc_id", "bk.band", "bk.key")
+
+    allbands = band_rel(*_SWEEP_CONFIGS[0])
+    for cfgp in _SWEEP_CONFIGS[1:]:
+        allbands = allbands.unionByName(band_rel(*cfgp))
+    cand = (
+        allbands.alias("a")
+        .join(allbands.alias("b"), ["cfg", "band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "cfg",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    base_pairs = (
+        cand.where(F.col("cfg") == "16x1").select("doc_a", "doc_b")
+    )
+    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (
+        base_pairs.join(
+            shd.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(shd.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    jacc = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    truth = (
+        base_pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .where(jacc >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    per_cfg = (
+        cand.join(truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return per_cfg.crossJoin(F.broadcast(n_truth)).select(
+        "cfg",
+        F.split("cfg", "x")[0].cast("bigint").alias("bands"),
+        F.split("cfg", "x")[1].cast("bigint").alias("rows_per_band"),
+        "n_candidates",
+        F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+        "n_hits",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.col("n_hits").cast("double") / F.col("n_true_pairs"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hits").cast("double") / F.col("n_candidates"),
+        ).alias("precision"),
+    )
+
+
+def dedup_minhash_band_sweep_sql(threshold: float = 0.5) -> str:
+    sig = minhash_signatures_sql()
+    sep = " || '|' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT '{bands}x{rows}' AS cfg, doc_id, {b} AS band, "
+        f"md5({sep.join(f'sig[{b * rows + j + 1}]' for j in range(rows))}) AS key "
+        "FROM s"
+        for bands, rows in _SWEEP_CONFIGS
+        for b in range(bands)
+    )
+    sh = (
+        f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh "
+        "FROM documents"
+    )
+    jacc = (
+        "CAST(COALESCE(i.ni, 0) AS DOUBLE) "
+        "/ (sa.na + sb.nb - COALESCE(i.ni, 0))"
+    )
+    return f"""
+WITH s AS ({sig}),
+allbands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM allbands a JOIN allbands b
+    ON a.cfg = b.cfg AND a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+bp AS (SELECT doc_a, doc_b FROM cand WHERE cfg = '16x1'),
+shd AS ({sh}),
+sz AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT bp.doc_a, bp.doc_b, COUNT(*) AS ni
+  FROM bp
+  JOIN shd a ON a.doc_id = bp.doc_a
+  JOIN shd b ON b.doc_id = bp.doc_b AND b.sh = a.sh
+  GROUP BY bp.doc_a, bp.doc_b
+),
+truth AS (
+  SELECT bp.doc_a, bp.doc_b
+  FROM bp
+  JOIN (SELECT doc_id AS doc_a, nsh AS na FROM sz) sa USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, nsh AS nb FROM sz) sb USING (doc_b)
+  LEFT JOIN inter i ON i.doc_a = bp.doc_a AND i.doc_b = bp.doc_b
+  WHERE {jacc} >= {float(threshold)!r}
+),
+nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+per_cfg AS (
+  SELECT cand.cfg, COUNT(*) AS n_candidates,
+         SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM cand LEFT JOIN truth t
+    ON t.doc_a = cand.doc_a AND t.doc_b = cand.doc_b
+  GROUP BY cand.cfg
+)
+SELECT cfg,
+       CAST(string_split(cfg, 'x')[1] AS BIGINT) AS bands,
+       CAST(string_split(cfg, 'x')[2] AS BIGINT) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_true_pairs > 0
+            THEN CAST(n_hits AS DOUBLE) / n_true_pairs END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hits AS DOUBLE) / n_candidates END AS precision
+FROM per_cfg CROSS JOIN nt
+"""
