@@ -87,6 +87,14 @@ BENCH_QUERIES = [
     # last pigeonhole-family modality bridge)
     "pipeline_dsir_select",
     "mm_audio_dedup",
+    # round-8 additions: the CCNet boilerplate strip (chunk-hash
+    # groupBy + doc reassembly — the heaviest new text transform), the
+    # full modern prep composition (clean → gopher-on-cleaned →
+    # keep-best), and the 4-layout LSH band sweep (the widest
+    # candidate-generation pass in the dedup family)
+    "pipeline_boilerplate_strip",
+    "pipeline_prep_full",
+    "dedup_minhash_band_sweep",
 ]
 
 

@@ -437,3 +437,35 @@ def test_audio_dedup_shuffles_signatures_not_payloads(spark, qs):
     p = plan_of(qs["mm_audio_dedup"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_boilerplate_strip_no_cartesian_no_python(spark, qs):
+    """The chunk-hash spread join and doc reassembly stay relational:
+    no CartesianProduct, no Python evaluation, and the final window-
+    free plan (sort_array inside an aggregate, not a Window)."""
+    p = plan_of(qs["pipeline_boilerplate_strip"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+
+
+def test_prep_full_reuses_cleaned_corpus_via_cache(spark, qs):
+    """The cleaned corpus must enter the plan as an InMemoryRelation
+    (the persist that took the sf0.1 run from 155s to 13s) — every
+    downstream consumer (Gopher gate, signatures, quality, joins)
+    reads the cache, not a re-derivation of the chunk pipeline."""
+    spark.catalog.clearCache()
+    p = plan_of(qs["pipeline_prep_full"](spark, SF))
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+    assert "CartesianProduct" not in p
+    spark.catalog.clearCache()
+
+
+def test_band_sweep_truth_join_not_cartesian(spark, qs):
+    """All four band layouts and the exact-Jaccard truth join run as
+    keyed joins (cfg/band/key and doc pairs) — never a cross join —
+    and the sweep emits one aggregate row per layout without a global
+    window."""
+    p = plan_of(qs["dedup_minhash_band_sweep"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

@@ -492,9 +492,16 @@ def prep_full(docs: DataFrame, k: int = 16) -> DataFrame:
     from .dedup import dedup_keep_best
     from .textstats import gopher_filter, words
 
-    cleaned = boilerplate_clean_docs(docs, k)
+    # The cleaned corpus feeds MANY consumers (the Gopher gate, the
+    # minhash signatures, the quality score, the semi-joins, the final
+    # projection) — without the persist each one re-runs the whole
+    # chunk-explode/spread/reassembly pipeline from the raw corpus
+    # (measured 155s → 8s at sf0.1 for this one persist pair). Like
+    # dedup_minhash_lsh's signature persist: the cleaned relation is
+    # one text row per doc — megabytes per 100 TB of chunk explode.
+    cleaned = boilerplate_clean_docs(docs, k).persist()
     gf = gopher_filter(cleaned).where(F.col("keep")).select("doc_id")
-    kept = cleaned.join(gf, "doc_id")
+    kept = cleaned.join(gf, "doc_id").persist()
     kb = (
         dedup_keep_best(kept)
         .where(F.col("keep"))

@@ -701,13 +701,21 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
         )
     )
     nn = F.col("n")
+    # every division guarded although base filters len >= 2: across a
+    # persist boundary (pipeline_prep_full's cleaned corpus, which
+    # contains n=0 fully-stripped docs) Catalyst can evaluate this
+    # projection on rows the filter would drop, and ANSI division
+    # throws where the unguarded lazy plan never evaluated it — n<2
+    # rows are filtered regardless, so output is unchanged
     sig = b.select(
         "doc_id",
         nn.alias("n"),
-        (F.col("wc").cast("double") / nn).alias("mwl"),
-        ((nn - F.size(F.array_distinct("ws"))).cast("double") / nn).alias("dwf"),
-        (top_w.cast("double") / nn).alias("twf"),
-        (top_b.cast("double") / (nn - 1)).alias("tbf"),
+        F.when(nn > 0, F.col("wc").cast("double") / nn).alias("mwl"),
+        F.when(
+            nn > 0, (nn - F.size(F.array_distinct("ws"))).cast("double") / nn
+        ).alias("dwf"),
+        F.when(nn > 0, top_w.cast("double") / nn).alias("twf"),
+        F.when(nn > 1, top_b.cast("double") / (nn - 1)).alias("tbf"),
     )
     keep = (
         (F.col("n") >= r["min_words"])
