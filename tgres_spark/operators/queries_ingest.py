@@ -863,3 +863,41 @@ def statsd_pixel_flush(spark, sf_dir):
     return statsd_flush(
         pixel_agg_parsed(pixel_commands(spark, sf_dir)), FLUSH, "stats"
     )
+
+
+_PIXEL_STREAM_ORACLE_SQL = (
+    f"WITH parsed AS ({PIXEL_PARSED_SQL}), "
+    "c AS (SELECT * FROM parsed WHERE metric = 'c'), "
+    "mx AS (SELECT MAX(t) AS mt FROM c), "
+    "slots AS (SELECT name, ((t - 1) // 60) * 60 + 60 AS t, "
+    "CAST(FLOOR(value / sample * 1000000.0 + 0.5) AS BIGINT) AS mv FROM c) "
+    "SELECT 'stats.' || name AS name, t, "
+    "CAST(SUM(mv) AS DOUBLE) / 1000000.0 / 60.0 AS value "
+    "FROM slots, mx WHERE t <= mt - 61 GROUP BY name, t"
+)
+
+
+@register("streaming_pixel_flush", sql=_PIXEL_STREAM_ORACLE_SQL)
+def streaming_pixel_flush(spark, sf_dir):
+    """The façade's /pixel/add counter loop run STREAMING: synthesized
+    pixel commands → pixel_agg_parsed (stateless) → watermarked 60s
+    counter-rate windows with the micro6 BIGINT fold → parquet. Same
+    single-availableNow-batch oracle construction as
+    streaming_ingest_pipeline: no row is late, append mode emits
+    exactly the windows whose end <= max(t) - 61 (event time t-1,
+    60s delay), so the SQL mirrors the slot label, the micro6 rate,
+    and the cutoff."""
+    import os
+    import tempfile
+
+    from ..aggregator import pixel_agg_parsed
+    from ..streaming.ingest import run_pixel_counter_pipeline
+
+    work = tempfile.mkdtemp(prefix="tgres_spixel_")
+    os.makedirs(f"{work}/in", exist_ok=True)
+    parsed = pixel_agg_parsed(pixel_commands(spark, sf_dir))
+    parsed.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_pixel_counter_pipeline(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", parsed.schema,
+    )
+    return spark.read.parquet(f"{work}/out")

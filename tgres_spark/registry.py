@@ -61,7 +61,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "streaming_oov_score", "emb_quantize_recall",
     "pipeline_prep_full", "corpus_diversity",
     "pipeline_mix_after_dedup", "statsd_pixel_flush",
-    "dedup_minhash_band_sweep",
+    "dedup_minhash_band_sweep", "streaming_pixel_flush",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",

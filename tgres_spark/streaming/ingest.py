@@ -279,3 +279,48 @@ def run_statsd_gauges_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def run_pixel_counter_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    flush_s: int = 60,
+    watermark_s: int = 60,
+) -> None:
+    """Streaming counter flush over an already-parsed pixel command
+    frame (aggregator.pixel_agg_parsed shape): the façade's
+    /pixel/add hits rate-convert in the SAME watermarked window shape
+    as run_statsd_file_pipeline, but with the micro6 BIGINT fold so
+    the registered query hash-checks (a plain double SUM is
+    accumulation-order-dependent)."""
+    src = spark.readStream.schema(schema).parquet(in_path)
+    counters = src.where(F.col("metric") == "c").withColumn(
+        "ts", (F.col("t") - 1).cast("timestamp")
+    )
+    mv = F.floor(
+        F.col("value") / F.col("sample") * 1000000.0 + F.lit(0.5)
+    ).cast("bigint")
+    rate = (
+        counters.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy(F.window("ts", f"{flush_s} seconds"), F.col("name"))
+        .agg(F.sum(mv).alias("smv"))
+        .select(
+            F.concat(F.lit("stats."), F.col("name")).alias("name"),
+            F.unix_timestamp(F.col("window.end")).cast("bigint").alias("t"),
+            (F.col("smv").cast("double") / 1000000.0 / float(flush_s)).alias(
+                "value"
+            ),
+        )
+    )
+    q = (
+        rate.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
