@@ -2067,3 +2067,38 @@ def test_band_sweep_nesting_and_duplicate_recall(spark):
     assert recalls == sorted(recalls)  # more bands, never less recall
     assert all(out[c]["n_hits"] >= 1 for c in order)  # the exact dup
     assert out["16x1"]["n_true_pairs"] >= 1
+
+
+def test_trigram_lm_backoff_levels_hand_computed(spark):
+    """Three-level scoring on a handcrafted split: a scored trigram
+    seen verbatim in the reference uses the trigram branch (backoff
+    fractions 0), one with only its (w2,w3) bigram known uses the
+    bigram branch, and wholly novel vocabulary hits the double-backoff
+    Laplace floor — fractions and finiteness pinned."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import text_trigram_lm
+
+    rows = [
+        (0, "a b c d", "en", "s"),          # reference split
+        (1, "a b c", "en", "s"),            # trigram (a,b,c) seen
+        (3, "x b c", "en", "s"),            # only (b,c) bigram seen
+        (5, "q r s", "en", "s"),            # nothing seen
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    out = {r["doc_id"]: r for r in text_trigram_lm(docs).collect()}
+    assert out[1]["n_trigrams"] == 1
+    assert out[1]["bi_backoff_frac"] == 0.0
+    assert out[1]["uni_backoff_frac"] == 0.0
+    assert abs(out[1]["avg_logp"] - 0.0) < 1e-9  # c(abc)=1 / c(ab)=1
+    assert out[3]["bi_backoff_frac"] == 1.0
+    # 0.4 * c(bc)/c(b) = 0.4 * 1/1
+    assert abs(out[3]["avg_logp"] - math.log10(0.4)) < 1e-5
+    assert out[5]["uni_backoff_frac"] == 1.0
+    # 0.16 * (0+1)/(tot=4 + vocab=4)
+    assert abs(out[5]["avg_logp"] - math.log10(0.16 / 8.0)) < 1e-5
+    assert all(math.isfinite(r["avg_logp"]) for r in out.values())

@@ -334,6 +334,9 @@ register("emb_int8_quantize", sql=sim.emb_int8_quantize_sql())(
 register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
     lambda s, d: sim.ann_ivf_balance(_emb(s, d))
 )
+register("text_trigram_lm", sql=tx.text_trigram_lm_sql())(
+    lambda s, d: tx.text_trigram_lm(_docs(s, d))
+)
 register("corpus_diversity", sql=tx.corpus_diversity_sql())(
     lambda s, d: tx.corpus_diversity(_docs(s, d))
 )

@@ -2106,3 +2106,160 @@ SELECT source,
        -(CAST(sh_m6 AS DOUBLE)) / 1000000.0 AS shannon
 FROM agg
 """
+
+
+def text_trigram_lm(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logp, bi_backoff_frac,
+    uni_backoff_frac): reference-split trigram LM with TWO-level
+    stupid backoff (round 8) — the n-gram generalization of
+    text_bigram_lm toward the 5-gram KenLM depth real CCNet deploys:
+    S(w3|w1w2) = c(w1w2w3)/c(w1w2) when the trigram was seen in the
+    reference split, else 0.4·c(w2w3)/c(w2), else 0.4²·Laplace
+    unigram. The two backoff fractions split "novel continuation of a
+    known context" from "wholly out-of-reference vocabulary" — the
+    pair of signals a gibberish filter wants separately.
+
+    Same shape discipline as the bigram: reference-split training
+    (doc_id % 2 = 0), co-keyed count joins on uniform token keys
+    (the trigram table is never broadcast — vocab³ at 100 TB), log10
+    rounded at 9 digits, per-doc micro6 BIGINT sums. A seen trigram
+    implies its bigram prefix is seen, and a seen (w2,w3) bigram
+    implies c(w2) exists, so no denominator in the chosen branch can
+    be NULL/0."""
+    from ..model import micro6
+
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    train_tok = (
+        base.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ws").alias("w"))
+    )
+    cu = train_tok.groupBy("w").agg(F.count("*").alias("cu"))
+    totals = cu.agg(F.sum("cu").alias("tot"), F.count("*").alias("vocab"))
+    b2 = base.where(F.size("ws") >= 2)
+    big = (
+        b2.select("doc_id", "ws", F.posexplode("ws").alias("i", "w1"))
+        .where(F.col("i") < F.size("ws") - 1)
+        .select(
+            "doc_id", "w1",
+            F.element_at(F.col("ws"), F.col("i") + 2).alias("w2"),
+        )
+    )
+    cb = (
+        big.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    b3 = base.where(F.size("ws") >= 3)
+    tri = (
+        b3.select("doc_id", "ws", F.posexplode("ws").alias("i", "w1"))
+        .where(F.col("i") < F.size("ws") - 2)
+        .select(
+            "doc_id", "w1",
+            F.element_at(F.col("ws"), F.col("i") + 2).alias("w2"),
+            F.element_at(F.col("ws"), F.col("i") + 3).alias("w3"),
+        )
+    )
+    ct = (
+        tri.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("ct"))
+    )
+    cb12 = cb.select("w1", "w2", F.col("cb").alias("c12"))
+    cb23 = cb.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("cb").alias("c23"),
+    )
+    cu2 = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    cu3 = cu.select(F.col("w").alias("w3"), F.col("cu").alias("cu3"))
+    seen_tri = F.col("ct").isNotNull()
+    seen_bi = F.col("c23").isNotNull()
+    p = (
+        F.when(seen_tri, F.col("ct").cast("double") / F.col("c12"))
+        .when(
+            seen_bi,
+            F.lit(backoff) * F.col("c23").cast("double") / F.col("cu2"),
+        )
+        .otherwise(
+            F.lit(backoff * backoff)
+            * (
+                (F.coalesce(F.col("cu3"), F.lit(0)) + 1).cast("double")
+                / (F.col("tot") + F.col("vocab"))
+            )
+        )
+    )
+    logp = F.round(F.log(10.0, p), 9)
+    scored = (
+        tri.join(ct, ["w1", "w2", "w3"], "left")
+        .join(cb12, ["w1", "w2"], "left")
+        .join(cb23, ["w2", "w3"], "left")
+        .join(cu2, "w2", "left")
+        .join(cu3, "w3", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            logp.alias("lp"),
+            (~seen_tri & seen_bi).cast("bigint").alias("bi_backed"),
+            (~seen_tri & ~seen_bi).cast("bigint").alias("uni_backed"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        (
+            F.sum(micro6(F.col("lp"))).cast("double")
+            / 1000000.0
+            / F.count("*")
+        ).alias("avg_logp"),
+        (F.sum("bi_backed").cast("double") / F.count("*")).alias(
+            "bi_backoff_frac"
+        ),
+        (F.sum("uni_backed").cast("double") / F.count("*")).alias(
+            "uni_backoff_frac"
+        ),
+    )
+
+
+def text_trigram_lm_sql(backoff: float = 0.4) -> str:
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH base AS (SELECT doc_id, {w} AS ws FROM documents), "
+        "cu AS (SELECT w, COUNT(*) AS cu FROM "
+        "(SELECT UNNEST(ws) AS w FROM base WHERE doc_id % 2 = 0) GROUP BY w), "
+        "totals AS (SELECT SUM(cu) AS tot, COUNT(*) AS vocab FROM cu), "
+        "b2 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 2), "
+        "big AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, "
+        "ws[CAST(i AS INT) + 1] AS w2 "
+        "FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i FROM b2)), "
+        "cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big "
+        "WHERE doc_id % 2 = 0 GROUP BY w1, w2), "
+        "b3 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 3), "
+        "tri AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, "
+        "ws[CAST(i AS INT) + 1] AS w2, ws[CAST(i AS INT) + 2] AS w3 "
+        "FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 1)) AS i FROM b3)), "
+        "ct AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tri "
+        "WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3), "
+        "scored AS (SELECT tri.doc_id, "
+        "ROUND(LN(CASE WHEN ct.ct IS NOT NULL "
+        "THEN CAST(ct.ct AS DOUBLE) / c12.cb "
+        "WHEN c23.cb IS NOT NULL "
+        f"THEN {float(backoff)!r} * CAST(c23.cb AS DOUBLE) / u2.cu "
+        f"ELSE {float(backoff * backoff)!r} * "
+        "(CAST(COALESCE(u3.cu, 0) + 1 AS DOUBLE) / (tot + vocab)) END) "
+        "/ LN(10.0), 9) AS lp, "
+        "CASE WHEN ct.ct IS NULL AND c23.cb IS NOT NULL THEN 1 ELSE 0 END "
+        "AS bi_backed, "
+        "CASE WHEN ct.ct IS NULL AND c23.cb IS NULL THEN 1 ELSE 0 END "
+        "AS uni_backed "
+        "FROM tri "
+        "LEFT JOIN ct ON tri.w1 = ct.w1 AND tri.w2 = ct.w2 AND tri.w3 = ct.w3 "
+        "LEFT JOIN cb c12 ON tri.w1 = c12.w1 AND tri.w2 = c12.w2 "
+        "LEFT JOIN cb c23 ON tri.w2 = c23.w1 AND tri.w3 = c23.w2 "
+        "LEFT JOIN cu u2 ON tri.w2 = u2.w "
+        "LEFT JOIN cu u3 ON tri.w3 = u3.w "
+        "CROSS JOIN totals) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, "
+        "CAST(SUM(CAST(FLOOR(lp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 / COUNT(*) AS avg_logp, "
+        "CAST(SUM(bi_backed) AS DOUBLE) / COUNT(*) AS bi_backoff_frac, "
+        "CAST(SUM(uni_backed) AS DOUBLE) / COUNT(*) AS uni_backoff_frac "
+        "FROM scored GROUP BY doc_id"
+    )

@@ -62,6 +62,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "pipeline_prep_full", "corpus_diversity",
     "pipeline_mix_after_dedup", "statsd_pixel_flush",
     "dedup_minhash_band_sweep", "streaming_pixel_flush",
+    "text_trigram_lm",
     # -- latest driver row = round-3 testdata wipeout; overwrite --
     "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
     "statsd_parse", "paced_metric", "dsl_expression_parser",
