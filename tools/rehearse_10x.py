@@ -75,17 +75,39 @@ def build_10x(spark, out: str, replicas: int) -> None:
                     # scales with rows, distributions unchanged
                 )
             elif tbl == "documents":
+                # suffix every ALTERNATE word with the replica id
+                # (replica 0 unchanged): cross-replica Jaccard drops to
+                # ~1/3 so replicas are NOT near-dups of each other —
+                # the first scheme (append one token) left J≈0.97
+                # cross-replica pairs, which made the dedup keys
+                # measure a 10x-duplicated corpus (every doc + 9 near
+                # copies; prep_full's boilerplate stage then correctly
+                # stripped every chunk and returned 0 docs) instead of
+                # 10x DATA. Within-replica near-dup structure is
+                # untouched; chunk/shingle alignment now differs per
+                # replica.
+                # alphanumeric suffix: an underscore splits at the word
+                # tokenizer's boundary, turning "rI" into every 2nd
+                # TOKEN and tripping the Gopher top-word rule for all
+                # perturbed replicas (measured: prep_full 10x output
+                # collapsed to replica 0 only)
+                mark = f"x{i}q"
+                perturbed = F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w, j: F.when(
+                            (j % 2 == 1) & F.lit(i > 0),
+                            F.concat(w, F.lit(mark)),
+                        ).otherwise(w),
+                    ),
+                    " ",
+                )
                 r = (
                     r.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-                    # replica-unique token: shingle/minhash/simhash
-                    # profiles shift per replica, so cross-replica
-                    # EXACT clones disappear while within-replica
-                    # near-dup structure is untouched
+                    .withColumn("text", perturbed)
                     .withColumn(
-                        "text",
-                        F.concat(F.col("text"), F.lit(f" replicatoken{i}")),
+                        "n_chars", F.length("text").cast("bigint")
                     )
-                    .withColumn("n_chars", F.col("n_chars") + F.lit(14))
                 )
             else:  # embeddings
                 r = (
