@@ -120,6 +120,36 @@ def main() -> None:
 
     spark = get_spark("tgres_spark_bench")
     qs = e.queries()
+
+    # input-volume fingerprint: the driver regenerates testdata
+    # between rounds, and a budget frozen on the OLD data stops
+    # describing the workload (round 8: mm_video_keyframes/
+    # mm_audio_dedup "regressed" 1.3x purely because regenerated
+    # documents.parquet grew their synthesized media payloads).
+    # Recording per-table rows + on-disk bytes (parquet count() is
+    # footer-metadata-only — no scan) plus the documents text volume
+    # (the one column the mm/text synthesizers key off) makes a
+    # data-drift violation self-adjudicating: compare `inputs` across
+    # BENCH_r*.json before blaming the code.
+    inputs: dict[str, dict] = {}
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if not p.exists():
+            continue
+        files = [p] if p.is_file() else list(p.rglob("*.parquet"))
+        df = spark.read.parquet(str(p))
+        inputs[t] = {
+            "rows": df.count(),
+            "bytes": sum(f.stat().st_size for f in files),
+        }
+    if "documents" in inputs:
+        from pyspark.sql import functions as F
+
+        inputs["documents"]["text_chars"] = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .agg(F.sum(F.length("text")))
+            .collect()[0][0]
+        )
     # warmup: one untimed pass over EVERY benchmarked query — JIT
     # compilation keeps improving for several executions (measured on
     # the flagship: 4.4s cold → 1.2s by the 6th run), and a single
@@ -247,6 +277,7 @@ def main() -> None:
                 "vs_baseline": vs_baseline,
                 "budget_violations": budget_violations,
                 "budget_median_ratio": budget_median_ratio,
+                "inputs": inputs,
             }
         )
     )

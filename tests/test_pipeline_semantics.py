@@ -2102,3 +2102,49 @@ def test_trigram_lm_backoff_levels_hand_computed(spark):
     # 0.16 * (0+1)/(tot=4 + vocab=4)
     assert abs(out[5]["avg_logp"] - math.log10(0.16 / 8.0)) < 1e-5
     assert all(math.isfinite(r["avg_logp"]) for r in out.values())
+
+
+def test_dedup_incremental_matches_full_rerun(spark, tmp_path):
+    """incremental ∪ index ≡ full-corpus rerun: deduping a new-crawl
+    increment against the persisted signature index of the existing
+    corpus must produce exactly the pairs a full dedup_minhash_lsh
+    rerun would report for those docs — same pairs, same est_sim —
+    with cross_corpus flagging which partner sat in the index."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import (
+        dedup_incremental,
+        dedup_minhash_lsh,
+        minhash_signatures,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "completely different content about spark shuffles and parquet files"
+    rows = [
+        (1, a, "en"), (2, a, "en"), (3, b, "en"), (4, c, "en"),
+        (10, a, "en"), (11, c + " plus a tail", "en"),  # the increment
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    inc_ids = {10, 11}
+    existing = docs.where(~F.col("doc_id").isin(*inc_ids))
+    increment = docs.where(F.col("doc_id").isin(*inc_ids))
+
+    idx = tmp_path / "index"
+    minhash_signatures(existing).write.parquet(str(idx))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["est_sim"], r["cross_corpus"])
+        for r in dedup_incremental(spark, str(idx), increment).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): (
+            r["est_sim"],
+            (r["doc_a"] in inc_ids) != (r["doc_b"] in inc_ids),
+        )
+        for r in dedup_minhash_lsh(docs).collect()
+        if r["doc_a"] in inc_ids or r["doc_b"] in inc_ids
+    }
+    assert got == want
+    # doc 10 is an exact dup of indexed 1 and 2 — the case the
+    # operator exists for must actually occur in the fixture
+    assert got[(1, 10)] == (1.0, True) and got[(2, 10)] == (1.0, True)

@@ -469,3 +469,34 @@ def test_band_sweep_truth_join_not_cartesian(spark, qs):
     p = plan_of(qs["dedup_minhash_band_sweep"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_dedup_incremental_shuffles_only_increment(spark, tmp_path):
+    """The incremental-dedup contract at 100 TB: the existing corpus
+    is never re-shingled (its TEXT is never read — only the 16-hex
+    signature index), and the index never shuffles — every join is a
+    broadcast of an increment-derived relation, so the only hash
+    exchanges left are the increment's own signature aggregation and
+    the pair dedup."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import dedup_incremental, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m = F.col("doc_id") % 5
+    idx = tmp_path / "index"
+    minhash_signatures(docs.where(m != 0)).write.parquet(str(idx))
+    p = plan_of(dedup_incremental(spark, str(idx), docs.where(m == 0)))
+
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    # exactly one scan touches raw text (the increment); the other
+    # scan is the signature index
+    assert sum("text" in s for s in schemas) == 1, schemas
+    assert any("sig" in s and "text" not in s for s in schemas), schemas
+    # index side enters via broadcast joins only — a SortMergeJoin or
+    # ShuffledHashJoin here would mean the index shuffled
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p

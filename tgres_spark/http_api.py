@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import http.server
 import logging
+import re
 import threading
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -22,6 +23,13 @@ from pyspark.sql import DataFrame
 from .render import find_json, render_json
 
 _LOG = logging.getLogger(__name__)
+
+# Sscanf("%f")-shaped numeric prefix: optional sign, digits with
+# optional fraction or bare fraction, optional exponent. Matching a
+# PREFIX (not fullmatch) reproduces Go's "1.5x" -> 1.5; rejecting
+# non-numeric leads reproduces its n=0 abort. Python-isms float()
+# would take ("1_0", "inf", "nan") deliberately do NOT match.
+_FLOAT_PREFIX = re.compile(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?")
 
 # 1x1 transparent GIF — the literal bytes http/pixel.go serves; the
 # response body is presentation, the datapoint is the payload.
@@ -68,20 +76,27 @@ def _make_handler(catalog: DataFrame, now: int | None):
 
         def _handle_agg(self, cmd: str, q: dict):
             # http/pixel.go pixelAggHandler: the pixel goes out FIRST,
-            # then each form pair name=value queues one command; an
-            # unparseable value drops the pair, never the response.
+            # then each form pair name=value queues one command.
+            # Sscanf("%f") semantics: a numeric PREFIX parses
+            # ("1.5x" -> 1.5), and the FIRST value with no numeric
+            # prefix aborts the whole loop (pixel.go:133-137 returns),
+            # dropping every remaining pair — not just the bad one.
             import time as _time
 
+            self._send_pixel()
             t = now if now is not None else int(_time.time())
             for name, vals in q.items():
                 for v in vals:
-                    try:
-                        val = float(v)
-                    except ValueError:
-                        _LOG.warning("pixel %s: bad value %r=%r", cmd, name, v)
-                        continue
-                    self.server.agg_commands.append((cmd, name, val, t))
-            self._send_pixel()
+                    m = _FLOAT_PREFIX.match(v.lstrip())
+                    if not m:
+                        _LOG.warning(
+                            "pixel %s: bad value %r=%r (rest dropped)",
+                            cmd, name, v,
+                        )
+                        return
+                    self.server.agg_commands.append(
+                        (cmd, name, float(m.group(0)), t)
+                    )
 
         def do_POST(self):
             # the reference's ParseForm reads urlencoded POST bodies

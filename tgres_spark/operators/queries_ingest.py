@@ -812,10 +812,18 @@ def pixel_commands(spark, sf_dir):
     are counter adds, errors/signups append to timers, purchases hit
     the gauge (every third as a +delta, like the statsd synthesis)."""
     ev = load_table(spark, sf_dir, "events")
+    # addgauge (the +delta form) is explicitly purchase-only so this
+    # stays in lockstep with the oracle's hardcoded
+    # `event_type = 'purchase'` delta predicate even if regenerated
+    # testdata ever grows a sixth event_type (which then lands in the
+    # setgauge/delta-false bucket in BOTH engines).
     cmd = (
         F.when(F.col("event_type").isin("click", "view"), "add")
         .when(F.col("event_type").isin("error", "signup"), "append")
-        .when(F.col("event_id") % 3 == 0, "addgauge")
+        .when(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0),
+            "addgauge",
+        )
         .otherwise("setgauge")
     )
     return ev.select(

@@ -45,6 +45,26 @@ register("dedup_minhash_band_sweep", sql=dd.dedup_minhash_band_sweep_sql())(
 register("dedup_keep_best", sql=dd.dedup_keep_best_sql())(
     lambda s, d: dd.dedup_keep_best(_docs(s, d))
 )
+
+
+@register("dedup_incremental", sql=dd.dedup_incremental_sql())
+def _dedup_incremental(s, d):
+    """New-crawl increment (doc_id % 5 == 0) deduped against the
+    persisted signature index of the rest of the corpus — the index
+    is genuinely written to and re-read from parquet so the plan is
+    the production plan (index scan, no re-shingling of the existing
+    corpus). Oracle: a full-corpus LSH rerun filtered to pairs
+    touching the increment (candidate membership is per-doc, so the
+    two are identical relations)."""
+    import tempfile
+
+    docs = _docs(s, d)
+    m = F.col("doc_id") % dd.INCREMENT_MOD
+    work = tempfile.mkdtemp(prefix="tgres_dinc_")
+    dd.minhash_signatures(docs.where(m != 0)).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/index")
+    return dd.dedup_incremental(s, f"{work}/index", docs.where(m == 0))
 register("dedup_embedding", sql=sim.dedup_embedding_sql())(
     lambda s, d: sim.dedup_embedding(_emb(s, d))
 )

@@ -140,9 +140,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures_sql() -> str:
+def minhash_signatures_sql(rel: str = "documents") -> str:
     sh = (
-        f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh FROM documents"
+        f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh FROM {rel}"
     )
     salts = ["", "a:", "b:", "c:"]
     aggs = []
@@ -214,8 +214,8 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh_sql() -> str:
-    sig = minhash_signatures_sql()
+def dedup_minhash_lsh_sql(rel: str = "documents") -> str:
+    sig = minhash_signatures_sql(rel)
     sep = " || '|' || "
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -763,10 +763,10 @@ def propagate_components(
     return out
 
 
-def dedup_components_sql(threshold: float = 0.5) -> str:
-    mh = dedup_minhash_lsh_sql()
+def dedup_components_sql(threshold: float = 0.5, rel: str = "documents") -> str:
+    mh = dedup_minhash_lsh_sql(rel)
     return (
-        "WITH RECURSIVE nodes AS (SELECT DISTINCT doc_id FROM documents), "
+        f"WITH RECURSIVE nodes AS (SELECT DISTINCT doc_id FROM {rel}), "
         f"p AS (SELECT doc_a, doc_b FROM ({mh}) WHERE est_sim >= {float(threshold)!r}), "
         "edges AS (SELECT doc_a AS a, doc_b AS b FROM p "
         "UNION SELECT doc_b, doc_a FROM p), "
@@ -853,12 +853,14 @@ def dedup_keep_best(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def dedup_keep_best_sql(threshold: float = 0.5) -> str:
+def dedup_keep_best_sql(
+    threshold: float = 0.5, rel: str = "documents"
+) -> str:
     from .textstats import text_quality_sql
 
     return (
-        f"WITH comp AS ({dedup_components_sql(threshold)}), "
-        f"q AS (SELECT doc_id, score FROM ({text_quality_sql()})) "
+        f"WITH comp AS ({dedup_components_sql(threshold, rel)}), "
+        f"q AS (SELECT doc_id, score FROM ({text_quality_sql(rel)})) "
         "SELECT c.doc_id, c.root_id, q.score, "
         "CAST(COUNT(*) OVER (PARTITION BY c.root_id) AS BIGINT) "
         "AS cluster_size, "
@@ -895,7 +897,13 @@ def dedup_minhash_band_sweep(
     (1-J)^16 ≈ 1.5e-5). Exact Jaccard is computed ONLY on that
     bucket-local domain, never all pairs; per-layout joins stay on
     (cfg, band, key) and (doc_a, doc_b) keys. Determinism: integer
-    counts, double divisions with identical op order."""
+    counts, double divisions with identical op order.
+
+    The sig/cand persists must outlive the caller's action (the
+    returned plan references both), so they are NOT unpersisted here —
+    like dedup_minhash_lsh's signature persist, the leak is bounded
+    (16 hex strings / two ids per row) and the sweep harnesses
+    (bench.py, tools/check_oracle.py) clearCache() between queries."""
     sig = minhash_signatures(docs).persist()
 
     def band_rel(bands: int, rows: int):
@@ -1061,3 +1069,138 @@ SELECT cfg,
             THEN CAST(n_hits AS DOUBLE) / n_candidates END AS precision
 FROM per_cfg CROSS JOIN nt
 """
+
+
+# --- incremental dedup (new crawl vs persisted signature index) -------------
+
+# the registered query's increment split: doc_id % 5 == 0 is "today's
+# crawl", the rest is the already-indexed corpus. The MODULUS is query
+# plumbing, not operator semantics — dedup_incremental itself never
+# sees it.
+INCREMENT_MOD = 5
+
+
+def _band_keys(sig: DataFrame, keep_sig: bool = False) -> DataFrame:
+    """(doc_id, band, key[, sig]) — the default 4x4 banding of a
+    (doc_id, sig) relation. Map-only (one explode of 4 structs per
+    doc), so deriving bands from a stored signature index costs no
+    shuffle — the index persists signatures, not band rows."""
+    extra = ["sig"] if keep_sig else []
+    return sig.select(
+        "doc_id",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * ROWS_PER_BAND + j + 1)
+                                    for j in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *extra, "bk.band", "bk.key")
+
+
+def dedup_incremental(
+    spark, index_path: str, increment: DataFrame
+) -> DataFrame:
+    """Dedup a NEW crawl increment against an EXISTING corpus without
+    recomputing the corpus: the prior run persisted its minhash
+    signature index (doc_id, sig) to parquet; the increment is
+    shingled/hashed fresh and joined INTO that index. Returns every
+    LSH candidate pair touching the increment —
+    (doc_a, doc_b, est_sim, cross_corpus) with doc_a < doc_b and
+    cross_corpus = TRUE when the partner is an index doc — exactly the
+    rows a full-corpus dedup_minhash_lsh rerun would add for these
+    docs (candidate membership depends only on each doc's own band
+    keys, so incremental ∪ index ≡ full rerun; the oracle hash-checks
+    this). Reference analogue: the create-on-first-write dscache
+    (receiver/dscache.go:1) — consult the persisted index, do new-item
+    work only for what isn't in it.
+
+    Scale shape — the whole point is what does NOT happen: the
+    existing corpus is never re-shingled (its text is never even
+    read; the index holds 16 hex strings per doc), and it never
+    shuffles — the increment's band keys BROADCAST into a map-only
+    scan of the index, and the pair relation (increment-sized)
+    broadcasts back into the index scan for the signature fetch. The
+    only aggregation shuffles are increment-sized (the increment's
+    own signature groupBy and the pair dropDuplicates). A same-order-
+    as-corpus "increment" should flip the broadcasts to a bucketed
+    index join instead — but then it isn't an increment any more."""
+    idx_sig = spark.read.parquet(index_path)
+    inc_sig = minhash_signatures(increment).persist()
+    inc_bands = _band_keys(inc_sig, keep_sig=True)
+    idx_bands = _band_keys(idx_sig, keep_sig=True)
+
+    cross = (
+        idx_bands.alias("x")
+        .join(F.broadcast(inc_bands.alias("i")), ["band", "key"])
+        .select(
+            F.col("x.doc_id").alias("id_x"),
+            F.col("x.sig").alias("sig_x"),
+            F.col("i.doc_id").alias("id_i"),
+            F.col("i.sig").alias("sig_i"),
+            F.lit(True).alias("cross_corpus"),
+        )
+    )
+    internal = (
+        inc_bands.alias("a")
+        .join(F.broadcast(inc_bands.alias("b")), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_x"),
+            F.col("a.sig").alias("sig_x"),
+            F.col("b.doc_id").alias("id_i"),
+            F.col("b.sig").alias("sig_i"),
+            F.lit(False).alias("cross_corpus"),
+        )
+    )
+    lo = F.col("id_x") < F.col("id_i")
+    pairs = (
+        cross.unionByName(internal)
+        .select(
+            F.when(lo, F.col("id_x")).otherwise(F.col("id_i")).alias("doc_a"),
+            F.when(lo, F.col("id_i")).otherwise(F.col("id_x")).alias("doc_b"),
+            F.when(lo, F.col("sig_x")).otherwise(F.col("sig_i")).alias("sig_a"),
+            F.when(lo, F.col("sig_i")).otherwise(F.col("sig_x")).alias("sig_b"),
+            "cross_corpus",
+        )
+        # several bands can collide for one pair; every duplicate row
+        # is value-identical (sigs are functions of the ids), so
+        # dropDuplicates on the pair key is deterministic
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N_HASHES)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at("sig_a", i) == F.element_at("sig_b", i), 1
+        ).otherwise(0),
+    ) / float(N_HASHES)
+    return pairs.select(
+        "doc_a", "doc_b", est.cast("double").alias("est_sim"), "cross_corpus"
+    )
+
+
+def dedup_incremental_sql(mod: int = INCREMENT_MOD) -> str:
+    # the equivalence this operator claims, stated directly: a FULL
+    # corpus rerun, filtered to pairs touching the increment, with
+    # cross_corpus recomputed from the split rule.
+    return (
+        f"SELECT doc_a, doc_b, est_sim, "
+        f"(doc_a % {mod} = 0) <> (doc_b % {mod} = 0) AS cross_corpus "
+        f"FROM ({dedup_minhash_lsh_sql()}) "
+        f"WHERE doc_a % {mod} = 0 OR doc_b % {mod} = 0"
+    )

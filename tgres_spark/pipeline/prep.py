@@ -292,13 +292,15 @@ def mix_temperature(
     )
 
 
-def mix_temperature_sql(total_tokens: int = 50_000, seed: int = 42) -> str:
+def mix_temperature_sql(
+    total_tokens: int = 50_000, seed: int = 42, rel: str = "documents"
+) -> str:
     toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
     h = f"md5({seed} || ':' || doc_id)"
     return (
         "WITH d AS ("
         f"SELECT lang, doc_id, CAST({toks} AS BIGINT) AS n_tokens, {h} AS h "
-        "FROM documents WHERE lang IS NOT NULL), "
+        f"FROM {rel} WHERE lang IS NOT NULL), "
         "lt AS (SELECT lang, SUM(n_tokens) AS lt FROM d GROUP BY lang), "
         "w AS (SELECT lang, CAST(FLOOR(SQRT(CAST(lt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w FROM lt), "
         "sw AS (SELECT SUM(w) AS sw FROM w), "
@@ -499,6 +501,10 @@ def prep_full(docs: DataFrame, k: int = 16) -> DataFrame:
     # (measured 155s → 8s at sf0.1 for this one persist pair). Like
     # dedup_minhash_lsh's signature persist: the cleaned relation is
     # one text row per doc — megabytes per 100 TB of chunk explode.
+    # Both persists must outlive the caller's action (the returned
+    # plan reads them), so they are not unpersisted here; the sweep
+    # harnesses (bench.py, tools/check_oracle.py) clearCache()
+    # between queries to keep long sessions bounded.
     cleaned = boilerplate_clean_docs(docs, k).persist()
     gf = gopher_filter(cleaned).where(F.col("keep")).select("doc_id")
     kept = cleaned.join(gf, "doc_id").persist()
@@ -517,26 +523,24 @@ def prep_full(docs: DataFrame, k: int = 16) -> DataFrame:
 
 
 def prep_full_sql(k: int = 16) -> str:
-    import re
-
     from .contamination import boilerplate_clean_docs_sql
     from .dedup import dedup_keep_best_sql
     from .textstats import WORDS_SQL, gopher_filter_sql
 
-    def rebind(sql: str, rel: str) -> str:
-        # the stage oracles read the `documents` view; rebind them to
-        # the upstream CTE (DuckDB's binder rejects a shadowing CTE
-        # named `documents` here as circular)
-        return re.sub(r"\bdocuments\b", rel, sql)
-
+    # stage oracles take their source relation as a parameter (rel=),
+    # so the composition points each stage at the upstream CTE
+    # directly — no textual rewriting of generated SQL, which would
+    # also clobber string literals that merely contain the word
+    # 'documents' (a DuckDB CTE literally named `documents` is not an
+    # option either: the binder rejects it as circular).
     w = WORDS_SQL.format(c="text")
     return (
         f"WITH cleaned AS ({boilerplate_clean_docs_sql(k)}), "
         "gf AS (SELECT doc_id FROM ("
-        f"{rebind(gopher_filter_sql(), 'cleaned')}) gx WHERE keep), "
+        f"{gopher_filter_sql(rel='cleaned')}) gx WHERE keep), "
         "kept AS (SELECT c.* FROM cleaned c JOIN gf USING (doc_id)), "
         "kb AS (SELECT doc_id, root_id FROM ("
-        f"{rebind(dedup_keep_best_sql(), 'kept')}) kx WHERE keep) "
+        f"{dedup_keep_best_sql(rel='kept')}) kx WHERE keep) "
         "SELECT kept.doc_id, kept.lang, kept.source, "
         f"CAST(len({w}) AS BIGINT) AS n_tokens, kb.root_id "
         "FROM kept JOIN kb USING (doc_id)"
@@ -563,14 +567,11 @@ def mix_after_dedup(
 
 
 def mix_after_dedup_sql(total_tokens: int = 10_000, seed: int = 42) -> str:
-    import re
-
     from .dedup import dedup_keep_best_sql
 
-    inner = mix_temperature_sql(total_tokens, seed)
-    # rebind the mixer's documents reference to the keeper join (the
-    # prep_full composition pattern)
-    inner = re.sub(r"\bdocuments\b", "survivors", inner)
+    # the mixer reads the keeper join via its rel= parameter (the
+    # prep_full composition pattern — no textual SQL rewriting)
+    inner = mix_temperature_sql(total_tokens, seed, rel="survivors")
     # mix_temperature_sql starts with "WITH d AS ..." — prepend our
     # CTEs into the same WITH list
     assert inner.startswith("WITH ")

@@ -108,7 +108,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
-def text_quality_sql() -> str:
+def text_quality_sql(rel: str = "documents") -> str:
     w = WORDS_SQL.format(c="text")
     n = f"len({w})"
     word_chars = f"list_sum(list_transform({w}, x -> len(x)))"
@@ -131,7 +131,7 @@ def text_quality_sql() -> str:
         f"CAST({mean_wl} AS DOUBLE) AS mean_word_len, "
         f"CAST({punct_ratio} AS DOUBLE) AS punct_ratio, "
         f"CAST({stop_ratio} AS DOUBLE) AS stop_ratio, "
-        f"CAST({score} AS DOUBLE) AS score FROM documents"
+        f"CAST({score} AS DOUBLE) AS score FROM {rel}"
     )
 
 
@@ -733,7 +733,10 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     )
 
 
-def gopher_filter_sql() -> str:
+def gopher_filter_sql(rel: str = "documents") -> str:
+    # `rel` parameterizes the source relation so composed oracles
+    # (prep_full_sql) can point a stage at an upstream CTE without
+    # textually rewriting the generated SQL.
     r = GOPHER_RULES
     w = WORDS_SQL.format(c="text")
     return f"""
@@ -741,7 +744,7 @@ WITH d AS (
   SELECT doc_id, ws, len(ws) AS n,
          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
          list_sum(list_transform(ws, x -> len(x))) AS wc
-  FROM (SELECT doc_id, {w} AS ws FROM documents)
+  FROM (SELECT doc_id, {w} AS ws FROM {rel})
   WHERE len(ws) >= 2
 ),
 sig AS (
@@ -2053,7 +2056,7 @@ def corpus_diversity(docs: DataFrame) -> DataFrame:
             F.max("n").cast("bigint").alias("n_tokens"),
             F.count("*").cast("bigint").alias("n_types"),
             F.sum(
-                (F.col("c") * (F.col("c") - 1)).cast("decimal(38,0)")
+                F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)
             ).alias("sim_num"),
             F.sum(term_m6).alias("sh_m6"),
         )

@@ -106,6 +106,12 @@ def main() -> int:
             print(f"FAIL  {key}: spark error: {ex}")
             n_fail += 1
             continue
+        finally:
+            # several operators persist() intermediates that must
+            # outlive their collect (minhash signatures, prep_full's
+            # cleaned corpus); drop them here so a 280-query sweep in
+            # one session doesn't accumulate every query's cache.
+            spark.catalog.clearCache()
         if key not in sqls:
             print(f"ROWS  {key}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
