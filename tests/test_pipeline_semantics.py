@@ -2148,3 +2148,99 @@ def test_dedup_incremental_matches_full_rerun(spark, tmp_path):
     # doc 10 is an exact dup of indexed 1 and 2 — the case the
     # operator exists for must actually occur in the fixture
     assert got[(1, 10)] == (1.0, True) and got[(2, 10)] == (1.0, True)
+
+
+def test_bpe_merge2_matches_reference_algorithm(spark):
+    """corpus_bpe_merge2 == two steps of the published BPE trainer,
+    computed independently here in plain Python: round-1 argmax by
+    (weight desc, pair asc), greedy left-to-right apply over each
+    vocab word, round-2 adjacent-pair recount. The merged token must
+    appear inside round-2 pairs (the whole point of composing)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import corpus_bpe_merge2
+
+    text = "lower lowest low low lower newer new"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    vocab = Counter(text.split())
+    def pairs_of(syms):
+        return [f"{syms[i]} {syms[i+1]}" for i in range(len(syms) - 1)]
+
+    state = {w: list(w) + ["</w>"] for w in vocab}
+    w1 = Counter()
+    for w, c in vocab.items():
+        for p in pairs_of(state[w]):
+            w1[p] += c
+    top = min(w1.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    a, b = top.split(" ")
+    for w in state:
+        out, i = [], 0
+        s = state[w]
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        state[w] = out
+    w2, nw2 = Counter(), Counter()
+    for w, c in vocab.items():
+        ps = pairs_of(state[w])
+        for p in ps:
+            w2[p] += c
+        for p in set(ps):
+            nw2[p] += 1
+    want = sorted(
+        ((p, nw2[p], c) for p, c in w2.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:50]
+
+    got = corpus_bpe_merge2(docs).collect()
+    assert all(r["merged_pair"] == top for r in got)
+    assert [(r["pair"], r["n_words"], r["weight"]) for r in got] == want
+    # the merged token participates in round-2 pairs
+    merged_tok = a + b
+    assert any(merged_tok in r["pair"].split(" ") for r in got)
+
+
+def test_mm_text_image_pairs_retrieves_planted_twin(spark):
+    """Cross-modal retrieval sanity: a text-tower vector identical to
+    an image-tower vector must retrieve it at rank 1 with cos ~1 and
+    agree with the exact baseline; recall is the per-text fraction of
+    bucketed top-k pairs confirmed by the exact top-k."""
+    import numpy as np
+    from tgres_spark.pipeline.similarity import mm_text_image_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.standard_normal(64).round(6)
+    for vid in range(40):
+        if vid == 1:  # text twin of image 0
+            v = base
+        elif vid == 0:
+            v = base
+        else:
+            v = rng.standard_normal(64).round(6)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mm_text_image_pairs(emb, n_queries=5, k=3).collect()
+    assert all(r["text_id"] % 2 == 1 and r["image_id"] % 2 == 0 for r in out)
+    top1 = {r["text_id"]: r for r in out if r["rank"] == 1}
+    assert top1[1]["image_id"] == 0
+    assert abs(top1[1]["cos"] - 1.0) < 1e-9
+    assert top1[1]["in_exact"]
+    # recall column is consistent with the in_exact flags per text
+    from collections import defaultdict
+
+    hits = defaultdict(int)
+    for r in out:
+        hits[r["text_id"]] += bool(r["in_exact"])
+    for r in out:
+        assert abs(r["recall"] - hits[r["text_id"]] / 3.0) < 1e-12

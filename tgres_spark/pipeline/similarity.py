@@ -2974,3 +2974,156 @@ def ann_ivf_probe_sweep_sql(
             "AND truth.neighbor_id = a.neighbor_id"
         )
     return f"WITH truth AS ({truth}) " + " UNION ALL ".join(parts)
+
+
+# --- cross-modal retrieval (round 9) ----------------------------------------
+
+def mm_text_image_pairs(
+    emb: DataFrame, n_queries: int = 10, k: int = 10, seed: int = 42
+) -> DataFrame:
+    """CLIP-shape cross-modal retrieval join: TEXT-tower embeddings
+    query IMAGE-tower embeddings for their top-k cosine matches
+    through the SAME hyperplane-LSH bucket engine (shared plane
+    literals) the within-modality dedup family uses — the retrieval
+    pattern behind image-caption pairing / cross-modal dedup in
+    multimodal training pipelines. Modality split on the synthetic
+    embeddings table: even vec_id = image tower, odd = text tower
+    (both towers must hash against the SAME planes for buckets to be
+    comparable — exactly how a trained two-tower model shares its
+    joint space). Queries = the first ``n_queries`` text vectors.
+
+    Returns (text_id, image_id, rank, cos, in_exact, recall): the
+    bucketed top-k per text with exact cosine scores, each pair
+    flagged against the brute-force-exact top-k baseline, and the
+    per-text recall@k — the accuracy dial rides in the relation
+    itself, like ann_lsh_recall.
+
+    Scale shape: signatures persist once (32 plane dots/vector); the
+    image index is keys-only (id, tbl, bucket); the text queries
+    multiprobe (9× probe keys on the FEW queries, not more tables on
+    the whole corpus); candidates are bucket-local and DISTINCT'd
+    before the exact rescore; only the bounded query relation
+    broadcasts. The exact baseline is n_queries×corpus by
+    construction — a declared measurement instrument, bounded by the
+    query count exactly like ann_cosine_topk."""
+    from pyspark.sql import Window
+
+    sig = _lsh_signatures(emb, seed=seed).persist()
+    text_q = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * n_queries)
+    is_img = F.col("vec_id") % 2 == 0
+
+    keys = _lsh_keys(sig)
+    ik = keys.where(is_img).select(
+        F.col("vec_id").alias("image_id"), "tbl", "bucket"
+    )
+    variants = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(DEDUP_LSH_PLANES)
+        ],
+    )
+    tk = (
+        keys.where(text_q)
+        .select(F.col("vec_id").alias("text_id"), "tbl", variants.alias("vs"))
+        .select("text_id", "tbl", F.explode("vs").alias("bucket"))
+    )
+    cand = (
+        F.broadcast(tk)
+        .join(ik, ["tbl", "bucket"])
+        .select("text_id", "image_id")
+        .distinct()
+    )
+    tv = sig.where(text_q).select(
+        F.col("vec_id").alias("text_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    iv = sig.where(is_img).select(
+        F.col("vec_id").alias("image_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("text_id").orderBy(
+        F.col("cos").desc(), F.col("image_id").asc()
+    )
+    approx = (
+        cand.join(F.broadcast(tv), "text_id")
+        .join(iv, "image_id")
+        .select("text_id", "image_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    exact = (
+        F.broadcast(tv)
+        .join(iv, F.lit(True))
+        .select("text_id", "image_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("text_id", "image_id")
+    )
+    wq = Window.partitionBy("text_id")
+    return (
+        approx.join(
+            exact.withColumn("in_exact", F.lit(True)),
+            ["text_id", "image_id"],
+            "left",
+        )
+        .select(
+            "text_id",
+            "image_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cos",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        )
+        .withColumn(
+            "recall",
+            F.sum(F.col("in_exact").cast("int")).over(wq).cast("double")
+            / float(k),
+        )
+    )
+
+
+def mm_text_image_pairs_sql(
+    n_queries: int = 10, k: int = 10, seed: int = 42
+) -> str:
+    sig = _lsh_sig_sql(seed)
+    key_rows = _lsh_keys_sql()
+    cos = f"({_PAIR_DOT_SQL}) / (na * nb)"
+    tq = f"vec_id % 2 = 1 AND vec_id < {2 * n_queries}"
+    return (
+        f"WITH s AS ({sig}), keys AS ({key_rows}), "
+        f"ik AS (SELECT vec_id AS image_id, tbl, bucket FROM keys "
+        "WHERE vec_id % 2 = 0), "
+        f"tk AS (SELECT vec_id AS text_id, tbl, bucket FROM keys WHERE {tq} "
+        "UNION ALL SELECT vec_id, tbl, xor(bucket, CAST(1 << i AS INTEGER)) "
+        f"FROM keys, (SELECT UNNEST(range(0, {DEDUP_LSH_PLANES})) AS i) "
+        f"WHERE {tq}), "
+        "cand AS (SELECT DISTINCT tk.text_id, ik.image_id "
+        "FROM tk JOIN ik ON tk.tbl = ik.tbl AND tk.bucket = ik.bucket), "
+        f"tv AS (SELECT vec_id AS text_id, embedding AS ea, nrm AS na "
+        f"FROM s WHERE {tq}), "
+        "iv AS (SELECT vec_id AS image_id, embedding AS eb, nrm AS nb "
+        "FROM s WHERE vec_id % 2 = 0), "
+        "approx AS (SELECT text_id, image_id, cos, rank FROM ("
+        f"SELECT c.text_id, c.image_id, {cos} AS cos, "
+        "ROW_NUMBER() OVER (PARTITION BY c.text_id "
+        f"ORDER BY {cos} DESC, c.image_id ASC) AS rank "
+        "FROM cand c JOIN tv ON tv.text_id = c.text_id "
+        "JOIN iv ON iv.image_id = c.image_id) "
+        f"WHERE rank <= {k}), "
+        "exact AS (SELECT text_id, image_id FROM ("
+        f"SELECT tv.text_id, iv.image_id, "
+        "ROW_NUMBER() OVER (PARTITION BY tv.text_id "
+        f"ORDER BY {cos} DESC, iv.image_id ASC) AS rank "
+        "FROM tv CROSS JOIN iv) "
+        f"WHERE rank <= {k}) "
+        "SELECT a.text_id, a.image_id, CAST(a.rank AS BIGINT) AS rank, "
+        "a.cos, e.image_id IS NOT NULL AS in_exact, "
+        "CAST(SUM(CASE WHEN e.image_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY a.text_id) AS DOUBLE) "
+        f"/ {float(k)!r} AS recall "
+        "FROM approx a LEFT JOIN exact e "
+        "ON e.text_id = a.text_id AND e.image_id = a.image_id"
+    )

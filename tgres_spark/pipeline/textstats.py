@@ -2266,3 +2266,161 @@ def text_trigram_lm_sql(backoff: float = 0.4) -> str:
         "CAST(SUM(uni_backed) AS DOUBLE) / COUNT(*) AS uni_backoff_frac "
         "FROM scored GROUP BY doc_id"
     )
+
+
+def corpus_bpe_merge2(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Two composed BPE training steps in ONE Catalyst tree (round 9,
+    the lloyd2/nm2 unrolling pattern): compute round-1 merge-candidate
+    weights, APPLY the winning merge to every vocab word (greedy
+    left-to-right, the published BPE apply rule), and recount adjacent
+    pairs over the merged symbol sequences. Returns the round-2 top-k
+    (merged_pair, pair, n_words, weight) — merged_pair is the round-1
+    winner the whole relation is conditioned on.
+
+    Scale: identical posture to corpus_bpe_pairs — the corpus is
+    touched ONCE by the distinct-word count; everything downstream
+    (round-1 weights, the merge fold, round-2 recount) runs on the
+    vocab relation, whose size is independent of corpus scale. The
+    winning pair re-enters as a one-row broadcast (the codebook
+    pattern), and the merge itself is an in-row array fold — no
+    shuffle beyond the two vocab-sized pair groupBys.
+
+    Determinism: integer weights; ties break on the pair string at
+    BOTH the argmax and the final top-k, so engines agree on the
+    winner and the k rows. Greedy apply: the fold merges when the
+    accumulator's last symbol is `a` and the current is `b`, then the
+    merged token ("ab", no space) can't re-match `a` — the same
+    non-overlapping left-to-right semantics as the oracle's
+    leftmost-occurrence recursion (a round-1 winner's symbols are
+    single chars or '</w>', so a merged token never aliases one)."""
+    from .dedup import words
+
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        # feeds round-1 weights AND the merge/round-2 recount in the
+        # same tree; without the persist the corpus word count runs
+        # twice. Vocab-sized (distinct words), tiny at any corpus
+        # scale; sweep harnesses clearCache() between queries.
+        .persist()
+    )
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    s0 = vocab.select("w", "n", syms.alias("syms"))
+
+    def adj_pairs(c):
+        # adjacent-pair strings of an ALREADY-MATERIALIZED symbol
+        # array column (the shingles_of CSE rule)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: F.concat(
+                F.element_at(c, i), F.lit(" "), F.element_at(c, i + 1)
+            ),
+        )
+
+    p1 = s0.select("n", F.explode(adj_pairs(F.col("syms"))).alias("pair"))
+    top = (
+        p1.groupBy("pair")
+        .agg(F.sum("n").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(1)
+        .select(
+            F.col("pair").alias("merged_pair"),
+            F.split(F.col("pair"), " ").getItem(0).alias("mp_a"),
+            F.split(F.col("pair"), " ").getItem(1).alias("mp_b"),
+        )
+    )
+    empty = F.slice(F.array(F.lit("")), 1, 0)
+    fold = F.aggregate(
+        F.col("syms"),
+        empty,
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.col("mp_a"))
+            & (x == F.col("mp_b")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("mp_a"), F.col("mp_b"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    merged = s0.crossJoin(F.broadcast(top)).select(
+        "w", "n", "merged_pair", fold.alias("m")
+    )
+    p2 = merged.select(
+        "w", "n", "merged_pair", F.explode(adj_pairs(F.col("m"))).alias("pair")
+    )
+    return (
+        p2.groupBy("merged_pair", "pair")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def corpus_bpe_merge2_sql(k: int = 50) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    # the merge apply is a leftmost-occurrence recursion over the
+    # space-joined symbol string: each step rewrites exactly one
+    # ' a b ' site to ' ab ' (boundary spaces preserved), terminating
+    # when no site remains — equivalent to the fold's greedy
+    # left-to-right pass because a rewrite never creates a new site
+    # to its LEFT. Literals (the pattern/replacement) are hoisted
+    # into the MATERIALIZED one-row `top` CTE and carried through the
+    # recursion's columns per the recursive-CTE literal rule.
+    return f"""
+WITH RECURSIVE
+t AS (SELECT UNNEST({w}) AS w FROM documents),
+v AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+s0 AS (
+  SELECT w, n,
+         list_transform(range(1, len(w) + 1), i -> w[i]) || ['</w>'] AS syms
+  FROM v
+),
+p1 AS (
+  SELECT n, UNNEST(list_transform(range(1, len(syms)),
+                   i -> syms[i] || ' ' || syms[i + 1])) AS pair
+  FROM s0
+),
+top AS MATERIALIZED (
+  SELECT pair AS merged_pair,
+         ' ' || pair || ' ' AS pat,
+         ' ' || replace(pair, ' ', '') || ' ' AS rep
+  FROM (SELECT pair, SUM(n) AS weight FROM p1 GROUP BY pair
+        ORDER BY weight DESC, pair ASC LIMIT 1)
+),
+m AS (
+  SELECT w, n, ' ' || array_to_string(syms, ' ') || ' ' AS s, pat, rep
+  FROM s0 CROSS JOIN top
+  UNION ALL
+  SELECT w, n,
+         substr(s, 1, strpos(s, pat) - 1) || rep
+           || substr(s, strpos(s, pat) + len(pat)),
+         pat, rep
+  FROM m WHERE strpos(s, pat) > 0
+),
+done AS (
+  SELECT w, n,
+         list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms
+  FROM m WHERE strpos(s, pat) = 0
+),
+p2 AS (
+  SELECT w, n, UNNEST(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+  FROM done
+)
+SELECT (SELECT merged_pair FROM top) AS merged_pair, pair,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(SUM(n) AS BIGINT) AS weight
+FROM p2 GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT {k}
+"""
