@@ -2244,3 +2244,37 @@ def test_mm_text_image_pairs_retrieves_planted_twin(spark):
         hits[r["text_id"]] += bool(r["in_exact"])
     for r in out:
         assert abs(r["recall"] - hits[r["text_id"]] / 3.0) < 1e-12
+
+
+def test_kenlm_proxy_ranks_agree_with_trigram_lm(spark):
+    """The hashed 5-gram proxy must rank fixture docs in the same
+    order as the exact trigram LM: a verbatim repeat of reference
+    text scores highest (all levels seen, avg_logp near 0), a
+    part-novel doc sits between, pure gibberish scores lowest via the
+    Laplace floor (bo1_frac = 1)."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.textstats import text_kenlm_proxy, text_trigram_lm
+
+    ref = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (0, ref, "en", "s"),                       # reference split
+        (1, ref, "en", "s"),                       # verbatim repeat
+        (3, "the quick brown fox jumps over zorp glak trul vex min", "en", "s"),
+        (5, "zzq wvx jkl pqm rty uio asd fgh bnm cvz", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+
+    kp = {r["doc_id"]: r for r in text_kenlm_proxy(docs).collect()}
+    tg = {r["doc_id"]: r for r in text_trigram_lm(docs).collect()}
+
+    order_kp = sorted((1, 3, 5), key=lambda d: -kp[d]["avg_logp"])
+    order_tg = sorted((1, 3, 5), key=lambda d: -tg[d]["avg_logp"])
+    assert order_kp == order_tg == [1, 3, 5]
+    # the verbatim repeat never backs off; gibberish always hits the
+    # Laplace floor
+    assert kp[1]["bo4_frac"] == kp[1]["bo3_frac"] == kp[1]["bo1_frac"] == 0.0
+    assert abs(kp[1]["avg_logp"]) < 0.5  # ratios of its own counts
+    assert kp[5]["bo1_frac"] == 1.0

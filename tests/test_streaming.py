@@ -721,3 +721,68 @@ def test_streaming_oov_multibatch_matches_batch(spark, tmp_path):
         ) == (want[k]["n_tokens"], want[k]["n_oov"], want[k]["oov_rate"])
     # hand check: every scored doc has 4 tokens, exactly 2 oov
     assert all(r["n_tokens"] == 4 and r["n_oov"] == 2 for r in want.values())
+
+
+def test_catalog_compaction_crash_window_and_hash_equal(spark, tmp_path):
+    """compact_catalog's atomicity contract: (1) the merged catalog is
+    value-equal to folding the generations by hand; (2) a crash
+    BETWEEN the snapshot write and the manifest publish leaves the
+    previous pointer live and the half-written snapshot unreachable;
+    (3) the rerun recovers, publishes, and the re-read is hash-equal
+    to the first complete result; (4) superseded generations are gone
+    afterwards and a second compaction is a no-op."""
+    from tgres_spark.streaming.catalog import (
+        _list_versions,
+        _publish_manifest,
+        _snapshot_path,
+        compact_catalog,
+        read_catalog,
+        run_catalog_pipeline,
+    )
+
+    for i, body in enumerate(
+        (
+            "web.a.cpu 1.0 1000\nweb.a.cpu 2.0 1060\nweb.b.cpu 3.0 1100\n",
+            "web.a.cpu 9.0 2000\nweb.c.cpu 4.0 2100\n",
+        )
+    ):
+        d = tmp_path / f"in{i}"
+        d.mkdir()
+        (d / "a.txt").write_text(body)
+        run_catalog_pipeline(
+            spark, str(d), str(tmp_path / f"gen{i}"), str(tmp_path / f"ck{i}")
+        )
+    gens = [str(tmp_path / "gen0"), str(tmp_path / "gen1")]
+    out = str(tmp_path / "cat")
+
+    # first pass, interrupted: write the merged snapshot but crash
+    # before the manifest (simulated by doing exactly what
+    # compact_catalog does up to the publish)
+    from pyspark.sql import functions as F
+
+    from tgres_spark.streaming.catalog import _merge_two
+
+    merged = _merge_two(read_catalog(spark, gens[0]), read_catalog(spark, gens[1]))
+    merged.repartition(2, F.col("name")).write.parquet(_snapshot_path(out, 0))
+    assert read_catalog(spark, out) is None  # pointer never dangles
+
+    # rerun completes: overwrites the orphan snapshot and publishes
+    res = compact_catalog(spark, gens, out)
+    assert res["n_generations"] == 2 and res["version"] == 0
+    got = {r["name"]: r for r in read_catalog(spark, out).collect()}
+    assert got["web.a.cpu"]["first_seen"] == 1000   # gen0 wins
+    assert got["web.a.cpu"]["last_seen"] == 2000
+    assert got["web.a.cpu"]["n_points"] == 3
+    assert got["web.c.cpu"]["first_seen"] == 2100
+    assert len(got) == 3
+
+    # superseded generations dropped; second pass is a no-op and the
+    # re-read is value-identical (hash-equal)
+    assert _list_versions(spark, gens[0]) == []
+    assert _list_versions(spark, gens[1]) == []
+    res2 = compact_catalog(spark, gens, out)
+    assert res2["n_generations"] == 0
+    again = {r["name"]: r for r in read_catalog(spark, out).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

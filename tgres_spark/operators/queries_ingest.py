@@ -397,6 +397,67 @@ def streaming_name_catalog(spark, sf_dir):
     return read_catalog(spark, f"{work}/cat")
 
 
+@register("streaming_catalog_compact", sql=_CATALOG_ORACLE_SQL)
+def streaming_catalog_compact(spark, sf_dir):
+    """Catalog compaction across stream INCARNATIONS (round 9,
+    streaming/catalog.compact_catalog — the streaming twin of
+    rrd_compact_archive): the graphite firehose is split at its time
+    midpoint into two REAL stream runs, each with its own checkpoint
+    and catalog generation (a restarted stream's batch ids begin at 0,
+    so a fresh incarnation cannot fold into the old generation); the
+    compaction job folds the generations in time order into one
+    catalog — first_seen kept from the earliest incarnation
+    (create-on-first-write one level up), last_seen/n_points merged —
+    publishes it under the same write-once manifest protocol, and
+    drops the superseded generations. A second compaction is asserted
+    a no-op inline (idempotence); the crash-between-snapshot-and-
+    pointer window is pinned in tests/test_streaming.py.
+
+    Oracle-checkable against the SAME min/max/count SQL as the live
+    catalog because the incarnations split by TIME: every name's
+    earliest point lives in the first generation that saw it, so the
+    cross-generation first_seen equals the global MIN(t)."""
+    import tempfile
+
+    from ..streaming.catalog import (
+        compact_catalog,
+        read_catalog,
+        run_catalog_pipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="tgres_catc_")
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    good = F.format_string(
+        "web.%s.hits %.2f %d",
+        F.col("event_type"),
+        F.col("value"),
+        epoch_s("ts", ev),
+    )
+    line = F.when(
+        F.col("event_id") % 97 == 0, F.lit("not a metric")
+    ).otherwise(good)
+    lines = ev.select(line.alias("line"), epoch_s("ts", ev).alias("t"))
+    lo, hi = lines.agg(F.min("t"), F.max("t")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    for i, half in enumerate(
+        (lines.where(F.col("t") < mid), lines.where(F.col("t") >= mid))
+    ):
+        half.select("line").coalesce(2).write.mode("overwrite").text(
+            f"{work}/in{i}"
+        )
+        run_catalog_pipeline(
+            spark, f"{work}/in{i}", f"{work}/gen{i}", f"{work}/ckpt{i}"
+        )
+    out = f"{work}/cat"
+    first = compact_catalog(spark, [f"{work}/gen0", f"{work}/gen1"], out)
+    assert first["n_generations"] == 2
+    again = compact_catalog(spark, [f"{work}/gen0", f"{work}/gen1"], out)
+    assert again["n_generations"] == 0, "compaction must be idempotent"
+    return read_catalog(spark, out)
+
+
 @register("streaming_dedup_exact", sql=dd_sql.DEDUP_EXACT_SQL)
 def streaming_dedup_exact(spark, sf_dir):
     """Streaming exact dedup (streaming/dedup.py): the documents

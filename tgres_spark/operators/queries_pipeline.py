@@ -222,6 +222,9 @@ def mm_audio_chunks(spark, sf_dir):
     return mm.audio_chunks(mm.synthesize_media(_docs(spark, sf_dir)))
 
 
+register("text_kenlm_proxy", sql=tx.text_kenlm_proxy_sql())(
+    lambda s, d: tx.text_kenlm_proxy(_docs(s, d))
+)
 register("mm_text_image_pairs", sql=sim.mm_text_image_pairs_sql())(
     lambda s, d: sim.mm_text_image_pairs(_emb(s, d))
 )

@@ -2424,3 +2424,253 @@ SELECT (SELECT merged_pair FROM top) AS merged_pair, pair,
        CAST(SUM(n) AS BIGINT) AS weight
 FROM p2 GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT {k}
 """
+
+
+def text_kenlm_proxy(
+    docs: DataFrame, backoff: float = 0.4, hash_chars: int = 3
+) -> DataFrame:
+    """(doc_id, n_5grams, avg_logp, bo4_frac, bo3_frac, bo1_frac):
+    5-gram-depth stupid-backoff LM over HASHED n-gram tables (round
+    9) — the CCNet filter is a 5-gram KenLM, but an exact 5-gram
+    table is vocab⁵; this combines the DSIR hashing trick (every
+    n-gram keyed by the first ``hash_chars`` md5 hex chars — a fixed
+    16^3 = 4096-bucket feature space) with the stupid-backoff chain,
+    so the 2/3/4/5-gram tables are CONSTANT-SIZE at any corpus scale
+    and all BROADCAST into the scoring stream (the exact trigram LM
+    must shuffle its vocab³ table; here only the Laplace-floor
+    unigram join is co-keyed). Chain, with train = the reference
+    split (doc_id % 2 = 0):
+
+      S(w5|w1..w4) = c(h(w1..w5))/c(h(w1..w4))        both buckets seen
+                   | 0.4  · c(h(w2..w5))/c(h(w2..w4))  both seen
+                   | 0.4² · c(h(w3..w5))/c(h(w3,w4))   both seen
+                   | 0.4³ · (c(w5)+1)/(tot+V)          Laplace floor
+
+    Hashing makes this a PROXY: bucket collisions merge counts (a
+    ratio can exceed 1, a novel n-gram can look "seen"), exactly the
+    count-merging a hashed-feature model accepts by design — fully
+    deterministic in both engines (md5 prefix). Each branch requires
+    BOTH its numerator and denominator buckets seen (with collisions,
+    a seen n-gram bucket no longer implies its prefix bucket is —
+    unlike the exact trigram LM); divisions therefore never see 0.
+    Backoff fractions split by the depth the score fell to.
+    Determinism: log10 rounded at 9, per-doc micro6 BIGINT sums."""
+    from ..model import micro6
+    from .dedup import words
+
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    train = base.where(F.col("doc_id") % 2 == 0)
+    train_tok = train.select(F.explode("ws").alias("w"))
+    cu = train_tok.groupBy("w").agg(F.count("*").alias("cu"))
+    totals = cu.agg(
+        F.sum("cu").alias("tot"), F.count("*").alias("vocab")
+    )
+
+    def hb(*cols):
+        return F.substring(F.md5(F.concat_ws(" ", *cols)), 1, hash_chars)
+
+    def gram_table(n: int, name: str) -> DataFrame:
+        g = (
+            train.where(F.size("ws") >= n)
+            .select("ws", F.posexplode("ws").alias("i", "g1"))
+            .where(F.col("i") < F.size("ws") - (n - 1))
+            .select(
+                hb(
+                    *(
+                        [F.col("g1")]
+                        + [
+                            F.element_at(F.col("ws"), F.col("i") + j + 1)
+                            for j in range(1, n)
+                        ]
+                    )
+                ).alias("bkt")
+            )
+        )
+        return g.groupBy("bkt").agg(F.count("*").alias(name))
+
+    h5, h4, h3, h2 = (
+        gram_table(5, "c5"),
+        gram_table(4, "c4"),
+        gram_table(3, "c3"),
+        gram_table(2, "c2"),
+    )
+
+    five = (
+        base.where(F.size("ws") >= 5)
+        .select("doc_id", "ws", F.posexplode("ws").alias("i", "w1"))
+        .where(F.col("i") < F.size("ws") - 4)
+        .select(
+            "doc_id",
+            "w1",
+            *[
+                F.element_at(F.col("ws"), F.col("i") + j + 1).alias(f"w{j+1}")
+                for j in range(1, 5)
+            ],
+        )
+    )
+    keyed = five.select(
+        "doc_id",
+        "w5",
+        hb("w1", "w2", "w3", "w4", "w5").alias("k5"),
+        hb("w1", "w2", "w3", "w4").alias("k4p"),
+        hb("w2", "w3", "w4", "w5").alias("k4n"),
+        hb("w2", "w3", "w4").alias("k3p"),
+        hb("w3", "w4", "w5").alias("k3n"),
+        hb("w3", "w4").alias("k2p"),
+    )
+    j = (
+        keyed.join(
+            F.broadcast(h5.withColumnRenamed("bkt", "k5")), "k5", "left"
+        )
+        .join(
+            F.broadcast(
+                h4.select(F.col("bkt").alias("k4p"), F.col("c4").alias("c4p"))
+            ),
+            "k4p",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                h4.select(F.col("bkt").alias("k4n"), F.col("c4").alias("c4n"))
+            ),
+            "k4n",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                h3.select(F.col("bkt").alias("k3p"), F.col("c3").alias("c3p"))
+            ),
+            "k3p",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                h3.select(F.col("bkt").alias("k3n"), F.col("c3").alias("c3n"))
+            ),
+            "k3n",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                h2.select(F.col("bkt").alias("k2p"), F.col("c2").alias("c2p"))
+            ),
+            "k2p",
+            "left",
+        )
+        .join(cu.select(F.col("w").alias("w5"), F.col("cu").alias("cu5")),
+              "w5", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    lvl5 = F.col("c5").isNotNull() & F.col("c4p").isNotNull()
+    lvl4 = F.col("c4n").isNotNull() & F.col("c3p").isNotNull()
+    lvl3 = F.col("c3n").isNotNull() & F.col("c2p").isNotNull()
+    p = (
+        F.when(lvl5, F.col("c5").cast("double") / F.col("c4p"))
+        .when(lvl4, F.lit(backoff) * F.col("c4n").cast("double") / F.col("c3p"))
+        .when(
+            lvl3,
+            F.lit(backoff ** 2) * F.col("c3n").cast("double") / F.col("c2p"),
+        )
+        .otherwise(
+            F.lit(backoff ** 3)
+            * (F.coalesce(F.col("cu5"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot") + F.col("vocab"))
+        )
+    )
+    scored = j.select(
+        "doc_id",
+        F.round(F.log(10.0, p), 9).alias("lp"),
+        (~lvl5 & lvl4).cast("bigint").alias("bo4"),
+        (~lvl5 & ~lvl4 & lvl3).cast("bigint").alias("bo3"),
+        (~lvl5 & ~lvl4 & ~lvl3).cast("bigint").alias("bo1"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_5grams"),
+        (
+            F.sum(micro6(F.col("lp"))).cast("double") / 1000000.0
+            / F.count("*")
+        ).alias("avg_logp"),
+        (F.sum("bo4").cast("double") / F.count("*")).alias("bo4_frac"),
+        (F.sum("bo3").cast("double") / F.count("*")).alias("bo3_frac"),
+        (F.sum("bo1").cast("double") / F.count("*")).alias("bo1_frac"),
+    )
+
+
+def text_kenlm_proxy_sql(backoff: float = 0.4, hash_chars: int = 3) -> str:
+    w = WORDS_SQL.format(c="text")
+
+    def hb(expr: str) -> str:
+        return f"substr(md5({expr}), 1, {hash_chars})"
+
+    def cat(*cols: str) -> str:
+        return " || ' ' || ".join(cols)
+
+    def gram_cte(n: int, cname: str) -> str:
+        key = hb(cat(*[f"ws[CAST(i AS INT) + {j}]" for j in range(n)]))
+        return (
+            f"(SELECT bkt, COUNT(*) AS {cname} FROM ("
+            f"SELECT {key} AS bkt FROM ("
+            "SELECT ws, UNNEST(range(1, len(ws) - "
+            f"{n - 2})) AS i FROM base WHERE doc_id % 2 = 0 "
+            f"AND len(ws) >= {n})) GROUP BY bkt)"
+        )
+
+    wsel = ", ".join(f"ws[CAST(i AS INT) + {j}] AS w{j+1}" for j in range(5))
+    k = {
+        "k5": hb(cat("w1", "w2", "w3", "w4", "w5")),
+        "k4p": hb(cat("w1", "w2", "w3", "w4")),
+        "k4n": hb(cat("w2", "w3", "w4", "w5")),
+        "k3p": hb(cat("w2", "w3", "w4")),
+        "k3n": hb(cat("w3", "w4", "w5")),
+        "k2p": hb(cat("w3", "w4")),
+    }
+    keys = ", ".join(f"{v} AS {n}" for n, v in k.items())
+    lvl5 = "c5 IS NOT NULL AND c4p IS NOT NULL"
+    lvl4 = "c4n IS NOT NULL AND c3p IS NOT NULL"
+    lvl3 = "c3n IS NOT NULL AND c2p IS NOT NULL"
+    p = (
+        f"CASE WHEN {lvl5} THEN CAST(c5 AS DOUBLE) / c4p "
+        f"WHEN {lvl4} THEN {float(backoff)!r} * CAST(c4n AS DOUBLE) / c3p "
+        f"WHEN {lvl3} THEN {float(backoff ** 2)!r} * CAST(c3n AS DOUBLE) / c2p "
+        f"ELSE {float(backoff ** 3)!r} * "
+        "CAST(COALESCE(cu5, 0) + 1 AS DOUBLE) / (tot + vocab) END"
+    )
+    return (
+        f"WITH base AS (SELECT doc_id, {w} AS ws FROM documents), "
+        "cu AS (SELECT w, COUNT(*) AS cu FROM "
+        "(SELECT UNNEST(ws) AS w FROM base WHERE doc_id % 2 = 0) GROUP BY w), "
+        "totals AS (SELECT SUM(cu) AS tot, COUNT(*) AS vocab FROM cu), "
+        f"h5 AS {gram_cte(5, 'c5')}, h4 AS {gram_cte(4, 'c4')}, "
+        f"h3 AS {gram_cte(3, 'c3')}, h2 AS {gram_cte(2, 'c2')}, "
+        f"five AS (SELECT doc_id, {wsel} FROM ("
+        "SELECT doc_id, ws, UNNEST(range(1, len(ws) - 3)) AS i "
+        "FROM base WHERE len(ws) >= 5)), "
+        f"keyed AS (SELECT doc_id, w5, {keys} FROM five), "
+        "j AS (SELECT keyed.doc_id, "
+        "h5.c5, p4.c4 AS c4p, n4.c4 AS c4n, p3.c3 AS c3p, n3.c3 AS c3n, "
+        "p2.c2 AS c2p, cu.cu AS cu5, tot, vocab "
+        "FROM keyed "
+        "LEFT JOIN h5 ON h5.bkt = keyed.k5 "
+        "LEFT JOIN h4 p4 ON p4.bkt = keyed.k4p "
+        "LEFT JOIN h4 n4 ON n4.bkt = keyed.k4n "
+        "LEFT JOIN h3 p3 ON p3.bkt = keyed.k3p "
+        "LEFT JOIN h3 n3 ON n3.bkt = keyed.k3n "
+        "LEFT JOIN h2 p2 ON p2.bkt = keyed.k2p "
+        "LEFT JOIN cu ON cu.w = keyed.w5 "
+        "CROSS JOIN totals), "
+        "scored AS (SELECT doc_id, "
+        f"ROUND(LN({p}) / LN(10.0), 9) AS lp, "
+        f"CASE WHEN NOT ({lvl5}) AND ({lvl4}) THEN 1 ELSE 0 END AS bo4, "
+        f"CASE WHEN NOT ({lvl5}) AND NOT ({lvl4}) AND ({lvl3}) "
+        "THEN 1 ELSE 0 END AS bo3, "
+        f"CASE WHEN NOT ({lvl5}) AND NOT ({lvl4}) AND NOT ({lvl3}) "
+        "THEN 1 ELSE 0 END AS bo1 "
+        "FROM j) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_5grams, "
+        "CAST(SUM(CAST(FLOOR(lp * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 / COUNT(*) AS avg_logp, "
+        "CAST(SUM(bo4) AS DOUBLE) / COUNT(*) AS bo4_frac, "
+        "CAST(SUM(bo3) AS DOUBLE) / COUNT(*) AS bo3_frac, "
+        "CAST(SUM(bo1) AS DOUBLE) / COUNT(*) AS bo1_frac "
+        "FROM scored GROUP BY doc_id"
+    )

@@ -208,3 +208,84 @@ def run_catalog_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def _merge_two(base: DataFrame | None, nxt: DataFrame) -> DataFrame:
+    """The catalog fold (same algebra as merge_catalog_batch): earlier
+    relation's first_seen wins (create-on-first-write), last_seen is
+    the max, n_points the sum."""
+    if base is None:
+        return nxt
+    j = base.alias("a").join(nxt.alias("b"), NAME, "full")
+    return j.select(
+        NAME,
+        F.coalesce(F.col("a.first_seen"), F.col("b.first_seen")).alias(
+            "first_seen"
+        ),
+        F.greatest(
+            F.coalesce(F.col("a.last_seen"), F.lit(-(1 << 62))),
+            F.coalesce(F.col("b.last_seen"), F.lit(-(1 << 62))),
+        ).alias("last_seen"),
+        (
+            F.coalesce(F.col("a.n_points"), F.lit(0))
+            + F.coalesce(F.col("b.n_points"), F.lit(0))
+        ).alias("n_points"),
+    )
+
+
+def compact_catalog(
+    spark: SparkSession,
+    generation_dirs: list[str],
+    out_dir: str,
+    snapshot_buckets: int = 8,
+) -> dict:
+    """Compact stream-incarnation catalogs into one (round 9) — the
+    streaming twin of archive.compact_archive. Each stream incarnation
+    (its own checkpoint restarts batch ids at 0) writes its own
+    catalog generation; left alone, generations accumulate forever and
+    every reader must fold them at read time. This job folds the
+    existing compacted catalog (if any) with each generation IN ORDER
+    — first_seen keeps the earliest generation's value
+    (create-on-first-write across incarnations, exactly the per-batch
+    rule one level up), last_seen/n_points merge — then publishes ONE
+    new snapshot under the SAME write-once manifest protocol the live
+    stream uses: snapshot directory first, manifest pointer second, so
+    a crash between the two leaves the previous pointer live and the
+    half-written snapshot unreachable (rerun overwrites it); the
+    pointer only ever moves forward. After a successful publish the
+    superseded inputs are dropped: older out-dir versions AND the
+    folded generation directories (their manifests deleted FIRST, so
+    a retired generation is never resolvable mid-delete).
+
+    Idempotent by construction: a second run finds no generations and
+    is a no-op (returns n_generations=0, pointer untouched) — pinned
+    in tests along with the crash window and the hash-equal re-read.
+
+    Scale: the fold is G full-outer joins on the uniform name key of
+    catalog-sized relations (names, not points); the publish fans out
+    over snapshot_buckets tasks like every live snapshot."""
+    gens = [
+        g for g in generation_dirs if _list_versions(spark, g)
+    ]
+    cur = read_catalog(spark, out_dir)
+    if not gens:
+        return {"out": out_dir, "n_generations": 0, "version": None}
+    merged = cur
+    for g in gens:
+        merged = _merge_two(merged, read_catalog(spark, g))
+    prev_versions = _list_versions(spark, out_dir)
+    version = (prev_versions[-1] + 1) if prev_versions else 0
+    (
+        merged.repartition(snapshot_buckets, F.col(NAME))
+        .write.mode("overwrite")
+        .parquet(_snapshot_path(out_dir, version))
+    )
+    _publish_manifest(spark, out_dir, version)
+    _retire_old_snapshots(spark, out_dir, keep=1)
+    for g in gens:
+        for v in _list_versions(spark, g):
+            fs, mpath, jvm = _fs(spark, f"{g}/{_MANIFEST_DIR}/v{v:012d}")
+            fs.delete(mpath, False)
+            spath = jvm.org.apache.hadoop.fs.Path(_snapshot_path(g, v))
+            fs.delete(spath, True)
+    return {"out": out_dir, "n_generations": len(gens), "version": version}

@@ -36,6 +36,7 @@ SKIP = {
     "streaming_ingest_pipeline",
     "streaming_paced_metric",
     "streaming_name_catalog",
+    "streaming_catalog_compact",
     "carbon_pickle_stream",
     "ann_ivf_search",  # iterative Lloyd: collects per round by design
 }
