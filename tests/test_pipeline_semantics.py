@@ -2278,3 +2278,31 @@ def test_kenlm_proxy_ranks_agree_with_trigram_lm(spark):
     assert kp[1]["bo4_frac"] == kp[1]["bo3_frac"] == kp[1]["bo1_frac"] == 0.0
     assert abs(kp[1]["avg_logp"]) < 0.5  # ratios of its own counts
     assert kp[5]["bo1_frac"] == 1.0
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """The asymmetric case containment dedup exists for: a short doc
+    quoted whole inside a much larger page has LOW Jaccard (below any
+    symmetric dedup threshold) but containment ~1.0 — and the 16x1
+    single-component candidate pass must surface the pair."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import dedup_containment
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(30))
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, short + " " + filler, "en", "s", 10),  # contains doc 1
+        (3, "entirely different content " + filler[::-1], "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in dedup_containment(docs).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["cont_a"] == 1.0          # every shingle of 1 is in 2
+    assert r["jaccard"] < 0.5          # symmetric dedup would keep both
+    assert r["max_cont"] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out

@@ -786,3 +786,56 @@ def test_catalog_compaction_crash_window_and_hash_equal(spark, tmp_path):
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Micro-batching must be invisible: scoring the increment one
+    file per trigger (3 real micro-batches) yields exactly the batch
+    scorer's relation, and a planted twin of an indexed doc comes
+    back at est_sim 1.0. Per-batch output dirs make replay idempotent
+    (a rewritten batch overwrites its own b<id> subdir)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import (
+        dedup_incremental_score,
+        minhash_signatures,
+    )
+    from tgres_spark.streaming.incdedup import run_incdedup_stream
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and parquet files"
+    existing = spark.createDataFrame(
+        [(1, a), (2, c)], "doc_id long, text string"
+    )
+    inc_rows = [(10, a), (11, c + " plus a tail"), (12, "nothing shared here at all")]
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "idx")
+    minhash_signatures(existing).write.parquet(idx)
+    in_dir = str(tmp_path / "in")
+    for i, row in enumerate(inc_rows):
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+    run_incdedup_stream(
+        spark, in_dir, idx, str(tmp_path / "out"), str(tmp_path / "ck"),
+        inc.schema, files_per_trigger=1,
+    )
+    got = {
+        (r["doc_id"], r["index_doc_id"]): r["est_sim"]
+        for r in spark.read.parquet(str(tmp_path / "out") + "/b*").collect()
+    }
+    want = {
+        (r["doc_id"], r["index_doc_id"]): r["est_sim"]
+        for r in dedup_incremental_score(
+            inc, spark.read.parquet(idx)
+        ).collect()
+    }
+    assert got == want
+    assert got[(10, 1)] == 1.0
+    assert (12, 1) not in got and (12, 2) not in got
+    # one output dir per micro-batch (3 files, one per trigger)
+    bdirs = [d for d in _os.listdir(str(tmp_path / "out")) if d.startswith("b")]
+    assert len(bdirs) >= 2

@@ -397,6 +397,44 @@ def streaming_name_catalog(spark, sf_dir):
     return read_catalog(spark, f"{work}/cat")
 
 
+@register(
+    "streaming_dedup_incremental", sql=dd_sql.dedup_incremental_score_sql()
+)
+def streaming_dedup_incremental(spark, sf_dir):
+    """The live-crawl deployment of incremental dedup (round 9,
+    streaming/incdedup.py): the existing corpus's minhash signature
+    index persists to parquet; the increment (doc_id % 5 == 0)
+    arrives as a FILE-PER-TRIGGER stream and each micro-batch scores
+    statelessly against the static index — in-row signatures, in-row
+    band keys, stream-static band join, first-matching-band filter in
+    place of a stateful DISTINCT. Four real micro-batches, then the
+    appended output re-read. Oracle: the full-corpus LSH rerun
+    filtered to cross pairs (a doc's matches depend only on its own
+    text and the static index, so batching is invisible)."""
+    import tempfile
+
+    from ..pipeline import dedup as dd_mod
+    from ..streaming.incdedup import run_incdedup_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sinc_")
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % dd_mod.INCREMENT_MOD
+    dd_mod.minhash_signatures(docs.where(m != 0)).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/index")
+    inc = docs.where(m == 0).select("doc_id", "text")
+    inc.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_incdedup_stream(
+        spark,
+        f"{work}/in",
+        f"{work}/index",
+        f"{work}/out",
+        f"{work}/ckpt",
+        inc.schema,
+    )
+    return spark.read.parquet(f"{work}/out/b*")
+
+
 @register("streaming_catalog_compact", sql=_CATALOG_ORACLE_SQL)
 def streaming_catalog_compact(spark, sf_dir):
     """Catalog compaction across stream INCARNATIONS (round 9,

@@ -33,6 +33,9 @@ register("dedup_simhash", sql=dd.dedup_simhash_sql())(
 register("dedup_minhash_est", sql=dd.dedup_minhash_est_sql())(
     lambda s, d: dd.dedup_minhash_est(_docs(s, d))
 )
+register("dedup_containment", sql=dd.dedup_containment_sql())(
+    lambda s, d: dd.dedup_containment(_docs(s, d))
+)
 register("dedup_ngram_jaccard", sql=dd.dedup_ngram_jaccard_sql())(
     lambda s, d: dd.dedup_ngram_jaccard(_docs(s, d))
 )

@@ -1204,3 +1204,170 @@ def dedup_incremental_sql(mod: int = INCREMENT_MOD) -> str:
         f"FROM ({dedup_minhash_lsh_sql()}) "
         f"WHERE doc_a % {mod} = 0 OR doc_b % {mod} = 0"
     )
+
+
+# --- containment (asymmetric near-superset) dedup (round 9) -----------------
+
+def dedup_containment(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_a, doc_b, jaccard, cont_a, cont_b, max_cont): CONTAINMENT
+    near-dup pairs — cont_a = |shingles(A) ∩ shingles(B)| / |A| is the
+    fraction of A living inside B, the asymmetric signal symmetric
+    Jaccard structurally misses: a doc quoted whole inside a 10×
+    larger page has Jaccard ≈ 0.1 (never crosses a dedup threshold)
+    but containment ≈ 1.0 (RefinedWeb-style sub-document dedup keys
+    on exactly this). Emits candidate pairs with max(cont_a, cont_b)
+    >= threshold.
+
+    Candidate generation must also be containment-shaped: the 4x4
+    banding wants HIGH JACCARD to collide (all 4 components of some
+    band must agree), so it is nearly blind to contained-but-diluted
+    docs; here candidates come from the 16x1 layout (single-component
+    collision, the band_sweep truth domain) — a contained doc agrees
+    on any one component w.p. J, so P(candidate) = 1-(1-J)^16 (≈0.81
+    even at J=0.1). Exact shingle intersection is computed ONLY on
+    that bucket-local candidate domain, never all pairs; intersection
+    counts group on uniform (doc_a, doc_b) keys. Determinism: integer
+    set sizes, double divisions with fixed operand order."""
+    sig = minhash_signatures(docs).persist()
+    comp = sig.select(
+        "doc_id", F.posexplode("sig").alias("i", "v")
+    )
+    cand = (
+        comp.alias("a")
+        .join(comp.alias("b"), ["i", "v"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = shd.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = shd.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    jacc = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    cont_a = ni.cast("double") / F.col("na")
+    cont_b = ni.cast("double") / F.col("nb")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            jacc.alias("jaccard"),
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+            F.greatest(cont_a, cont_b).alias("max_cont"),
+        )
+        .where(F.col("max_cont") >= threshold)
+    )
+
+
+def dedup_containment_sql(threshold: float = 0.8) -> str:
+    sig = minhash_signatures_sql()
+    sh = f"SELECT DISTINCT doc_id, UNNEST({shingles_sql('text')}) AS sh FROM documents"
+    ni = "COALESCE(i.ni, 0)"
+    jacc = f"CAST({ni} AS DOUBLE) / (sa.na + sb.nb - {ni})"
+    cont_a = f"CAST({ni} AS DOUBLE) / sa.na"
+    cont_b = f"CAST({ni} AS DOUBLE) / sb.nb"
+    return f"""
+WITH s AS ({sig}),
+comp AS (SELECT doc_id, i, sig[CAST(i AS INT)] AS v
+         FROM (SELECT doc_id, sig, UNNEST(range(1, 17)) AS i FROM s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM comp a JOIN comp b ON a.i = b.i AND a.v = b.v
+  WHERE a.doc_id < b.doc_id
+),
+shd AS ({sh}),
+sz AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS ni
+  FROM cand
+  JOIN shd a ON a.doc_id = cand.doc_a
+  JOIN shd b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+  GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT cand.doc_a, cand.doc_b,
+       {jacc} AS jaccard,
+       {cont_a} AS cont_a,
+       {cont_b} AS cont_b,
+       GREATEST({cont_a}, {cont_b}) AS max_cont
+FROM cand
+JOIN (SELECT doc_id AS doc_a, nsh AS na FROM sz) sa USING (doc_a)
+JOIN (SELECT doc_id AS doc_b, nsh AS nb FROM sz) sb USING (doc_b)
+LEFT JOIN inter i ON i.doc_a = cand.doc_a AND i.doc_b = cand.doc_b
+WHERE GREATEST({cont_a}, {cont_b}) >= {float(threshold)!r}
+"""
+
+
+# --- incremental scoring engine (shared by the streaming twin) --------------
+
+def dedup_incremental_score(docs: DataFrame, index_sig: DataFrame) -> DataFrame:
+    """Score a docs relation (one micro-batch of a live crawl, or any
+    batch) against a STATIC minhash signature index — the scoring
+    engine behind streaming_dedup_incremental. Returns one row per
+    (new doc, matching index doc): (doc_id, index_doc_id, est_sim).
+
+    Same machinery as dedup_incremental's cross-corpus half: the
+    batch's signatures come from the explode+groupBy minhash engine
+    (an in-row array-fold variant was measured 40x slower — Catalyst
+    re-inlines the salted-md5 transforms through the 16 array_min
+    lambdas, the mm_phash ProjectCollapse trap — so the aggregation
+    form IS the fast form), its band keys broadcast into a map-only
+    scan of the index, and duplicate band collisions collapse in the
+    batch-local dropDuplicates. No state outlives the batch: a doc's
+    matches depend only on its own text and the static index, which
+    is what makes the streaming wrapper's micro-batching invisible
+    (hash-checked against the full-corpus LSH oracle's cross pairs).
+    Reference analogue: the dscache consult on every incoming
+    datapoint (receiver/dscache.go:1)."""
+    inc_sig = minhash_signatures(docs)
+    inc_bands = _band_keys(inc_sig, keep_sig=True)
+    idx_bands = _band_keys(index_sig, keep_sig=True)
+    est = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N_HASHES)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at("sig_s", i) == F.element_at("sig_i", i), 1
+        ).otherwise(0),
+    ) / float(N_HASHES)
+    return (
+        idx_bands.alias("x")
+        .join(F.broadcast(inc_bands.alias("i")), ["band", "key"])
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("x.doc_id").alias("index_doc_id"),
+            F.col("i.sig").alias("sig_s"),
+            F.col("x.sig").alias("sig_i"),
+        )
+        .dropDuplicates(["doc_id", "index_doc_id"])
+        .select("doc_id", "index_doc_id", est.cast("double").alias("est_sim"))
+    )
+
+
+def dedup_incremental_score_sql(mod: int = INCREMENT_MOD) -> str:
+    # oracle = the full-corpus LSH rerun filtered to CROSS pairs
+    # (stream doc on one side, index doc on the other), re-oriented so
+    # doc_id is always the streamed one
+    return (
+        f"SELECT CASE WHEN doc_a % {mod} = 0 THEN doc_a ELSE doc_b END AS doc_id, "
+        f"CASE WHEN doc_a % {mod} = 0 THEN doc_b ELSE doc_a END AS index_doc_id, "
+        f"est_sim FROM ({dedup_minhash_lsh_sql()}) "
+        f"WHERE (doc_a % {mod} = 0) <> (doc_b % {mod} = 0)"
+    )

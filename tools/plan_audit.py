@@ -37,6 +37,7 @@ SKIP = {
     "streaming_paced_metric",
     "streaming_name_catalog",
     "streaming_catalog_compact",
+    "streaming_dedup_incremental",
     "carbon_pickle_stream",
     "ann_ivf_search",  # iterative Lloyd: collects per round by design
 }
