@@ -2306,3 +2306,45 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     assert r["jaccard"] < 0.5          # symmetric dedup would keep both
     assert r["max_cont"] == 1.0
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_ivf_refresh_consistent_with_assignment(spark):
+    """ann_ivf_refresh must be exactly the per-cell fold of
+    ann_ivf_assign split on the increment rule: counts match, means
+    are the micro6-quantized per-cell means, drift their difference."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import ann_ivf_assign, ann_ivf_refresh
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(64).round(6)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    asg = ann_ivf_assign(emb).collect()
+    ref = {r["cell"]: r for r in ann_ivf_refresh(emb).collect()}
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n_old, n_new, d_old6, d_new6
+    for r in asg:
+        q6 = int(np.floor(r["dist"] * 1e6 + 0.5))
+        if r["vec_id"] % 5 == 0:
+            agg[r["cell"]][1] += 1
+            agg[r["cell"]][3] += q6
+        else:
+            agg[r["cell"]][0] += 1
+            agg[r["cell"]][2] += q6
+    assert set(agg) == set(ref)
+    for cell, (no, nn, d6o, d6n) in agg.items():
+        r = ref[cell]
+        assert (r["n_old"], r["n_new"]) == (no, nn)
+        mo = d6o / 1e6 / no if no else None
+        mn = d6n / 1e6 / nn if nn else None
+        if mo is not None:
+            assert abs(r["mean_dist_old"] - mo) < 1e-12
+        if mn is not None:
+            assert abs(r["mean_dist_new"] - mn) < 1e-12
+        if mo is not None and mn is not None:
+            assert abs(r["drift"] - (mn - mo)) < 1e-12

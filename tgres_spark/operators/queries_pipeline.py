@@ -366,6 +366,9 @@ register("emb_int8_quantize", sql=sim.emb_int8_quantize_sql())(
 register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
     lambda s, d: sim.ann_ivf_balance(_emb(s, d))
 )
+register("ann_ivf_refresh", sql=sim.ann_ivf_refresh_sql())(
+    lambda s, d: sim.ann_ivf_refresh(_emb(s, d))
+)
 register("text_trigram_lm", sql=tx.text_trigram_lm_sql())(
     lambda s, d: tx.text_trigram_lm(_docs(s, d))
 )

@@ -3127,3 +3127,85 @@ def mm_text_image_pairs_sql(
         "FROM approx a LEFT JOIN exact e "
         "ON e.text_id = a.text_id AND e.image_id = a.image_id"
     )
+
+
+def ann_ivf_refresh(
+    emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7
+) -> DataFrame:
+    """Incremental IVF index maintenance (round 9): a NEW embedding
+    increment (vec_id % 5 == 0) is assigned to the EXISTING centroids
+    — a map-only broadcast argmin, no re-fit — and each cell reports
+    the drift stats an index operator reads before deciding to
+    re-train: (cell, n_old, n_new, growth, mean_dist_old,
+    mean_dist_new, drift). growth = new/old arrival ratio (a cell
+    absorbing disproportionate traffic); drift = mean_dist_new −
+    mean_dist_old (new vectors sitting farther from the centroid than
+    the ones it was built for = the distribution moved — re-fit or
+    split). The incremental-maintenance member of the IVF family next
+    to ann_ivf_balance (static health) and ann_ivf_lloyd (re-fit),
+    and the ANN twin of dedup_incremental's index-consult shape.
+
+    Scale: two map-only assignment passes against the broadcast
+    codebook and ONE k-row groupBy — no shuffle grows with corpus
+    size except the per-cell partial aggregation. Determinism:
+    counts exact; distance means are micro6 BIGINT sums divided once
+    (bounded per cell), drift a single subtraction of those."""
+    from ..model import micro6
+
+    m = F.col("vec_id") % 5
+    asg = ann_ivf_assign(emb, k, seed).withColumn("is_new", m == 0)
+    per = asg.groupBy("cell").agg(
+        F.sum((~F.col("is_new")).cast("bigint")).alias("n_old"),
+        F.sum(F.col("is_new").cast("bigint")).alias("n_new"),
+        F.sum(
+            F.when(~F.col("is_new"), micro6(F.col("dist"))).otherwise(F.lit(0))
+        ).alias("d_old6"),
+        F.sum(
+            F.when(F.col("is_new"), micro6(F.col("dist"))).otherwise(F.lit(0))
+        ).alias("d_new6"),
+    )
+    mean_old = F.when(
+        F.col("n_old") > 0,
+        F.col("d_old6").cast("double") / 1000000.0 / F.col("n_old"),
+    )
+    mean_new = F.when(
+        F.col("n_new") > 0,
+        F.col("d_new6").cast("double") / 1000000.0 / F.col("n_new"),
+    )
+    return per.select(
+        "cell",
+        "n_old",
+        "n_new",
+        F.when(
+            F.col("n_old") > 0,
+            F.col("n_new").cast("double") / F.col("n_old"),
+        ).alias("growth"),
+        mean_old.alias("mean_dist_old"),
+        mean_new.alias("mean_dist_new"),
+        (mean_new - mean_old).alias("drift"),
+    )
+
+
+def ann_ivf_refresh_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+    from ..model import micro6_sql
+
+    asg = ann_ivf_assign_sql(k, seed)
+    mean_old = (
+        "CASE WHEN n_old > 0 THEN CAST(d_old6 AS DOUBLE) / 1000000.0 / n_old END"
+    )
+    mean_new = (
+        "CASE WHEN n_new > 0 THEN CAST(d_new6 AS DOUBLE) / 1000000.0 / n_new END"
+    )
+    return (
+        f"WITH asg AS (SELECT *, vec_id % 5 = 0 AS is_new FROM ({asg})), "
+        "per AS (SELECT cell, "
+        "CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old, "
+        "CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new, "
+        f"SUM(CASE WHEN is_new THEN 0 ELSE {micro6_sql('dist')} END) AS d_old6, "
+        f"SUM(CASE WHEN is_new THEN {micro6_sql('dist')} ELSE 0 END) AS d_new6 "
+        "FROM asg GROUP BY cell) "
+        "SELECT cell, n_old, n_new, "
+        "CASE WHEN n_old > 0 THEN CAST(n_new AS DOUBLE) / n_old END AS growth, "
+        f"{mean_old} AS mean_dist_old, {mean_new} AS mean_dist_new, "
+        f"({mean_new}) - ({mean_old}) AS drift FROM per"
+    )
