@@ -95,6 +95,19 @@ BENCH_QUERIES = [
     "pipeline_boilerplate_strip",
     "pipeline_prep_full",
     "dedup_minhash_band_sweep",
+    # round-9 additions: the incremental-dedup index consult (writes
+    # a real parquet signature index, then joins the increment in),
+    # the 16x1 containment pass (widest single-component candidate
+    # domain + exact intersections), the hashed 5-gram LM (4
+    # broadcast count tables over one posexplode stream), the
+    # two-step BPE trainer (vocab-sized argmax + fold + recount), and
+    # the cross-modal LSH retrieval join (multiprobe + exact rescore
+    # + brute-force baseline)
+    "dedup_incremental",
+    "dedup_containment",
+    "text_kenlm_proxy",
+    "corpus_bpe_merge2",
+    "mm_text_image_pairs",
 ]
 
 

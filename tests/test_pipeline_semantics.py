@@ -2348,3 +2348,65 @@ def test_ivf_refresh_consistent_with_assignment(spark):
             assert abs(r["mean_dist_new"] - mn) < 1e-12
         if mo is not None and mn is not None:
             assert abs(r["drift"] - (mn - mo)) < 1e-12
+
+
+def test_incremental_components_traverse_old_edges(spark, tmp_path):
+    """The case the assignment-as-edges equivalence exists for: a NEW
+    doc whose only direct pair is a NON-ROOT member of an existing
+    component must still land on that component's root — reachable
+    only through the persisted (member → root) edge, since the old
+    pair relation is never recomputed. Also pins got ≡ full rerun."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import (
+        dedup_components,
+        dedup_incremental_components,
+        dedup_minhash_lsh,
+        minhash_signatures,
+        propagate_components,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    a2 = a.replace("today", "tonight")
+    b = "completely different content about spark shuffles and parquet files"
+    rows = [(1, a), (2, a2), (3, b), (10, "x " + a2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    existing = docs.where(F.col("doc_id") < 10)
+    increment = docs.where(F.col("doc_id") >= 10)
+    # measured on this fixture: (1,2) est 0.875 and (2,10) est 0.875
+    # band-collide; (1,10) collides on NO band — so the increment's
+    # only direct pair is (2, 10) and root 1 is reachable only
+    # through the persisted 2 -> 1 assignment edge
+    thr = 0.5
+
+    minhash_signatures(existing).write.parquet(str(tmp_path / "idx"))
+    dedup_components(existing, threshold=thr).write.parquet(
+        str(tmp_path / "roots")
+    )
+    direct = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(docs)
+        .where(F.col("est_sim") >= thr)
+        .collect()
+        if 10 in (r["doc_a"], r["doc_b"])
+    }
+    assert direct == {(2, 10)}, direct
+
+    got = {
+        r["doc_id"]: r["root_id"]
+        for r in dedup_incremental_components(
+            spark, str(tmp_path / "idx"), str(tmp_path / "roots"), increment,
+            threshold=thr,
+        ).collect()
+    }
+    # 10 reaches root 1 ONLY via the persisted 2 -> 1 edge
+    assert got[10] == 1 and got[2] == 1 and got[3] == 3
+
+    full_pairs = dedup_minhash_lsh(docs).where(F.col("est_sim") >= thr)
+    want = {
+        r["doc_id"]: r["root_id"]
+        for r in propagate_components(
+            docs.select("doc_id"), full_pairs.select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert got == want

@@ -50,6 +50,32 @@ register("dedup_keep_best", sql=dd.dedup_keep_best_sql())(
 )
 
 
+@register("dedup_incremental_components", sql=dd.dedup_components_sql())
+def _dedup_incremental_components(s, d):
+    """Incrementally-updated components hash-checked against the
+    FULL-corpus recursive-CTE oracle: the existing corpus's signature
+    index and root assignment are genuinely written to and re-read
+    from parquet (the prior run's artifacts), then only the increment
+    is shingled; the old corpus re-enters as one (doc, root) edge per
+    doc. Identical relation to dedup_components by the
+    assignment-as-edges equivalence."""
+    import tempfile
+
+    docs = _docs(s, d)
+    m = F.col("doc_id") % dd.INCREMENT_MOD
+    existing, increment = docs.where(m != 0), docs.where(m == 0)
+    work = tempfile.mkdtemp(prefix="tgres_dinc2_")
+    dd.minhash_signatures(existing).write.mode("overwrite").parquet(
+        f"{work}/index"
+    )
+    dd.dedup_components(existing).write.mode("overwrite").parquet(
+        f"{work}/roots"
+    )
+    return dd.dedup_incremental_components(
+        s, f"{work}/index", f"{work}/roots", increment
+    )
+
+
 @register("dedup_incremental", sql=dd.dedup_incremental_sql())
 def _dedup_incremental(s, d):
     """New-crawl increment (doc_id % 5 == 0) deduped against the

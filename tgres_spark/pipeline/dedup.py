@@ -1371,3 +1371,44 @@ def dedup_incremental_score_sql(mod: int = INCREMENT_MOD) -> str:
         f"est_sim FROM ({dedup_minhash_lsh_sql()}) "
         f"WHERE (doc_a % {mod} = 0) <> (doc_b % {mod} = 0)"
     )
+
+
+def dedup_incremental_components(
+    spark,
+    index_path: str,
+    roots_path: str,
+    increment: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Update the corpus-wide near-dup clustering for a NEW crawl
+    increment WITHOUT recomputing the existing corpus (round 9 —
+    dedup_incremental's completion step, as dedup_components is
+    dedup_minhash_lsh's): the prior run persisted its signature index
+    AND its (doc_id, root_id) component assignment; the increment's
+    new candidate pairs come from dedup_incremental (index joined, no
+    re-shingling), and the closure re-runs over the assignment-as-
+    edges graph — each existing doc contributes ONE (doc, root) edge,
+    which encodes its entire old component, so
+    components(old_roots ∪ new_pairs) ≡ components(full pair set):
+    the old pairs are never touched again. Returns the full
+    (doc_id, root_id) relation, hash-checked against a FULL-corpus
+    rerun's recursive-CTE oracle.
+
+    Work shape: increment-sized LSH (signatures/bands of the new docs
+    only), one id-only edge per existing doc, and the shared
+    propagate_components engine (min-label + pointer doubling, driver
+    shortcut gated at 10M edges). The existing corpus's text is never
+    read; the only corpus-proportional relation is the id-pair edge
+    list — bytes per doc, not text."""
+    new_pairs = dedup_incremental(spark, index_path, increment).where(
+        F.col("est_sim") >= threshold
+    )
+    old = spark.read.parquet(roots_path)
+    old_edges = old.select(
+        F.col("doc_id").alias("doc_a"), F.col("root_id").alias("doc_b")
+    )
+    nodes = old.select("doc_id").unionByName(increment.select("doc_id"))
+    return propagate_components(
+        nodes,
+        old_edges.unionByName(new_pairs.select("doc_a", "doc_b")),
+    )
