@@ -2410,3 +2410,25 @@ def test_incremental_components_traverse_old_edges(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_snapshot_diff_statuses_hand_computed(spark):
+    """added/removed/changed/unchanged and the char delta on a
+    four-doc fixture with one of each status."""
+    from tgres_spark.pipeline.textstats import corpus_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "keep me", "s"), (2, "edit me", "s"), (3, "drop me", "s")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "keep me", "s"), (2, "edit me now", "s"), (4, "new doc!", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = corpus_snapshot_diff(old, new).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_added"], row["n_removed"], row["n_changed"],
+            row["n_unchanged"]) == (1, 1, 1, 1)
+    # delta: +len('new doc!')=8 -len('drop me')=7 +(11-7)=4 → +5
+    assert row["chars_delta"] == 5

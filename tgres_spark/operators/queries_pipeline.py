@@ -251,6 +251,19 @@ def mm_audio_chunks(spark, sf_dir):
     return mm.audio_chunks(mm.synthesize_media(_docs(spark, sf_dir)))
 
 
+@register("corpus_snapshot_diff", sql=tx.corpus_snapshot_diff_sql())
+def _corpus_snapshot_diff(s, d):
+    docs = _docs(s, d)
+    old = docs.where(F.expr(tx._SNAP_OLD_PRED))
+    new = docs.where(F.expr(tx._SNAP_NEW_PRED)).withColumn(
+        "text",
+        F.when(
+            F.expr(tx._SNAP_EDIT_PRED), F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return tx.corpus_snapshot_diff(old, new)
+
+
 register("text_kenlm_proxy", sql=tx.text_kenlm_proxy_sql())(
     lambda s, d: tx.text_kenlm_proxy(_docs(s, d))
 )

@@ -2674,3 +2674,85 @@ def text_kenlm_proxy_sql(backoff: float = 0.4, hash_chars: int = 3) -> str:
         "CAST(SUM(bo1) AS DOUBLE) / COUNT(*) AS bo1_frac "
         "FROM scored GROUP BY doc_id"
     )
+
+
+def corpus_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(source, n_added, n_removed, n_changed, n_unchanged,
+    chars_delta): the crawl-over-crawl diff relation — what a corpus
+    operator reads before promoting a new snapshot (a source whose
+    docs silently churn wholesale is the usual re-crawl pathology,
+    the batch twin of corpus_dedup_stats' duplication monitor).
+
+    One full-outer join on doc_id comparing md5(text) — texts never
+    shuffle (the hash and length project map-side before the join),
+    statuses fold in one per-source aggregation. Exact integer
+    output: counts and a char delta."""
+    o = old.select(
+        "doc_id",
+        F.col("source").alias("src_o"),
+        F.md5("text").alias("h_o"),
+        F.length("text").cast("bigint").alias("len_o"),
+    )
+    n = new.select(
+        "doc_id",
+        F.col("source").alias("src_n"),
+        F.md5("text").alias("h_n"),
+        F.length("text").cast("bigint").alias("len_n"),
+    )
+    j = o.join(n, "doc_id", "full").select(
+        F.coalesce("src_n", "src_o").alias("source"),
+        F.when(F.col("h_o").isNull(), "added")
+        .when(F.col("h_n").isNull(), "removed")
+        .when(F.col("h_o") != F.col("h_n"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce("len_n", F.lit(0)) - F.coalesce("len_o", F.lit(0))
+        ).alias("delta"),
+    )
+    return j.groupBy("source").agg(
+        F.sum((F.col("status") == "added").cast("bigint")).alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("bigint")).alias(
+            "n_removed"
+        ),
+        F.sum((F.col("status") == "changed").cast("bigint")).alias(
+            "n_changed"
+        ),
+        F.sum((F.col("status") == "unchanged").cast("bigint")).alias(
+            "n_unchanged"
+        ),
+        F.sum("delta").cast("bigint").alias("chars_delta"),
+    )
+
+
+# the registered query's deterministic two-snapshot synthesis: the
+# old crawl misses doc_id % 7 = 6, the new one misses % 7 = 5 and
+# carries an edit (' rev2' appended) on every % 11 = 0 doc
+_SNAP_OLD_PRED = "doc_id % 7 <> 6"
+_SNAP_NEW_PRED = "doc_id % 7 <> 5"
+_SNAP_EDIT_PRED = "doc_id % 11 = 0"
+
+
+def corpus_snapshot_diff_sql() -> str:
+    return f"""
+WITH o AS (SELECT doc_id, source, md5(text) AS h_o, len(text) AS len_o
+           FROM documents WHERE {_SNAP_OLD_PRED}),
+n AS (SELECT doc_id, source,
+             md5(CASE WHEN {_SNAP_EDIT_PRED} THEN text || ' rev2' ELSE text END) AS h_n,
+             len(CASE WHEN {_SNAP_EDIT_PRED} THEN text || ' rev2' ELSE text END) AS len_n
+      FROM documents WHERE {_SNAP_NEW_PRED}),
+j AS (SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN h_o IS NULL THEN 'added'
+                  WHEN h_n IS NULL THEN 'removed'
+                  WHEN h_o <> h_n THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(len_n, 0) - COALESCE(len_o, 0) AS delta
+      FROM o FULL OUTER JOIN n USING (doc_id))
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(delta) AS BIGINT) AS chars_delta
+FROM j GROUP BY source
+"""
