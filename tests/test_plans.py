@@ -522,3 +522,20 @@ def test_mm_text_image_candidates_are_bucket_joins(spark):
     # every BNLJ node in the tree must be a BuildRight broadcast,
     # never a shuffled cartesian
     assert "CartesianProduct" not in p and "ShuffledHashJoin" not in p
+
+
+def test_kenlm_proxy_gram_tables_broadcast(spark):
+    """The hashed-LM scale contract: all six n-gram bucket-table
+    joins (5/4p/4n/3p/3n/2p) are broadcasts — each table is capped at
+    4096 rows by the hash range, so none may ever reach a shuffle
+    join. (The exact unigram Laplace join is free to flip to SMJ at
+    real vocab sizes; at this SF it broadcasts too.)"""
+    import re
+
+    from tgres_spark.pipeline.textstats import text_kenlm_proxy
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(text_kenlm_proxy(docs))
+    bhj = len(set(re.findall(r"\((\d+)\) BroadcastHashJoin", p)))
+    assert bhj >= 6, p[:1500]
+    assert "CartesianProduct" not in p
