@@ -2432,3 +2432,28 @@ def test_snapshot_diff_statuses_hand_computed(spark):
             row["n_unchanged"]) == (1, 1, 1, 1)
     # delta: +len('new doc!')=8 -len('drop me')=7 +(11-7)=4 → +5
     assert row["chars_delta"] == 5
+
+
+def test_prep_funnel_monotone_and_consistent_with_prep_full(spark):
+    """The funnel's doc counts are non-increasing stage to stage, raw
+    counts match the corpus, and the final stage equals prep_full's
+    surviving set (same machinery, same composition)."""
+    from tgres_spark.pipeline.prep import prep_full, prep_funnel
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    f = {r["stage"]: r for r in prep_funnel(docs).collect()}
+    assert list(sorted(f)) == ["0_raw", "1_cleaned", "2_gopher", "3_dedup"]
+    assert f["0_raw"]["n_docs"] == docs.count()
+    assert (
+        f["0_raw"]["n_docs"]
+        >= f["1_cleaned"]["n_docs"]
+        >= f["2_gopher"]["n_docs"]
+        >= f["3_dedup"]["n_docs"]
+        > 0
+    )
+    # cleaning only removes text, never adds
+    assert f["1_cleaned"]["n_tokens"] <= f["0_raw"]["n_tokens"]
+    # the final stage is exactly prep_full's survivor set
+    assert f["3_dedup"]["n_docs"] == prep_full(docs).count()

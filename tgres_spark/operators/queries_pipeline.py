@@ -251,6 +251,11 @@ def mm_audio_chunks(spark, sf_dir):
     return mm.audio_chunks(mm.synthesize_media(_docs(spark, sf_dir)))
 
 
+register("pipeline_prep_funnel", sql=pp.prep_funnel_sql())(
+    lambda s, d: pp.prep_funnel(_docs(s, d))
+)
+
+
 @register("corpus_snapshot_diff", sql=tx.corpus_snapshot_diff_sql())
 def _corpus_snapshot_diff(s, d):
     docs = _docs(s, d)

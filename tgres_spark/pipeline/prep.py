@@ -581,3 +581,67 @@ def mix_after_dedup_sql(total_tokens: int = 10_000, seed: int = 42) -> str:
         "survivors AS (SELECT d.* FROM documents d JOIN kb USING (doc_id)), "
         + inner[len("WITH "):]
     )
+
+
+def prep_funnel(docs: DataFrame, k: int = 16) -> DataFrame:
+    """(stage, n_docs, n_tokens): per-stage survival through the
+    modern prep path — raw → boilerplate-cleaned → Gopher-kept →
+    dedup keepers — the funnel every production prep run logs next to
+    its dataset card (a stage that suddenly eats 40% of the corpus is
+    the first thing an operator looks for after a crawl change).
+    Same stage machinery and composition discipline as prep_full
+    (cleaned corpus persisted once, stage boundaries doc_id
+    semi-joins); output is four exact-integer rows, one aggregation
+    per stage over relations the prep job materializes anyway."""
+    from .contamination import boilerplate_clean_docs
+    from .dedup import dedup_keep_best
+    from .textstats import gopher_filter, words
+
+    toks = F.size(words(F.col("text"))).cast("bigint")
+
+    def stage(rel: DataFrame, name: str) -> DataFrame:
+        return rel.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+        )
+
+    cleaned = boilerplate_clean_docs(docs, k).persist()
+    gf = gopher_filter(cleaned).where(F.col("keep")).select("doc_id")
+    kept = cleaned.join(gf, "doc_id").persist()
+    kb = dedup_keep_best(kept).where(F.col("keep")).select("doc_id")
+    final = kept.join(kb, "doc_id")
+    return (
+        stage(docs, "0_raw")
+        .unionByName(stage(cleaned, "1_cleaned"))
+        .unionByName(stage(kept, "2_gopher"))
+        .unionByName(stage(final, "3_dedup"))
+    )
+
+
+def prep_funnel_sql(k: int = 16) -> str:
+    from .contamination import boilerplate_clean_docs_sql
+    from .dedup import dedup_keep_best_sql
+    from .textstats import WORDS_SQL, gopher_filter_sql
+
+    toks = f"CAST(len({WORDS_SQL.format(c='text')}) AS BIGINT)"
+
+    def stage(rel: str, name: str) -> str:
+        return (
+            f"SELECT '{name}' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM({toks}) AS BIGINT) AS n_tokens FROM {rel}"
+        )
+
+    return (
+        f"WITH cleaned AS ({boilerplate_clean_docs_sql(k)}), "
+        "gf AS (SELECT doc_id FROM ("
+        f"{gopher_filter_sql(rel='cleaned')}) gx WHERE keep), "
+        "kept AS (SELECT c.* FROM cleaned c JOIN gf USING (doc_id)), "
+        "kb AS (SELECT doc_id FROM ("
+        f"{dedup_keep_best_sql(rel='kept')}) kx WHERE keep), "
+        "fin AS (SELECT kept.* FROM kept JOIN kb USING (doc_id)) "
+        + stage("documents", "0_raw")
+        + " UNION ALL " + stage("cleaned", "1_cleaned")
+        + " UNION ALL " + stage("kept", "2_gopher")
+        + " UNION ALL " + stage("fin", "3_dedup")
+    )
