@@ -32,59 +32,41 @@ def register(key: str, sql: str | None = None):
     return deco
 
 
-# Frozen attestation-priority order (round 8). The driver attests a
-# fixed-size prefix (50 entries) of the registry each round. This is
-# the FINAL backlog tranche: after round 7's window (50/50 green, all
-# first-time), exactly 8 oracle-backed keys have never appeared in any
-# CORRECTNESS_r{1..7} window (positions 1-8 below) and 26 oracle-backed
-# keys' LATEST driver row is still the round-3 testdata-drift red
-# (green in r1/r2 and in every local three-SF gate since; they follow
-# the new-operator block so the stale red gets overwritten). New
-# round-8 operators are inserted after the never-attested block so
-# their first driver attestation lands the round they ship. The
-# remainder of the window (50 − 8 − #new − 26 slots) falls to the
-# oldest-green re-attestation list at the end — keys whose latest
-# green row is round 1/3, refreshed oldest-first. Rows-only keys stay
-# pinned in _ATTEST_TAIL (a window slot spent on them can only produce
-# an `err: no_oracle` row). This tuple is a constant — registry order
-# is a pure function of the code, independent of artifact files.
+# Frozen attestation-priority order (round 9). The driver attests a
+# fixed-size prefix (50 entries) of the registry each round. Round 8
+# cleared the entire backlog (every oracle-backed key's LATEST driver
+# row is green — VERDICT r8 rebuilt the ledger r01-r08 and confirmed),
+# so from round 9 onward the window is simply: every NEW operator the
+# round it ships (first driver exposure), then the oldest-green
+# re-attestation rotation — keys whose latest green row is the oldest,
+# refreshed oldest-round-first (r1 keys, then the r3 tranche, then the
+# leading r4 keys in deterministic order). Rows-only keys stay pinned
+# in _ATTEST_TAIL. This tuple is a constant — registry order is a pure
+# function of the code, independent of artifact files.
 _ATTEST_PRIORITY: tuple[str, ...] = (
-    # -- never attested through r7 (oracle-backed), positions 1-8 --
-    "corpus_heaps_curve", "events_markov_paths", "mm_audio_dedup",
-    "pipeline_dsir_select", "streaming_dsir_score",
-    "dsl_holtWintersForecast_nm2", "dsl_holtWintersConfidenceBands_nm2",
-    "dsl_holtWintersAberration_nm2",
-    # -- new round-8 operators (first driver exposure this round) --
-    "dsl_holtWintersForecast_nm3", "dsl_holtWintersConfidenceBands_nm3",
-    "dsl_holtWintersAberration_nm3", "pipeline_boilerplate_strip",
-    "dedup_keep_best", "emb_power_iter2", "corpus_oov_rate",
-    "streaming_oov_score", "emb_quantize_recall",
-    "pipeline_prep_full", "corpus_diversity",
-    "pipeline_mix_after_dedup", "statsd_pixel_flush",
-    "dedup_minhash_band_sweep", "streaming_pixel_flush",
-    "text_trigram_lm",
-    # -- latest driver row = round-3 testdata wipeout; overwrite --
-    "rrd_consolidate_wmean", "dsl_sumSeries", "graphite_line_parse",
-    "statsd_parse", "paced_metric", "dsl_expression_parser",
-    "find_glob", "rrd_consolidate_min", "dsl_averageSeries",
-    "graphite_pickle_parse", "statsd_flush_counters", "events_funnel",
-    "dsl_expression_nested", "find_glob_leaf", "rrd_consolidate_max",
-    "dsl_minSeries", "statsd_flush_gauges",
-    "dsl_expression_filter_chain", "rrd_consolidate_last",
-    "dsl_maxSeries", "statsd_flush_timers", "events_retention",
-    "dsl_expression_timerange", "rrd_xff", "dsl_multiplySeries",
-    "statsd_flush_all",
-    # -- oldest-green re-attestations (latest green row r1/r3);
-    #    fills whatever window slots remain, oldest first --
+    # -- new round-9 operators (first driver exposure this round) --
+    "dedup_incremental", "dedup_incremental_components",
+    "dedup_containment", "streaming_dedup_incremental",
+    "corpus_bpe_merge2", "mm_text_image_pairs",
+    "streaming_catalog_compact", "text_kenlm_proxy",
+    "ann_ivf_refresh", "corpus_snapshot_diff", "pipeline_prep_funnel",
+    # -- oldest-green rotation: latest green row = round 1 --
     "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
     "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
     "dsl_scaleToSeconds", "dsl_smartSummarize", "dsl_summarize",
-    "dsl_timeStack", "dsl_transformNull", "ann_cosine_topk",
-    "ann_lsh_topk", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "events_props_extract",
-    "mm_frame_sample", "text_fingerprint", "text_langid",
-    "text_quality", "text_tokens", "tpch_q1", "tpch_q3", "tpch_q5",
-    "tpch_q6",
+    "dsl_timeStack", "dsl_transformNull",
+    # -- latest green row = round 3 --
+    "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "events_props_extract", "mm_frame_sample", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens", "tpch_q1", "tpch_q3",
+    "tpch_q5", "tpch_q6",
+    # -- latest green row = round 4 (leading slice; the rest rotate
+    #    forward in future rounds) --
+    "dedup_components", "dedup_embedding", "dedup_embedding_lsh",
+    "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
+    "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
+    "dsl_countSeries", "dsl_delay", "dsl_derivative", "dsl_diffSeries",
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
