@@ -2457,3 +2457,44 @@ def test_prep_funnel_monotone_and_consistent_with_prep_full(spark):
     assert f["1_cleaned"]["n_tokens"] <= f["0_raw"]["n_tokens"]
     # the final stage is exactly prep_full's survivor set
     assert f["3_dedup"]["n_docs"] == prep_full(docs).count()
+
+
+def test_attribution_models_hand_computed(spark, tmp_path):
+    """Three attribution models on a hand-traced event stream: user 1
+    has touches view(t1), click(t2) before purchase(t3) — first=view,
+    last=click, linear ½ each; user 2's only touch is outside the
+    lookback (no credit); a touch AFTER the last purchase credits
+    nothing."""
+    import tgres_spark.tpch as T
+
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 9.0, "{}"),
+        # user 2: touch 5 days before purchase (outside 3d lookback)
+        (4, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-06 00:00:00", 2, "purchase", 9.0, "{}"),
+        # user 3: touch after their only purchase -> no conversion ahead
+        (6, "2024-01-02 00:00:00", 3, "purchase", 9.0, "{}"),
+        (7, "2024-01-03 00:00:00", 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    out = {
+        r["channel"]: r
+        for r in T.events_attribution(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"view", "click"}
+    assert (out["view"]["n_first"], out["view"]["n_last"]) == (1, 0)
+    assert (out["click"]["n_first"], out["click"]["n_last"]) == (0, 1)
+    assert abs(out["view"]["linear_credit"] - 0.5) < 1e-9
+    assert abs(out["click"]["linear_credit"] - 0.5) < 1e-9

@@ -972,3 +972,102 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / F.col("tot")).alias("p"),
     )
+
+
+_ATTRIB_LOOKBACK = 259_200  # 3 days; events span ~30
+
+
+_ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t, event_id,
+         printf('%019d|%019d', epoch_ns(ts) // 1000000000, event_id) AS k
+  FROM events
+), nx AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN k END) OVER (
+    PARTITION BY user_id ORDER BY t, event_id
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_k
+  FROM e
+), tch AS (
+  SELECT user_id, event_type, k, conv_k FROM nx
+  WHERE event_type <> 'purchase' AND conv_k IS NOT NULL
+    AND CAST(substr(conv_k, 1, 19) AS BIGINT) - t <= {_ATTRIB_LOOKBACK}
+), marked AS (
+  SELECT event_type,
+         k = MIN(k) OVER (PARTITION BY user_id, conv_k) AS is_first,
+         k = MAX(k) OVER (PARTITION BY user_id, conv_k) AS is_last,
+         COUNT(*) OVER (PARTITION BY user_id, conv_k) AS n_touches
+  FROM tch
+)
+SELECT event_type AS channel,
+  CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+  CAST(SUM(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+  CAST(SUM(CAST(FLOOR(1.0 / n_touches * 1000000.0 + 0.5) AS BIGINT))
+       AS DOUBLE) / 1000000.0 AS linear_credit
+FROM marked GROUP BY event_type
+"""
+
+
+@register("events_attribution", sql=_ATTRIBUTION_SQL)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (round 9): per channel (event_type),
+    credit under the three standard models at once — first-touch,
+    last-touch, and linear — for every purchase conversion, counting
+    the user's non-purchase touches inside a 3-day lookback.
+
+    The scale-critical choice: touches attach to their NEXT
+    conversion via a running forward MIN window (the zero-padded
+    '(t|event_id)' string key — lexicographic min = composite numeric
+    min, the md5-hex trick on timestamps), NOT a (user, range) join
+    of touches × conversions — each touch credits exactly one
+    conversion, the relation stays linear in events, and there is no
+    range-join blowup when a user has many conversions. first/last
+    flags and touch counts ride windows partitioned by
+    (user_id, conversion) — group sizes are per-conversion touch
+    counts, never corpus-scale. Determinism: the composite key breaks
+    same-second ties by event_id in both engines; linear credits
+    quantize each 1/n to micro6 BIGINT before the order-free sum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("%019d|%019d", epoch_s("ts", ev), F.col("event_id"))
+    e = ev.select(
+        "user_id",
+        "event_type",
+        epoch_s("ts", ev).alias("t"),
+        "event_id",
+        key.alias("k"),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nx = e.withColumn(
+        "conv_k",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("k"))
+        ).over(w_fwd),
+    )
+    tch = nx.where(
+        (F.col("event_type") != "purchase")
+        & F.col("conv_k").isNotNull()
+        & (
+            F.substring("conv_k", 1, 19).cast("bigint") - F.col("t")
+            <= _ATTRIB_LOOKBACK
+        )
+    ).select("user_id", "event_type", "k", "conv_k")
+    w_conv = Window.partitionBy("user_id", "conv_k")
+    marked = tch.select(
+        "event_type",
+        (F.col("k") == F.min("k").over(w_conv)).alias("is_first"),
+        (F.col("k") == F.max("k").over(w_conv)).alias("is_last"),
+        F.count("*").over(w_conv).alias("n_touches"),
+    )
+    lin6 = F.floor(1.0 / F.col("n_touches") * 1000000.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return marked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.col("is_first").cast("int")).cast("bigint").alias("n_first"),
+        F.sum(F.col("is_last").cast("int")).cast("bigint").alias("n_last"),
+        (F.sum(lin6).cast("double") / 1000000.0).alias("linear_credit"),
+    )
