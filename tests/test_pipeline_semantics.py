@@ -2498,3 +2498,63 @@ def test_attribution_models_hand_computed(spark, tmp_path):
     assert (out["click"]["n_first"], out["click"]["n_last"]) == (0, 1)
     assert abs(out["view"]["linear_credit"] - 0.5) < 1e-9
     assert abs(out["click"]["linear_credit"] - 0.5) < 1e-9
+
+
+def test_pca_projection_matches_numpy(spark):
+    """pc1 = (x − μ)·v₂ with v₂ the Spark-computed two-step power
+    iterate: cross-check every projection against numpy, and pin the
+    centering property (mean of projections ≈ 0)."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import emb_pca_project, emb_power_iter2
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((40, 64)).round(6)
+    X[:, 0] *= 5.0  # a dominant direction so v2 is well-defined
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    v2 = np.array(
+        [r["v2"] for r in sorted(emb_power_iter2(emb).collect(),
+                                 key=lambda r: r["i"])]
+    )
+    mu = X.mean(axis=0)
+    want = (X - mu) @ v2
+    got = {r["vec_id"]: r["pc1"] for r in emb_pca_project(emb).collect()}
+    for i in range(40):
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+    assert abs(sum(got.values())) < 1e-6 * 40
+    # the dominant axis should carry most of the direction
+    assert abs(v2[0]) > 0.9
+
+
+def test_quality_calibration_folds_model_and_gate(spark):
+    """Calibration bins must equal the direct fold of quality_model
+    probs × gopher_filter keeps computed independently per doc."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from tgres_spark.pipeline.textstats import (
+        gopher_filter,
+        quality_calibration,
+        quality_model,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probs = {r["doc_id"]: r["prob"] for r in quality_model(docs).collect()}
+    keeps = {r["doc_id"]: r["keep"] for r in gopher_filter(docs).collect()}
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_prob_m6, n_keep
+    for d, k in keeps.items():
+        p = probs[d]
+        b = min(int(p * 10), 9)
+        agg[b][0] += 1
+        agg[b][1] += int(np.floor(p * 1e6 + 0.5))
+        agg[b][2] += bool(k)
+    got = {r["bin"]: r for r in quality_calibration(docs).collect()}
+    assert set(got) == set(agg)
+    for b, (n, pm6, nk) in agg.items():
+        assert got[b]["n_docs"] == n
+        assert abs(got[b]["mean_prob"] - pm6 / 1e6 / n) < 1e-12
+        assert abs(got[b]["gopher_keep_rate"] - nk / n) < 1e-12

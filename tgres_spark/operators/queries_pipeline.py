@@ -163,6 +163,9 @@ register("corpus_bpe_pairs", sql=tx.corpus_bpe_pairs_sql())(
 register("emb_norm_outliers", sql=sim.emb_norm_outliers_sql())(
     lambda s, d: sim.emb_norm_outliers(_emb(s, d))
 )
+register("text_quality_calibration", sql=tx.quality_calibration_sql())(
+    lambda s, d: tx.quality_calibration(_docs(s, d))
+)
 register("pipeline_quality_model", sql=tx.quality_model_sql())(
     lambda s, d: tx.quality_model(_docs(s, d))
 )
@@ -412,6 +415,9 @@ register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
 )
 register("ann_ivf_refresh", sql=sim.ann_ivf_refresh_sql())(
     lambda s, d: sim.ann_ivf_refresh(_emb(s, d))
+)
+register("emb_pca_project", sql=sim.emb_pca_project_sql())(
+    lambda s, d: sim.emb_pca_project(_emb(s, d))
 )
 register("text_trigram_lm", sql=tx.text_trigram_lm_sql())(
     lambda s, d: tx.text_trigram_lm(_docs(s, d))

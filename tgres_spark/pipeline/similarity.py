@@ -3209,3 +3209,82 @@ def ann_ivf_refresh_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
         f"{mean_old} AS mean_dist_old, {mean_new} AS mean_dist_new, "
         f"({mean_new}) - ({mean_old}) AS drift FROM per"
     )
+
+
+def emb_pca_project(emb: DataFrame) -> DataFrame:
+    """(vec_id, pc1): every vector's coordinate along the leading
+    principal direction — the projection step that turns the PCA
+    primitives (emb_covariance → emb_power_iter2) into per-vector
+    features for visualization, whitening, or drift monitoring.
+    pc1 = (x − μ)·v₂ with v₂ the two-step power iterate and μ the
+    per-dimension dec6 means (the covariance's own centering).
+
+    Scale: the fit side lives on d² rows (covariance) and d-row
+    aggregates; the corpus is touched by ONE map-only pass — the
+    direction and mean arrays re-enter as one-row broadcasts and the
+    projection is an in-row fold. Determinism: μ is the dec6-exact
+    mean (identical to the covariance's), v₂'s folds are the
+    already-hash-checked power_iter2 algebra, and the projection
+    folds (x_j − μ_j)·v₂_j in j order — single IEEE ops in identical
+    sequence in both engines, no rounding needed."""
+    from ..model import dec6
+
+    pit = emb_power_iter2(emb)
+    v2a = pit.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v2"))),
+            lambda s: s["v2"],
+        ).alias("v2a")
+    )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", vd.alias("vd"))
+    mus = (
+        e.select(F.posexplode("vd").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("mi"))
+        .agg(
+            (F.sum(dec6(F.col("x"))).cast("double") / F.count("*")).alias("m")
+        )
+    )
+    mua = mus.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mi", "m"))),
+            lambda s: s["m"],
+        ).alias("mua")
+    )
+    proj = F.aggregate(
+        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+        F.lit(0.0),
+        lambda a, j: a
+        + (F.element_at(F.col("vd"), j) - F.element_at(F.col("mua"), j))
+        * F.element_at(F.col("v2a"), j),
+    )
+    return (
+        e.crossJoin(F.broadcast(v2a))
+        .crossJoin(F.broadcast(mua))
+        .select("vec_id", proj.alias("pc1"))
+    )
+
+
+def emb_pca_project_sql() -> str:
+    from ..model import dec6_sql
+
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        f"range(1, {EMB_DIM + 1}), "
+        "j -> (vd[CAST(j AS INTEGER)] - mua[CAST(j AS INTEGER)]) "
+        "* v2a[CAST(j AS INTEGER)])), (a, x) -> a + x)"
+    )
+    return (
+        f"WITH pit AS ({emb_power_iter2_sql()}), "
+        "v2l AS (SELECT list(v2 ORDER BY i ASC) AS v2a FROM pit), "
+        "v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd "
+        "FROM embeddings), "
+        "mu AS (SELECT CAST(r.i AS INTEGER) AS mi, "
+        f"CAST(SUM({dec6_sql('vd[CAST(r.i AS INTEGER)]')}) AS DOUBLE) "
+        "/ COUNT(*) AS m "
+        f"FROM v, range(1, {EMB_DIM + 1}) r(i) GROUP BY r.i), "
+        "mul AS (SELECT list(m ORDER BY mi ASC) AS mua FROM mu) "
+        f"SELECT vec_id, {fold} AS pc1 "
+        "FROM v CROSS JOIN v2l CROSS JOIN mul"
+    )

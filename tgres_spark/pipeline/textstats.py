@@ -2756,3 +2756,64 @@ SELECT source,
        CAST(SUM(delta) AS BIGINT) AS chars_delta
 FROM j GROUP BY source
 """
+
+
+def quality_calibration(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """(bin, n_docs, mean_prob, gopher_keep_rate): the reliability
+    diagram of the fixed-weight logistic quality scorer against the
+    Gopher rule gate — the calibration audit every learned quality
+    filter ships with (a well-calibrated bin's predicted probability
+    tracks the observed keep rate; a flat curve means the classifier
+    threshold is doing all the work). Gopher is the proxy label here
+    exactly as in published pipelines where rule-based gates
+    bootstrap classifier training sets.
+
+    Two map-only scans of the corpus (the logit projection and the
+    Gopher signals) joined co-keyed on doc_id, then ONE n_bins-row
+    aggregation. Determinism: prob is already round-9; mean_prob
+    accumulates micro6 on it; the keep rate divides exact integers;
+    bin = least(floor(prob·n_bins), n_bins−1) keeps prob=1.0 in the
+    top bin identically in both engines."""
+    from ..model import micro6
+
+    _, prob = _quality_logit()
+    q = docs.select("doc_id", prob.alias("prob"))
+    g = gopher_filter(docs).select("doc_id", F.col("keep").alias("gkeep"))
+    b = F.least(
+        F.floor(F.col("prob") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        q.join(g, "doc_id")
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (
+                F.sum(micro6(F.col("prob"))).cast("double")
+                / 1000000.0
+                / F.count("*")
+            ).alias("mean_prob"),
+            (
+                F.sum(F.col("gkeep").cast("int")).cast("double")
+                / F.count("*")
+            ).alias("gopher_keep_rate"),
+        )
+    )
+
+
+def quality_calibration_sql(n_bins: int = 10) -> str:
+    from ..model import micro6_sql
+
+    _, prob = _quality_logit_sql()
+    return (
+        f"WITH q AS (SELECT doc_id, {prob} AS prob FROM documents), "
+        f"g AS (SELECT doc_id, keep AS gkeep FROM ({gopher_filter_sql()})), "
+        "j AS (SELECT LEAST(CAST(FLOOR(prob * "
+        f"{n_bins}) AS INTEGER), {n_bins - 1}) AS bin, prob, gkeep "
+        "FROM q JOIN g USING (doc_id)) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM({micro6_sql('prob')}) AS DOUBLE) / 1000000.0 / COUNT(*) "
+        "AS mean_prob, "
+        "CAST(SUM(CASE WHEN gkeep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
+        "AS gopher_keep_rate "
+        "FROM j GROUP BY bin"
+    )
