@@ -2558,3 +2558,36 @@ def test_quality_calibration_folds_model_and_gate(spark):
         assert got[b]["n_docs"] == n
         assert abs(got[b]["mean_prob"] - pm6 / 1e6 / n) < 1e-12
         assert abs(got[b]["gopher_keep_rate"] - nk / n) < 1e-12
+
+
+def test_threshold_sweep_monotone_and_exact(spark, docs):
+    """Pair/doc counts are non-increasing in the threshold, the 1.0
+    cutoff counts exactly the identical-signature pairs, and counts
+    match a direct fold of the LSH pair relation."""
+    from collections import defaultdict
+
+    from tgres_spark.pipeline.dedup import (
+        _THRESHOLD_SWEEP,
+        dedup_minhash_lsh,
+        dedup_threshold_sweep,
+    )
+
+    pairs = dedup_minhash_lsh(docs).collect()
+    want_pairs, want_docs = defaultdict(int), defaultdict(set)
+    for t in _THRESHOLD_SWEEP:
+        for r in pairs:
+            if r["est_sim"] >= t:
+                want_pairs[t] += 1
+                want_docs[t] |= {r["doc_a"], r["doc_b"]}
+    got = {r["threshold"]: r for r in dedup_threshold_sweep(docs).collect()}
+    assert set(got) == set(_THRESHOLD_SWEEP)
+    prev = None
+    for t in _THRESHOLD_SWEEP:
+        assert got[t]["n_pairs"] == want_pairs[t]
+        assert got[t]["n_docs"] == len(want_docs[t])
+        assert abs(got[t]["frac_docs"] - len(want_docs[t]) / docs.count()) < 1e-12
+        if prev is not None:
+            assert got[t]["n_pairs"] <= prev
+        prev = got[t]["n_pairs"]
+    # docs fixture: 1 and 2 are identical -> est 1.0 pair survives
+    assert got[1.0]["n_pairs"] >= 1

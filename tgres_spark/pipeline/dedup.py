@@ -1412,3 +1412,83 @@ def dedup_incremental_components(
         nodes,
         old_edges.unionByName(new_pairs.select("doc_a", "doc_b")),
     )
+
+
+# est_sim is a count of agreeing 16-component signatures / 16, so
+# these cutoffs sit ON the representable grid (k/16)
+_THRESHOLD_SWEEP = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+
+def dedup_threshold_sweep(docs: DataFrame) -> DataFrame:
+    """(threshold, n_pairs, n_docs, frac_docs): candidate-pair volume
+    and touched-doc fraction at every est_sim cutoff — the OTHER half
+    of the dedup tuning dial: dedup_minhash_band_sweep sizes the
+    BANDING (recall vs candidate volume against exact truth); this
+    sizes the VERIFICATION CUTOFF a production run applies to the
+    chosen banding's pairs (how much of the corpus each threshold
+    would touch). Thresholds sit on the est_sim grid (k/16) so the
+    cuts are exact in both engines.
+
+    One LSH pass: the pair relation is computed once and persisted;
+    the sweep is a crossJoin against the 5-row threshold literal
+    relation (the codebook pattern), one groupBy(threshold) for pair
+    counts, and one distinct (threshold, doc) count over the exploded
+    pair endpoints — all aggregates on tiny keys. The corpus total
+    re-enters as a one-row broadcast."""
+    pairs = dedup_minhash_lsh(docs).persist()
+    spark = docs.sparkSession
+    th = spark.createDataFrame(
+        [(float(t),) for t in _THRESHOLD_SWEEP], "threshold double"
+    )
+    hit = pairs.crossJoin(F.broadcast(th)).where(
+        F.col("est_sim") >= F.col("threshold")
+    )
+    per_pairs = hit.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    per_docs = (
+        hit.select(
+            "threshold",
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("d"),
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("bigint").alias("n_docs"))
+    )
+    tot = docs.agg(F.count("*").alias("n_total"))
+    return (
+        th.join(per_pairs, "threshold", "left")
+        .join(per_docs, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            (
+                F.coalesce("n_docs", F.lit(0)).cast("double")
+                / F.col("n_total")
+            ).alias("frac_docs"),
+        )
+    )
+
+
+def dedup_threshold_sweep_sql() -> str:
+    ths = ", ".join(f"({float(t)!r})" for t in _THRESHOLD_SWEEP)
+    return f"""
+WITH p AS ({dedup_minhash_lsh_sql()}),
+th(threshold) AS (VALUES {ths}),
+hit AS (SELECT th.threshold, p.doc_a, p.doc_b
+        FROM p CROSS JOIN th WHERE p.est_sim >= th.threshold),
+pp AS (SELECT threshold, COUNT(*) AS n_pairs FROM hit GROUP BY threshold),
+pd AS (SELECT threshold, COUNT(DISTINCT d) AS n_docs FROM (
+         SELECT threshold, doc_a AS d FROM hit
+         UNION ALL SELECT threshold, doc_b FROM hit)
+       GROUP BY threshold),
+tot AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT th.threshold,
+       CAST(COALESCE(pp.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(pd.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(pd.n_docs, 0) AS DOUBLE) / n_total AS frac_docs
+FROM th LEFT JOIN pp ON pp.threshold = th.threshold
+LEFT JOIN pd ON pd.threshold = th.threshold
+CROSS JOIN tot
+"""

@@ -51,6 +51,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "streaming_catalog_compact", "text_kenlm_proxy",
     "ann_ivf_refresh", "corpus_snapshot_diff", "pipeline_prep_funnel",
     "events_attribution", "emb_pca_project", "text_quality_calibration",
+    "dedup_threshold_sweep",
     # -- oldest-green rotation: latest green row = round 1 --
     "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
     "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
@@ -67,7 +68,6 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dedup_components", "dedup_embedding", "dedup_embedding_lsh",
     "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
     "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
-    "dsl_countSeries",
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
