@@ -1536,6 +1536,52 @@ def test_bloom_decontaminate_equals_exact_check(spark):
     assert contaminated == {5, 10, 15, 20}
 
 
+def test_contamination_incremental_equals_full_filtered(spark, tmp_path):
+    """The incremental decontamination contract: scoring ONLY the
+    increment against the persisted benchmark index yields exactly the
+    full contamination_check relation filtered to increment docs, and
+    the increment plan broadcasts the index (no benchmark-side
+    shuffle)."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.contamination import (
+        contamination_check, contamination_incremental, contamination_index,
+    )
+
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, bench_txt, "en", "src0", 1)]
+    for d in range(1, 25):
+        if d % 5 == 0:
+            rows.append((d, f"intro {d} " + bench_txt + " outro", "en", "s", 1))
+        else:
+            rows.append(
+                (d, " ".join(f"w{d}x{i}" for i in range(20)), "en", "s", 1)
+            )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    idx = str(tmp_path / "bench_index")
+    contamination_index(docs).write.mode("overwrite").parquet(idx)
+    increment = docs.where(
+        (F.col("source") != "src0") & (F.col("doc_id") % 5 == 0)
+    )
+    inc = contamination_incremental(spark, idx, increment)
+    got = {r["doc_id"]: r for r in inc.collect()}
+    full = {
+        r["doc_id"]: r
+        for r in contamination_check(docs).collect()
+        if r["doc_id"] % 5 == 0
+    }
+    assert set(got) == set(full) == {5, 10, 15, 20}
+    for d, e in full.items():
+        g = got[d]
+        assert (g["n_grams"], g["n_hit"], g["frac"], g["contaminated"]) == (
+            e["n_grams"], e["n_hit"], e["frac"], e["contaminated"]), d
+        assert g["contaminated"] == 1
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_perplexity_filter_ccnet_terciles(spark):
     """Value-threshold head/middle/tail semantics: 6 distinctly-scored
     held-out docs split 2/2/2 with monotone score bands, and tied

@@ -401,6 +401,40 @@ def pipeline_contamination(spark, sf_dir):
     return contamination_check(_docs(spark, sf_dir))
 
 
+@register(
+    "pipeline_contamination_incremental",
+    sql=__import__(
+        "tgres_spark.pipeline.contamination", fromlist=["x"]
+    ).contamination_incremental_sql(dd.INCREMENT_MOD),
+)
+def pipeline_contamination_incremental(spark, sf_dir):
+    """New-crawl increment (doc_id % 5 == 0) decontaminated against
+    the PERSISTED benchmark gram index — the index is genuinely
+    written to and re-read from parquet so the plan is the production
+    plan: benchmark text shingled once at index-build time, never per
+    crawl; only the increment's text is read. Oracle: the full-corpus
+    contamination run filtered to increment doc_ids (per-doc outputs
+    depend only on the doc's own grams + the benchmark set, so the
+    relations are identical). pipeline/contamination.py
+    contamination_incremental."""
+    import tempfile
+
+    from ..pipeline.contamination import (
+        contamination_incremental, contamination_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tgres_cinc_")
+    contamination_index(docs).write.mode("overwrite").parquet(
+        f"{work}/bench_index"
+    )
+    increment = docs.where(
+        (F.col("source") != "src0")
+        & (F.col("doc_id") % dd.INCREMENT_MOD == 0)
+    )
+    return contamination_incremental(spark, f"{work}/bench_index", increment)
+
+
 register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
     lambda spark, sf_dir: tx.text_bigram_lm(_docs(spark, sf_dir))
 )

@@ -416,6 +416,88 @@ def bloom_decontaminate_sql(
     )
 
 
+# --- incremental decontamination (round 9) ----------------------------------
+
+def contamination_index(
+    docs: DataFrame, benchmark_source: str = "src0", k: int = 8
+) -> DataFrame:
+    """(h): the distinct benchmark k-gram hash set — the relation a
+    decontamination service builds ONCE per benchmark release and
+    persists; every subsequent crawl increment is scored against it
+    without ever re-reading benchmark text (the dedup_incremental
+    pattern applied to contamination; reference analogue: the
+    create-on-first-write dscache, receiver/dscache.go:1)."""
+    return (
+        docs.where(F.col("source") == benchmark_source)
+        .select(words(F.col("text")).alias("w"))
+        .select(F.explode(shingles_of(F.col("w"), k)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+
+
+def contamination_incremental(
+    spark,
+    index_path: str,
+    increment: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """contamination_check for a NEW crawl increment against the
+    PERSISTED benchmark gram index — (doc_id, n_grams, n_hit, frac,
+    contaminated), the exact relation a full contamination_check run
+    would emit for these docs (per-doc output depends only on the
+    doc's own grams and the benchmark set, so incremental ≡ full-run-
+    filtered; the oracle states that equivalence directly).
+
+    Scale shape: only the increment's text is read and shingled; the
+    benchmark side enters as a parquet scan of md5 hashes (32 bytes a
+    gram, no text) that BROADCASTS into the increment's gram relation
+    — a real benchmark suite's distinct-gram set is millions of rows,
+    broadcastable forever, and when it isn't the Bloom pre-filter
+    variant (bloom_decontaminate) takes over. The only shuffles are
+    increment-sized (the per-doc distinct + the two counts)."""
+    bench = spark.read.parquet(index_path)
+    grams = (
+        increment.select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(shingles_of(F.col("w"), k)).alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench), "h", "left_semi")
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    nhit = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    return (
+        totals.join(nhit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce(frac, F.lit(0.0)).alias("frac"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("frac") >= float(threshold)).cast("bigint"),
+        )
+    )
+
+
+def contamination_incremental_sql(
+    mod: int,
+    benchmark_source: str = "src0",
+    k: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    # the claimed equivalence stated directly: the FULL-corpus
+    # contamination run, filtered to the increment's doc_ids
+    return (
+        "SELECT doc_id, n_grams, n_hit, frac, contaminated FROM ("
+        + contamination_check_sql(benchmark_source, k, threshold)
+        + f") WHERE doc_id % {mod} = 0"
+    )
+
+
 def _boiler_parts(docs: DataFrame, k: int, min_docs: int):
     """Shared internals of the boilerplate family: returns
     (stats, cleaned) — per-doc chunk counts and the reassembled
