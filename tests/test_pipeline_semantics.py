@@ -2575,6 +2575,54 @@ def test_pca_projection_matches_numpy(spark):
     assert abs(v2[0]) > 0.9
 
 
+def test_triplet_mining_batch_hard_rule(spark):
+    """Hand-built geometry: the hardest positive is the LEAST similar
+    same-label vector, the hardest negative the MOST similar
+    other-label vector, and semi_hard flags exactly the
+    cos_neg < cos_pos < cos_neg + alpha band."""
+    import math
+
+    from tgres_spark.pipeline.similarity import emb_triplet_mining
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = [
+        # anchor 0 at angle 0, label 0
+        (0, vec(0.0), 0),
+        # positives: cos 0.9-ish and cos 0.5-ish -> hardest = id 2
+        (1, vec(0.2), 0),
+        (2, vec(1.0), 0),
+        # negatives: cos(0.4) > cos(-0.9) -> hardest = id 3 (and id 4
+        # stays far from anchor 5 so it never outbids id 7 there)
+        (3, vec(0.4), 1),
+        (4, vec(-0.9), 1),
+        # anchor 5 at angle pi/2, label 2: one positive barely closer
+        # than the best negative -> semi-hard triplet
+        (5, vec(math.pi / 2), 2),
+        (6, vec(math.pi / 2 + 0.30), 2),     # cos_pos = cos(0.30)
+        (7, vec(math.pi / 2 + 0.32), 3),     # cos_neg = cos(0.32)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["anchor_id"]: r
+        for r in emb_triplet_mining(emb, n_anchors=6, alpha=0.05).collect()
+    }
+    a0 = out[0]
+    assert (a0["pos_id"], a0["neg_id"]) == (2, 3)
+    assert abs(a0["cos_pos"] - math.cos(1.0)) < 1e-9
+    assert abs(a0["cos_neg"] - math.cos(0.4)) < 1e-9
+    assert a0["semi_hard"] == 0  # negative is closer than the positive
+    a5 = out[5]
+    assert (a5["pos_id"], a5["neg_id"]) == (6, 7)
+    assert a5["cos_pos"] > a5["cos_neg"]
+    assert a5["margin"] < 0.05 and a5["semi_hard"] == 1
+    # anchors 1-4 mine too (labels 0/1 both have >= 2 members)
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+
+
 def test_quality_calibration_folds_model_and_gate(spark):
     """Calibration bins must equal the direct fold of quality_model
     probs × gopher_filter keeps computed independently per doc."""

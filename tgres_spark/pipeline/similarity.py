@@ -3288,3 +3288,132 @@ def emb_pca_project_sql() -> str:
         f"SELECT vec_id, {fold} AS pc1 "
         "FROM v CROSS JOIN v2l CROSS JOIN mul"
     )
+
+
+# --- hard-triplet mining (round 9) ------------------------------------------
+
+TRIPLET_ANCHORS = 16
+TRIPLET_ALPHA = 0.05
+
+
+def emb_triplet_mining(
+    emb: DataFrame,
+    n_anchors: int = TRIPLET_ANCHORS,
+    alpha: float = TRIPLET_ALPHA,
+) -> DataFrame:
+    """(anchor_id, pos_id, neg_id, cos_pos, cos_neg, margin, semi_hard):
+    batch-hard triplet mining over a labeled embedding corpus — for
+    each anchor in the mining batch, the HARDEST positive (same label,
+    lowest cosine) and HARDEST negative (other label, highest cosine),
+    the pair every metric-learning / contrastive run mines before each
+    step (FaceNet's batch-hard rule). margin = cos_pos − cos_neg;
+    semi_hard = 1 when the negative is farther than the positive but
+    inside the margin band (cos_neg < cos_pos < cos_neg + alpha) — the
+    semi-hard subset FaceNet trains on.
+
+    Scale shape: the anchor batch is training-batch-sized (bounded by
+    construction) and BROADCASTS into one map-only scan of the corpus;
+    the picks are groupBy(anchor) MIN/MAX over (cos, id) structs —
+    partial aggregation combines map-side, so the network carries
+    n_anchors rows per partition, never the scored relation. No window
+    over a corpus-sized partition (the brute-force ann_cosine_topk
+    shape this improves on). Norms are computed ONCE per vector before
+    the join; dots are left-folds, so the doubles are bit-identical to
+    DuckDB; arg-min/max tie-break on id, so the picks are exact."""
+    v = emb.where(F.col("label").isNotNull()).select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = v.where(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("lc"),
+        F.col("embedding").alias("vc"),
+        F.col("nrm").alias("nc"),
+    )
+    cos = _dot(F.col("va"), F.col("vc")) / (F.col("na") * F.col("nc"))
+    scored = (
+        F.broadcast(a)
+        .join(c, F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            (F.col("la") == F.col("lc")).alias("same_label"),
+            F.col("cand_id"),
+            cos.alias("cos"),
+        )
+    )
+    # struct MIN orders lexicographically: (cos asc, id asc) for the
+    # hardest positive; (-cos asc = cos desc, id asc) for the hardest
+    # negative — both deterministic under cos ties
+    pos = (
+        scored.where(F.col("same_label"))
+        .groupBy("anchor_id")
+        .agg(F.min(F.struct(F.col("cos"), F.col("cand_id"))).alias("p"))
+        .select(
+            "anchor_id",
+            F.col("p.cand_id").alias("pos_id"),
+            F.col("p.cos").alias("cos_pos"),
+        )
+    )
+    neg = (
+        scored.where(~F.col("same_label"))
+        .groupBy("anchor_id")
+        .agg(
+            F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cand_id"))).alias("n")
+        )
+        .select(
+            "anchor_id",
+            F.col("n.cand_id").alias("neg_id"),
+            (-F.col("n.nc")).alias("cos_neg"),
+        )
+    )
+    margin = F.col("cos_pos") - F.col("cos_neg")
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "cos_pos",
+        "cos_neg",
+        margin.alias("margin"),
+        (
+            (F.col("cos_neg") < F.col("cos_pos")) & (margin < float(alpha))
+        ).cast("bigint").alias("semi_hard"),
+    )
+
+
+def emb_triplet_mining_sql(
+    n_anchors: int = TRIPLET_ANCHORS, alpha: float = TRIPLET_ALPHA
+) -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(a.va[i] AS DOUBLE) * CAST(c.vc[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        f"WITH v AS (SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm "
+        "FROM embeddings WHERE label IS NOT NULL), "
+        "a AS (SELECT vec_id AS anchor_id, label AS la, embedding AS va, "
+        f"nrm AS na FROM v WHERE vec_id < {n_anchors}), "
+        "c AS (SELECT vec_id AS cand_id, label AS lc, embedding AS vc, "
+        "nrm AS nc FROM v), "
+        "scored AS (SELECT anchor_id, la = lc AS same_label, cand_id, "
+        f"({dot}) / (na * nc) AS cos "
+        "FROM a JOIN c ON anchor_id <> cand_id), "
+        "pos AS (SELECT anchor_id, cand_id AS pos_id, cos AS cos_pos FROM ("
+        "SELECT anchor_id, cand_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY anchor_id ORDER BY cos ASC, cand_id ASC) AS rn "
+        "FROM scored WHERE same_label) WHERE rn = 1), "
+        "neg AS (SELECT anchor_id, cand_id AS neg_id, cos AS cos_neg FROM ("
+        "SELECT anchor_id, cand_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY anchor_id ORDER BY cos DESC, cand_id ASC) AS rn "
+        "FROM scored WHERE NOT same_label) WHERE rn = 1) "
+        "SELECT anchor_id, pos_id, neg_id, cos_pos, cos_neg, "
+        "cos_pos - cos_neg AS margin, "
+        "CAST(cos_neg < cos_pos AND cos_pos - cos_neg < "
+        f"{float(alpha)!r} AS BIGINT) AS semi_hard "
+        "FROM pos JOIN neg USING (anchor_id)"
+    )
