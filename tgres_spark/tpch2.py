@@ -819,3 +819,94 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+@register(
+    "tpch_basket_pairs",
+    sql="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), no AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+), pc AS (
+  SELECT l_partkey, COUNT(*) AS n_one FROM items GROUP BY l_partkey
+), ab AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, n_ab,
+  pa.n_one AS n_a, pb.n_one AS n_b,
+  CAST(n_ab AS DOUBLE) / n_orders AS support,
+  CAST(n_ab AS DOUBLE) / pa.n_one AS confidence,
+  (CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+    / (CAST(pa.n_one AS DOUBLE) * CAST(pb.n_one AS DOUBLE)) AS lift
+FROM ab
+JOIN pc pa ON pa.l_partkey = part_a
+JOIN pc pb ON pb.l_partkey = part_b
+CROSS JOIN no
+""",
+)
+def tpch_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over the order fact: co-purchased
+    part pairs with support / confidence / lift — the association-rule
+    relation (Agrawal's Apriori at k=2) a retail OLAP stack derives
+    from exactly this schema. Pairs with n_ab >= 3 survive (the
+    classic min-support prune that keeps the k=2 candidate set from
+    exploding before lift ranks it).
+
+    100 TB: the pair generator is a SELF-JOIN CO-KEYED ON l_orderkey —
+    both sides arrive already partitioned by the same uniform key, and
+    the per-order fan-out is bounded by basket size (max 13 distinct
+    parts/order in this data; TPC-H caps at 7 lines), so the joined
+    relation is O(orders x basket^2), never parts^2. The pair groupBy
+    shuffles uniform hashed (part_a, part_b) keys; the per-part count
+    relation is part-domain-sized and BROADCASTS back into the pair
+    relation twice; n_orders re-enters as a one-row broadcast. All
+    counts are exact integers; support/confidence/lift divide doubles
+    cast from exact integers in the same operand order as the oracle,
+    so every hash matches bit-for-bit."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    no = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("n_one"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    ab = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_one").alias("n_a"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_one").alias("n_b"))
+    lift = (F.col("n_ab").cast("double") * F.col("n_orders").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        ab.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            lift.alias("lift"),
+        )
+    )
