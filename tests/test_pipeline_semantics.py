@@ -2575,6 +2575,28 @@ def test_pca_projection_matches_numpy(spark):
     assert abs(v2[0]) > 0.9
 
 
+def test_token_gini_known_distributions(spark):
+    """Sorted-rank Gini identity on hand-computed distributions: an
+    all-equal source scores exactly 0; token counts [1,2,3,4,10]
+    score (2*80 - 6*20)/(5*20) = 0.4."""
+    from tgres_spark.pipeline.textstats import corpus_token_gini
+
+    def doc(i, src, k):
+        return (i, " ".join(f"w{j}" for j in range(k)), "en", src, k)
+
+    rows = [doc(0, "eq", 3), doc(1, "eq", 3), doc(2, "eq", 3)]
+    for i, k in enumerate([1, 2, 3, 4, 10]):
+        rows.append(doc(10 + i, "skew", k))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in corpus_token_gini(docs).collect()}
+    assert out["eq"]["gini"] == 0.0
+    assert out["eq"]["total_tokens"] == 9 and out["eq"]["n_docs"] == 3
+    assert abs(out["skew"]["gini"] - 0.4) < 1e-12
+    assert out["skew"]["total_tokens"] == 20
+
+
 def test_triplet_mining_batch_hard_rule(spark):
     """Hand-built geometry: the hardest positive is the LEAST similar
     same-label vector, the hardest negative the MOST similar

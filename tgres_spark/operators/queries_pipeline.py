@@ -435,6 +435,9 @@ def pipeline_contamination_incremental(spark, sf_dir):
     return contamination_incremental(spark, f"{work}/bench_index", increment)
 
 
+register("corpus_token_gini", sql=tx.corpus_token_gini_sql())(
+    lambda spark, sf_dir: tx.corpus_token_gini(_docs(spark, sf_dir))
+)
 register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
     lambda spark, sf_dir: tx.text_bigram_lm(_docs(spark, sf_dir))
 )

@@ -2817,3 +2817,76 @@ def quality_calibration_sql(n_bins: int = 10) -> str:
         "AS gopher_keep_rate "
         "FROM j GROUP BY bin"
     )
+
+
+# --- token-concentration Gini (round 9) --------------------------------------
+
+def corpus_token_gini(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, total_tokens, gini): the token-mass Gini
+    coefficient per source — how unequally a source's token budget is
+    spread across its documents (gini 0 = every doc the same length;
+    -> 1 = a few megadocs carry the slice). The inequality audit a
+    mixture designer reads next to pipeline_mix_*: a high-gini source
+    hits token budgets with far fewer distinct documents than its
+    doc count suggests, and a dedup pass that drops a megadoc swings
+    the whole slice.
+
+    One map-only token count, one window RANK PARTITIONED BY SOURCE
+    (never global; a source's docs sort among themselves), one
+    per-source aggregation. The sorted-rank identity
+    G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) runs entirely in
+    exact DECIMAL(38,0) integer algebra — i and x_i pre-cast BEFORE
+    the multiply (the corpus_diversity ANSI-overflow lesson: int64
+    blows at ~3e9 tokens x 1e9 rank; DuckDB's side is HUGEINT) — and
+    casts to double only for the final division. Ties in token count
+    order by doc_id; equal x under a tie swap leaves Sum(i*x_i)
+    unchanged, so the relation is tie-proof."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(words(F.col("text"))).cast("bigint")
+    t = docs.select("source", "doc_id", n_tok.alias("x"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("x").asc(), F.col("doc_id").asc()
+    )
+    ranked = t.select(
+        "source",
+        F.col("x").cast("decimal(19,0)").alias("xd"),
+        F.row_number().over(w).cast("decimal(19,0)").alias("i"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("xd")).alias("sx"),
+        F.sum(F.col("i") * F.col("xd")).alias("six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(19,0)") * F.col("six")
+        - (F.col("n_docs") + 1).cast("decimal(19,0)") * F.col("sx")
+    ).cast("double")
+    den = (
+        F.col("n_docs").cast("decimal(19,0)") * F.col("sx")
+    ).cast("double")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("sx").cast("bigint").alias("total_tokens"),
+        F.when(den != 0.0, num / den).otherwise(F.lit(0.0)).alias("gini"),
+    )
+
+
+def corpus_token_gini_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    return (
+        f"WITH t AS (SELECT source, doc_id, CAST(len({w}) AS BIGINT) AS x "
+        "FROM documents), "
+        "ranked AS (SELECT source, CAST(x AS HUGEINT) AS xd, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY x ASC, doc_id ASC) AS HUGEINT) AS i FROM t), "
+        "agg AS (SELECT source, COUNT(*) AS n_docs, SUM(xd) AS sx, "
+        "SUM(i * xd) AS six FROM ranked GROUP BY source) "
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(sx AS BIGINT) AS total_tokens, "
+        "CASE WHEN CAST(CAST(n_docs AS HUGEINT) * sx AS DOUBLE) <> 0.0 "
+        "THEN CAST(2 * six - (CAST(n_docs AS HUGEINT) + 1) * sx AS DOUBLE) "
+        "/ CAST(CAST(n_docs AS HUGEINT) * sx AS DOUBLE) ELSE 0.0 END AS gini "
+        "FROM agg"
+    )
