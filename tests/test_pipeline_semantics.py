@@ -2575,6 +2575,36 @@ def test_pca_projection_matches_numpy(spark):
     assert abs(v2[0]) > 0.9
 
 
+def test_quality_psi_zero_on_identical_and_positive_on_shift(spark):
+    """PSI of a snapshot against itself is exactly 0 in every bin;
+    replacing half the corpus with junk text moves psi_total > 0, and
+    the per-bin Laplace shares always sum to 1 (densified bins)."""
+    from tgres_spark.pipeline.textstats import corpus_quality_psi
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the sun while the fox runs to the river and back"
+    )
+    junk = "@@@ ### $$$ %%% ^^^ &&& *** !!! ??? ;;; ::: ~~~"
+    rows = [(i, good, "en", "s", 1) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    same = corpus_quality_psi(docs, docs).collect()
+    assert len(same) == 10
+    for r in same:
+        assert r["psi_term"] == 0.0 and r["psi_total"] == 0.0
+    assert abs(sum(r["p_old"] for r in same) - 1.0) < 1e-12
+    shifted_rows = rows[:10] + [(i, junk, "en", "s", 1) for i in range(10, 20)]
+    shifted = spark.createDataFrame(
+        shifted_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    drift = corpus_quality_psi(docs, shifted).collect()
+    assert drift[0]["psi_total"] > 0.1  # half the corpus changed decile
+    assert all(r["psi_total"] == drift[0]["psi_total"] for r in drift)
+
+
 def test_token_gini_known_distributions(spark):
     """Sorted-rank Gini identity on hand-computed distributions: an
     all-equal source scores exactly 0; token counts [1,2,3,4,10]

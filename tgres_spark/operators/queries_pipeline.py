@@ -275,6 +275,22 @@ def _corpus_snapshot_diff(s, d):
     return tx.corpus_snapshot_diff(old, new)
 
 
+@register("corpus_quality_psi", sql=tx.corpus_quality_psi_sql())
+def _corpus_quality_psi(s, d):
+    """PSI drift of the quality-score distribution between the same
+    two synthesized crawl snapshots corpus_snapshot_diff compares
+    (pipeline/textstats.py corpus_quality_psi)."""
+    docs = _docs(s, d)
+    old = docs.where(F.expr(tx._SNAP_OLD_PRED))
+    new = docs.where(F.expr(tx._SNAP_NEW_PRED)).withColumn(
+        "text",
+        F.when(
+            F.expr(tx._SNAP_EDIT_PRED), F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return tx.corpus_quality_psi(old, new)
+
+
 register("text_kenlm_proxy", sql=tx.text_kenlm_proxy_sql())(
     lambda s, d: tx.text_kenlm_proxy(_docs(s, d))
 )

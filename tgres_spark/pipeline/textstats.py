@@ -2890,3 +2890,110 @@ def corpus_token_gini_sql() -> str:
         "/ CAST(CAST(n_docs AS HUGEINT) * sx AS DOUBLE) ELSE 0.0 END AS gini "
         "FROM agg"
     )
+
+
+# --- quality-score drift (PSI) between crawls (round 9) ----------------------
+
+def corpus_quality_psi(
+    old: DataFrame, new: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """(bin, n_old, n_new, p_old, p_new, psi_term, psi_total): the
+    Population Stability Index of the quality-score distribution
+    between two crawl snapshots — the drift monitor a production
+    pipeline alarms on before promoting a crawl (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 re-calibrate the quality model; the
+    credit-scoring rule applied to corpus ops). Companion to
+    corpus_snapshot_diff: that relation says WHICH docs churned, this
+    one says whether the churn moved the quality distribution.
+
+    Two map-only scored scans (the logistic prob is round-9 by
+    contract), one n_bins-row count aggregation each, bins densified
+    from a literal range so empty deciles participate. Laplace-
+    smoothed shares p = (n + 0.5)/(tot + n_bins/2) keep every log
+    finite and deterministic; the PSI term (p_new - p_old) *
+    ln(p_new/p_old) rounds at 6 per the libm rule, and psi_total sums
+    the ROUNDED terms in exact micro6 integers (order-free), re-
+    entering as a one-row broadcast."""
+    from ..model import micro6
+
+    _, prob = _quality_logit()
+    b = F.least(
+        F.floor(prob * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    o = old.select(b).groupBy("bin").agg(F.count("*").alias("n_old"))
+    n = new.select(b).groupBy("bin").agg(F.count("*").alias("n_new"))
+    bins = (
+        old.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    rel = (
+        bins.join(F.broadcast(o), "bin", "left")
+        .join(F.broadcast(n), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+    )
+    tot = rel.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    half = float(n_bins) / 2.0
+    p_old = (F.col("n_old").cast("double") + 0.5) / (
+        F.col("t_old").cast("double") + half
+    )
+    p_new = (F.col("n_new").cast("double") + 0.5) / (
+        F.col("t_new").cast("double") + half
+    )
+    scored = rel.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        F.round(
+            (p_new - p_old) * F.log(p_new / p_old), 6
+        ).alias("psi_term"),
+    )
+    total = scored.agg(
+        (F.sum(micro6(F.col("psi_term"))) / 1000000.0).alias("psi_total")
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "bin", "n_old", "n_new", "p_old", "p_new", "psi_term",
+        F.col("psi_total").cast("double").alias("psi_total"),
+    )
+
+
+def corpus_quality_psi_sql(n_bins: int = 10) -> str:
+    from ..model import micro6_sql
+
+    _, prob = _quality_logit_sql()
+    half = float(n_bins) / 2.0
+    newtext = (
+        f"SELECT CASE WHEN {_SNAP_EDIT_PRED} THEN text || ' rev2' "
+        f"ELSE text END AS text FROM documents WHERE {_SNAP_NEW_PRED}"
+    )
+    p_old = f"(CAST(n_old AS DOUBLE) + 0.5) / (CAST(t_old AS DOUBLE) + {half!r})"
+    p_new = f"(CAST(n_new AS DOUBLE) + 0.5) / (CAST(t_new AS DOUBLE) + {half!r})"
+    return (
+        f"WITH ob AS (SELECT LEAST(CAST(FLOOR(({prob}) * {n_bins}) AS INTEGER), "
+        f"{n_bins - 1}) AS bin FROM documents WHERE {_SNAP_OLD_PRED}), "
+        f"nb AS (SELECT LEAST(CAST(FLOOR(({prob}) * {n_bins}) AS INTEGER), "
+        f"{n_bins - 1}) AS bin FROM ({newtext})), "
+        "oc AS (SELECT bin, COUNT(*) AS n_old FROM ob GROUP BY bin), "
+        "nc AS (SELECT bin, COUNT(*) AS n_new FROM nb GROUP BY bin), "
+        f"bins AS (SELECT CAST(r.range AS INTEGER) AS bin FROM range(0, {n_bins}) r), "
+        "rel AS (SELECT bin, CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old, "
+        "CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new "
+        "FROM bins LEFT JOIN oc USING (bin) LEFT JOIN nc USING (bin)), "
+        "tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM rel), "
+        "scored AS (SELECT bin, n_old, n_new, "
+        f"{p_old} AS p_old, {p_new} AS p_new, "
+        f"ROUND((({p_new}) - ({p_old})) * ln(({p_new}) / ({p_old})), 6) AS psi_term "
+        "FROM rel CROSS JOIN tot), "
+        "total AS (SELECT CAST(SUM("
+        + micro6_sql("psi_term")
+        + ") AS DOUBLE) / 1000000.0 AS psi_total FROM scored) "
+        "SELECT bin, n_old, n_new, p_old, p_new, psi_term, psi_total "
+        "FROM scored CROSS JOIN total"
+    )
