@@ -2575,6 +2575,33 @@ def test_pca_projection_matches_numpy(spark):
     assert abs(v2[0]) > 0.9
 
 
+def test_url_canonical_dedup_clusters_recrawls(spark):
+    """Hand-computed canonicalization: case noise, :443, trailing
+    slash, fragments and utm_* params all normalize away; surviving
+    params sort; recrawls of the same page (same source, doc_id % 97,
+    doc_id % 3) collapse to one keeper."""
+    from tgres_spark.pipeline.dedup import dedup_url_canonical
+
+    ids = [0, 582, 1164, 3, 97]  # 0/582/1164 share (s, 0 mod 97, 0 mod 3)
+    rows = [(i, "t", "en", "s", 1) for i in ids]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in dedup_url_canonical(docs).collect()}
+    # doc 0: HTTPS://S.example.com:443/p/0/?utm_source=rss&page=0#s0
+    assert out[0]["canon_url"] == "https://s.example.com/p/0?page=0"
+    assert out[0]["keeper_id"] == 0 and out[0]["is_dup"] == 0
+    for d in (582, 1164):
+        assert out[d]["canon_url"] == out[0]["canon_url"]
+        assert out[d]["keeper_id"] == 0 and out[d]["is_dup"] == 1
+    # doc 3: odd, %3==0 -> case noise but distinct page path (3 mod 97)
+    assert out[3]["canon_url"] == "https://s.example.com/p/3?page=0"
+    assert out[3]["is_dup"] == 0
+    # doc 97: same path bucket as 0 but page param differs (97 % 3 = 1)
+    assert out[97]["canon_url"] == "https://s.example.com/p/0?page=1"
+    assert out[97]["is_dup"] == 0
+
+
 def test_quality_psi_zero_on_identical_and_positive_on_shift(spark):
     """PSI of a snapshot against itself is exactly 0 in every bin;
     replacing half the corpus with junk text moves psi_total > 0, and

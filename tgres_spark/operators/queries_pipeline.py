@@ -48,6 +48,9 @@ register("dedup_components", sql=dd.dedup_components_sql())(
 register("dedup_minhash_band_sweep", sql=dd.dedup_minhash_band_sweep_sql())(
     lambda s, d: dd.dedup_minhash_band_sweep(_docs(s, d))
 )
+register("dedup_url_canonical", sql=dd.dedup_url_canonical_sql())(
+    lambda s, d: dd.dedup_url_canonical(_docs(s, d))
+)
 register("dedup_keep_best", sql=dd.dedup_keep_best_sql())(
     lambda s, d: dd.dedup_keep_best(_docs(s, d))
 )

@@ -1492,3 +1492,138 @@ FROM th LEFT JOIN pp ON pp.threshold = th.threshold
 LEFT JOIN pd ON pd.threshold = th.threshold
 CROSS JOIN tot
 """
+
+
+# --- URL canonicalization dedup (round 9) ------------------------------------
+
+URL_CLUSTER_MOD = 97
+
+
+def _synth_url() -> "F.Column":
+    """Deterministic per-doc URL synthesis (testdata carries no URL
+    column — same honest-fake convention as the multimodal payloads,
+    multimodal.py:67): docs sharing (source, doc_id % 97, doc_id % 3)
+    are 'the same page recrawled', wrapped in the noise real crawl
+    frontiers carry — scheme/host case, an explicit default port, a
+    trailing slash, utm_* tracking params in shifting positions, and
+    fragments."""
+    d = F.col("doc_id")
+    x = (d % URL_CLUSTER_MOD).cast("string")
+    pg = (d % 3).cast("string")
+    scheme = F.when(d % 3 == 0, "HTTPS://").otherwise("https://")
+    host = F.concat(
+        F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+    )
+    port = F.when(d % 4 == 0, ":443").otherwise("")
+    path = F.concat(
+        F.lit("/p/"), x, F.when(d % 6 == 0, "/").otherwise("")
+    )
+    q = (
+        F.when(d % 2 == 0, F.concat(F.lit("?utm_source=rss&page="), pg))
+        .when(d % 5 == 0, F.concat(F.lit("?page="), pg, F.lit("&utm_campaign=spring")))
+        .otherwise(F.concat(F.lit("?page="), pg))
+    )
+    frag = F.when(d % 7 == 0, F.concat(F.lit("#s"), (d % 4).cast("string"))).otherwise("")
+    return F.concat(scheme, host, port, path, q, frag)
+
+
+_SYNTH_URL_SQL = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN UPPER(source) ELSE source END) || '.example.com' || "
+    "(CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) || "
+    f"'/p/' || CAST(doc_id % {URL_CLUSTER_MOD} AS VARCHAR) || "
+    "(CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=rss&page=' || CAST(doc_id % 3 AS VARCHAR) "
+    " WHEN doc_id % 5 = 0 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=spring' "
+    " ELSE '?page=' || CAST(doc_id % 3 AS VARCHAR) END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '#s' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)"
+)
+
+
+def canonical_url(url) -> "F.Column":
+    """RFC-3986-style normalization as pure column algebra: drop the
+    fragment, lowercase scheme+host, strip the :443 default port,
+    strip the trailing slash, drop utm_* tracking params, and SORT the
+    surviving query params (order-insensitive keys). Every step is a
+    conservative regex/array op expressible identically in DuckDB —
+    no backreferences (the replacement-escape syntax differs between
+    Java regex and RE2, a cross-engine trap)."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    hostpart = F.lower(
+        F.regexp_extract(nofrag, "^[a-zA-Z]+://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(hostpart, ":443$", "")
+    rest = F.regexp_replace(nofrag, "^[a-zA-Z]+://[^/?#]+", "")
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path_c = F.rtrim(path, F.lit("/"))
+    qs = F.regexp_extract(rest, "\\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path_c,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(""),
+    )
+
+
+def _canonical_url_sql(url: str) -> str:
+    nofrag = f"regexp_replace({url}, '#.*$', '')"
+    host = (
+        f"regexp_replace(lower(regexp_extract({nofrag}, '^[a-zA-Z]+://([^/?#]+)', 1)), "
+        "':443$', '')"
+    )
+    rest = f"regexp_replace({nofrag}, '^[a-zA-Z]+://[^/?#]+', '')"
+    path = f"rtrim(regexp_extract({rest}, '^([^?]*)', 1), '/')"
+    qs = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    kept = (
+        f"array_to_string(list_sort(list_filter(string_split({qs}, '&'), "
+        "p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')"
+    )
+    return (
+        f"'https://' || {host} || {path} || "
+        f"(CASE WHEN ({kept}) <> '' THEN '?' || ({kept}) ELSE '' END)"
+    )
+
+
+def dedup_url_canonical(docs: DataFrame) -> DataFrame:
+    """(doc_id, canon_url, keeper_id, is_dup): URL-keyed dedup — the
+    FIRST dedup pass of every web-corpus pipeline (CommonCrawl refetches
+    the same page across snapshots under cosmetically different URLs;
+    URL canonicalization removes the bulk of refetch duplicates for
+    the price of a string normalization, before any content hashing
+    runs). keeper = min doc_id per canonical URL.
+
+    100 TB: the normalization is map-only column algebra inside
+    whole-stage codegen (regex + array sort over ~5 params, no UDF);
+    the ONLY shuffle is the groupBy on the canonical-URL hash —
+    uniform by construction. The keeper relation is group-domain-sized
+    and joins back co-keyed on canon_url."""
+    u = docs.select("doc_id", _synth_url().alias("url"))
+    c = u.select("doc_id", canonical_url(F.col("url")).alias("canon_url"))
+    keep = c.groupBy("canon_url").agg(F.min("doc_id").alias("keeper_id"))
+    return c.join(keep, "canon_url").select(
+        "doc_id",
+        "canon_url",
+        "keeper_id",
+        (F.col("doc_id") != F.col("keeper_id")).cast("bigint").alias("is_dup"),
+    )
+
+
+def dedup_url_canonical_sql() -> str:
+    canon = _canonical_url_sql(f"({_SYNTH_URL_SQL})")
+    return (
+        f"WITH c AS (SELECT doc_id, {canon} AS canon_url FROM documents), "
+        "keep AS (SELECT canon_url, MIN(doc_id) AS keeper_id FROM c GROUP BY canon_url) "
+        "SELECT doc_id, canon_url, keeper_id, "
+        "CAST(doc_id <> keeper_id AS BIGINT) AS is_dup "
+        "FROM c JOIN keep USING (canon_url)"
+    )
