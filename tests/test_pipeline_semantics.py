@@ -2256,6 +2256,69 @@ def test_bpe_merge2_matches_reference_algorithm(spark):
     assert any(merged_tok in r["pair"].split(" ") for r in got)
 
 
+def test_bpe_merge3_matches_reference_algorithm(spark):
+    """corpus_bpe_merge3 == THREE steps of the published BPE trainer
+    run independently in plain Python (argmax -> greedy apply, twice,
+    then a third recount); both winners must condition the output and
+    the round-2 token participates in round-3 pairs."""
+    from collections import Counter
+
+    from tgres_spark.pipeline.textstats import corpus_bpe_merge3
+
+    text = "lower lowest low low lower newer new newest widest wide"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    vocab = Counter(text.split())
+
+    def pairs_of(syms):
+        return [f"{syms[i]} {syms[i+1]}" for i in range(len(syms) - 1)]
+
+    def apply_merge(state, top):
+        a, b = top.split(" ")
+        for w in state:
+            out, i, s = [], 0, state[w]
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            state[w] = out
+
+    def top_pair(state):
+        c = Counter()
+        for w, n in vocab.items():
+            for p in pairs_of(state[w]):
+                c[p] += n
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    state = {w: list(w) + ["</w>"] for w in vocab}
+    top1 = top_pair(state)
+    apply_merge(state, top1)
+    top2 = top_pair(state)
+    apply_merge(state, top2)
+    w3, nw3 = Counter(), Counter()
+    for w, n in vocab.items():
+        ps = pairs_of(state[w])
+        for p in ps:
+            w3[p] += n
+        for p in set(ps):
+            nw3[p] += 1
+    want = sorted(
+        ((p, nw3[p], c) for p, c in w3.items()), key=lambda r: (-r[2], r[0])
+    )[:50]
+
+    got = corpus_bpe_merge3(docs).collect()
+    assert all(r["merged_pair"] == top1 for r in got)
+    assert all(r["merged_pair2"] == top2 for r in got)
+    assert [(r["pair"], r["n_words"], r["weight"]) for r in got] == want
+    tok2 = top2.replace(" ", "")
+    assert any(tok2 in r["pair"].split(" ") for r in got)
+
+
 def test_mm_text_image_pairs_retrieves_planted_twin(spark):
     """Cross-modal retrieval sanity: a text-tower vector identical to
     an image-tower vector must retrieve it at rank 1 with cos ~1 and

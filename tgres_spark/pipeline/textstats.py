@@ -2997,3 +2997,184 @@ def corpus_quality_psi_sql(n_bins: int = 10) -> str:
         "SELECT bin, n_old, n_new, p_old, p_new, psi_term, psi_total "
         "FROM scored CROSS JOIN total"
     )
+
+
+def corpus_bpe_merge3(docs: DataFrame, k: int = 50) -> DataFrame:
+    """THREE composed BPE training steps in one Catalyst tree (round
+    9, extending corpus_bpe_merge2 by the nm3 pattern): round-1 merge
+    -> round-2 recount -> round-2 merge -> round-3 recount. Returns
+    the round-3 top-k (merged_pair, merged_pair2, pair, n_words,
+    weight), conditioned on both winners.
+
+    The within-round rewrite ' a b ' -> ' ab ' can never create a new
+    merge SITE (a site to the left needs b = ab, to the right a = ab —
+    both length-impossible), so the greedy fold and the oracle's
+    leftmost-occurrence recursion stay equivalent at EVERY round, not
+    just round 1 where symbols are single chars; round 2 just runs the
+    same argument over an alphabet that now contains the round-1
+    token. Scale posture unchanged: the corpus is touched once by the
+    distinct-word count; both winners re-enter as one-row broadcasts;
+    folds are in-row; the three pair groupBys are vocab-sized."""
+    from .dedup import words
+
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    s0 = vocab.select("w", "n", syms.alias("syms"))
+
+    def adj_pairs(c):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: F.concat(
+                F.element_at(c, i), F.lit(" "), F.element_at(c, i + 1)
+            ),
+        )
+
+    def top1(pairs_df, out_pair, a, b):
+        return (
+            pairs_df.groupBy("pair")
+            .agg(F.sum("n").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.col("pair").alias(out_pair),
+                F.split(F.col("pair"), " ").getItem(0).alias(a),
+                F.split(F.col("pair"), " ").getItem(1).alias(b),
+            )
+        )
+
+    def fold_merge(c, a, b):
+        empty = F.slice(F.array(F.lit("")), 1, 0)
+        return F.aggregate(
+            c,
+            empty,
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.col(a))
+                & (x == F.col(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col(a), F.col(b))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    p1 = s0.select("n", F.explode(adj_pairs(F.col("syms"))).alias("pair"))
+    t1 = top1(p1, "merged_pair", "mp_a", "mp_b")
+    m1 = s0.crossJoin(F.broadcast(t1)).select(
+        "w", "n", "merged_pair", fold_merge(F.col("syms"), "mp_a", "mp_b").alias("m")
+    )
+    p2 = m1.select("n", F.explode(adj_pairs(F.col("m"))).alias("pair"))
+    t2 = top1(p2, "merged_pair2", "mp2_a", "mp2_b")
+    m2 = m1.crossJoin(F.broadcast(t2)).select(
+        "w",
+        "n",
+        "merged_pair",
+        "merged_pair2",
+        fold_merge(F.col("m"), "mp2_a", "mp2_b").alias("m2"),
+    )
+    p3 = m2.select(
+        "w",
+        "n",
+        "merged_pair",
+        "merged_pair2",
+        F.explode(adj_pairs(F.col("m2"))).alias("pair"),
+    )
+    return (
+        p3.groupBy("merged_pair", "merged_pair2", "pair")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+            F.sum("n").cast("bigint").alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def corpus_bpe_merge3_sql(k: int = 50) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH RECURSIVE
+t AS (SELECT UNNEST({w}) AS w FROM documents),
+v AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+s0 AS (
+  SELECT w, n,
+         list_transform(range(1, len(w) + 1), i -> w[i]) || ['</w>'] AS syms
+  FROM v
+),
+p1 AS (
+  SELECT n, UNNEST(list_transform(range(1, len(syms)),
+                   i -> syms[i] || ' ' || syms[i + 1])) AS pair
+  FROM s0
+),
+top AS MATERIALIZED (
+  SELECT pair AS merged_pair,
+         ' ' || pair || ' ' AS pat,
+         ' ' || replace(pair, ' ', '') || ' ' AS rep
+  FROM (SELECT pair, SUM(n) AS weight FROM p1 GROUP BY pair
+        ORDER BY weight DESC, pair ASC LIMIT 1)
+),
+m AS (
+  SELECT w, n, ' ' || array_to_string(syms, ' ') || ' ' AS s, pat, rep
+  FROM s0 CROSS JOIN top
+  UNION ALL
+  SELECT w, n,
+         substr(s, 1, strpos(s, pat) - 1) || rep
+           || substr(s, strpos(s, pat) + len(pat)),
+         pat, rep
+  FROM m WHERE strpos(s, pat) > 0
+),
+done AS (
+  SELECT w, n,
+         list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms
+  FROM m WHERE strpos(s, pat) = 0
+),
+p2 AS (
+  SELECT n, UNNEST(list_transform(range(1, len(syms)),
+                   i -> syms[i] || ' ' || syms[i + 1])) AS pair
+  FROM done
+),
+top2 AS MATERIALIZED (
+  SELECT pair AS merged_pair2,
+         ' ' || pair || ' ' AS pat2,
+         ' ' || replace(pair, ' ', '') || ' ' AS rep2
+  FROM (SELECT pair, SUM(n) AS weight FROM p2 GROUP BY pair
+        ORDER BY weight DESC, pair ASC LIMIT 1)
+),
+m2 AS (
+  SELECT w, n, ' ' || array_to_string(syms, ' ') || ' ' AS s, pat2, rep2
+  FROM done CROSS JOIN top2
+  UNION ALL
+  SELECT w, n,
+         substr(s, 1, strpos(s, pat2) - 1) || rep2
+           || substr(s, strpos(s, pat2) + len(pat2)),
+         pat2, rep2
+  FROM m2 WHERE strpos(s, pat2) > 0
+),
+done2 AS (
+  SELECT w, n,
+         list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms
+  FROM m2 WHERE strpos(s, pat2) = 0
+),
+p3 AS (
+  SELECT w, n, UNNEST(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i + 1])) AS pair
+  FROM done2
+)
+SELECT (SELECT merged_pair FROM top) AS merged_pair,
+       (SELECT merged_pair2 FROM top2) AS merged_pair2, pair,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(SUM(n) AS BIGINT) AS weight
+FROM p3 GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT {k}
+"""
