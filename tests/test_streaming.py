@@ -839,3 +839,61 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     # one output dir per micro-batch (3 files, one per trigger)
     bdirs = [d for d in _os.listdir(str(tmp_path / "out")) if d.startswith("b")]
     assert len(bdirs) >= 2
+
+
+def test_attribution_stream_credits_cross_batch_conversion(spark, tmp_path):
+    """The reason streaming attribution is a cumulative refresh: a
+    touch and its conversion land in DIFFERENT micro-batches, and the
+    latest snapshot still credits it (a stateless per-batch twin
+    structurally cannot). Final snapshot == batch attribution_relation
+    over all events; lookback exclusion still applies."""
+    from tgres_spark.streaming.attribution import (
+        read_latest_snapshot,
+        run_attribution_stream,
+    )
+    from tgres_spark.tpch import attribution_relation
+
+    ns = 1_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    touches = [
+        (1, 10 * ns, 100, "click", 1.0, "{}"),
+        (2, 5 * ns, 200, "view", 1.0, "{}"),
+        (3, 6 * ns, 200, "click", 1.0, "{}"),
+        (4, 0 * ns, 300, "view", 1.0, "{}"),  # outside 3-day lookback
+    ]
+    convs = [
+        (5, 20 * ns, 100, "purchase", 9.0, "{}"),
+        (6, 7 * ns, 200, "purchase", 9.0, "{}"),
+        (7, 400_000 * ns, 300, "purchase", 9.0, "{}"),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(touches, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(convs, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    allev = spark.createDataFrame(touches + convs, schema)
+    run_attribution_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        allev.schema, files_per_trigger=1,
+    )
+    got = {
+        r["channel"]: (r["n_first"], r["n_last"], r["linear_credit"])
+        for r in read_latest_snapshot(spark, str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        "click": (1, 2, 1.5),   # sole touch of u100 + last touch of u200
+        "view": (1, 0, 0.5),    # first touch of u200; u300's is outside
+    }
+    want = {
+        r["channel"]: (r["n_first"], r["n_last"], r["linear_credit"])
+        for r in attribution_relation(allev).collect()
+    }
+    assert got == want
+    import os as _os
+
+    assert len(_os.listdir(str(tmp_path / "out") + "/snap")) >= 2

@@ -435,6 +435,34 @@ def streaming_dedup_incremental(spark, sf_dir):
     return spark.read.parquet(f"{work}/out/b*")
 
 
+@register(
+    "streaming_attribution",
+    sql=__import__("tgres_spark.tpch", fromlist=["x"])._ATTRIBUTION_SQL,
+)
+def streaming_attribution(spark, sf_dir):
+    """Cumulative-refresh attribution over a live event stream (round
+    9, streaming/attribution.py): attribution is not per-batch
+    decomposable (a touch's conversion may arrive later), so each
+    micro-batch lands its raw events idempotently and republishes the
+    FULL relation as a numbered snapshot — the latest snapshot always
+    equals the batch operator over everything seen, which is exactly
+    what the batch oracle checks. Four real micro-batches over the
+    events table, then the latest snapshot re-read."""
+    import tempfile
+
+    from ..streaming.attribution import (
+        read_latest_snapshot, run_attribution_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="tgres_sattr_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_attribution_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema
+    )
+    return read_latest_snapshot(spark, f"{work}/out")
+
+
 @register("streaming_catalog_compact", sql=_CATALOG_ORACLE_SQL)
 def streaming_catalog_compact(spark, sf_dir):
     """Catalog compaction across stream INCARNATIONS (round 9,

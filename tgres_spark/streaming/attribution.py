@@ -1,0 +1,70 @@
+"""Streaming multi-touch attribution: the cumulative-refresh
+deployment of events_attribution. Attribution is NOT per-batch
+decomposable — a touch's credit depends on a conversion that may
+arrive in a LATER batch (the forward-min window looks ahead), so a
+stateless per-batch twin would be wrong by construction. The honest
+streaming shape is the snapshot-refresh dashboard: each micro-batch
+(1) lands its raw events idempotently in its own ``raw/b<id>``
+overwrite directory, then (2) recomputes the FULL attribution relation
+over every landed batch and publishes it as ``snap/b<id>``. The
+LATEST snapshot therefore always equals the batch relation over all
+events seen so far — batching and file order are invisible, and the
+oracle is the batch _ATTRIBUTION_SQL verbatim. A replayed batch
+rewrites byte-identical raw content (never appends twice); only the
+highest-numbered snapshot is the published relation, so a replay's
+transient snapshot can't be observed through the read path
+(read_latest_snapshot). At production scale the recompute is the
+per-refresh cost of a cumulative dashboard — bounded by re-running
+one linear-in-events window job, the same job the batch operator is
+plan-audited on; an incremental variant would carry per-(user,
+pending-touch) state in applyInPandasWithState for strictly less
+re-read at strictly more state-management complexity.
+Reference analogue: the aggregator's flush-cycle republish
+(aggregator.go) — recompute the published view each cycle from
+accumulated input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    files_per_trigger: int = 1,
+) -> None:
+    from ..tpch import attribution_relation
+
+    def _refresh(batch, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            f"{out_dir}/raw/b{batch_id:06d}"
+        )
+        allev = spark.read.parquet(f"{out_dir}/raw/b*")
+        attribution_relation(allev).write.mode("overwrite").parquet(
+            f"{out_dir}/snap/b{batch_id:06d}"
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_latest_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The published relation: the highest-numbered snapshot only."""
+    import os
+
+    snaps = sorted(os.listdir(f"{out_dir}/snap"))
+    return spark.read.parquet(f"{out_dir}/snap/{snaps[-1]}")

@@ -1009,6 +1009,11 @@ FROM marked GROUP BY event_type
 
 @register("events_attribution", sql=_ATTRIBUTION_SQL)
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attribution_relation over the events table — see below."""
+    return attribution_relation(load_table(spark, sf_dir, "events"))
+
+
+def attribution_relation(ev: DataFrame) -> DataFrame:
     """Multi-touch attribution (round 9): per channel (event_type),
     credit under the three standard models at once — first-touch,
     last-touch, and linear — for every purchase conversion, counting
@@ -1028,7 +1033,6 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize each 1/n to micro6 BIGINT before the order-free sum."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
     key = F.format_string("%019d|%019d", epoch_s("ts", ev), F.col("event_id"))
     e = ev.select(
         "user_id",

@@ -38,6 +38,7 @@ SKIP = {
     "streaming_name_catalog",
     "streaming_catalog_compact",
     "streaming_dedup_incremental",
+    "streaming_attribution",
     "carbon_pickle_stream",
     "ann_ivf_search",  # iterative Lloyd: collects per round by design
 }
