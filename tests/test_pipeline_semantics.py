@@ -2638,6 +2638,31 @@ def test_pca_projection_matches_numpy(spark):
     assert abs(v2[0]) > 0.9
 
 
+def test_simhash_sweep_radius_curve(spark, docs):
+    """Identical docs sit at radius 0 with exact Jaccard 1.0 and the
+    unrelated doc never appears; on the shared fixture the cumulative
+    counts are monotone in the radius (it's a CDF of hamming)."""
+    from tgres_spark.pipeline.dedup import dedup_simhash_sweep
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and parquet files"
+    twins = spark.createDataFrame(
+        [(1, a, "en", "s", 1), (2, a, "en", "s", 1), (3, c, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["radius"]: r for r in dedup_simhash_sweep(twins).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["n_pairs"] == 1 and out[0]["n_docs"] == 2
+    assert out[0]["mean_jaccard"] == 1.0
+    assert out[3]["n_pairs"] == 1  # the unrelated doc stays outside r=3
+    sweep = sorted(
+        dedup_simhash_sweep(docs).collect(), key=lambda r: r["radius"]
+    )
+    for prev, cur in zip(sweep, sweep[1:]):
+        assert cur["n_pairs"] >= prev["n_pairs"]
+        assert cur["n_docs"] >= prev["n_docs"]
+
+
 def test_url_canonical_dedup_clusters_recrawls(spark):
     """Hand-computed canonicalization: case noise, :443, trailing
     slash, fragments and utm_* params all normalize away; surviving

@@ -1627,3 +1627,132 @@ def dedup_url_canonical_sql() -> str:
         "CAST(doc_id <> keeper_id AS BIGINT) AS is_dup "
         "FROM c JOIN keep USING (canon_url)"
     )
+
+
+# --- simhash hamming-radius sweep (round 9) ----------------------------------
+
+def dedup_simhash_sweep(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(radius, n_pairs, n_docs, mean_jaccard): the simhash tuning
+    relation — for every hamming cutoff 0..max_hamming, the CUMULATIVE
+    pair volume, distinct docs touched, and the mean EXACT shingle
+    Jaccard of the admitted pairs. This is how a production simhash
+    radius is chosen: the radius/Jaccard curve says which hamming
+    cutoff corresponds to which text similarity on THIS corpus
+    (completing the tuning dial family: dedup_minhash_band_sweep sizes
+    the banding, dedup_threshold_sweep the verification cutoff, this
+    one the hamming radius).
+
+    One pigeonhole pass (chunk_hamming_pairs, exact for radius <= 3)
+    yields every candidate with its hamming; exact Jaccard is computed
+    ONLY on that pair domain (never all-pairs); the 4-row radius
+    relation broadcasts into the pair relation. The per-pair relation
+    persists because both the per-radius count and the touched-doc
+    count fold it (pair-domain-sized — bounded by the radius-3
+    admission, the same bound dedup_simhash itself outputs; the sweep
+    harness clearCache()s between queries). mean_jaccard sums exact
+    micro-quantized decimals (unbounded pair count -> dec6, not
+    micro6) and divides by the exact count, coalescing empty radii to
+    0.0."""
+    from ..model import dsum
+
+    pairs = chunk_hamming_pairs(simhash(docs), max_hamming)
+    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = shd.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = shd.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    pj = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (ni.cast("double") / (F.col("na") + F.col("nb") - ni)).alias("jacc"),
+        )
+        .persist()
+    )
+    radii = docs.sparkSession.range(max_hamming + 1).select(
+        F.col("id").cast("bigint").alias("radius")
+    )
+    exp = pj.crossJoin(F.broadcast(radii)).where(
+        F.col("hamming") <= F.col("radius")
+    )
+    stats = exp.groupBy("radius").agg(
+        F.count("*").alias("n_pairs"),
+        (dsum("jacc").cast("double") / F.count("jacc")).alias("mean_jaccard"),
+    )
+    touched = (
+        exp.select(
+            "radius", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("radius")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        radii.join(F.broadcast(stats), "radius", "left")
+        .join(F.broadcast(touched), "radius", "left")
+        .select(
+            "radius",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("mean_jaccard", F.lit(0.0)).alias("mean_jaccard"),
+        )
+    )
+
+
+def dedup_simhash_sweep_sql(max_hamming: int = 3) -> str:
+    from ..model import oracle_davg
+
+    sh = simhash_sql()
+    cols = ", ".join(f"q{j}" for j in range(SIMHASH_CHUNKS))
+    key_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {cols}, {j} AS tbl, q{j} AS key FROM s"
+        for j in range(SIMHASH_CHUNKS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.q{j}, b.q{j}))" for j in range(SIMHASH_CHUNKS)
+    )
+    return (
+        f"WITH s AS ({sh}), keys AS ({key_rows}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST({ham} AS BIGINT) AS hamming "
+        "FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key "
+        f"WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}), "
+        f"shd AS (SELECT doc_id, UNNEST(list_distinct({shingles_sql('text')})) AS sh "
+        "FROM documents), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id), "
+        "inter AS (SELECT doc_a, doc_b, COUNT(*) AS ni FROM pairs "
+        "JOIN shd a ON a.doc_id = doc_a "
+        "JOIN shd b ON b.doc_id = doc_b AND b.sh = a.sh "
+        "GROUP BY doc_a, doc_b), "
+        "pj AS (SELECT doc_a, doc_b, hamming, "
+        "CAST(COALESCE(ni, 0) AS DOUBLE) / (sa.nsh + sb.nsh - COALESCE(ni, 0)) AS jacc "
+        "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        "LEFT JOIN inter USING (doc_a, doc_b)), "
+        f"radii AS (SELECT CAST(r.range AS BIGINT) AS radius FROM range(0, {max_hamming + 1}) r), "
+        "exp AS (SELECT radius, doc_a, doc_b, jacc FROM pj CROSS JOIN radii "
+        "WHERE hamming <= radius), "
+        "stats AS (SELECT radius, COUNT(*) AS n_pairs, "
+        + oracle_davg("jacc")
+        + " AS mean_jaccard FROM exp GROUP BY radius), "
+        "touched AS (SELECT radius, COUNT(DISTINCT d) AS n_docs FROM "
+        "(SELECT radius, UNNEST([doc_a, doc_b]) AS d FROM exp) GROUP BY radius) "
+        "SELECT radius, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs, "
+        "COALESCE(mean_jaccard, 0.0) AS mean_jaccard "
+        "FROM radii LEFT JOIN stats USING (radius) LEFT JOIN touched USING (radius)"
+    )
