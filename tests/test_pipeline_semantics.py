@@ -2790,6 +2790,51 @@ def test_triplet_mining_batch_hard_rule(spark):
     assert set(out) == {0, 1, 2, 3, 4, 5}
 
 
+def test_pca2_deflate_matches_numpy(spark):
+    """The deflated second iterate replayed in numpy: two normalized
+    power steps on C give (v, lambda1); two steps on C - lambda1*v*vT
+    give pc2/lambda2; ortho is the measured v.pc2 (deflation off a
+    2-step iterate is NOT exactly orthogonal — that's why it's a
+    column, not an assumption)."""
+    import math
+
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import emb_pca2_deflate
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((40, 64)).round(6)
+    X[:, 0] *= 5.0
+    X[:, 1] *= 3.0  # two dominant directions
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    C = (X.T @ X) / len(X) - np.outer(X.mean(0), X.mean(0))
+
+    def two_steps(M):
+        v0 = np.full(64, 1.0 / math.sqrt(64))
+        w1 = M @ v0
+        v1 = w1 / np.linalg.norm(w1)
+        w2 = M @ v1
+        return w2 / np.linalg.norm(w2), float(v1 @ w2)
+
+    v, lam1 = two_steps(C)
+    u, lam2 = two_steps(C - lam1 * np.outer(v, v))
+    got = sorted(emb_pca2_deflate(emb).collect(), key=lambda r: r["i"])
+    for r in got:
+        assert abs(r["pc1"] - v[r["i"] - 1]) < 1e-6
+        assert abs(r["pc2"] - u[r["i"] - 1]) < 1e-6
+        assert abs(r["lambda1"] - lam1) < 1e-6
+        assert abs(r["lambda2"] - lam2) < 1e-6
+        assert abs(r["ortho"] - float(v @ u)) < 1e-5
+    # axis 0 dominates pc1; among the remaining axes, axis 1 dominates
+    # pc2 (a 2-step iterate deflates imperfectly, so pc2 keeps some
+    # axis-0 residue — the ortho column measures exactly that)
+    assert abs(v[0]) > 0.9
+    assert abs(u[1]) > 0.4 and int(np.argmax(np.abs(u[1:]))) == 0
+
+
 def test_quality_calibration_folds_model_and_gate(spark):
     """Calibration bins must equal the direct fold of quality_model
     probs × gopher_filter keeps computed independently per doc."""

@@ -472,6 +472,9 @@ register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
 register("pipeline_perplexity_filter", sql=tx.perplexity_filter_sql())(
     lambda spark, sf_dir: tx.perplexity_filter(_docs(spark, sf_dir))
 )
+register("emb_pca2_deflate", sql=sim.emb_pca2_deflate_sql())(
+    lambda s, d: sim.emb_pca2_deflate(_emb(s, d))
+)
 register("emb_triplet_mining", sql=sim.emb_triplet_mining_sql())(
     lambda s, d: sim.emb_triplet_mining(_emb(s, d))
 )
