@@ -2720,6 +2720,36 @@ def test_quality_psi_zero_on_identical_and_positive_on_shift(spark):
     assert all(r["psi_total"] == drift[0]["psi_total"] for r in drift)
 
 
+def test_lang_confusion_matrix_counts_and_shares(spark):
+    """Hand-built corpus: 2 English docs classified en, 1 German doc
+    classified de, 1 doc DECLARED de but written in English (the
+    mislabeled-metadata case the matrix exists to catch), 1 markerless
+    doc -> und."""
+    from tgres_spark.pipeline.textstats import corpus_lang_confusion
+
+    en = "the cat and the dog of the house went to sleep in the barn"
+    de = "der hund und die katze das haus ist gross und der baum ist alt"
+    rows = [
+        (1, en, "en", "s", 1),
+        (2, en + " again", "en", "s", 1),
+        (3, de, "de", "s", 1),
+        (4, en, "de", "s", 1),            # mislabeled
+        (5, "zz yy xx ww vv uu", "en", "s", 1),  # no markers -> und
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["lang"], r["pred_lang"]): (r["n"], r["share"])
+        for r in corpus_lang_confusion(docs).collect()
+    }
+    assert got[("en", "en")] == (2, 2 / 3)
+    assert got[("en", "und")] == (1, 1 / 3)
+    assert got[("de", "de")] == (1, 0.5)
+    assert got[("de", "en")] == (1, 0.5)
+    assert len(got) == 4
+
+
 def test_token_gini_known_distributions(spark):
     """Sorted-rank Gini identity on hand-computed distributions: an
     all-equal source scores exactly 0; token counts [1,2,3,4,10]

@@ -460,6 +460,9 @@ def pipeline_contamination_incremental(spark, sf_dir):
     return contamination_incremental(spark, f"{work}/bench_index", increment)
 
 
+register("corpus_lang_confusion", sql=tx.corpus_lang_confusion_sql())(
+    lambda spark, sf_dir: tx.corpus_lang_confusion(_docs(spark, sf_dir))
+)
 register("corpus_token_gini", sql=tx.corpus_token_gini_sql())(
     lambda spark, sf_dir: tx.corpus_token_gini(_docs(spark, sf_dir))
 )

@@ -31,6 +31,19 @@ def text_langid(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang, confidence): argmax of stopword-marker hit
     ratios; 'und' (undetermined) when nothing matches. Ties broken by
     language code order — deterministic in both engines."""
+    d, best = _langid_scored(docs, "doc_id")
+    return d.select(
+        "doc_id",
+        F.when(best["score"] > 0.0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["score"].cast("double").alias("confidence"),
+    )
+
+
+def _langid_scored(docs: DataFrame, *carry: str):
+    """(scored_df, best_struct): the marker-ratio score columns plus
+    the argmax struct, with ``carry`` columns passed through — shared
+    by text_langid and corpus_lang_confusion so the classifier is
+    defined once."""
     w = words(F.col("text"))
     n = F.size(w)
     scores = [
@@ -39,18 +52,14 @@ def text_langid(docs: DataFrame) -> DataFrame:
         )
         for lang, m in LANG_MARKERS.items()
     ]
-    d = docs.select("doc_id", n.alias("n"), *scores)
+    d = docs.select(*carry, n.alias("n"), *scores)
     best = None
     for lang in LANG_MARKERS:
         cand = F.struct(F.col(f"s_{lang}").alias("score"), F.lit(lang).alias("lang"))
         best = cand if best is None else F.when(
             (cand["score"] > best["score"]), cand
         ).otherwise(best)
-    return d.select(
-        "doc_id",
-        F.when(best["score"] > 0.0, best["lang"]).otherwise("und").alias("pred_lang"),
-        best["score"].cast("double").alias("confidence"),
-    )
+    return d, best
 
 
 def text_langid_sql() -> str:
@@ -3178,3 +3187,61 @@ SELECT (SELECT merged_pair FROM top) AS merged_pair,
        CAST(SUM(n) AS BIGINT) AS weight
 FROM p3 GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT {k}
 """
+
+
+# --- langid confusion matrix (round 9) ----------------------------------------
+
+def corpus_lang_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, pred_lang, n, share): the declared-vs-predicted language
+    confusion matrix — the QA relation a corpus operator reads before
+    trusting EITHER signal (a source whose declared lang disagrees
+    with the classifier wholesale is mislabeled metadata or a broken
+    classifier; per-row disagreement feeds manual review). share is
+    row-normalized within the declared lang, so the diagonal is the
+    per-language agreement rate.
+
+    ONE map-only scored scan (the classifier is the same pure column
+    algebra as text_langid, defined once in _langid_scored — pred and
+    the declared lang live in the same row, no join), one groupBy on
+    the ≤|langs|²-key domain, row totals re-entering co-keyed on the
+    declared lang (the events_transitions shape). Exact counts; share
+    divides exact integers."""
+    d, best = _langid_scored(docs, "lang")
+    pred = F.when(best["score"] > 0.0, best["lang"]).otherwise("und")
+    c = d.groupBy("lang", pred.alias("pred_lang")).agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return c.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("tot")).alias("share"),
+    )
+
+
+def corpus_lang_confusion_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    score = {
+        lang: (
+            f"len(list_filter({w}, x -> x IN ({', '.join(repr(m) for m in ms)}))) "
+            f"/ CAST(CASE WHEN len({w}) > 0 THEN len({w}) ELSE 1 END AS DOUBLE)"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best_score = f"s_{langs[0]}"
+    best_lang = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN s_{lang} > ({best_score}) THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN s_{lang} > ({best_score}) THEN s_{lang} ELSE {best_score} END"
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return (
+        "WITH p AS (SELECT lang, "
+        f"CASE WHEN ({best_score}) > 0.0 THEN ({best_lang}) ELSE 'und' END AS pred_lang "
+        f"FROM (SELECT lang, {inner} FROM documents)), "
+        "c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang), "
+        "t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang) "
+        "SELECT lang, pred_lang, CAST(n AS BIGINT) AS n, "
+        "CAST(n AS DOUBLE) / tot AS share FROM c JOIN t USING (lang)"
+    )

@@ -52,22 +52,22 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "ann_ivf_refresh", "corpus_snapshot_diff", "pipeline_prep_funnel",
     "events_attribution", "emb_pca_project", "text_quality_calibration",
     "dedup_threshold_sweep",
+    # -- round-9 second wave (also first driver exposure this round) --
+    "pipeline_contamination_incremental", "emb_triplet_mining",
+    "tpch_basket_pairs", "corpus_token_gini", "corpus_quality_psi",
+    "dedup_url_canonical", "corpus_bpe_merge3", "streaming_attribution",
+    "dedup_simhash_sweep", "emb_pca2_deflate",
     # -- oldest-green rotation: latest green row = round 1 --
     "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
     "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
     "dsl_scaleToSeconds", "dsl_smartSummarize", "dsl_summarize",
     "dsl_timeStack", "dsl_transformNull",
-    # -- latest green row = round 3 --
+    # -- latest green row = round 3 (leading slice; tpch_q5/q6 and the
+    #    round-4 tranche rotate forward next round) --
     "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "events_props_extract", "mm_frame_sample", "text_fingerprint",
     "text_langid", "text_quality", "text_tokens", "tpch_q1", "tpch_q3",
-    "tpch_q5", "tpch_q6",
-    # -- latest green row = round 4 (leading slice; the rest rotate
-    #    forward in future rounds) --
-    "dedup_components", "dedup_embedding", "dedup_embedding_lsh",
-    "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
-    "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
