@@ -2720,6 +2720,29 @@ def test_quality_psi_zero_on_identical_and_positive_on_shift(spark):
     assert all(r["psi_total"] == drift[0]["psi_total"] for r in drift)
 
 
+def test_quality_sweep_survival_curve(spark):
+    """The sweep is a survival CDF: doc/token shares are monotone
+    nonincreasing in the cutoff, cutoff 0.1 keeps everything on a
+    clean corpus, and the relation folds the same per-doc (prob, ntok)
+    signals quality_model/text_tokens expose."""
+    from tgres_spark.pipeline.textstats import (
+        pipeline_quality_sweep, quality_model,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        pipeline_quality_sweep(docs).collect(), key=lambda r: r["cutoff"]
+    )
+    assert [r["cutoff"] for r in rows] == [0.1, 0.3, 0.5, 0.7, 0.9]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_kept"] <= prev["n_kept"]
+        assert cur["tokens_kept"] <= prev["tokens_kept"]
+    probs = [r["prob"] for r in quality_model(docs).collect()]
+    assert rows[0]["n_kept"] == sum(p >= 0.1 for p in probs)
+    assert rows[2]["n_kept"] == sum(p >= 0.5 for p in probs)
+    assert rows[0]["doc_share"] <= 1.0 and rows[0]["token_share"] <= 1.0
+
+
 def test_lang_confusion_matrix_counts_and_shares(spark):
     """Hand-built corpus: 2 English docs classified en, 1 German doc
     classified de, 1 doc DECLARED de but written in English (the

@@ -472,6 +472,9 @@ register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
 register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
     lambda spark, sf_dir: tx.text_unigram_logprob(_docs(spark, sf_dir))
 )
+register("pipeline_quality_sweep", sql=tx.pipeline_quality_sweep_sql())(
+    lambda spark, sf_dir: tx.pipeline_quality_sweep(_docs(spark, sf_dir))
+)
 register("pipeline_perplexity_filter", sql=tx.perplexity_filter_sql())(
     lambda spark, sf_dir: tx.perplexity_filter(_docs(spark, sf_dir))
 )

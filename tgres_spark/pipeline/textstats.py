@@ -3245,3 +3245,80 @@ def corpus_lang_confusion_sql() -> str:
         "SELECT lang, pred_lang, CAST(n AS BIGINT) AS n, "
         "CAST(n AS DOUBLE) / tot AS share FROM c JOIN t USING (lang)"
     )
+
+
+# --- quality-cutoff sweep (round 9) -------------------------------------------
+
+QUALITY_CUTS = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def pipeline_quality_sweep(docs: DataFrame) -> DataFrame:
+    """(cutoff, n_kept, doc_share, tokens_kept, token_share): what
+    each quality-probability cutoff KEEPS, in docs and in tokens — the
+    relation a mixture designer reads to pick the gate (CCNet keeps
+    the best-perplexity tercile; a learned filter keeps above a prob
+    cutoff; either way the decision is a survival curve, and because
+    long docs score differently from short ones the token curve is
+    NOT the doc curve — that divergence is the point of sweeping
+    both). Completes the sweep family: band/threshold/radius sweeps
+    tune dedup, this one tunes the quality gate.
+
+    ONE map-only scored scan (prob + token count in the same row), the
+    5-row cutoff literal relation broadcast in, one per-cutoff fold;
+    corpus totals re-enter as a one-row broadcast. Exact integer
+    counts and token sums; shares divide doubles cast from exact
+    integers in oracle operand order."""
+    _, prob = _quality_logit()
+    n_tok = F.size(words(F.col("text"))).cast("bigint")
+    q = docs.select(prob.alias("prob"), n_tok.alias("ntok"))
+    cuts = docs.sparkSession.createDataFrame(
+        [(c,) for c in QUALITY_CUTS], "cutoff double"
+    )
+    kept = q.crossJoin(F.broadcast(cuts)).where(
+        F.col("prob") >= F.col("cutoff")
+    )
+    per = kept.groupBy("cutoff").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("ntok").alias("tokens_kept"),
+    )
+    tot = q.agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    return (
+        cuts.join(F.broadcast(per), "cutoff", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cutoff",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_docs")
+            ).alias("doc_share"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            (
+                F.coalesce("tokens_kept", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("token_share"),
+        )
+    )
+
+
+def pipeline_quality_sweep_sql() -> str:
+    _, prob = _quality_logit_sql()
+    w = WORDS_SQL.format(c="text")
+    cuts = ", ".join(f"({c!r})" for c in QUALITY_CUTS)
+    return (
+        f"WITH q AS (SELECT {prob} AS prob, CAST(len({w}) AS BIGINT) AS ntok "
+        "FROM documents), "
+        f"cuts AS (SELECT * FROM (VALUES {cuts}) c(cutoff)), "
+        "per AS (SELECT cutoff, COUNT(*) AS n_kept, SUM(ntok) AS tokens_kept "
+        "FROM q CROSS JOIN cuts WHERE prob >= cutoff GROUP BY cutoff), "
+        "tot AS (SELECT COUNT(*) AS n_docs, SUM(ntok) AS n_tokens FROM q) "
+        "SELECT cutoff, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, "
+        "CAST(COALESCE(n_kept, 0) AS DOUBLE) / n_docs AS doc_share, "
+        "CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept, "
+        "CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / n_tokens AS token_share "
+        "FROM cuts LEFT JOIN per USING (cutoff) CROSS JOIN tot"
+    )
