@@ -1075,3 +1075,89 @@ def attribution_relation(ev: DataFrame) -> DataFrame:
         F.sum(F.col("is_last").cast("int")).cast("bigint").alias("n_last"),
         (F.sum(lin6).cast("double") / 1000000.0).alias("linear_credit"),
     )
+
+
+_RFM_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS t,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v6
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id, MAX(t) AS last_t, COUNT(*) AS frequency,
+         SUM(v6) AS m6
+  FROM p GROUP BY user_id
+), mx AS (SELECT MAX(t) AS max_t FROM p),
+r AS (
+  SELECT user_id, max_t - last_t AS recency_s, frequency, m6
+  FROM u CROSS JOIN mx
+), tot AS (
+  SELECT COUNT(*) AS n_users, SUM(recency_s) AS tot_r,
+         SUM(frequency) AS tot_f, SUM(m6) AS tot_m
+  FROM r
+)
+SELECT user_id, CAST(recency_s AS BIGINT) AS recency_s,
+  CAST(frequency AS BIGINT) AS frequency,
+  CAST(m6 AS DOUBLE) / 1000000.0 AS monetary,
+  (CASE WHEN CAST(recency_s AS HUGEINT) * n_users <= tot_r THEN 'H' ELSE 'L' END)
+  || (CASE WHEN CAST(frequency AS HUGEINT) * n_users >= tot_f THEN 'H' ELSE 'L' END)
+  || (CASE WHEN CAST(m6 AS HUGEINT) * n_users >= tot_m THEN 'H' ELSE 'L' END)
+  AS segment
+FROM r CROSS JOIN tot
+"""
+
+
+@register("events_rfm", sql=_RFM_SQL)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (round 9): per purchasing user, recency (s
+    since last purchase, against the corpus max), frequency, monetary
+    (micro6-exact value sum) — plus the 8-way H/L segment against the
+    corpus MEANS. The classic retention/churn relation every events
+    warehouse derives.
+
+    The deliberate scale choice: no quintile ntile() — that is a
+    GLOBAL SORT window over every user (the exact smell plan_audit
+    exists to catch). Mean-split segments replace it with exact
+    integer algebra: x >= mean(x) tested as x·n_users >= Σx (both
+    sides exact — recency/frequency integers, money in micro6; Spark
+    DECIMAL(38,0) vs DuckDB HUGEINT), so no double mean, no division,
+    no tie ambiguity. One groupBy on user_id; the corpus max and the
+    three totals re-enter as one-row broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_s("ts", ev).alias("t"),
+        F.floor(F.col("value").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v6"),
+    )
+    u = p.groupBy("user_id").agg(
+        F.max("t").alias("last_t"),
+        F.count("*").alias("frequency"),
+        F.sum("v6").alias("m6"),
+    )
+    mx = p.agg(F.max("t").alias("max_t"))
+    r = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("max_t") - F.col("last_t")).alias("recency_s"),
+        "frequency",
+        "m6",
+    )
+    tot = r.agg(
+        F.count("*").alias("n_users"),
+        F.sum("recency_s").alias("tot_r"),
+        F.sum("frequency").alias("tot_f"),
+        F.sum("m6").alias("tot_m"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    seg = F.concat(
+        F.when(d("recency_s") * d("n_users") <= d("tot_r"), "H").otherwise("L"),
+        F.when(d("frequency") * d("n_users") >= d("tot_f"), "H").otherwise("L"),
+        F.when(d("m6") * d("n_users") >= d("tot_m"), "H").otherwise("L"),
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("recency_s").cast("bigint").alias("recency_s"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        (F.col("m6").cast("double") / 1000000.0).alias("monetary"),
+        seg.alias("segment"),
+    )
