@@ -2843,6 +2843,24 @@ def test_triplet_mining_batch_hard_rule(spark):
     assert set(out) == {0, 1, 2, 3, 4, 5}
 
 
+def test_ivf_margin_flags_boundary_vectors(spark):
+    """Planted geometry against the seeded codebook: a vector AT a
+    centroid has d1 = 0 and is never tight; the exact midpoint of two
+    centroids has d1 = d2 and is maximally tight."""
+    from tgres_spark.pipeline.similarity import _ivf_codebook, ann_ivf_margin
+
+    cents = _ivf_codebook()
+    mid = [(a + b) / 2.0 for a, b in zip(cents[0], cents[1])]
+    emb = spark.createDataFrame(
+        [(0, [float(x) for x in cents[0]]), (1, [float(x) for x in mid])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["cell"]: r for r in ann_ivf_margin(emb).collect()}
+    on_centroid = out[1]  # cells are 1-based argmin positions
+    assert on_centroid["n"] == 2  # the midpoint also argmins to cell 1 (tie->first)
+    assert on_centroid["n_tight"] == 1 and on_centroid["tight_frac"] == 0.5
+
+
 def test_pca2_deflate_matches_numpy(spark):
     """The deflated second iterate replayed in numpy: two normalized
     power steps on C give (v, lambda1); two steps on C - lambda1*v*vT

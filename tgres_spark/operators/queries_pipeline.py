@@ -490,6 +490,9 @@ register("emb_int8_quantize", sql=sim.emb_int8_quantize_sql())(
 register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
     lambda s, d: sim.ann_ivf_balance(_emb(s, d))
 )
+register("ann_ivf_margin", sql=sim.ann_ivf_margin_sql())(
+    lambda s, d: sim.ann_ivf_margin(_emb(s, d))
+)
 register("ann_ivf_refresh", sql=sim.ann_ivf_refresh_sql())(
     lambda s, d: sim.ann_ivf_refresh(_emb(s, d))
 )

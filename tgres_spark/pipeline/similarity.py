@@ -3613,3 +3613,76 @@ def emb_pca2_deflate_sql() -> str:
         + ", 9) AS ortho FROM joined) "
         "SELECT i, pc1, pc2, lambda1, lambda2, ortho FROM joined CROSS JOIN o"
     )
+
+
+# --- IVF assignment-margin audit (round 9) ------------------------------------
+
+def ann_ivf_margin(
+    emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7
+) -> DataFrame:
+    """(cell, n, mean_margin, n_tight, tight_frac): per-cell
+    assignment-margin audit — for every vector, the gap d2 − d1
+    between its nearest and second-nearest centroid (squared L2), and
+    the fraction of the cell's members sitting TIGHT on a boundary
+    (d2 < 1.1·d1). ann_ivf_balance says whether cells are evenly
+    SIZED; this says whether their contents are confidently ASSIGNED —
+    a cell full of tight vectors loses recall at nprobe=1 however
+    balanced the index looks, and the tight fraction is exactly the
+    signal that prices the nprobe dial (probe sweeps measure the
+    effect; this locates the cause cell by cell).
+
+    Map-only: one scan against the broadcast codebook, d1/d2 read off
+    the sorted per-row distance array (no second pass, no join), ONE
+    ≤k-row groupBy. Determinism: distances are left-fold squared-L2
+    (bit-identical engines), the sort is over those exact doubles,
+    mean_margin accumulates dec6 decimals cast to double before the
+    division, and the tight test multiplies by the literal 1.1
+    identically in both engines."""
+    from ..model import dec6
+
+    cents = _ivf_codebook(k, seed=seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    d = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", _sq_dists(F.col("cents")).alias("dists")
+    )
+    ds = F.array_sort(F.col("dists"))
+    per = d.select(
+        F.array_position(F.col("dists"), F.array_min("dists"))
+        .cast("bigint")
+        .alias("cell"),
+        F.element_at(ds, 1).alias("d1"),
+        F.element_at(ds, 2).alias("d2"),
+    )
+    margin = F.col("d2") - F.col("d1")
+    tight = (F.col("d2") < F.col("d1") * 1.1).cast("bigint")
+    return per.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(dec6(margin)).cast("double") / F.count("*")).alias(
+            "mean_margin"
+        ),
+        F.sum(tight).cast("bigint").alias("n_tight"),
+        (F.sum(tight).cast("double") / F.count("*")).alias("tight_frac"),
+    )
+
+
+def ann_ivf_margin_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+    from ..model import dec6_sql
+
+    cents = _ivf_codebook(k, seed=seed)
+    return (
+        f"WITH {_ivf_cents_cte(cents)}, "
+        f"d AS (SELECT vec_id, {_ivf_dists_sql()} AS dists "
+        "FROM embeddings CROSS JOIN ivfk), "
+        "per AS (SELECT "
+        "CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell, "
+        "list_sort(dists)[1] AS d1, list_sort(dists)[2] AS d2 FROM d) "
+        "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(" + dec6_sql("d2 - d1") + ") AS DOUBLE) / COUNT(*) "
+        "AS mean_margin, "
+        "CAST(SUM(CAST(d2 < d1 * 1.1 AS BIGINT)) AS BIGINT) AS n_tight, "
+        "CAST(SUM(CAST(d2 < d1 * 1.1 AS BIGINT)) AS DOUBLE) / COUNT(*) "
+        "AS tight_frac "
+        "FROM per GROUP BY cell"
+    )
