@@ -2843,6 +2843,30 @@ def test_triplet_mining_batch_hard_rule(spark):
     assert set(out) == {0, 1, 2, 3, 4, 5}
 
 
+def test_scene_cuts_fire_exactly_at_scene_boundaries(spark):
+    """With 30-frame keyframe stride and 60-frame synthesized scenes,
+    every within-scene consecutive pair is hamming 0 / no cut and
+    every cross-boundary pair is a cut; boundaries are exactly the
+    frame indices that are multiples of 60."""
+    from tgres_spark.pipeline.multimodal import mm_scene_cuts
+
+    # doc_id % 3 == 2 -> video; n_frames = doc_id % 300 + 1
+    # doc 152 -> 153 frames -> keyframes 0,30,...,150 -> scenes 0..2
+    docs = spark.createDataFrame(
+        [(152, "some video content here", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(mm_scene_cuts(docs).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [30, 60, 90, 120, 150]
+    for r in rows:
+        boundary = (r["frame_idx"] % 60) == 0
+        assert bool(r["is_cut"]) == boundary, r
+        if not boundary:
+            assert r["hamming"] == 0
+        else:
+            assert r["hamming"] > 3
+
+
 def test_ivf_margin_flags_boundary_vectors(spark):
     """Planted geometry against the seeded codebook: a vector AT a
     centroid has d1 = 0 and is never tight; the exact midpoint of two

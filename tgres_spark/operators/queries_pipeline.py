@@ -225,6 +225,16 @@ def mm_resize_stub(spark, sf_dir):
     recomputes both from doc_id/text (multimodal.mm_resize_stub_sql),
     hash-checking the batch path."""
     return mm.resize_stub(mm.synthesize_media(_docs(spark, sf_dir)))
+@register("mm_scene_cuts", sql=mm.mm_scene_cuts_sql())
+def mm_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over sampled keyframes: consecutive-
+    keyframe fingerprint distance per video, cuts above the hamming
+    threshold; the synthesized decode carries scene structure so
+    within-scene pairs sit at 0 and boundaries at ~32
+    (pipeline/multimodal.py mm_scene_cuts)."""
+    return mm.mm_scene_cuts(_docs(spark, sf_dir))
+
+
 @register("mm_phash_dedup", sql=mm.mm_phash_dedup_sql())
 def mm_phash_dedup(spark, sf_dir):
     """Image near-dup pairs: pHash-style average-hash fingerprint over

@@ -637,3 +637,126 @@ def mm_video_keyframes_sql(every_n: int = 30, max_hamming: int = 3) -> str:
         f"FROM pairs WHERE ka // {_KF_ID_BASE} <> kb // {_KF_ID_BASE} "
         "GROUP BY 1, 2"
     )
+
+
+# --- scene-cut detection (round 9) --------------------------------------------
+
+_SCENE_LEN = 60  # synthesized scene length in frames (2 keyframes/scene)
+
+
+def mm_scene_cuts(
+    docs: DataFrame, every_n: int = 30, threshold: int = 3
+) -> DataFrame:
+    """(media_id, frame_idx, prev_idx, hamming, is_cut): shot-boundary
+    detection over sampled keyframes — the fingerprint distance
+    between CONSECUTIVE keyframes of one video, flagged as a cut when
+    it exceeds the hamming threshold. This is how a video pipeline
+    segments footage before per-scene sampling/captioning (the
+    classic pHash-difference shot detector); the dedup family asks
+    'which videos repeat each other', this asks 'where does one video
+    change'.
+
+    The synthesized decode gets SCENE STRUCTURE (the honest-fake
+    convention, one level richer): a keyframe's hash derives from
+    (payload, frame_idx DIV 60) — constant within a 60-frame scene,
+    md5-fresh across scene boundaries — so within-scene consecutive
+    keyframes sit at hamming 0 and cross-boundary ones at ~32, and the
+    threshold provably separates them (pinned in pytest).
+
+    Scale: keyframe fingerprints are the shared phash_from_hex
+    relation (4 ints each); the ONLY new work is one lag() window
+    PARTITIONED BY media_id ordered by frame_idx — partition size =
+    keyframes per video (≤ 10 here, bounded by footage length, never
+    corpus-scale). No pair join at all: consecutive-frame comparison
+    is a window, not a self-join."""
+    media = synthesize_media(docs)
+    vids = media.where(F.col("kind") == "video")
+    kf = vids.select(
+        "media_id",
+        F.lower(F.hex(F.col("payload"))).alias("vh"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+    hx = F.concat(
+        F.col("vh"),
+        F.lit("#"),
+        # integer DIV, not /-then-cast: Spark's int cast truncates but
+        # DuckDB's CAST(1.5 AS INT) rounds half-even — a scene-id trap
+        F.expr(f"frame_idx div {_SCENE_LEN}").cast("string"),
+    )
+    keyframes = kf.select(
+        (F.col("media_id") * _KF_ID_BASE + F.col("frame_idx")).alias(
+            "media_id"
+        ),
+        F.concat(F.md5(hx), F.md5(F.reverse(hx))).alias("h"),
+    )
+    sig = phash_from_hex(keyframes).select(
+        F.expr(f"doc_id div {_KF_ID_BASE}").alias("media_id"),
+        (F.col("doc_id") % _KF_ID_BASE).alias("frame_idx"),
+        *[f"q{j}" for j in range(_PHASH_CHUNKS)],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = sig.select(
+        "media_id",
+        "frame_idx",
+        F.lag("frame_idx").over(w).alias("prev_idx"),
+        *[
+            c
+            for j in range(_PHASH_CHUNKS)
+            for c in (
+                F.col(f"q{j}"),
+                F.lag(f"q{j}").over(w).alias(f"p{j}"),
+            )
+        ],
+    ).where(F.col("prev_idx").isNotNull())
+    ham = None
+    for j in range(_PHASH_CHUNKS):
+        t = F.bit_count(F.col(f"q{j}").bitwiseXOR(F.col(f"p{j}")))
+        ham = t if ham is None else ham + t
+    return lagged.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("prev_idx").cast("bigint").alias("prev_idx"),
+        ham.cast("bigint").alias("hamming"),
+        (ham > threshold).cast("bigint").alias("is_cut"),
+    )
+
+
+def mm_scene_cuts_sql(every_n: int = 30, threshold: int = 3) -> str:
+    total, chunk_exprs, _, _ = _phash_sql_parts()
+    hx = f"vh || '#' || CAST(frame_idx // {_SCENE_LEN} AS VARCHAR)"
+    ham = " + ".join(
+        f"bit_count(xor(q{j}, p{j}))" for j in range(_PHASH_CHUNKS)
+    )
+    lags = ", ".join(
+        f"LAG(q{j}) OVER w AS p{j}" for j in range(_PHASH_CHUNKS)
+    )
+    return (
+        "WITH vids AS (SELECT doc_id AS media_id, "
+        "md5(text) || md5(reverse(text)) AS vh, "
+        "(doc_id % 300 + 1) AS n_frames FROM documents "
+        "WHERE doc_id % 3 = 2), "
+        "fr AS (SELECT media_id, vh, "
+        f"UNNEST(range(0, n_frames, {every_n})) AS frame_idx FROM vids), "
+        f"m AS (SELECT media_id * {_KF_ID_BASE} + frame_idx AS media_id, "
+        f"md5({hx}) || md5(reverse({hx})) AS h FROM fr), "
+        f"withsum AS (SELECT media_id, h, {total} AS s FROM m), "
+        f"sig0 AS (SELECT media_id AS doc_id, {chunk_exprs} FROM withsum), "
+        f"sig AS (SELECT doc_id // {_KF_ID_BASE} AS media_id, "
+        f"doc_id % {_KF_ID_BASE} AS frame_idx, "
+        + ", ".join(f"q{j}" for j in range(_PHASH_CHUNKS))
+        + " FROM sig0), "
+        "lagged AS (SELECT media_id, frame_idx, "
+        f"LAG(frame_idx) OVER w AS prev_idx, {lags}, "
+        + ", ".join(f"q{j}" for j in range(_PHASH_CHUNKS))
+        + " FROM sig WINDOW w AS "
+        "(PARTITION BY media_id ORDER BY frame_idx)) "
+        "SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "CAST(prev_idx AS BIGINT) AS prev_idx, "
+        f"CAST({ham} AS BIGINT) AS hamming, "
+        f"CAST({ham} > {threshold} AS BIGINT) AS is_cut "
+        "FROM lagged WHERE prev_idx IS NOT NULL"
+    )
