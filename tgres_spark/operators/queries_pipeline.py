@@ -36,6 +36,9 @@ register("dedup_minhash_est", sql=dd.dedup_minhash_est_sql())(
 register("dedup_containment", sql=dd.dedup_containment_sql())(
     lambda s, d: dd.dedup_containment(_docs(s, d))
 )
+register("dedup_minhash_k_sweep", sql=dd.dedup_minhash_k_sweep_sql())(
+    lambda s, d: dd.dedup_minhash_k_sweep(_docs(s, d))
+)
 register("dedup_simhash_sweep", sql=dd.dedup_simhash_sweep_sql())(
     lambda s, d: dd.dedup_simhash_sweep(_docs(s, d))
 )

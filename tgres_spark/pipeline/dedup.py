@@ -1756,3 +1756,137 @@ def dedup_simhash_sweep_sql(max_hamming: int = 3) -> str:
         "COALESCE(mean_jaccard, 0.0) AS mean_jaccard "
         "FROM radii LEFT JOIN stats USING (radius) LEFT JOIN touched USING (radius)"
     )
+
+
+# --- minhash signature-length sweep (round 9) ---------------------------------
+
+MINHASH_KS = (4, 8, 16)
+
+
+def dedup_minhash_k_sweep(docs: DataFrame) -> DataFrame:
+    """(k, n_pairs, mean_est, mean_jaccard, mean_abs_err, rmse): the
+    minhash ESTIMATOR-accuracy dial — how close the k-component
+    estimate sits to exact Jaccard at k = 4, 8, 16, measured on the
+    16x1 candidate domain (the band_sweep truth universe). Signature
+    length is the third axis of the dedup budget (band_sweep picks the
+    layout, threshold_sweep the cutoff): k drives hashing cost and
+    index bytes LINEARLY, and this relation prices what each halving
+    costs in estimator error (the binomial Var = J(1-J)/k made
+    concrete on this corpus's actual pair population).
+
+    A k-prefix of the 16 components IS a valid k-minhash (the salted
+    hashes are independent), so one signature pass serves all three
+    k's. Exact Jaccard only on the bucketed candidate domain, never
+    all-pairs; the 3-row k relation broadcasts; means/rmse accumulate
+    dec6 decimals (unbounded pair counts) cast to double before the
+    division, sqrt rounded at 6 per the libm rule."""
+    from ..model import dec6
+
+    sig = minhash_signatures(docs).persist()
+    comp = sig.select("doc_id", F.posexplode("sig").alias("i", "v"))
+    cand = (
+        comp.alias("a")
+        .join(comp.alias("b"), ["i", "v"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (
+        cand.join(shd.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(shd.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    pj = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "sig_a",
+            "sig_b",
+            (ni.cast("double") / (F.col("na") + F.col("nb") - ni)).alias("jacc"),
+        )
+    )
+    ks = docs.sparkSession.createDataFrame(
+        [(k,) for k in MINHASH_KS], "k int"
+    )
+    est = F.aggregate(
+        F.sequence(F.lit(1), F.col("k")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at("sig_a", i) == F.element_at("sig_b", i), 1
+        ).otherwise(0),
+    ).cast("double") / F.col("k").cast("double")
+    scored = pj.crossJoin(F.broadcast(ks)).select(
+        "k", est.alias("est"), "jacc"
+    )
+    err = F.col("est") - F.col("jacc")
+    n = F.count("*")
+    return scored.groupBy("k").agg(
+        n.cast("bigint").alias("n_pairs"),
+        (F.sum(dec6(F.col("est"))).cast("double") / n).alias("mean_est"),
+        (F.sum(dec6(F.col("jacc"))).cast("double") / n).alias("mean_jaccard"),
+        (F.sum(dec6(F.abs(err))).cast("double") / n).alias("mean_abs_err"),
+        F.round(
+            F.sqrt(F.sum(dec6(err * err)).cast("double") / n), 6
+        ).alias("rmse"),
+    )
+
+
+def dedup_minhash_k_sweep_sql() -> str:
+    from ..model import dec6_sql
+
+    sig = minhash_signatures_sql()
+    ks = ", ".join(f"({k})" for k in MINHASH_KS)
+    est = (
+        "CAST(list_reduce(list_prepend(0, list_transform(range(1, k + 1), "
+        "i -> CASE WHEN sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)] "
+        "THEN 1 ELSE 0 END)), (a, x) -> a + x) AS DOUBLE) / CAST(k AS DOUBLE)"
+    )
+    return (
+        f"WITH s AS ({sig}), "
+        "comp AS (SELECT doc_id, UNNEST(range(1, 17)) AS i, "
+        "UNNEST(sig) AS v FROM s), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM comp a JOIN comp b ON a.i = b.i AND a.v = b.v "
+        "AND a.doc_id < b.doc_id), "
+        f"shd AS (SELECT doc_id, UNNEST(list_distinct({shingles_sql('text')})) AS sh "
+        "FROM documents), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id), "
+        "inter AS (SELECT doc_a, doc_b, COUNT(*) AS ni FROM cand "
+        "JOIN shd a ON a.doc_id = doc_a "
+        "JOIN shd b ON b.doc_id = doc_b AND b.sh = a.sh "
+        "GROUP BY doc_a, doc_b), "
+        "pj AS (SELECT sa.sig AS sig_a, sb.sig AS sig_b, "
+        "CAST(COALESCE(ni, 0) AS DOUBLE) / "
+        "(za.nsh + zb.nsh - COALESCE(ni, 0)) AS jacc "
+        "FROM cand JOIN s sa ON sa.doc_id = doc_a "
+        "JOIN s sb ON sb.doc_id = doc_b "
+        "JOIN sizes za ON za.doc_id = doc_a "
+        "JOIN sizes zb ON zb.doc_id = doc_b "
+        "LEFT JOIN inter USING (doc_a, doc_b)), "
+        f"ks AS (SELECT * FROM (VALUES {ks}) t(k)), "
+        f"scored AS (SELECT k, {est} AS est, jacc FROM pj CROSS JOIN ks) "
+        "SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(" + dec6_sql("est") + ") AS DOUBLE) / COUNT(*) AS mean_est, "
+        "CAST(SUM(" + dec6_sql("jacc") + ") AS DOUBLE) / COUNT(*) AS mean_jaccard, "
+        "CAST(SUM(" + dec6_sql("ABS(est - jacc)") + ") AS DOUBLE) / COUNT(*) "
+        "AS mean_abs_err, "
+        "ROUND(SQRT(CAST(SUM(" + dec6_sql("(est - jacc) * (est - jacc)")
+        + ") AS DOUBLE) / COUNT(*)), 6) AS rmse "
+        "FROM scored GROUP BY k"
+    )
