@@ -108,6 +108,18 @@ BENCH_QUERIES = [
     "text_kenlm_proxy",
     "corpus_bpe_merge2",
     "mm_text_image_pairs",
+    # round-9 second wave: the deflated second principal component
+    # (two fenced iterates over the d2 relation), the three new tuning
+    # sweeps (simhash radius / minhash signature length — both carry
+    # exact-Jaccard verification on bucketed candidate domains — and
+    # the market-basket pair miner), the incremental decontamination
+    # index consult, and the scene-cut lag-window path
+    "emb_pca2_deflate",
+    "dedup_simhash_sweep",
+    "dedup_minhash_k_sweep",
+    "tpch_basket_pairs",
+    "pipeline_contamination_incremental",
+    "mm_scene_cuts",
 ]
 
 

@@ -875,6 +875,12 @@ def test_ivf_lloyd_centroid_update_math(spark):
         r["vec_id"]: r["dist"] for r in ann_ivf_lloyd(emb, iters=2).collect()
     }
     assert sum(after2.values()) <= sum(after.values()) + 1e-9
+    # third composed iteration (ann_ivf_lloyd3_fixed's tree, round 9):
+    # the objective is still nonincreasing one level deeper
+    after3 = {
+        r["vec_id"]: r["dist"] for r in ann_ivf_lloyd(emb, iters=3).collect()
+    }
+    assert sum(after3.values()) <= sum(after2.values()) + 1e-9
 
 
 def test_bigram_lm_stupid_backoff_math(spark):

@@ -897,3 +897,54 @@ def test_attribution_stream_credits_cross_batch_conversion(spark, tmp_path):
     import os as _os
 
     assert len(_os.listdir(str(tmp_path / "out") + "/snap")) >= 2
+
+
+def test_rfm_refresh_reflips_segments_across_batches(spark, tmp_path):
+    """The cumulative-refresh property RFM needs: batch 2's whale
+    purchase shifts the corpus monetary mean, FLIPPING a batch-1
+    user's M letter — the latest snapshot must equal the batch
+    relation over all events (per-batch processing would have frozen
+    the early segment)."""
+    from tgres_spark.streaming.refresh import (
+        read_latest_snapshot,
+        run_cumulative_refresh,
+    )
+    from tgres_spark.tpch import rfm_relation
+
+    ns = 1_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = [
+        (1, 10 * ns, 1, "purchase", 10.0, "{}"),
+        (2, 11 * ns, 2, "purchase", 4.0, "{}"),
+    ]
+    batch2 = [(3, 12 * ns, 3, "purchase", 1000.0, "{}")]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    allev = spark.createDataFrame(batch1 + batch2, schema)
+    run_cumulative_refresh(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        allev.schema, rfm_relation,
+    )
+    got = {
+        r["user_id"]: r
+        for r in read_latest_snapshot(spark, str(tmp_path / "out")).collect()
+    }
+    want = {r["user_id"]: r for r in rfm_relation(allev).collect()}
+    assert {u: r["segment"] for u, r in got.items()} == {
+        u: r["segment"] for u, r in want.items()
+    }
+    # against batch-1 alone, user 1 (10 >= mean 7) is an M-high; the
+    # whale in batch 2 drags the mean to 338 and flips it to L
+    b1 = {
+        r["user_id"]: r["segment"]
+        for r in rfm_relation(spark.createDataFrame(batch1, schema)).collect()
+    }
+    assert b1[1][2] == "H" and got[1]["segment"][2] == "L"

@@ -463,6 +463,37 @@ def streaming_attribution(spark, sf_dir):
     return read_latest_snapshot(spark, f"{work}/out")
 
 
+@register(
+    "streaming_rfm",
+    sql=__import__("tgres_spark.tpch", fromlist=["x"])._RFM_SQL,
+)
+def streaming_rfm(spark, sf_dir):
+    """The live RFM dashboard (round 9, the second instance of the
+    generic cumulative-refresh shape, streaming/refresh.py): segments
+    depend on corpus MEANS and the corpus max timestamp, so a purchase
+    arriving in batch N can flip letters assigned in batch N−1 —
+    per-batch processing structurally cannot express that; each batch
+    lands raw events idempotently and republishes the full relation,
+    and the latest snapshot equals the batch operator over everything
+    seen (the batch SQL is the oracle verbatim). Four real
+    micro-batches over the events table, latest snapshot re-read."""
+    import tempfile
+
+    from ..streaming.refresh import (
+        read_latest_snapshot, run_cumulative_refresh,
+    )
+    from ..tpch import rfm_relation
+
+    work = tempfile.mkdtemp(prefix="tgres_srfm_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_cumulative_refresh(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema,
+        rfm_relation,
+    )
+    return read_latest_snapshot(spark, f"{work}/out")
+
+
 @register("streaming_catalog_compact", sql=_CATALOG_ORACLE_SQL)
 def streaming_catalog_compact(spark, sf_dir):
     """Catalog compaction across stream INCARNATIONS (round 9,

@@ -136,6 +136,9 @@ register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
 register("ann_ivf_lloyd_fixed", sql=sim.ann_ivf_lloyd_sql())(
     lambda s, d: sim.ann_ivf_lloyd(_emb(s, d))
 )
+register("ann_ivf_lloyd3_fixed", sql=sim.ann_ivf_lloyd_sql(iters=3))(
+    lambda s, d: sim.ann_ivf_lloyd(_emb(s, d), iters=3)
+)
 register("ann_ivf_lloyd2_fixed", sql=sim.ann_ivf_lloyd_sql(iters=2))(
     lambda s, d: sim.ann_ivf_lloyd(_emb(s, d), iters=2)
 )

@@ -57,17 +57,18 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "tpch_basket_pairs", "corpus_token_gini", "corpus_quality_psi",
     "dedup_url_canonical", "corpus_bpe_merge3", "streaming_attribution",
     "dedup_simhash_sweep", "emb_pca2_deflate",
+    "corpus_lang_confusion", "pipeline_quality_sweep", "events_rfm",
+    "ann_ivf_margin", "mm_scene_cuts", "dedup_minhash_k_sweep",
+    "streaming_rfm", "ann_ivf_lloyd3_fixed",
     # -- oldest-green rotation: latest green row = round 1 --
     "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
     "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
     "dsl_scaleToSeconds", "dsl_smartSummarize", "dsl_summarize",
     "dsl_timeStack", "dsl_transformNull",
-    # -- latest green row = round 3 (leading slice; tpch_q5/q6 and the
-    #    round-4 tranche rotate forward next round) --
+    # -- latest green row = round 3 (leading slice; the rest of r3 and
+    #    the round-4 tranche rotate forward next round) --
     "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "events_props_extract", "mm_frame_sample", "text_fingerprint",
-    "text_langid", "text_quality", "text_tokens", "tpch_q1", "tpch_q3",
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced

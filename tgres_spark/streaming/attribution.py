@@ -38,33 +38,16 @@ def run_attribution_stream(
     files_per_trigger: int = 1,
 ) -> None:
     from ..tpch import attribution_relation
+    from .refresh import run_cumulative_refresh
 
-    def _refresh(batch, batch_id: int) -> None:
-        batch.write.mode("overwrite").parquet(
-            f"{out_dir}/raw/b{batch_id:06d}"
-        )
-        allev = spark.read.parquet(f"{out_dir}/raw/b*")
-        attribution_relation(allev).write.mode("overwrite").parquet(
-            f"{out_dir}/snap/b{batch_id:06d}"
-        )
-
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(in_dir)
+    run_cumulative_refresh(
+        spark, in_dir, out_dir, checkpoint, schema,
+        attribution_relation, files_per_trigger,
     )
-    q = (
-        src.writeStream.foreachBatch(_refresh)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
 
 
 def read_latest_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     """The published relation: the highest-numbered snapshot only."""
-    import os
+    from .refresh import read_latest_snapshot as _r
 
-    snaps = sorted(os.listdir(f"{out_dir}/snap"))
-    return spark.read.parquet(f"{out_dir}/snap/{snaps[-1]}")
+    return _r(spark, out_dir)

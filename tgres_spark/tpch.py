@@ -1108,6 +1108,11 @@ FROM r CROSS JOIN tot
 
 @register("events_rfm", sql=_RFM_SQL)
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rfm_relation over the events table — see below."""
+    return rfm_relation(load_table(spark, sf_dir, "events"))
+
+
+def rfm_relation(ev: DataFrame) -> DataFrame:
     """RFM segmentation (round 9): per purchasing user, recency (s
     since last purchase, against the corpus max), frequency, monetary
     (micro6-exact value sum) — plus the 8-way H/L segment against the
@@ -1122,7 +1127,6 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) vs DuckDB HUGEINT), so no double mean, no division,
     no tie ambiguity. One groupBy on user_id; the corpus max and the
     three totals re-enter as one-row broadcasts."""
-    ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
         epoch_s("ts", ev).alias("t"),

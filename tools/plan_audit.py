@@ -39,6 +39,7 @@ SKIP = {
     "streaming_catalog_compact",
     "streaming_dedup_incremental",
     "streaming_attribution",
+    "streaming_rfm",
     "carbon_pickle_stream",
     "ann_ivf_search",  # iterative Lloyd: collects per round by design
 }
