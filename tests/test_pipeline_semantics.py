@@ -1542,6 +1542,74 @@ def test_bloom_decontaminate_equals_exact_check(spark):
     assert contaminated == {5, 10, 15, 20}
 
 
+def test_prep_increment_verdicts_each_rejection_reason(spark, tmp_path):
+    """One increment exercising every gate: a clean keeper, a
+    benchmark-contaminated doc, a near-dup of an INDEXED corpus doc, a
+    within-increment dup pair (min-id keeper kept), and a repetitive
+    doc the Gopher gate rejects."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.contamination import contamination_index
+    from tgres_spark.pipeline.dedup import minhash_signatures
+    from tgres_spark.pipeline.prep import prep_increment
+
+    bench_txt = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    corp_txt = (
+        "the existing corpus document talks at length about spark "
+        "plans and shuffles and joins and broadcast hash tables today"
+    )
+    clean = (
+        "genuinely fresh crawl document containing plenty varied "
+        "useful tokens that easily pass the quality gate because they "
+        "cover many different topics including parquet shuffles "
+        "broadcast joins adaptive execution planning vectors"
+    )
+    dup_inc = (
+        "an increment internal duplicate paragraph that appears twice "
+        "across two distinct crawl records within the same batch run "
+        "carrying enough fresh vocabulary to clear every quality rule "
+        "comfortably today"
+    )
+    existing = spark.createDataFrame(
+        [(1, corp_txt, "en", "s", 1), (0, bench_txt, "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc_rows = [
+        (10, clean, "en", "s", 1),
+        (20, "intro " + bench_txt + " outro", "en", "s", 1),   # contaminated
+        (30, corp_txt + " tail", "en", "s", 1),                 # corpus dup
+        (40, dup_inc, "en", "s", 1),                            # keeper of pair
+        (50, dup_inc + " extra", "en", "s", 1),                 # increment dup
+        (60, "spam spam spam spam spam spam spam spam", "en", "s", 1),  # gopher
+    ]
+    increment = spark.createDataFrame(
+        inc_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sig = str(tmp_path / "sig")
+    bench = str(tmp_path / "bench")
+    minhash_signatures(
+        existing.where(F.col("source") != "src0")
+    ).write.parquet(sig)
+    contamination_index(existing).write.parquet(bench)
+    out = {
+        r["doc_id"]: r
+        for r in prep_increment(spark, sig, bench, increment).collect()
+    }
+    assert out[10]["keep"] == 1 and all(
+        out[10][c] == 0
+        for c in ("contaminated", "dup_corpus", "dup_increment")
+    )
+    assert out[20]["contaminated"] == 1 and out[20]["keep"] == 0
+    assert out[30]["dup_corpus"] == 1 and out[30]["keep"] == 0
+    assert out[40]["dup_increment"] == 0 and out[40]["keep"] == 1
+    assert out[50]["dup_increment"] == 1 and out[50]["keep"] == 0
+    assert out[60]["gopher_keep"] == 0 and out[60]["keep"] == 0
+
+
 def test_contamination_incremental_equals_full_filtered(spark, tmp_path):
     """The incremental decontamination contract: scoring ONLY the
     increment against the persisted benchmark index yields exactly the

@@ -482,6 +482,40 @@ register("corpus_lang_confusion", sql=tx.corpus_lang_confusion_sql())(
 register("corpus_token_gini", sql=tx.corpus_token_gini_sql())(
     lambda spark, sf_dir: tx.corpus_token_gini(_docs(spark, sf_dir))
 )
+@register(
+    "pipeline_prep_increment",
+    sql=__import__(
+        "tgres_spark.pipeline.prep", fromlist=["x"]
+    ).prep_increment_sql(),
+)
+def pipeline_prep_increment(spark, sf_dir):
+    """The daily-crawl prep path end-to-end (pipeline/prep.py
+    prep_increment): both indexes are genuinely written to and re-read
+    from parquet — the corpus signature index (existing docs,
+    doc_id % 5 != 0) and the benchmark gram index — then the increment
+    (doc_id % 5 == 0, non-benchmark) flows through gopher gate +
+    incremental decontamination + incremental dedup to one per-doc
+    keep verdict. Only increment text is read at prep time."""
+    import tempfile
+
+    from ..pipeline.contamination import contamination_index
+    from ..pipeline.prep import prep_increment
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % dd.INCREMENT_MOD
+    work = tempfile.mkdtemp(prefix="tgres_pinc_")
+    dd.minhash_signatures(docs.where(m != 0)).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/sig_index")
+    contamination_index(docs).write.mode("overwrite").parquet(
+        f"{work}/bench_index"
+    )
+    increment = docs.where((m == 0) & (F.col("source") != "src0"))
+    return prep_increment(
+        spark, f"{work}/sig_index", f"{work}/bench_index", increment
+    )
+
+
 register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
     lambda spark, sf_dir: tx.text_bigram_lm(_docs(spark, sf_dir))
 )

@@ -645,3 +645,128 @@ def prep_funnel_sql(k: int = 16) -> str:
         + " UNION ALL " + stage("kept", "2_gopher")
         + " UNION ALL " + stage("fin", "3_dedup")
     )
+
+
+# --- incremental prep: the daily-crawl path (round 9) -------------------------
+
+INC_DUP_THRESHOLD = 0.5
+
+
+def prep_increment(
+    spark,
+    sig_index_path: str,
+    bench_index_path: str,
+    increment: DataFrame,
+    threshold: float = INC_DUP_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, gopher_keep, contaminated, dup_corpus, dup_increment,
+    keep): the INCREMENTAL prep verdict — a new crawl increment
+    through the Gopher gate, decontamination against the PERSISTED
+    benchmark gram index, and near-dup screening against the PERSISTED
+    corpus signature index plus itself, in one relation. This is the
+    daily-crawl production path the incremental family exists for:
+    pipeline_prep_full recomputes the corpus; this touches ONLY
+    increment text and two hash indexes (benchmark grams broadcast;
+    corpus signatures consulted map-only — dedup_incremental's plan).
+
+    Flag semantics, all per-doc and therefore oracle-checkable against
+    the full-corpus runs filtered to the increment: gopher_keep from
+    the per-doc gate; contaminated from the benchmark gram fraction;
+    dup_corpus when ANY index doc pairs at est_sim >= threshold (a
+    cross pair names exactly one increment doc — identified by the
+    increment id rule); dup_increment when a SMALLER-id increment doc
+    pairs at est_sim >= threshold (min-id keeper, the dedup_exact
+    convention — deterministic and order-free). keep = gopher AND NOT
+    contaminated AND NOT either dup."""
+    from .contamination import contamination_incremental
+    from .dedup import INCREMENT_MOD, dedup_incremental
+    from .textstats import gopher_filter
+
+    g = gopher_filter(increment).select(
+        "doc_id", F.col("keep").alias("gkeep")
+    )
+    c = contamination_incremental(
+        spark, bench_index_path, increment
+    ).select("doc_id", "contaminated")
+    strong = dedup_incremental(spark, sig_index_path, increment).where(
+        F.col("est_sim") >= float(threshold)
+    )
+    inc_side = F.when(
+        F.col("doc_a") % INCREMENT_MOD == 0, F.col("doc_a")
+    ).otherwise(F.col("doc_b"))
+    dupc = (
+        strong.where(F.col("cross_corpus"))
+        .select(inc_side.alias("doc_id"))
+        .distinct()
+        .withColumn("dc", F.lit(1))
+    )
+    dupi = (
+        strong.where(~F.col("cross_corpus"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("di", F.lit(1))
+    )
+    base = increment.select("doc_id")
+    gopher_keep = F.coalesce(F.col("gkeep").cast("bigint"), F.lit(0))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(0))
+    dup_corpus = F.coalesce(F.col("dc"), F.lit(0)).cast("bigint")
+    dup_increment = F.coalesce(F.col("di"), F.lit(0)).cast("bigint")
+    return (
+        base.join(g, "doc_id", "left")
+        .join(F.broadcast(c), "doc_id", "left")
+        .join(F.broadcast(dupc), "doc_id", "left")
+        .join(F.broadcast(dupi), "doc_id", "left")
+        .select(
+            "doc_id",
+            gopher_keep.alias("gopher_keep"),
+            contaminated.alias("contaminated"),
+            dup_corpus.alias("dup_corpus"),
+            dup_increment.alias("dup_increment"),
+            (
+                (gopher_keep == 1)
+                & (contaminated == 0)
+                & (dup_corpus == 0)
+                & (dup_increment == 0)
+            )
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )
+
+
+def prep_increment_sql(threshold: float = INC_DUP_THRESHOLD) -> str:
+    from .contamination import contamination_incremental_sql
+    from .dedup import INCREMENT_MOD, dedup_minhash_lsh_sql
+    from .textstats import gopher_filter_sql
+
+    mod = INCREMENT_MOD
+    inc_pred = f"doc_id % {mod} = 0 AND source <> 'src0'"
+    return (
+        f"WITH inc AS (SELECT * FROM documents WHERE {inc_pred}), "
+        f"g AS (SELECT * FROM ({gopher_filter_sql(rel='inc')})), "
+        f"c AS (SELECT * FROM ({contamination_incremental_sql(mod)})), "
+        f"pairs AS (SELECT * FROM ({dedup_minhash_lsh_sql()}) "
+        f"WHERE est_sim >= {float(threshold)!r}), "
+        "incids AS (SELECT doc_id FROM inc), "
+        f"idxids AS (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0), "
+        "dupc AS (SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM incids) "
+        "THEN doc_a ELSE doc_b END AS doc_id FROM pairs "
+        "WHERE (doc_a IN (SELECT doc_id FROM incids) "
+        "AND doc_b IN (SELECT doc_id FROM idxids)) "
+        "OR (doc_b IN (SELECT doc_id FROM incids) "
+        "AND doc_a IN (SELECT doc_id FROM idxids))), "
+        "dupi AS (SELECT DISTINCT doc_b AS doc_id FROM pairs "
+        "WHERE doc_a IN (SELECT doc_id FROM incids) "
+        "AND doc_b IN (SELECT doc_id FROM incids)) "
+        "SELECT inc.doc_id AS doc_id, "
+        "CAST(COALESCE(CAST(g.keep AS BIGINT), 0) AS BIGINT) AS gopher_keep, "
+        "CAST(COALESCE(c.contaminated, 0) AS BIGINT) AS contaminated, "
+        "CAST(inc.doc_id IN (SELECT doc_id FROM dupc) AS BIGINT) AS dup_corpus, "
+        "CAST(inc.doc_id IN (SELECT doc_id FROM dupi) AS BIGINT) AS dup_increment, "
+        "CAST(COALESCE(CAST(g.keep AS BIGINT), 0) = 1 "
+        "AND COALESCE(c.contaminated, 0) = 0 "
+        "AND inc.doc_id NOT IN (SELECT doc_id FROM dupc) "
+        "AND inc.doc_id NOT IN (SELECT doc_id FROM dupi) AS BIGINT) AS keep "
+        "FROM inc LEFT JOIN g ON g.doc_id = inc.doc_id "
+        "LEFT JOIN c ON c.doc_id = inc.doc_id"
+    )
