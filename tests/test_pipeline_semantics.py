@@ -2817,6 +2817,35 @@ def test_quality_sweep_survival_curve(spark):
     assert rows[0]["doc_share"] <= 1.0 and rows[0]["token_share"] <= 1.0
 
 
+def test_source_overlap_catches_mirror_and_subset(spark):
+    """A full mirror pairs at jaccard 1.0; a source whose only doc is
+    copied inside a larger source's doc shows the asymmetric
+    containment signal (cont small-side ~1, jaccard well below)."""
+    from tgres_spark.pipeline.textstats import corpus_source_overlap
+
+    base = " ".join(f"w{i}" for i in range(30))
+    big = base + " " + " ".join(f"extra{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "mirror_a", 1),
+        (2, base, "en", "mirror_b", 1),      # exact mirror of mirror_a
+        (3, big, "en", "host", 1),           # contains base wholly
+        (4, " ".join(f"z{i}" for i in range(30)), "en", "lonely", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in corpus_source_overlap(docs).collect()
+    }
+    m = out[("mirror_a", "mirror_b")]
+    assert m["jaccard"] == 1.0 and m["cont_a"] == 1.0 and m["cont_b"] == 1.0
+    h = out[("host", "mirror_a")]
+    assert h["cont_b"] == 1.0          # mirror_a lives wholly inside host
+    assert h["jaccard"] < 0.5          # but symmetric overlap is small
+    assert not any("lonely" in k for k in out)  # no shared grams at all
+
+
 def test_lang_confusion_matrix_counts_and_shares(spark):
     """Hand-built corpus: 2 English docs classified en, 1 German doc
     classified de, 1 doc DECLARED de but written in English (the

@@ -476,6 +476,9 @@ def pipeline_contamination_incremental(spark, sf_dir):
     return contamination_incremental(spark, f"{work}/bench_index", increment)
 
 
+register("corpus_source_overlap", sql=tx.corpus_source_overlap_sql())(
+    lambda spark, sf_dir: tx.corpus_source_overlap(_docs(spark, sf_dir))
+)
 register("corpus_lang_confusion", sql=tx.corpus_lang_confusion_sql())(
     lambda spark, sf_dir: tx.corpus_lang_confusion(_docs(spark, sf_dir))
 )

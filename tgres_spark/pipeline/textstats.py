@@ -3322,3 +3322,81 @@ def pipeline_quality_sweep_sql() -> str:
         "CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / n_tokens AS token_share "
         "FROM cuts LEFT JOIN per USING (cutoff) CROSS JOIN tot"
     )
+
+
+# --- pairwise source overlap (round 9) ----------------------------------------
+
+def corpus_source_overlap(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, n_common, jaccard, cont_a, cont_b):
+    the source-level overlap matrix over distinct k-gram hashes — the
+    corpus-QA relation that catches one source MIRRORING another
+    (syndicated feeds, scraped mirrors, a crawl list that ingested the
+    same site twice under two names). cont_a = |A∩B|/|A| is the
+    asymmetric signal: a small source living wholly inside a big one
+    shows jaccard ≈ 0 but cont_a ≈ 1 (the dedup_containment argument
+    one level up, at source granularity).
+
+    Scale: one distinct over (source, gram-md5) — the only corpus-
+    sized shuffle, on uniform hashed keys; the self-join is GRAM-
+    KEYED, and per-gram fanout is bounded by the SOURCE COUNT (tens),
+    not by document count — a gram shared by s sources contributes
+    C(s,2) rows, so the joined relation is O(grams × sources²) worst
+    case and the pair groupBy map-combines to ≤ C(sources,2) keys.
+    Exact integer counts; ratios divide doubles cast from exact ints
+    in oracle operand order."""
+    from .dedup import shingles_of
+
+    g = (
+        docs.select("source", words(F.col("text")).alias("w"))
+        .select("source", F.explode(shingles_of(F.col("w"), k)).alias("gr"))
+        .select("source", F.md5("gr").alias("h"))
+        .distinct()
+    )
+    sizes = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "h")
+    b = g.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    nc = F.col("n_common")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            nc.cast("bigint").alias("n_common"),
+            (nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc)).alias(
+                "jaccard"
+            ),
+            (nc.cast("double") / F.col("n_a")).alias("cont_a"),
+            (nc.cast("double") / F.col("n_b")).alias("cont_b"),
+        )
+    )
+
+
+def corpus_source_overlap_sql(k: int = 8) -> str:
+    from .dedup import shingles_sql
+
+    return (
+        f"WITH g AS (SELECT DISTINCT source, md5(UNNEST({shingles_sql('text', k)})) AS h "
+        "FROM documents), "
+        "sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source), "
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "COUNT(*) AS n_common FROM g a JOIN g b ON a.h = b.h "
+        "AND a.source < b.source GROUP BY a.source, b.source) "
+        "SELECT src_a, src_b, CAST(sa.n AS BIGINT) AS n_a, "
+        "CAST(sb.n AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common, "
+        "CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard, "
+        "CAST(n_common AS DOUBLE) / sa.n AS cont_a, "
+        "CAST(n_common AS DOUBLE) / sb.n AS cont_b "
+        "FROM inter JOIN sizes sa ON sa.source = src_a "
+        "JOIN sizes sb ON sb.source = src_b"
+    )

@@ -60,6 +60,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "corpus_lang_confusion", "pipeline_quality_sweep", "events_rfm",
     "ann_ivf_margin", "mm_scene_cuts", "dedup_minhash_k_sweep",
     "streaming_rfm", "ann_ivf_lloyd3_fixed", "pipeline_prep_increment",
+    "tpch_orders_seasonality", "corpus_source_overlap",
     # -- oldest-green rotation: latest green row = round 1 --
     "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
     "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
@@ -68,7 +69,6 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     # -- latest green row = round 3 (leading slice; the rest of r3 and
     #    the round-4 tranche rotate forward next round) --
     "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced

@@ -910,3 +910,82 @@ def tpch_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift"),
         )
     )
+
+
+_SEASON_PERIOD_S = 30 * 86400  # fixed 30-day periods: calendar-free,
+# so the period id is pure integer DIV of the epoch in BOTH engines
+# (calendar months would route through timezone-sensitive date parts —
+# the NTZ/LTZ drift class model.epoch_s exists to avoid)
+
+
+@register(
+    "tpch_orders_seasonality",
+    sql=f"""
+WITH o AS (
+  SELECT epoch_ns(o_orderdate) // 1000000000 // {_SEASON_PERIOD_S} AS period,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS p
+  FROM orders
+), per AS (
+  SELECT period, COUNT(*) AS n_orders, CAST(SUM(p) AS DOUBLE) AS revenue
+  FROM o GROUP BY period
+)
+SELECT CAST(period AS BIGINT) AS period, CAST(n_orders AS BIGINT) AS n_orders,
+  revenue,
+  LAG(revenue) OVER (ORDER BY period) AS prev_revenue,
+  CASE WHEN LAG(revenue) OVER (ORDER BY period) IS NOT NULL
+       AND LAG(revenue) OVER (ORDER BY period) <> 0.0
+       THEN ROUND((revenue - LAG(revenue) OVER (ORDER BY period))
+                  / LAG(revenue) OVER (ORDER BY period), 6) END AS growth
+FROM per
+""",
+)
+def tpch_orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-volume seasonality (round 9): per fixed 30-day period,
+    order count, exact-decimal revenue, and period-over-period growth
+    — the demand-trend relation every order warehouse charts. Periods
+    are integer DIV of the epoch (calendar-free: date-part extraction
+    routes through timezone machinery that differs between engines —
+    the drift class model.epoch_s exists to avoid — and a 30-day grid
+    answers the same seasonality question).
+
+    100 TB: ONE groupBy on the ~period-count key domain (map-side
+    combined; the fact table never re-shuffles), then the lag window
+    runs on the PERIOD relation — rows = corpus timespan / 30 days
+    (decades of data = hundreds of rows), a declared tiny
+    single-partition window of the corpus_zipf_fit class, never
+    row-count-sized. Determinism: exact decimal revenue sums cast to
+    double before the growth division, growth rounded at 6."""
+    o = load_table(spark, sf_dir, "orders")
+    e = epoch_s("o_orderdate", o)
+    # exact integer floor division: (e - e % P) / P divides exactly, so
+    # the double quotient is exact and the bigint cast can't straddle a
+    # boundary (a raw e / P double can round UP within half an ulp of
+    # an integer — the /-then-cast trap, see
+    # [[spark-duckdb-int-cast-rounding]])
+    per = (
+        o.select(
+            ((e - e % _SEASON_PERIOD_S) / _SEASON_PERIOD_S)
+            .cast("bigint")
+            .alias("period"),
+            _dec(F.col("o_totalprice")).alias("p"),
+        )
+        .groupBy("period")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("p").cast("double").alias("revenue"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("period")
+    prev = F.lag("revenue").over(w)
+    return per.select(
+        "period",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull() & (prev != 0.0),
+            F.round((F.col("revenue") - prev) / prev, 6),
+        ).alias("growth"),
+    )

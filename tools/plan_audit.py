@@ -83,6 +83,10 @@ ALLOW = {
     # TakeOrderedAndProject — bounded by the k=100 literal, never by
     # corpus size (the events_conversion_lag class)
     "corpus_zipf_fit": {"SinglePartition"},
+    # the period-over-period lag runs on the PERIOD relation — rows =
+    # corpus timespan / 30 days (hundreds for decades of data), never
+    # row-count-sized (the corpus_zipf_fit class)
+    "tpch_orders_seasonality": {"SinglePartition"},
 }
 
 SMELLS = ("CartesianProduct", "BatchEvalPython")
