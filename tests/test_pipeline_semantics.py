@@ -2817,6 +2817,28 @@ def test_quality_sweep_survival_curve(spark):
     assert rows[0]["doc_share"] <= 1.0 and rows[0]["token_share"] <= 1.0
 
 
+def test_readability_hand_computed_flesch(spark):
+    """'the cat. ran far!' = 4 words, 2 sentences, 4 vowel groups ->
+    flesch 206.835 - 1.015*2 - 84.6*1 = 120.205; a no-punctuation
+    polysyllabic doc floors sentences at 1 and counts vowel GROUPS
+    (\"education\" = e|u|a|io = 4)."""
+    from tgres_spark.pipeline.textstats import text_readability
+
+    rows = [
+        (1, "the cat. ran far!", "en", "s", 1),
+        (2, "education", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text_readability(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (4, 2, 4)
+    assert abs(r1["flesch"] - 120.205) < 1e-9
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 4)
+
+
 def test_source_overlap_catches_mirror_and_subset(spark):
     """A full mirror pairs at jaccard 1.0; a source whose only doc is
     copied inside a larger source's doc shows the asymmetric

@@ -36,6 +36,12 @@ register("dedup_minhash_est", sql=dd.dedup_minhash_est_sql())(
 register("dedup_containment", sql=dd.dedup_containment_sql())(
     lambda s, d: dd.dedup_containment(_docs(s, d))
 )
+register("dedup_cluster_stats", sql=dd.dedup_cluster_stats_sql())(
+    lambda s, d: dd.dedup_cluster_stats(_docs(s, d))
+)
+register("text_readability", sql=tx.text_readability_sql())(
+    lambda s, d: tx.text_readability(_docs(s, d))
+)
 register("dedup_minhash_k_sweep", sql=dd.dedup_minhash_k_sweep_sql())(
     lambda s, d: dd.dedup_minhash_k_sweep(_docs(s, d))
 )

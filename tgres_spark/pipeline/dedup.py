@@ -1890,3 +1890,44 @@ def dedup_minhash_k_sweep_sql() -> str:
         + ") AS DOUBLE) / COUNT(*)), 6) AS rmse "
         "FROM scored GROUP BY k"
     )
+
+
+# --- near-dup cluster-size profile (round 9) ----------------------------------
+
+def dedup_cluster_stats(docs: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the size histogram of the
+    near-dup components — the skew dial for everything that windows
+    per cluster (dedup_keep_best's per-root windows, the rewrite-
+    pointer fanout, union-find frontier width). A corpus whose mass
+    sits in a few mega-clusters needs the keeper pass salted; one
+    whose clusters are pairs doesn't — this relation is how you know
+    which corpus you have before running it.
+
+    Composes the shared components engine; the histogram itself is two
+    tiny map-combined groupBys (root domain, then size domain). Exact
+    integers throughout."""
+    comp = dedup_components(docs)
+    sizes = comp.groupBy("root_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+def dedup_cluster_stats_sql(threshold: float = 0.5) -> str:
+    return (
+        f"WITH comp AS ({dedup_components_sql(threshold)}), "
+        "sizes AS (SELECT root_id, COUNT(*) AS cluster_size FROM comp "
+        "GROUP BY root_id) "
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, "
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs "
+        "FROM sizes GROUP BY cluster_size"
+    )

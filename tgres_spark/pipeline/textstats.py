@@ -3400,3 +3400,75 @@ def corpus_source_overlap_sql(k: int = 8) -> str:
         "FROM inter JOIN sizes sa ON sa.source = src_a "
         "JOIN sizes sb ON sb.source = src_b"
     )
+
+
+# --- readability (round 9) -----------------------------------------------------
+
+def text_readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): the Flesch
+    reading-ease panel with the standard machine proxies — sentences
+    by terminal-punctuation runs (min 1), syllables by vowel-group
+    count per word (min 1/word, the classic hyphenation-free
+    estimate). Readability is a stock quality-model feature (too-easy
+    = template spam, too-hard = OCR noise / code), and this exposes it
+    as a first-class per-doc relation the quality logit could consume.
+
+    Map-only: one words() array shared by both counts (the CSE rule),
+    regexp_count for vowel groups (JVM-side), flesch = 206.835 −
+    1.015·(W/S) − 84.6·(Y/W) rounded at 6 with the literal chain in
+    oracle operand order; S and Y floor at 1 so the divisions are
+    total."""
+    w = words(F.col("text"))
+    base = docs.select("doc_id", "text", w.alias("ws"))
+    n_words = F.greatest(F.size("ws"), F.lit(1))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    syl = F.aggregate(
+        F.transform(
+            F.col("ws"),
+            lambda x: F.greatest(
+                F.regexp_count(x, F.lit("[aeiou]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syl").cast("double") / F.col("n_words").cast("double")),
+        6,
+    )
+    return base.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        syl.alias("syl"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        F.col("syl").cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+def text_readability_sql() -> str:
+    w = WORDS_SQL.format(c="text")
+    syl = (
+        f"list_sum(list_transform({w}, "
+        "x -> GREATEST(len(regexp_extract_all(x, '[aeiou]+')), 1)))"
+    )
+    nw = f"GREATEST(len({w}), 1)"
+    ns = "GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)"
+    return (
+        f"SELECT doc_id, CAST({nw} AS BIGINT) AS n_words, "
+        f"CAST({ns} AS BIGINT) AS n_sentences, "
+        f"CAST({syl} AS BIGINT) AS n_syllables, "
+        f"ROUND(206.835 - 1.015 * (CAST({nw} AS DOUBLE) / CAST({ns} AS DOUBLE)) "
+        f"- 84.6 * (CAST({syl} AS DOUBLE) / CAST({nw} AS DOUBLE)), 6) AS flesch "
+        "FROM documents"
+    )

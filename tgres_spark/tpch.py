@@ -1165,3 +1165,56 @@ def rfm_relation(ev: DataFrame) -> DataFrame:
         (F.col("m6").cast("double") / 1000000.0).alias("monetary"),
         seg.alias("segment"),
     )
+
+
+_DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT (epoch_ns(ts) // 1000000000) // 86400 AS day, user_id
+  FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+), contrib AS (
+  SELECT DISTINCT UNNEST(range(day, day + 7)) AS wday, user_id FROM du
+), wau AS (
+  SELECT wday AS day, COUNT(*) AS wau FROM contrib GROUP BY wday
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+  CAST(wau AS BIGINT) AS wau,
+  CAST(dau AS DOUBLE) / wau AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
+@register("events_dau_wau", sql=_DAU_WAU_SQL)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day (round 9) — the
+    engagement panel every product warehouse charts; stickiness
+    (DAU/WAU, Facebook's classic ratio) says whether activity is
+    habitual or drive-by.
+
+    The scale move: NO range join and NO windowed COUNT DISTINCT —
+    each distinct (day, user) row contributes itself to the 7 trailing
+    windows it belongs to via a literal-bounded sequence explode
+    (fan-out exactly 7), then ONE dedup + count per window day. Both
+    groupBys are day-keyed (map-side combined, day domain = corpus
+    timespan); day ids are exact integer floor division of the epoch.
+    Output rows only for OBSERVED days (inner join to dau), so
+    trailing windows past the last activity don't invent days."""
+    ev = load_table(spark, sf_dir, "events")
+    e = epoch_s("ts", ev)
+    day = ((e - e % 86400) / 86400).cast("bigint")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday"),
+        "user_id",
+    ).distinct()
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.count("*").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
