@@ -249,6 +249,16 @@ def test_pixel_agg_commands_flow_through_statsd_flush(spark, catalog):
         ):
             with urlopen(f"http://{host}:{port}{path}", timeout=60) as r:
                 assert r.status == 200
+        # the handler responds BEFORE queueing (reference parity:
+        # pixel.go sends the gif first), so the last request's
+        # commands may still be in flight when urlopen returns —
+        # wait for all 6 (observed as a rare full-suite flake)
+        import time as _time
+
+        deadline = _time.monotonic() + 30
+        while len(server.agg_commands) < 6 and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert len(server.agg_commands) == 6
         out = statsd_flush(
             pixel_agg_frame(spark, server.agg_commands), 60
         )
