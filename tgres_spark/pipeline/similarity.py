@@ -3464,7 +3464,12 @@ def emb_pca2_deflate(emb: DataFrame) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
         )
     )
-    p = _power_iter2_from_cov(cov)
+    # fence the first iterate too: it feeds v2lam AND the pc1 side of
+    # the output join, and each evaluation is ~a dozen tiny stages of
+    # 64-row algebra whose scheduling overhead dominates (64 rows,
+    # but every collect_list is a full shuffle round)
+    p = _power_iter2_from_cov(cov).persist()
+    p.count()
     v2lam = p.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "v2"))),
