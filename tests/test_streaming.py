@@ -948,3 +948,39 @@ def test_rfm_refresh_reflips_segments_across_batches(spark, tmp_path):
         for r in rfm_relation(spark.createDataFrame(batch1, schema)).collect()
     }
     assert b1[1][2] == "H" and got[1]["segment"][2] == "L"
+
+
+def test_scene_cut_stream_matches_batch(spark, tmp_path):
+    """Stateless per-video decomposability: cutting each video in its
+    own micro-batch yields exactly the batch relation (union of
+    per-batch outputs == mm_scene_cuts over all videos)."""
+    from tgres_spark.pipeline.multimodal import mm_scene_cuts
+    from tgres_spark.streaming.mmcuts import run_scene_cut_stream
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [
+        (152, "some video content here", "en", "s", 1),   # %3==2 -> video
+        (155, "a different video clip entirely", "en", "s", 1),
+        (2, "not a video at all", "en", "s", 1),           # image kind
+    ]
+    in_dir = str(tmp_path / "in")
+    for r in rows:
+        spark.createDataFrame([r], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    run_scene_cut_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        spark.createDataFrame(rows, schema).schema,
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["hamming"], r["is_cut"])
+        for r in spark.read.parquet(str(tmp_path / "out") + "/b*").collect()
+    }
+    want = {
+        (r["media_id"], r["frame_idx"]): (r["hamming"], r["is_cut"])
+        for r in mm_scene_cuts(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert got == want and got  # nonempty and identical
+    assert all(m in (152, 155) for m, _ in got)

@@ -247,6 +247,26 @@ def mm_scene_cuts(spark, sf_dir):
     return mm.mm_scene_cuts(_docs(spark, sf_dir))
 
 
+@register("streaming_scene_cuts", sql=mm.mm_scene_cuts_sql())
+def streaming_scene_cuts(spark, sf_dir):
+    """mm_scene_cuts over a live video feed (streaming/mmcuts.py):
+    a video's cuts depend only on its own payload, so the deployment
+    is the STATELESS foreachBatch shape — four real micro-batches,
+    per-batch overwrite dirs, union re-read; the batch oracle checks
+    the stream verbatim because micro-batching is invisible."""
+    import tempfile
+
+    from ..streaming.mmcuts import run_scene_cut_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_scuts_")
+    docs = _docs(spark, sf_dir)
+    docs.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_scene_cut_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", docs.schema
+    )
+    return spark.read.parquet(f"{work}/out/b*")
+
+
 @register("mm_phash_dedup", sql=mm.mm_phash_dedup_sql())
 def mm_phash_dedup(spark, sf_dir):
     """Image near-dup pairs: pHash-style average-hash fingerprint over

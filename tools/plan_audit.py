@@ -40,6 +40,7 @@ SKIP = {
     "streaming_dedup_incremental",
     "streaming_attribution",
     "streaming_rfm",
+    "streaming_scene_cuts",
     "carbon_pickle_stream",
     "ann_ivf_search",  # iterative Lloyd: collects per round by design
 }
