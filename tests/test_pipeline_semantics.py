@@ -2817,6 +2817,31 @@ def test_quality_sweep_survival_curve(spark):
     assert rows[0]["doc_share"] <= 1.0 and rows[0]["token_share"] <= 1.0
 
 
+def test_mix_excess_loss_upweights_hard_domain(spark):
+    """DoReMi's defining property: with equal token budgets, the
+    domain scoring WORSE under the reference LM takes the larger
+    weight; weights normalize to 1 and a zero-excess domain keeps
+    weight proportional to its base share."""
+    from tgres_spark.pipeline.prep import mix_excess_loss
+
+    easy = "a b a b a b a b a b a b"
+    hard = "q9 z8 k7 j6 x5 v4 w3 m2 n1 p0 r9 t8"
+    rows = []
+    for i in range(6):  # even ids train the reference LM
+        rows.append((i * 2, easy, "en", "easy", 1))
+    for i in range(6):  # odd ids are scored; 3 per source
+        rows.append((i * 2 + 1, easy if i < 3 else hard, "en",
+                     "easy" if i < 3 else "hard", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in mix_excess_loss(docs).collect()}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-9
+    assert out["hard"]["excess"] > 0.0
+    assert out["hard"]["weight"] > out["hard"]["base_share"]
+    assert out["easy"]["weight"] < out["easy"]["base_share"]
+
+
 def test_readability_hand_computed_flesch(spark):
     """'the cat. ran far!' = 4 words, 2 sentences, 4 vowel groups ->
     flesch 206.835 - 1.015*2 - 84.6*1 = 120.205; a no-punctuation

@@ -551,6 +551,9 @@ register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
 register("text_unigram_logprob", sql=tx.text_unigram_logprob_sql())(
     lambda spark, sf_dir: tx.text_unigram_logprob(_docs(spark, sf_dir))
 )
+register("pipeline_mix_excess_loss", sql=pp.mix_excess_loss_sql())(
+    lambda s, d: pp.mix_excess_loss(_docs(s, d))
+)
 register("pipeline_quality_sweep", sql=tx.pipeline_quality_sweep_sql())(
     lambda spark, sf_dir: tx.pipeline_quality_sweep(_docs(spark, sf_dir))
 )

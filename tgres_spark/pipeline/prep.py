@@ -770,3 +770,106 @@ def prep_increment_sql(threshold: float = INC_DUP_THRESHOLD) -> str:
         "FROM inc LEFT JOIN g ON g.doc_id = inc.doc_id "
         "LEFT JOIN c ON c.doc_id = inc.doc_id"
     )
+
+
+# --- DoReMi-shaped domain reweighting (round 9) --------------------------------
+
+MIX_ETA = 1.0
+
+
+def mix_excess_loss(docs: DataFrame, eta: float = MIX_ETA) -> DataFrame:
+    """(source, n_docs, tokens, base_share, mean_logp, excess, weight):
+    DoReMi-shaped domain reweighting — each source's mixture weight is
+    its token share UPWEIGHTED by exp(eta x excess loss), where excess
+    loss is how much worse the source scores under the reference
+    bigram LM than the corpus average (max(0, .)). DoReMi proper
+    iterates this with a trained proxy model; this is the one-step
+    closed form over the repo's own reference-split LM — the standard
+    'hard domains get more weight' reweighting, with the published
+    algorithm's structure (baseline x exponentiated excess,
+    renormalized).
+
+    Determinism end-to-end: per-doc avg_logp is already round-9; the
+    per-source mean accumulates micro6 BIGINTs; the corpus reference
+    re-enters as a one-row broadcast; excess rounds at 9 before the
+    libm exp, which rounds at 9 again; the raw weight (an exact-int
+    token share times that) quantizes to micro6 BIGINT so the
+    normalizing SUM is order-free integer addition and every share
+    divides exact integers. One corpus scan for the LM scores, one
+    for token counts, then all algebra on the source-domain relation."""
+    from ..model import micro6
+    from .dedup import words
+    from .textstats import text_bigram_lm
+
+    lm = text_bigram_lm(docs).select("doc_id", "avg_logp")
+    src = docs.select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("bigint").alias("ntok")
+    )
+    per_doc = src.join(lm, "doc_id")
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").alias("tokens"),
+        (F.sum(micro6(F.col("avg_logp"))).cast("double") / 1000000.0
+         / F.count("*")).alias("mean_logp"),
+    )
+    ref = per_doc.agg(
+        (F.sum(micro6(F.col("avg_logp"))).cast("double") / 1000000.0
+         / F.count("*")).alias("ref_logp"),
+        F.sum("ntok").alias("tot_tokens"),
+    )
+    excess = F.round(
+        F.greatest(F.lit(0.0), F.col("ref_logp") - F.col("mean_logp")), 9
+    )
+    base_share = F.col("tokens").cast("double") / F.col("tot_tokens")
+    raw6 = micro6(base_share * F.round(F.exp(F.lit(float(eta)) * excess), 9))
+    scored = per_src.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        base_share.alias("base_share"),
+        "mean_logp",
+        excess.alias("excess"),
+        raw6.alias("raw6"),
+    )
+    norm = scored.agg(F.sum("raw6").alias("tot6"))
+    return scored.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "base_share",
+        "mean_logp",
+        "excess",
+        (F.col("raw6").cast("double") / F.col("tot6")).alias("weight"),
+    )
+
+
+def mix_excess_loss_sql(eta: float = MIX_ETA) -> str:
+    from ..model import micro6_sql
+    from .textstats import text_bigram_lm_sql
+
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    excess = "ROUND(GREATEST(0.0, ref_logp - mean_logp), 9)"
+    base = "CAST(tokens AS DOUBLE) / tot_tokens"
+    raw6 = micro6_sql(
+        f"({base}) * ROUND(EXP({float(eta)!r} * {excess}), 9)"
+    )
+    return (
+        f"WITH lm AS ({text_bigram_lm_sql()}), "
+        f"src AS (SELECT doc_id, source, CAST(len({w}) AS BIGINT) AS ntok "
+        "FROM documents), "
+        "pd AS (SELECT src.source, src.ntok, lm.avg_logp "
+        "FROM src JOIN lm ON lm.doc_id = src.doc_id), "
+        "ps AS (SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS tokens, "
+        "CAST(SUM(" + micro6_sql("avg_logp") + ") AS DOUBLE) / 1000000.0 "
+        "/ COUNT(*) AS mean_logp FROM pd GROUP BY source), "
+        "ref AS (SELECT CAST(SUM(" + micro6_sql("avg_logp") + ") AS DOUBLE) "
+        "/ 1000000.0 / COUNT(*) AS ref_logp, SUM(ntok) AS tot_tokens FROM pd), "
+        "scored AS (SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens, "
+        f"{base} AS base_share, mean_logp, {excess} AS excess, "
+        f"{raw6} AS raw6 FROM ps CROSS JOIN ref), "
+        "norm AS (SELECT SUM(raw6) AS tot6 FROM scored) "
+        "SELECT source, n_docs, tokens, base_share, mean_logp, excess, "
+        "CAST(raw6 AS DOUBLE) / tot6 AS weight FROM scored CROSS JOIN norm"
+    )

@@ -62,14 +62,13 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "streaming_rfm", "ann_ivf_lloyd3_fixed", "pipeline_prep_increment",
     "tpch_orders_seasonality", "corpus_source_overlap",
     "events_dau_wau", "dedup_cluster_stats", "text_readability",
-    "streaming_scene_cuts",
+    "streaming_scene_cuts", "pipeline_mix_excess_loss",
     # -- oldest-green rotation: latest green row = round 1 --
     "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
     "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
     "dsl_scaleToSeconds", "dsl_smartSummarize", "dsl_summarize",
-    "dsl_timeStack",
     # (the r3/r4 oldest-green tranches rotate forward next round — this
-    #  round's window is all 40 new round-9 keys + the 10 leading r1 keys)
+    #  round's window is all 41 new round-9 keys + the 9 leading r1 keys)
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
