@@ -961,7 +961,7 @@ def test_scene_cut_stream_matches_batch(spark, tmp_path):
     rows = [
         (152, "some video content here", "en", "s", 1),   # %3==2 -> video
         (155, "a different video clip entirely", "en", "s", 1),
-        (2, "not a video at all", "en", "s", 1),           # image kind
+        (1, "not a video at all", "en", "s", 1),           # %3==1 -> non-video kind
     ]
     in_dir = str(tmp_path / "in")
     for r in rows:

@@ -1556,7 +1556,9 @@ def canonical_url(url) -> "F.Column":
     host = F.regexp_replace(hostpart, ":443$", "")
     rest = F.regexp_replace(nofrag, "^[a-zA-Z]+://[^/?#]+", "")
     path = F.regexp_extract(rest, "^([^?]*)", 1)
-    path_c = F.rtrim(path, F.lit("/"))
+    # regexp, not the two-arg rtrim: Spark 4 deprecates the
+    # two-parameter TRIM signatures (runtime warning, slated removal)
+    path_c = F.regexp_replace(path, "/+$", "")
     qs = F.regexp_extract(rest, "\\?(.*)$", 1)
     kept = F.array_join(
         F.array_sort(
@@ -1582,7 +1584,7 @@ def _canonical_url_sql(url: str) -> str:
         "':443$', '')"
     )
     rest = f"regexp_replace({nofrag}, '^[a-zA-Z]+://[^/?#]+', '')"
-    path = f"rtrim(regexp_extract({rest}, '^([^?]*)', 1), '/')"
+    path = f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/+$', '')"
     qs = f"regexp_extract({rest}, '\\?(.*)$', 1)"
     kept = (
         f"array_to_string(list_sort(list_filter(string_split({qs}, '&'), "

@@ -3328,8 +3328,15 @@ def emb_triplet_mining(
     shape this improves on). Norms are computed ONCE per vector before
     the join; dots are left-folds, so the doubles are bit-identical to
     DuckDB; arg-min/max tie-break on id, so the picks are exact."""
-    v = emb.where(F.col("label").isNotNull()).select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    v = (
+        emb.where(F.col("label").isNotNull())
+        .select(
+            "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+        # zero-norm guard (CLAUDE.md division rule): an all-zero vector
+        # would make cos NaN, and NaN ORDERS DIFFERENTLY across engines
+        # (struct-min sorts it last; DuckDB ORDER BY DESC sorts it first)
+        .where(F.col("nrm") > 0)
     )
     a = v.where(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
@@ -3402,8 +3409,9 @@ def emb_triplet_mining_sql(
         "(acc, x) -> acc + x)"
     )
     return (
-        f"WITH v AS (SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm "
-        "FROM embeddings WHERE label IS NOT NULL), "
+        f"WITH v AS (SELECT * FROM (SELECT vec_id, label, embedding, "
+        f"{_NORM_SQL} AS nrm "
+        "FROM embeddings WHERE label IS NOT NULL) WHERE nrm > 0), "
         "a AS (SELECT vec_id AS anchor_id, label AS la, embedding AS va, "
         f"nrm AS na FROM v WHERE vec_id < {n_anchors}), "
         "c AS (SELECT vec_id AS cand_id, label AS lc, embedding AS vc, "

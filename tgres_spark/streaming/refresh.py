@@ -57,8 +57,16 @@ def run_cumulative_refresh(
 
 def read_latest_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     """The published relation: the highest-numbered snapshot only
-    (a replay's transient snapshot is unobservable through this)."""
-    import os
+    (a replay's transient snapshot is unobservable through this).
+    Listing goes through the Hadoop FileSystem API — same abstraction
+    as the write path — so out_dir works on HDFS/S3A, not just the
+    local FS (catalog.py's _fs pattern)."""
+    from .catalog import _fs
 
-    snaps = sorted(os.listdir(f"{out_dir}/snap"))
+    fs, snapdir, _ = _fs(spark, f"{out_dir}/snap")
+    snaps = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(snapdir)
+        if st.getPath().getName().startswith("b")
+    )
     return spark.read.parquet(f"{out_dir}/snap/{snaps[-1]}")
