@@ -3162,3 +3162,110 @@ def test_threshold_sweep_monotone_and_exact(spark, docs):
         prev = got[t]["n_pairs"]
     # docs fixture: 1 and 2 are identical -> est 1.0 pair survives
     assert got[1.0]["n_pairs"] >= 1
+
+
+def test_dedup_index_lifecycle_writeback_compact(spark, tmp_path):
+    """The write-back half of the incremental lifecycle
+    (dedup_index_update / read_signature_index / dedup_index_compact):
+    (1) post-update re-read == full-corpus minhash_signatures rerun;
+    (2) replaying a generation is a no-op (idempotence); (3) a crash
+    between the data write and the manifest publish leaves the
+    generation unobservable, and the replay completes it; (4) a
+    re-crawled doc_id's NEWEST signature wins; (5) compaction folds
+    without changing the relation and grace-retires the previous
+    cycle's sources; (6) dedup_incremental consulted against the
+    UPDATED index equals the full rerun."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.dedup import (
+        _idx_manifested,
+        dedup_incremental,
+        dedup_index_compact,
+        dedup_index_update,
+        dedup_minhash_lsh,
+        minhash_signatures,
+        read_signature_index,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "completely different content about spark shuffles and parquet files"
+    rows0 = [(1, a, "en"), (2, a, "en"), (3, b, "en"), (4, c, "en")]
+    rows1 = [(10, a, "en"), (11, c + " plus a tail", "en")]
+    rows2 = [(3, c, "en"), (20, b, "en")]  # 3 is RE-CRAWLED with new text
+    sch = "doc_id long, text string, lang string"
+    d0, d1, d2 = (spark.createDataFrame(r, sch) for r in (rows0, rows1, rows2))
+    idx = str(tmp_path / "index")
+
+    def snap():
+        return {
+            r["doc_id"]: (r["gen"], tuple(r["sig"]))
+            for r in read_signature_index(spark, idx).collect()
+        }
+
+    # (1) init + one write-back == full rerun of both waves
+    dedup_index_update(spark, idx, d0, generation=0)
+    dedup_index_update(spark, idx, d1, generation=1)
+    got = snap()
+    want = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_signatures(d0.unionByName(d1)).collect()
+    }
+    assert {k: s for k, (g, s) in got.items()} == want
+    assert {k: g for k, (g, _) in got.items()} == {
+        1: 0, 2: 0, 3: 0, 4: 0, 10: 1, 11: 1
+    }
+
+    # (2) replaying generation 1 changes nothing
+    dedup_index_update(spark, idx, d1, generation=1)
+    assert snap() == got
+
+    # (3) crash between data write and pointer: write g2's data only
+    minhash_signatures(d2).select(
+        "doc_id", F.lit(2).alias("gen"), "sig"
+    ).write.mode("overwrite").parquet(f"{idx}/delta/g000002")
+    assert snap() == got  # unobservable without its manifest
+    # the replay completes it — and doc 3's NEW signature now wins (4)
+    dedup_index_update(spark, idx, d2, generation=2)
+    got2 = snap()
+    sig3_new = {
+        r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(d2).collect()
+    }
+    assert got2[3] == (2, sig3_new[3]) and got2[20] == (2, sig3_new[20])
+    assert got2[1] == got[1] and got2[10] == got[10]  # untouched docs carried
+
+    # (5) compaction: same relation, folded into one manifested base;
+    # a second compact with nothing new is a no-op
+    dedup_index_compact(spark, idx)
+    assert snap() == got2
+    assert _idx_manifested(spark, idx, "b") == [2]
+    dedup_index_compact(spark, idx)
+    assert _idx_manifested(spark, idx, "b") == [2]
+    # grace: the folded deltas survive THIS cycle, retire on the next
+    assert _idx_manifested(spark, idx, "g") == [0, 1, 2]
+    dedup_index_update(spark, idx, d1.select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text", "lang"
+    ), generation=3, compact_threshold=2)  # forces the next compaction
+    # base 2 keeps ITS one-cycle grace (newest-but-one base); the
+    # deltas it folded are past theirs and retire now
+    assert _idx_manifested(spark, idx, "b") == [2, 3]
+    assert _idx_manifested(spark, idx, "g") == [3]  # 0,1,2 retired
+
+    # (6) the consult half against the UPDATED index == full rerun
+    inc = spark.createDataFrame([(30, a, "en")], sch)
+    live = read_signature_index(spark, idx)
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in dedup_incremental(spark, live, inc).collect()
+    }
+    full = d0.unionByName(d1).unionByName(
+        d1.select((F.col("doc_id") + 100).alias("doc_id"), "text", "lang")
+    ).unionByName(spark.createDataFrame(rows2[1:], sch)).unionByName(
+        spark.createDataFrame([(3, c, "en")], sch)
+    ).unionByName(inc)
+    want_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in dedup_minhash_lsh(full).collect()
+        if 30 in (r["doc_a"], r["doc_b"])
+    }
+    assert got_pairs == want_pairs and (1, 30) in got_pairs

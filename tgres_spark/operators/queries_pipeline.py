@@ -94,6 +94,32 @@ def _dedup_incremental_components(s, d):
     )
 
 
+@register("dedup_index_update", sql=dd.dedup_index_update_sql())
+def _dedup_index_update(s, d):
+    """The write-back half of the incremental dedup lifecycle: the
+    existing corpus initializes the index as delta generation 0, the
+    new crawl's signatures are APPENDED as generation 1, and the
+    threshold-2 setting forces the compaction fold — so the relation
+    returned is a genuinely compacted, manifest-resolved, re-read-
+    from-parquet base. Oracle: the full-corpus signature rerun (the
+    lifecycle's core equivalence), with per-row gen recording which
+    wave brought each doc."""
+    import tempfile
+
+    docs = _docs(s, d)
+    m = F.col("doc_id") % dd.INCREMENT_MOD
+    work = tempfile.mkdtemp(prefix="tgres_idxup_")
+    dd.dedup_index_update(s, work, docs.where(m != 0), generation=0)
+    dd.dedup_index_update(
+        s, work, docs.where(m == 0), generation=1, compact_threshold=2
+    )
+    return dd.read_signature_index(s, work).select(
+        "doc_id",
+        F.concat_ws("", "sig").alias("sig_cat"),
+        F.col("gen").cast("bigint").alias("gen"),
+    )
+
+
 @register("dedup_incremental", sql=dd.dedup_incremental_sql())
 def _dedup_incremental(s, d):
     """New-crawl increment (doc_id % 5 == 0) deduped against the

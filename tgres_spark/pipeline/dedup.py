@@ -1137,8 +1137,17 @@ def dedup_incremental(
     only aggregation shuffles are increment-sized (the increment's
     own signature groupBy and the pair dropDuplicates). A same-order-
     as-corpus "increment" should flip the broadcasts to a bucketed
-    index join instead — but then it isn't an increment any more."""
-    idx_sig = spark.read.parquet(index_path)
+    index join instead — but then it isn't an increment any more.
+
+    ``index_path`` is a parquet path of (doc_id, sig) — OR an already-
+    resolved index DataFrame (read_signature_index output), which is
+    how the write-back lifecycle's consumers hand the multi-generation
+    index in without a detour through a flattened copy."""
+    idx_sig = (
+        index_path
+        if isinstance(index_path, DataFrame)
+        else spark.read.parquet(index_path)
+    ).select("doc_id", "sig")
     inc_sig = minhash_signatures(increment).persist()
     inc_bands = _band_keys(inc_sig, keep_sig=True)
     idx_bands = _band_keys(idx_sig, keep_sig=True)
@@ -1932,4 +1941,213 @@ def dedup_cluster_stats_sql(threshold: float = 0.5) -> str:
         "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
         "CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs "
         "FROM sizes GROUP BY cluster_size"
+    )
+
+
+# --- signature-index write-back + compaction (round 10) ---------------------
+#
+# The missing half of the incremental dedup lifecycle: dedup_incremental
+# CONSULTS a persisted signature index; these functions are what
+# APPENDS each crawl increment's signatures back and periodically folds
+# the accumulated generations, so tomorrow's increment deduplicates
+# against today's docs too. Reference analogue: the create-on-first-
+# write dscache plus the flusher write path (receiver/dscache.go:1,
+# receiver/flusher.go:1) — consult in memory, persist on a write
+# cadence. The write-once-manifest / grace-retire discipline is lifted
+# from streaming_catalog_compact (streaming/catalog.py), which proved
+# it under batch replay.
+#
+# Layout under index_dir:
+#   delta/g%06d   (doc_id, gen, sig)  one increment's signatures
+#   base/b%06d    (doc_id, gen, sig)  a compacted fold of gens <= N
+#   manifest/g%06d, manifest/b%06d    write-once pointers, published
+#                                     AFTER the data write — a crash
+#                                     between data and pointer leaves
+#                                     the generation unobservable, and
+#                                     a replay rewrites identical
+#                                     content then publishes.
+# Readers resolve: newest manifested base B, plus deltas with gen > B,
+# latest-wins per doc_id (a re-crawled doc's newest signature shadows
+# the old one). Generation numbers are caller-supplied (crawl date /
+# batch id), which is what makes replay idempotent — the same failed
+# job rerun writes the same generation, never a duplicate one.
+
+_IDX_DELTA = "delta"
+_IDX_BASE = "base"
+_IDX_MANIFEST = "manifest"
+
+
+def _idx_manifested(spark, index_dir: str, prefix: str) -> list[int]:
+    """Sorted generation numbers with a published manifest of the
+    given kind ('g' deltas, 'b' bases)."""
+    from ..streaming.catalog import _fs
+
+    fs, mdir, _ = _fs(spark, f"{index_dir}/{_IDX_MANIFEST}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        n = st.getPath().getName()
+        if n.startswith(prefix) and n[1:].isdigit():
+            out.append(int(n[1:]))
+    return sorted(out)
+
+
+def _idx_publish(spark, index_dir: str, name: str) -> None:
+    """Write-once pointer (catalog.py:_publish_manifest discipline):
+    a single small-object create is atomic on POSIX and object
+    stores; re-publishing on replay rewrites identical content."""
+    import json
+
+    from ..streaming.catalog import _fs
+
+    fs, mpath, _ = _fs(spark, f"{index_dir}/{_IDX_MANIFEST}/{name}")
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray(json.dumps({"name": name}).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _idx_delete(spark, index_dir: str, name: str, kind: str) -> None:
+    """Retire one generation: manifest FIRST (so it is never
+    resolvable mid-delete), then the data directory."""
+    from ..streaming.catalog import _fs
+
+    fs, mpath, jvm = _fs(spark, f"{index_dir}/{_IDX_MANIFEST}/{name}")
+    fs.delete(mpath, False)
+    dpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{kind}/{name}")
+    fs.delete(dpath, True)
+
+
+def dedup_index_update(
+    spark,
+    index_dir: str,
+    increment: DataFrame,
+    generation: int,
+    compact_threshold: int = 4,
+    snapshot_buckets: int = 8,
+) -> None:
+    """Append one crawl increment's minhash signatures to the
+    persisted index as delta generation ``generation``, then compact
+    when ``compact_threshold`` generations have accumulated.
+
+    Idempotent per generation: a replayed job rewrites identical
+    content under the same delta path and re-publishes the same
+    manifest (signatures are pure functions of the docs). A crash
+    between the data write and the manifest publish leaves the delta
+    unobservable to every reader — the replay completes it.
+
+    100 TB: the write is INCREMENT-sized (16 hex strings per doc —
+    the corpus text never reappears); the only shuffle is the
+    increment's own signature groupBy, already paid by the dedup
+    consult that precedes the write-back. Deltas are hash-bucketed on
+    doc_id so the read path's latest-wins resolve co-locates
+    generation-over-generation. Compaction is the single index-sized
+    rewrite and runs on the caller's cadence, not per increment."""
+    sig = minhash_signatures(increment).select(
+        "doc_id", F.lit(int(generation)).alias("gen"), "sig"
+    )
+    (
+        sig.repartition(snapshot_buckets, F.col("doc_id"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/{_IDX_DELTA}/g{generation:06d}")
+    )
+    _idx_publish(spark, index_dir, f"g{generation:06d}")
+    bases = _idx_manifested(spark, index_dir, "b")
+    live_deltas = [
+        g
+        for g in _idx_manifested(spark, index_dir, "g")
+        if not bases or g > bases[-1]
+    ]
+    if len(live_deltas) + (1 if bases else 0) >= compact_threshold:
+        dedup_index_compact(spark, index_dir, snapshot_buckets)
+
+
+def read_signature_index(
+    spark, index_dir: str, assume_disjoint: bool = False
+) -> DataFrame:
+    """The live signature index: newest manifested base + all deltas
+    above it, latest generation winning per doc_id. Returns
+    (doc_id, gen, sig).
+
+    The latest-wins resolve is a groupBy over SIGNATURES (16 hex
+    strings/doc — gigabytes per 100 TB of text, a maintenance-read
+    cost, bucketed co-located by the write path). A deployment whose
+    increments never re-crawl a doc_id (fresh ids per crawl) passes
+    assume_disjoint=True and skips the shuffle entirely — the union
+    is then already the resolved relation, which is what the hot
+    dedup_incremental consult path wants."""
+    bases = _idx_manifested(spark, index_dir, "b")
+    deltas = _idx_manifested(spark, index_dir, "g")
+    parts = []
+    floor = -1
+    if bases:
+        floor = bases[-1]
+        parts.append(
+            spark.read.parquet(f"{index_dir}/{_IDX_BASE}/b{floor:06d}")
+        )
+    parts.extend(
+        spark.read.parquet(f"{index_dir}/{_IDX_DELTA}/g{g:06d}")
+        for g in deltas
+        if g > floor
+    )
+    if not parts:
+        raise FileNotFoundError(f"no manifested index generations in {index_dir}")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    if assume_disjoint:
+        return u
+    # latest-wins: max(struct(gen, sig)) — gen is distinct per doc per
+    # generation, so the struct max never falls through to the array
+    return (
+        u.groupBy("doc_id")
+        .agg(F.max(F.struct("gen", "sig")).alias("w"))
+        .select("doc_id", F.col("w.gen").alias("gen"), F.col("w.sig").alias("sig"))
+    )
+
+
+def dedup_index_compact(
+    spark, index_dir: str, snapshot_buckets: int = 8
+) -> None:
+    """Fold the live base + deltas into one new base generation.
+
+    Grace-retire discipline (catalog.py:_retire_old_snapshots): the
+    PREVIOUS compaction's sources (old base + deltas it folded) are
+    retired first — they have been shadowed for a full cycle, so no
+    in-flight reader can still hold them; the generations THIS fold
+    consumes stay readable until the next compaction. Crash anywhere
+    is safe: before the new base's manifest lands, readers resolve
+    the old base + deltas (identical relation); a replay rewrites the
+    same fold."""
+    bases = _idx_manifested(spark, index_dir, "b")
+    deltas = _idx_manifested(spark, index_dir, "g")
+    top = max(deltas) if deltas else (bases[-1] if bases else None)
+    if top is None or (bases and top == bases[-1]):
+        return  # nothing new to fold
+    if bases:
+        prev = bases[-1]
+        for g in [g for g in deltas if g <= prev]:
+            _idx_delete(spark, index_dir, f"g{g:06d}", _IDX_DELTA)
+        for b in bases[:-1]:
+            _idx_delete(spark, index_dir, f"b{b:06d}", _IDX_BASE)
+    cur = read_signature_index(spark, index_dir)
+    (
+        cur.repartition(snapshot_buckets, F.col("doc_id"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/{_IDX_BASE}/b{top:06d}")
+    )
+    _idx_publish(spark, index_dir, f"b{top:06d}")
+
+
+def dedup_index_update_sql(rel: str = "documents") -> str:
+    # the lifecycle's claim, stated directly: after init + one
+    # write-back + compaction, the index re-read IS the full-corpus
+    # signature rerun (per-row gen records which wave brought the doc)
+    return (
+        f"SELECT doc_id, array_to_string(sig, '') AS sig_cat, "
+        f"CAST(CASE WHEN doc_id % {INCREMENT_MOD} = 0 THEN 1 ELSE 0 END "
+        f"AS BIGINT) AS gen "
+        f"FROM ({minhash_signatures_sql(rel)})"
     )
