@@ -984,3 +984,85 @@ def test_scene_cut_stream_matches_batch(spark, tmp_path):
     }
     assert got == want and got  # nonempty and identical
     assert all(m in (152, 155) for m, _ in got)
+
+
+def test_attribution_delta_refresh_touched_users_only(spark, tmp_path):
+    """The per-user delta refresh (round 10): (a) final snapshot ==
+    batch attribution_relation over all events, INCLUDING a
+    cross-batch conversion (u100's touch lands in batch 1, its
+    purchase in batch 2 — batch 2 re-credits it because u100 is a
+    touched user there); (b) an untouched user's state row is CARRIED,
+    not recomputed — batch 2's recompute sees only batch-2 users'
+    events (pinned by instrumenting the key relation), yet u200's row
+    survives unchanged into the final state snapshot."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.streaming.refresh import (
+        read_latest_snapshot,
+        run_delta_refresh,
+    )
+    from tgres_spark.tpch import (
+        attribution_relation,
+        attribution_rollup,
+        attribution_user_relation,
+    )
+
+    ns = 1_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = [
+        (1, 10 * ns, 100, "click", 1.0, "{}"),   # touch; converts in b2
+        (2, 5 * ns, 200, "view", 1.0, "{}"),
+        (3, 6 * ns, 200, "click", 1.0, "{}"),
+        (4, 7 * ns, 200, "purchase", 9.0, "{}"),  # u200 complete in b1
+    ]
+    batch2 = [
+        (5, 20 * ns, 100, "purchase", 9.0, "{}"),  # cross-batch conv
+        (6, 30 * ns, 300, "view", 1.0, "{}"),
+        (7, 40 * ns, 300, "purchase", 9.0, "{}"),
+    ]
+    in_dir = str(tmp_path / "in")
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    allev = spark.createDataFrame(batch1 + batch2, schema)
+
+    seen_per_batch = []
+
+    def instrumented(ev):
+        seen_per_batch.append(
+            {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+        )
+        return attribution_user_relation(ev)
+
+    out = str(tmp_path / "out")
+    run_delta_refresh(
+        spark, in_dir, out, str(tmp_path / "ck"), allev.schema,
+        instrumented, "user_id", publish_fn=attribution_rollup,
+    )
+    got = {
+        r["channel"]: (r["n_first"], r["n_last"], r["linear_credit"])
+        for r in read_latest_snapshot(spark, out).collect()
+    }
+    want = {
+        r["channel"]: (r["n_first"], r["n_last"], r["linear_credit"])
+        for r in attribution_relation(allev).collect()
+    }
+    assert got == want
+    # u100's b1 click credited by b2: it is first+last+full-linear for
+    # u100's conversion (without it click would be (0, 1, 0.5))
+    assert got["click"] == (1, 2, 1.5)
+
+    # (b) batch 2's recompute saw ONLY batch-2 users (100, 300) —
+    # u200's history was never re-read...
+    assert seen_per_batch[-1] == {100, 300}
+    # ...and u200's rows were carried verbatim from the b1 state
+    s_first = spark.read.parquet(f"{out}/state/b000000")
+    s_last = spark.read.parquet(f"{out}/state/b000001")
+    u200 = lambda df: sorted(
+        map(tuple, df.where(F.col("user_id") == 200).collect())
+    )
+    assert u200(s_first) == u200(s_last) and u200(s_last)

@@ -464,6 +464,33 @@ def streaming_attribution(spark, sf_dir):
 
 
 @register(
+    "streaming_attribution_delta",
+    sql=__import__("tgres_spark.tpch", fromlist=["x"])._ATTRIBUTION_SQL,
+)
+def streaming_attribution_delta(spark, sf_dir):
+    """Per-user DELTA refresh attribution (round 10): same published
+    relation and same batch oracle as streaming_attribution, but each
+    micro-batch recomputes only the users it touches and carries the
+    untouched users' rows from the prior state snapshot — attribution
+    is per-user decomposable, so the full cumulative recompute is
+    unnecessary work (refresh.py's three-class deployment rule).
+    Four real micro-batches, latest snapshot re-read."""
+    import tempfile
+
+    from ..streaming.attribution import (
+        read_latest_snapshot, run_attribution_delta_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="tgres_sattrd_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_attribution_delta_stream(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema
+    )
+    return read_latest_snapshot(spark, f"{work}/out")
+
+
+@register(
     "streaming_rfm",
     sql=__import__("tgres_spark.tpch", fromlist=["x"])._RFM_SQL,
 )

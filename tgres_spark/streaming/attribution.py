@@ -51,3 +51,36 @@ def read_latest_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     from .refresh import read_latest_snapshot as _r
 
     return _r(spark, out_dir)
+
+
+def run_attribution_delta_stream(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    files_per_trigger: int = 1,
+) -> None:
+    """The per-key delta deployment (round 10): attribution is
+    per-USER decomposable — a touch's conversion is same-user, every
+    window in attribution_user_relation partitions by user_id — so
+    the cumulative engine's full recompute per micro-batch is
+    overkill for it. Each batch recomputes ONLY the users it touches
+    (over their full landed history, so a conversion arriving today
+    re-credits yesterday's touches), carries every untouched user's
+    rows from the prior state snapshot, and publishes the channel
+    rollup. Latest snapshot ≡ the batch operator over everything seen
+    — the SAME oracle verbatim as the cumulative deployment; only the
+    per-batch re-read shrinks, from O(all events) to O(touched
+    users' events). See refresh.py's three-class deployment rule;
+    streaming_rfm stays on cumulative refresh because its corpus
+    means are genuinely global."""
+    from ..tpch import attribution_rollup, attribution_user_relation
+    from .refresh import run_delta_refresh
+
+    run_delta_refresh(
+        spark, in_dir, out_dir, checkpoint, schema,
+        attribution_user_relation, "user_id",
+        publish_fn=attribution_rollup,
+        files_per_trigger=files_per_trigger,
+    )

@@ -70,3 +70,106 @@ def read_latest_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
         if st.getPath().getName().startswith("b")
     )
     return spark.read.parquet(f"{out_dir}/snap/{snaps[-1]}")
+
+
+# --- per-key delta refresh (round 10) ----------------------------------------
+#
+# Three-class deployment rule for streaming a non-per-batch-
+# decomposable relation:
+#   1. per-batch decomposable (stateless per row/doc)      -> plain
+#      foreachBatch scoring (streaming_dedup_incremental's shape);
+#   2. per-KEY decomposable (every output row is a function of ONE
+#      key's input rows — attribution: a touch's conversion is
+#      same-user)                                          -> delta
+#      refresh below: recompute only the keys a batch touches, carry
+#      every other key's rows from the prior snapshot;
+#   3. globally entangled (corpus means / global ranks — RFM) ->
+#      cumulative refresh above: the full recompute is genuinely
+#      necessary, because any row can flip any other.
+# The published relation is identical in all three; what changes is
+# how much history each micro-batch re-reads.
+
+
+def run_delta_refresh(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    key_relation_fn: Callable[[DataFrame], DataFrame],
+    key_col: str,
+    publish_fn: Callable[[DataFrame], DataFrame] | None = None,
+    files_per_trigger: int = 1,
+) -> None:
+    """Per-key delta refresh: ``key_relation_fn`` must be per-key
+    decomposable on ``key_col`` (its output for a key depends only on
+    input rows of that key). Each micro-batch (1) lands raw rows
+    idempotently, (2) recomputes the relation ONLY over the full
+    history of keys present in the batch, (3) unions that with the
+    prior state snapshot's UNTOUCHED keys, (4) writes the new state
+    and publishes ``publish_fn`` of it (identity when None) as
+    ``snap/b<id>`` — so the latest snapshot still equals the batch
+    operator over everything seen, same oracle verbatim, but a batch
+    re-reads O(touched keys' history), not O(everything).
+
+    Replay-safe like merge_catalog_batch: the merge base is the
+    newest STATE with version strictly below batch_id, so a replayed
+    batch folds against its original base instead of seeing its own
+    half-finished output. 100 TB: land raw bucketed by key and the
+    touched-history scan prunes to the touched buckets (here the
+    broadcast semi-join reaches the parquet scan as a pushed IN
+    filter); the state snapshot is key-bucketed so the anti-join
+    co-locates; snap is publish_fn-sized (channels, not users)."""
+    from .catalog import _fs
+
+    def _latest_state_before(batch_id: int):
+        fs, sdir, _ = _fs(spark, f"{out_dir}/state")
+        if not fs.exists(sdir):
+            return None
+        vers = sorted(
+            int(st.getPath().getName()[1:])
+            for st in fs.listStatus(sdir)
+            if st.getPath().getName().startswith("b")
+            and st.getPath().getName()[1:].isdigit()
+        )
+        vers = [v for v in vers if v < batch_id]
+        if not vers:
+            return None
+        return spark.read.parquet(f"{out_dir}/state/b{vers[-1]:06d}")
+
+    def _refresh(batch, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        batch.write.mode("overwrite").parquet(f"{out_dir}/raw/b{batch_id:06d}")
+        keys = batch.select(key_col).distinct()
+        hist = spark.read.parquet(f"{out_dir}/raw/b*")
+        touched = key_relation_fn(
+            hist.join(F.broadcast(keys), key_col, "semi")
+        )
+        base = _latest_state_before(batch_id)
+        state = (
+            touched
+            if base is None
+            else base.join(F.broadcast(keys), key_col, "anti").unionByName(
+                touched
+            )
+        )
+        state.write.mode("overwrite").parquet(
+            f"{out_dir}/state/b{batch_id:06d}"
+        )
+        cur = spark.read.parquet(f"{out_dir}/state/b{batch_id:06d}")
+        out = publish_fn(cur) if publish_fn is not None else cur
+        out.write.mode("overwrite").parquet(f"{out_dir}/snap/b{batch_id:06d}")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

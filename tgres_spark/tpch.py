@@ -1013,8 +1013,15 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_relation(load_table(spark, sf_dir, "events"))
 
 
-def attribution_relation(ev: DataFrame) -> DataFrame:
-    """Multi-touch attribution (round 9): per channel (event_type),
+def attribution_user_relation(ev: DataFrame) -> DataFrame:
+    """Per-user half of multi-touch attribution (round 10 split):
+    (user_id, channel, n_first, n_last, lin6) — every window below is
+    partitioned by user_id, so a user's rows depend ONLY on that
+    user's events; that per-key decomposability is what the streaming
+    delta refresh exploits (recompute just the users a micro-batch
+    touches). attribution_relation = attribution_rollup over this.
+
+    Multi-touch attribution: per channel (event_type),
     credit under the three standard models at once — first-touch,
     last-touch, and linear — for every purchase conversion, counting
     the user's non-purchase touches inside a 3-day lookback.
@@ -1062,6 +1069,7 @@ def attribution_relation(ev: DataFrame) -> DataFrame:
     ).select("user_id", "event_type", "k", "conv_k")
     w_conv = Window.partitionBy("user_id", "conv_k")
     marked = tch.select(
+        "user_id",
         "event_type",
         (F.col("k") == F.min("k").over(w_conv)).alias("is_first"),
         (F.col("k") == F.max("k").over(w_conv)).alias("is_last"),
@@ -1070,11 +1078,30 @@ def attribution_relation(ev: DataFrame) -> DataFrame:
     lin6 = F.floor(1.0 / F.col("n_touches") * 1000000.0 + F.lit(0.5)).cast(
         "bigint"
     )
-    return marked.groupBy(F.col("event_type").alias("channel")).agg(
+    return marked.groupBy("user_id", F.col("event_type").alias("channel")).agg(
         F.sum(F.col("is_first").cast("int")).cast("bigint").alias("n_first"),
         F.sum(F.col("is_last").cast("int")).cast("bigint").alias("n_last"),
-        (F.sum(lin6).cast("double") / 1000000.0).alias("linear_credit"),
+        F.sum(lin6).cast("bigint").alias("lin6"),
     )
+
+
+def attribution_rollup(urel: DataFrame) -> DataFrame:
+    """Channel relation from the per-user relation: exact-integer
+    partial sums fold associatively, so rollup(user_relation) ≡ the
+    one-shot channel aggregate — the algebra the per-user delta
+    refresh (streaming/attribution.py) publishes through."""
+    return urel.groupBy("channel").agg(
+        F.sum("n_first").cast("bigint").alias("n_first"),
+        F.sum("n_last").cast("bigint").alias("n_last"),
+        (F.sum("lin6").cast("double") / 1000000.0).alias("linear_credit"),
+    )
+
+
+def attribution_relation(ev: DataFrame) -> DataFrame:
+    """Channel-level multi-touch attribution — the registered/oracled
+    relation (see attribution_user_relation for the algorithm and the
+    per-user decomposition)."""
+    return attribution_rollup(attribution_user_relation(ev))
 
 
 _RFM_SQL = """
