@@ -3269,3 +3269,70 @@ def test_dedup_index_lifecycle_writeback_compact(spark, tmp_path):
         if 30 in (r["doc_a"], r["doc_b"])
     }
     assert got_pairs == want_pairs and (1, 30) in got_pairs
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """The serving path: corpus_bpe_encode tokenizes every doc with
+    the 3 trained merges. Checked against an independent plain-Python
+    BPE (train 3 rounds, greedy-apply in training order): (a) all
+    three winners appear FUSED in the encoded vocab; (b) per-doc
+    n_tokens == sum of the Python tokenization's word token counts;
+    (c) the fertility rollup reproduces the same totals by lang."""
+    from collections import Counter
+
+    from tgres_spark.pipeline.textstats import (
+        bpe_vocab_encoded,
+        corpus_bpe_encode,
+        corpus_bpe_fertility,
+    )
+
+    t1 = "lower lowest low low lower newer new"
+    t2 = "low lower newest newest newer"
+    docs = spark.createDataFrame(
+        [(1, t1, "en", "s", len(t1)), (2, t2, "de", "s", len(t2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    vocab = Counter((t1 + " " + t2).split())
+    state = {w: list(w) + ["</w>"] for w in vocab}
+    winners = []
+    for _ in range(3):
+        wts = Counter()
+        for w, c in vocab.items():
+            s = state[w]
+            for i in range(len(s) - 1):
+                wts[f"{s[i]} {s[i+1]}"] += c
+        top = min(wts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        winners.append(top)
+        a, b = top.split(" ")
+        for w in state:
+            out, i, s = [], 0, state[w]
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            state[w] = out
+
+    vdf = spark.createDataFrame(
+        [(w, c) for w, c in vocab.items()], "w string, n long"
+    )
+    enc = {r["w"]: list(r["toks"]) for r in bpe_vocab_encoded(vdf).collect()}
+    assert enc == state  # identical tokenization, word by word
+    fused = {a + b for a, b in (x.split(" ") for x in winners)}
+    flat = {t for toks in enc.values() for t in toks}
+    assert fused <= flat  # (a) every winner appears fused
+
+    got = {r["doc_id"]: r for r in corpus_bpe_encode(docs).collect()}
+    for doc_id, text in ((1, t1), (2, t2)):
+        words = text.split()
+        n_tok = sum(len(state[w]) for w in words)
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_tokens"] == n_tok  # (b)
+        assert got[doc_id]["tokens_per_word"] == n_tok / len(words)
+
+    fert = {r["lang"]: r for r in corpus_bpe_fertility(docs).collect()}
+    assert fert["en"]["n_tokens"] == got[1]["n_tokens"]  # (c)
+    assert fert["de"]["n_words"] == len(t2.split())

@@ -204,6 +204,12 @@ register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
 register("corpus_bpe_merge2", sql=tx.corpus_bpe_merge2_sql())(
     lambda s, d: tx.corpus_bpe_merge2(_docs(s, d))
 )
+register("corpus_bpe_encode", sql=tx.corpus_bpe_encode_sql())(
+    lambda s, d: tx.corpus_bpe_encode(_docs(s, d))
+)
+register("corpus_bpe_fertility", sql=tx.corpus_bpe_fertility_sql())(
+    lambda s, d: tx.corpus_bpe_fertility(_docs(s, d))
+)
 register("corpus_bpe_merge3", sql=tx.corpus_bpe_merge3_sql())(
     lambda s, d: tx.corpus_bpe_merge3(_docs(s, d))
 )

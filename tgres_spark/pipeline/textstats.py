@@ -3472,3 +3472,271 @@ def text_readability_sql() -> str:
         f"- 84.6 * (CAST({syl} AS DOUBLE) / CAST({nw} AS DOUBLE)), 6) AS flesch "
         "FROM documents"
     )
+
+
+# --- BPE encode: the serving path (round 10) ---------------------------------
+
+BPE_N_MERGES = 3
+
+
+def _bpe_adj_pairs(c):
+    """Adjacent-pair strings of an already-materialized symbol array
+    (the shingles_of CSE rule)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(c) - 1),
+        lambda i: F.concat(
+            F.element_at(c, i), F.lit(" "), F.element_at(c, i + 1)
+        ),
+    )
+
+
+def _bpe_fold_merge(c, a, b):
+    """Greedy left-to-right application of one merge (a, b) — the
+    corpus_bpe_merge2 fold, shared by the trainer and the encoder."""
+    empty = F.slice(F.array(F.lit("")), 1, 0)
+    return F.aggregate(
+        c,
+        empty,
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.col(a))
+            & (x == F.col(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col(a), F.col(b))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_vocab_encoded(
+    vocab: DataFrame, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """(w, n, toks): the vocab with the first ``n_merges`` learned
+    merges applied in training order — BPE's train-then-serve split
+    done on the VOCAB relation, so the whole learn+encode chain is
+    vocab-sized and each winner re-enters as a one-row broadcast (the
+    corpus_bpe_merge2/merge3 pattern extended to the serving path).
+    ``vocab`` is (w, n) word counts; greedy-fold ≡ leftmost-occurrence
+    recursion per the merge2 proof (a within-round rewrite can't
+    create a site to its left, at any round)."""
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    s = vocab.select("w", "n", syms.alias("toks"))
+    for r in range(n_merges):
+        p = s.select("n", F.explode(_bpe_adj_pairs(F.col("toks"))).alias("pair"))
+        t = (
+            p.groupBy("pair")
+            .agg(F.sum("n").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.split(F.col("pair"), " ").getItem(0).alias(f"a{r}"),
+                F.split(F.col("pair"), " ").getItem(1).alias(f"b{r}"),
+            )
+        )
+        s = s.crossJoin(F.broadcast(t)).select(
+            "w", "n",
+            _bpe_fold_merge(F.col("toks"), f"a{r}", f"b{r}").alias("toks"),
+        )
+    return s
+
+
+def corpus_bpe_encode(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, tokens_per_word, chars_per_token):
+    the BPE SERVING pass — merges 1..n learned by the trainer
+    (corpus_bpe_merge2/3 compute exactly these winners) applied to
+    every document, emitting the per-doc tokenization stats a corpus
+    card reports (tokens/doc and the compression the tokenizer buys).
+    Merges never cross the '</w>' word boundary, so a doc's token
+    count is the sum of its WORDS' token counts — which is what makes
+    the corpus-scale plan cheap:
+
+    ONE corpus explode produces per-doc word counts (doc_id, w, c),
+    persisted because it feeds both the vocab derivation (groupBy w)
+    and the final join; the entire learn+apply chain then runs on the
+    vocab relation (size independent of corpus scale, winners as
+    one-row broadcasts); the encoded vocab joins BACK on w — co-keyed
+    with the counts relation, vocab-sized build side. No per-document
+    fold ever runs: a word occurring a million times is encoded once.
+
+    Exact integers end-to-end; the two ratios divide exact bigints
+    (one IEEE op, engine-identical); divisions guarded per the
+    CLAUDE.md rule even though n_words >= 1 by construction."""
+    from .dedup import words
+
+    dw = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
+    enc = bpe_vocab_encoded(vocab, n_merges).select(
+        "w",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    j = dw.join(enc, "w")
+    per_doc = j.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_toks")).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("n_chars")).cast("bigint").alias("n_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars").cast("double") / F.col("n_tokens"),
+        ).alias("chars_per_token"),
+    )
+
+
+def corpus_bpe_fertility(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_tokens, tokens_per_word,
+    chars_per_token): the per-language fertility audit — the table a
+    multilingual corpus card prints to show which languages the
+    tokenizer taxes (high tokens/word = the merge table was learned
+    on someone else's script; the signal behind per-language vocab
+    budgets). Rides the same learn+encode scan as corpus_bpe_encode:
+    one corpus explode, vocab-sized merge chain, co-keyed encode join;
+    the lang rollup adds one ≤|langs|-key groupBy."""
+    from .dedup import words
+
+    dw = (
+        docs.select(
+            "doc_id", "lang", F.explode(words(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
+    enc = bpe_vocab_encoded(vocab, n_merges).select(
+        "w",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    j = dw.join(enc, "w")
+    per_lang = j.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_toks")).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("n_chars")).cast("bigint").alias("n_chars"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars").cast("double") / F.col("n_tokens"),
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_encoded_vocab_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Recursive-CTE chain producing enc(w, n_toks, n_chars): merges
+    1..n learned and applied leftmost-first in training order — the
+    corpus_bpe_merge3 oracle generalized to n rounds and extended with
+    the serving projection."""
+    parts = [
+        "t AS (SELECT doc_id, UNNEST({w}) AS w FROM documents)",
+        "dw AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w)",
+        "v AS (SELECT w, SUM(c) AS n FROM dw GROUP BY w)",
+        "done0 AS (SELECT w, n, list_transform(range(1, len(w) + 1), "
+        "i -> w[i]) || ['</w>'] AS syms FROM v)",
+    ]
+    for r in range(1, n_merges + 1):
+        parts += [
+            f"p{r} AS (SELECT n, UNNEST(list_transform(range(1, len(syms)), "
+            f"i -> syms[i] || ' ' || syms[i + 1])) AS pair FROM done{r - 1})",
+            f"top{r} AS MATERIALIZED (SELECT ' ' || pair || ' ' AS pat{r}, "
+            f"' ' || replace(pair, ' ', '') || ' ' AS rep{r} "
+            f"FROM (SELECT pair, SUM(n) AS weight FROM p{r} GROUP BY pair "
+            f"ORDER BY weight DESC, pair ASC LIMIT 1))",
+            f"m{r} AS (SELECT w, n, ' ' || array_to_string(syms, ' ') || ' ' "
+            f"AS s, pat{r}, rep{r} FROM done{r - 1} CROSS JOIN top{r} "
+            f"UNION ALL SELECT w, n, "
+            f"substr(s, 1, strpos(s, pat{r}) - 1) || rep{r} "
+            f"|| substr(s, strpos(s, pat{r}) + len(pat{r})), pat{r}, rep{r} "
+            f"FROM m{r} WHERE strpos(s, pat{r}) > 0)",
+            f"done{r} AS (SELECT w, n, "
+            f"list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms "
+            f"FROM m{r} WHERE strpos(s, pat{r}) = 0)",
+        ]
+    parts.append(
+        f"enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks, "
+        f"CAST(len(w) AS BIGINT) AS n_chars FROM done{n_merges})"
+    )
+    return ",\n".join(parts)
+
+
+def corpus_bpe_encode_sql(n_merges: int = BPE_N_MERGES) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    chain = _bpe_encoded_vocab_sql(n_merges).format(w=w)
+    return f"""
+WITH RECURSIVE
+{chain},
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(SUM(c * n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * n_chars) AS BIGINT) AS nch
+  FROM dw JOIN enc USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN CAST(n_tokens AS DOUBLE) / n_words END AS tokens_per_word,
+       CASE WHEN n_tokens > 0
+            THEN CAST(nch AS DOUBLE) / n_tokens END AS chars_per_token
+FROM per_doc
+"""
+
+
+def corpus_bpe_fertility_sql(n_merges: int = BPE_N_MERGES) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    chain = _bpe_encoded_vocab_sql(n_merges).format(w=w)
+    # dw carries no lang; re-derive the doc->lang map from documents
+    # (one row per doc) and join it into the rollup
+    return f"""
+WITH RECURSIVE
+{chain},
+per_lang AS (
+  SELECT d.lang, COUNT(DISTINCT dw.doc_id) AS n_docs,
+         CAST(SUM(dw.c) AS BIGINT) AS n_words,
+         CAST(SUM(dw.c * n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(dw.c * enc.n_chars) AS BIGINT) AS nch
+  FROM dw JOIN enc USING (w)
+  JOIN documents d ON d.doc_id = dw.doc_id
+  GROUP BY d.lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN CAST(n_tokens AS DOUBLE) / n_words END AS tokens_per_word,
+       CASE WHEN n_tokens > 0
+            THEN CAST(nch AS DOUBLE) / n_tokens END AS chars_per_token
+FROM per_lang
+"""
