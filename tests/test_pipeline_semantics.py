@@ -3336,3 +3336,31 @@ def test_bpe_encode_applies_learned_merges(spark):
     fert = {r["lang"]: r for r in corpus_bpe_fertility(docs).collect()}
     assert fert["en"]["n_tokens"] == got[1]["n_tokens"]  # (c)
     assert fert["de"]["n_words"] == len(t2.split())
+
+
+def test_pagerank2_hand_computed_four_nodes(spark):
+    """pagerank2 on a hand-solved 4-node graph: 1->{2,3}, 2->3, 3->1,
+    node 4 dangling. With d=0.85 and uniform start both iterations are
+    worked by hand (fractions): pr1 = (.303125, .196875, .409375,
+    .090625), pr2 = (.4047265625, .1855859375, .3529296875,
+    .0567578125) — each iteration sums to exactly 1 (the dangling
+    correction conserves mass)."""
+    import pytest as _pt
+
+    from tgres_spark.pipeline.graph import pagerank2
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "host_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["host_id"]: r for r in pagerank2(nodes, edges).collect()}
+    assert {h: r["out_deg"] for h, r in got.items()} == {1: 2, 2: 1, 3: 1, 4: 0}
+    want1 = {1: 0.303125, 2: 0.196875, 3: 0.409375, 4: 0.090625}
+    want2 = {
+        1: 0.4047265625, 2: 0.1855859375, 3: 0.3529296875, 4: 0.0567578125,
+    }
+    for h in (1, 2, 3, 4):
+        assert got[h]["pr1"] == _pt.approx(want1[h], rel=1e-9)
+        assert got[h]["pr2"] == _pt.approx(want2[h], rel=1e-9)
+    assert sum(r["pr1"] for r in got.values()) == _pt.approx(1.0, abs=1e-9)
+    assert sum(r["pr2"] for r in got.values()) == _pt.approx(1.0, abs=1e-9)

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ..model import load_table
 from ..pipeline import dedup as dd
+from ..pipeline import graph as _graph
 from ..pipeline import multimodal as mm
 from ..pipeline import prep as pp
 from ..pipeline import similarity as sim
@@ -203,6 +204,9 @@ register("corpus_top_ngrams", sql=tx.corpus_top_ngrams_sql())(
 )
 register("corpus_bpe_merge2", sql=tx.corpus_bpe_merge2_sql())(
     lambda s, d: tx.corpus_bpe_merge2(_docs(s, d))
+)
+register("graph_pagerank2_fixed", sql=_graph.graph_pagerank2_sql())(
+    lambda s, d: _graph.graph_pagerank2_fixed(_docs(s, d))
 )
 register("corpus_bpe_encode", sql=tx.corpus_bpe_encode_sql())(
     lambda s, d: tx.corpus_bpe_encode(_docs(s, d))

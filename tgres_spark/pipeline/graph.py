@@ -1,0 +1,228 @@
+"""Link-graph centrality as a corpus quality signal (round 10).
+
+RefinedWeb/CCNet-class pipelines weigh crawl documents by the link
+centrality of their host — a page on a well-linked host is likelier
+to be worth keeping than one on a link-farm island. The repo has URLs
+(dedup_url_canonical's synthesis, dedup.py) but had no graph
+operator; this adds two composed damped PageRank iterations over a
+deterministic host graph, built with the lloyd2/nm2/power_iter2
+unrolling pattern — ONE Catalyst tree, no driver iteration.
+
+Reference analogue: none (the reference is a metrics engine); this is
+part of the training-data-pipeline surface SURVEY §2.8 tracks.
+
+Determinism contract: per-node contribution sums are bounded-group
+float sums → quantized to 1e12-unit BIGINTs before summing (the
+micro6 rule at pico granularity — rank masses are O(1/N), so 1e-6
+units would eat 1% of a high-degree contribution; 1e-12 keeps 8
+significant digits at N=1e4 while Σ ≤ N·1e12 stays far inside
+int64). Everything else is scalar IEEE algebra on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_DAMP = 0.85
+HOST_MOD = 97
+_Q = 1_000_000_000_000.0  # 1e12 quantization unit
+
+
+def _q12(x) -> "F.Column":
+    return F.floor(x * _Q + F.lit(0.5)).cast("bigint")
+
+
+def synth_host_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) of the deterministic host graph: a doc lives on
+    host doc_id % 97 (the URL synthesis' cluster key) and emits three
+    outlinks to hosts (doc_id·31 + 7 + 17·j) % 97 — pairwise distinct
+    offsets mod 97, so at most one self-link per doc. Edges keep only
+    endpoints that exist in the corpus (a link to a host we never
+    crawled carries no rank mass to distribute back) and dedupe to the
+    unweighted distinct edge set the uniform-split PageRank kernel
+    expects. Map-only derivation; one distinct groupBy each."""
+    h = docs.select((F.col("doc_id") % HOST_MOD).alias("src"), "doc_id")
+    nodes = h.select(F.col("src").alias("host_id")).distinct()
+    raw = h.select(
+        "src",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("doc_id") * 31 + 7 + 17 * j) % HOST_MOD
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("src"))
+    edges = (
+        raw.join(
+            nodes.select(F.col("host_id").alias("dst")), "dst", "semi"
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return nodes, edges
+
+
+def pagerank2(
+    nodes: DataFrame, edges: DataFrame, damp: float = PR_DAMP
+) -> DataFrame:
+    """(host_id, out_deg, pr1, pr2): two damped PageRank iterations
+    from the uniform start, composed in one Catalyst tree. Dangling
+    nodes (no out-edges after filtering) redistribute their mass
+    uniformly — the standard correction, carried as a one-row scalar:
+
+        pr_{t+1}(v) = (1-d)/N + d·( Σ_{u→v} pr_t(u)/deg(u) + dang_t/N )
+
+    100 TB shape: the two contribution joins are co-keyed on host ids
+    (edges ⋈ deg on src, then ⋈ pr on src — same key, one shuffle
+    partitioning reused); the in-neighbor sums map-combine; N /
+    dangling mass are one-row broadcasts. Per the broadcast-fence rule
+    (CLAUDE.md), every relation feeding a one-row build under another
+    consumer is persist()+count()-fenced."""
+    d = float(damp)
+    nodes = nodes.persist()
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nd = nodes.join(
+        deg.select(F.col("src").alias("host_id"), "deg"), "host_id", "left"
+    ).persist()
+    nd.count()  # fence: nd feeds the one-row stats build AND the output join
+    stats = nd.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("deg").isNull().cast("bigint")).alias("ndang"),
+    )
+
+    def _iter(pr_rel, pr_col):
+        # pr_rel: (host_id, <pr_col>, deg nullable) — one iteration
+        contrib = (
+            edges.join(
+                pr_rel.select(
+                    F.col("host_id").alias("src"), pr_col, "deg"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.sum(_q12(F.col(pr_col) / F.col("deg"))).cast("double")
+                    / _Q
+                ).alias("contrib")
+            )
+            .select(F.col("dst").alias("host_id"), "contrib")
+        )
+        dang = pr_rel.agg(
+            (
+                F.sum(
+                    F.when(F.col("deg").isNull(), _q12(F.col(pr_col)))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / _Q
+            ).alias("dang")
+        )
+        return contrib, dang
+
+    # iteration 1 from the uniform start: pr0 = 1/N exactly, so the
+    # dangling mass is ndang/N exactly — no quantized sum needed
+    pr0 = nd.crossJoin(F.broadcast(stats)).select(
+        "host_id",
+        "deg",
+        "n",
+        "ndang",
+        (F.lit(1.0) / F.col("n")).alias("pr0"),
+    )
+    c1, _ = _iter(pr0, "pr0")
+    pr1 = (
+        pr0.join(c1, "host_id", "left")
+        .select(
+            "host_id",
+            "deg",
+            "n",
+            (
+                F.lit(1.0 - d) / F.col("n")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + (F.col("ndang") / F.col("n")) / F.col("n")
+                )
+            ).alias("pr1"),
+        )
+        .persist()
+    )
+    pr1.count()  # fence: pr1 feeds the contrib join AND the one-row dang build
+    c2, dang1 = _iter(pr1, "pr1")
+    return (
+        pr1.join(c2, "host_id", "left")
+        .crossJoin(F.broadcast(dang1))
+        .select(
+            "host_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("out_deg"),
+            "pr1",
+            (
+                F.lit(1.0 - d) / F.col("n")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dang") / F.col("n")
+                )
+            ).alias("pr2"),
+        )
+    )
+
+
+def graph_pagerank2_fixed(docs: DataFrame) -> DataFrame:
+    """The registered query: two PageRank iterations over the
+    synthesized host graph of the documents table."""
+    nodes, edges = synth_host_graph(docs)
+    return pagerank2(nodes, edges)
+
+
+def graph_pagerank2_sql(damp: float = PR_DAMP) -> str:
+    d = float(damp)
+    q = "CAST(FLOOR({x} * 1e12 + 0.5) AS BIGINT)"
+    return f"""
+WITH h AS (SELECT doc_id % {HOST_MOD} AS src, doc_id FROM documents),
+nodes AS (SELECT DISTINCT src AS host_id FROM h),
+raw_e AS (
+  SELECT src, (doc_id * 31 + 7 + 17 * j) % {HOST_MOD} AS dst
+  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM raw_e
+  WHERE dst <> src AND dst IN (SELECT host_id FROM nodes)
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nd AS (SELECT host_id, deg FROM nodes LEFT JOIN deg ON host_id = src),
+st AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN deg IS NULL THEN 1 ELSE 0 END) AS ndang
+  FROM nd
+),
+c1 AS (
+  SELECT dst AS host_id,
+         CAST(SUM({q.format(x="(1.0 / n) / deg")}) AS DOUBLE) / 1e12
+           AS contrib
+  FROM edges JOIN deg USING (src) CROSS JOIN st GROUP BY dst
+),
+pr1 AS (
+  SELECT host_id, deg, n,
+         {1.0 - d!r} / n + {d!r} * (COALESCE(contrib, 0.0)
+           + (CAST(ndang AS DOUBLE) / n) / n) AS pr1
+  FROM nd LEFT JOIN c1 USING (host_id) CROSS JOIN st
+),
+dang1 AS (
+  SELECT CAST(SUM(CASE WHEN deg IS NULL THEN {q.format(x="pr1")}
+                       ELSE 0 END) AS DOUBLE) / 1e12 AS dang
+  FROM pr1
+),
+c2 AS (
+  SELECT dst AS host_id,
+         CAST(SUM({q.format(x="pr1 / deg")}) AS DOUBLE) / 1e12 AS contrib
+  FROM edges JOIN pr1 ON src = host_id GROUP BY dst
+)
+SELECT p.host_id, CAST(COALESCE(p.deg, 0) AS BIGINT) AS out_deg, p.pr1,
+       {1.0 - d!r} / p.n + {d!r} * (COALESCE(c2.contrib, 0.0)
+         + dang / p.n) AS pr2
+FROM pr1 p LEFT JOIN c2 ON p.host_id = c2.host_id CROSS JOIN dang1
+"""
