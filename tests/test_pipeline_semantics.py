@@ -3364,3 +3364,40 @@ def test_pagerank2_hand_computed_four_nodes(spark):
         assert got[h]["pr2"] == _pt.approx(want2[h], rel=1e-9)
     assert sum(r["pr1"] for r in got.values()) == _pt.approx(1.0, abs=1e-9)
     assert sum(r["pr2"] for r in got.values()) == _pt.approx(1.0, abs=1e-9)
+
+
+def test_span_dedup2_separates_paragraph_from_boilerplate(spark):
+    """The two-granularity reconciliation: doc A and doc B each share
+    a verbatim 70-word PARAGRAPH; doc C shares only a scattered
+    16-word boilerplate phrase with doc D. The single-granularity
+    16-word metric reads both kinds of doc as 'covered' — it
+    under-reports the paragraph-scale structure (frac_long is what
+    distinguishes them): A/B show frac_long > 0 with long_share = 1
+    (all coverage is paragraph-scale), C/D show frac_short > 0 but
+    frac_long = 0 and long_share = 0. Structural invariant
+    covered_long <= covered_short pinned on every row."""
+    from tgres_spark.pipeline.contamination import span_dedup2
+
+    para = " ".join(f"para{i}" for i in range(70))  # 70 shared words
+    phrase = " ".join(f"bp{i}" for i in range(16))  # exactly one window
+    rows = [
+        (1, para + " " + " ".join(f"ua{i}" for i in range(20)), "en", "s", 1),
+        (2, " ".join(f"ub{i}" for i in range(10)) + " " + para, "en", "s", 1),
+        (3, " ".join(f"uc{i}" for i in range(30)) + " " + phrase, "en", "s", 1),
+        (4, phrase + " " + " ".join(f"ud{i}" for i in range(30)), "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in span_dedup2(docs).collect()}
+    for d in (1, 2):
+        assert got[d]["covered_long"] == 70  # the whole paragraph
+        assert got[d]["covered_short"] == 70
+        assert got[d]["frac_long"] > 0 and got[d]["long_share"] == 1.0
+    for d in (3, 4):
+        assert got[d]["covered_short"] == 16  # the phrase, any alignment
+        assert got[d]["covered_long"] == 0 and got[d]["frac_long"] == 0.0
+        assert got[d]["long_share"] == 0.0 and got[d]["frac_short"] > 0
+    assert all(
+        r["covered_long"] <= r["covered_short"] for r in got.values()
+    )

@@ -449,6 +449,18 @@ def pipeline_span_dedup(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir))
 
 
+@register("pipeline_span_dedup2", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).span_dedup2_sql())
+def pipeline_span_dedup2(spark, sf_dir):
+    """Two-granularity (16 + 64 word) span duplication profile with
+    the per-doc coverage reconciled: long_share separates paragraph-
+    scale duplication from boilerplate-phrase coverage that the
+    single-granularity metric reads identically
+    (pipeline/contamination.py span_dedup2)."""
+    from ..pipeline.contamination import span_dedup2
+
+    return span_dedup2(_docs(spark, sf_dir))
+
+
 @register("pipeline_boilerplate_strip", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).boilerplate_strip_sql())
 def pipeline_boilerplate_strip(spark, sf_dir):
     """CCNet-style boilerplate REMOVAL (round 8): chunks occurring in

@@ -195,6 +195,18 @@ def _shingles_from_w_sql(k: int) -> str:
     )
 
 
+def _shingles_from_w_slice_sql(k: int) -> str:
+    """Same relation as _shingles_from_w_sql but via list slicing +
+    array_to_string — the || chain binds k-deep and DuckDB's binder
+    caps recursion at 128, so k=64 needs the flat form (identical
+    strings: both join the k words with single spaces)."""
+    return (
+        f"list_transform(range(1, CASE WHEN len(w) >= {k} "
+        f"THEN len(w) - {k - 2} ELSE 1 END), "
+        f"i -> array_to_string(w[i : i + {k - 1}], ' '))"
+    )
+
+
 def span_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     """Span-level duplication profile (the metric behind substring-
     level dedup a la Lee et al. 2022, "Deduplicating Training Data
@@ -690,3 +702,131 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN stats st ON st.doc_id = d.doc_id
 LEFT JOIN cleaned cl ON cl.doc_id = d.doc_id
 """
+
+
+def span_dedup2(
+    docs: DataFrame, k_short: int = 16, k_long: int = 64
+) -> DataFrame:
+    """Two-granularity span duplication profile (round 10, span_dedup
+    one step deeper): the k=16 window catches any alignment of short
+    shared substrings but reads boilerplate phrases and whole
+    duplicated paragraphs IDENTICALLY — a doc sprinkled with common
+    16-word idioms and a doc containing a verbatim 64-word paragraph
+    can show the same covered_frac. Lee et al.'s metric reads
+    differently at paragraph scale, so this runs the same interval-
+    union machinery at BOTH granularities and reconciles per doc:
+
+      (doc_id, n_words, covered_short, covered_long, frac_short,
+       frac_long, long_share)
+
+    where long_share = covered_long / covered_short is the fraction of
+    the doc's short-window coverage attributable to paragraph-scale
+    duplication (a k_long duplicate makes all its k_short subwindows
+    duplicates too, so covered_long ⊆ covered_short structurally —
+    long_share ∈ [0,1] and the pytest pins both extremes). A prep run
+    cuts on frac_long for paragraph dedup and on frac_short −
+    frac_long for boilerplate.
+
+    Scale: ONE text scan — the words array materializes once and both
+    window relations derive from it; each granularity's span relation
+    shuffles once on uniform md5 keys; position explodes run on
+    DUPLICATED windows only (the spread filter first). Division
+    guards per the CLAUDE.md rule."""
+    base = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        shingles_of(F.col("w"), k_short).alias("gs"),
+        shingles_of(F.col("w"), k_long).alias("gl"),
+    )
+
+    def covered(col, k):
+        spans = base.select(
+            "doc_id", F.posexplode(col).alias("p", "g")
+        ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))
+        spread = (
+            spans.select("doc_id", "h")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= 2)
+            .select("h")
+        )
+        dup = spans.join(spread, "h", "left_semi")
+        return (
+            dup.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+                ).alias("pos"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias(f"cov{k}"))
+        )
+
+    ids = docs.select("doc_id").distinct()
+    nw = base.select("doc_id", "n_words")
+    cs = covered(F.col("gs"), k_short)
+    cl = covered(F.col("gl"), k_long)
+    covs = F.coalesce(F.col(f"cov{k_short}"), F.lit(0)).cast("bigint")
+    covl = F.coalesce(F.col(f"cov{k_long}"), F.lit(0)).cast("bigint")
+    return (
+        ids.join(nw, "doc_id", "left")
+        .join(cs, "doc_id", "left")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            covs.alias("covered_short"),
+            covl.alias("covered_long"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                covs.cast("double") / F.col("n_words"),
+            ).alias("frac_short"),
+            F.when(
+                F.coalesce("n_words", F.lit(0)) > 0,
+                covl.cast("double") / F.col("n_words"),
+            ).alias("frac_long"),
+            F.when(covs > 0, covl.cast("double") / covs).alias("long_share"),
+        )
+    )
+
+
+def span_dedup2_sql(k_short: int = 16, k_long: int = 64) -> str:
+    w = WORDS_SQL.format(c="text")
+
+    def cov_cte(k: int, name: str) -> str:
+        return (
+            f"sp{name} AS (SELECT doc_id, "
+            f"UNNEST(range(1, CASE WHEN len(w) >= {k} "
+            f"THEN len(w) - {k - 2} ELSE 1 END)) AS s, "
+            f"md5(UNNEST({_shingles_from_w_slice_sql(k)})) AS h FROM base), "
+            f"spread{name} AS (SELECT h FROM "
+            f"(SELECT DISTINCT doc_id, h FROM sp{name}) "
+            f"GROUP BY h HAVING COUNT(*) >= 2), "
+            f"dup{name} AS (SELECT doc_id, s FROM sp{name} "
+            f"WHERE h IN (SELECT h FROM spread{name})), "
+            f"cov{name} AS (SELECT doc_id, COUNT(*) AS cov{name} FROM ("
+            f"SELECT DISTINCT doc_id, UNNEST(range(s, s + {k})) AS pos "
+            f"FROM dup{name}) GROUP BY doc_id)"
+        )
+
+    return (
+        f"WITH base AS (SELECT doc_id, ({w}) AS w FROM documents), "
+        f"{cov_cte(k_short, 's')}, {cov_cte(k_long, 'l')}, "
+        "nw AS (SELECT doc_id, len(w) AS n_words FROM base) "
+        "SELECT ids.doc_id, "
+        "CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(covs, 0) AS BIGINT) AS covered_short, "
+        "CAST(COALESCE(covl, 0) AS BIGINT) AS covered_long, "
+        "CASE WHEN COALESCE(n_words, 0) > 0 THEN "
+        "CAST(COALESCE(covs, 0) AS DOUBLE) / n_words END AS frac_short, "
+        "CASE WHEN COALESCE(n_words, 0) > 0 THEN "
+        "CAST(COALESCE(covl, 0) AS DOUBLE) / n_words END AS frac_long, "
+        "CASE WHEN COALESCE(covs, 0) > 0 THEN "
+        "CAST(COALESCE(covl, 0) AS DOUBLE) / covs END AS long_share "
+        "FROM (SELECT DISTINCT doc_id FROM documents) ids "
+        "LEFT JOIN nw USING (doc_id) "
+        "LEFT JOIN covs USING (doc_id) "
+        "LEFT JOIN covl USING (doc_id)"
+    )
