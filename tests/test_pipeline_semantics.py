@@ -3401,3 +3401,29 @@ def test_span_dedup2_separates_paragraph_from_boilerplate(spark):
     assert all(
         r["covered_long"] <= r["covered_short"] for r in got.values()
     )
+
+
+def test_hits2_hand_computed_three_nodes(spark):
+    """hits2 on a hand-solved 3-node graph: 1->{2,3}, 3->2, L1
+    normalization each half-step. By hand (exact fractions):
+    a1 = (0, 2/3, 1/3); h1 = (3/5, 0, 2/5); a2 = (0, 5/8, 3/8);
+    h2 = (8/13, 0, 5/13). Node 1 is the pure hub, node 2 the pure
+    authority, node 3 both-ish — the separation PageRank's single
+    score cannot express."""
+    import pytest as _pt
+
+    from tgres_spark.pipeline.graph import hits2
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "host_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 2)], "src long, dst long"
+    )
+    got = {r["host_id"]: r for r in hits2(nodes, edges).collect()}
+    assert {h: (r["in_deg"], r["out_deg"]) for h, r in got.items()} == {
+        1: (0, 2), 2: (2, 0), 3: (1, 1)
+    }
+    want_auth = {1: 0.0, 2: 5 / 8, 3: 3 / 8}
+    want_hub = {1: 8 / 13, 2: 0.0, 3: 5 / 13}
+    for h in (1, 2, 3):
+        assert got[h]["auth"] == _pt.approx(want_auth[h], abs=1e-9)
+        assert got[h]["hub"] == _pt.approx(want_hub[h], abs=1e-9)

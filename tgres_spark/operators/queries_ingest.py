@@ -521,6 +521,40 @@ def streaming_rfm(spark, sf_dir):
     return read_latest_snapshot(spark, f"{work}/out")
 
 
+@register(
+    "streaming_pagerank",
+    sql=__import__(
+        "tgres_spark.pipeline.graph", fromlist=["x"]
+    ).graph_pagerank2_sql(),
+)
+def streaming_pagerank(spark, sf_dir):
+    """Live link-graph centrality over an arriving crawl (round 10):
+    PageRank is class 3 of refresh.py's deployment rule — GLOBALLY
+    entangled (one new edge shifts every host's rank through the
+    normalization and the dangling mass), so per-batch and per-key
+    deployments are structurally wrong and the honest shape is the
+    cumulative refresh: each doc micro-batch lands idempotently and
+    the full two-iteration relation republishes; the latest snapshot
+    equals the batch operator over every doc seen, so the batch CTE
+    oracle checks the stream verbatim. Four real micro-batches over
+    the documents table."""
+    import tempfile
+
+    from ..pipeline.graph import graph_pagerank2_fixed
+    from ..streaming.refresh import (
+        read_latest_snapshot, run_cumulative_refresh,
+    )
+
+    work = tempfile.mkdtemp(prefix="tgres_spr_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_cumulative_refresh(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", docs.schema,
+        graph_pagerank2_fixed,
+    )
+    return read_latest_snapshot(spark, f"{work}/out")
+
+
 @register("streaming_catalog_compact", sql=_CATALOG_ORACLE_SQL)
 def streaming_catalog_compact(spark, sf_dir):
     """Catalog compaction across stream INCARNATIONS (round 9,

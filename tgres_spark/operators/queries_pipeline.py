@@ -208,6 +208,12 @@ register("corpus_bpe_merge2", sql=tx.corpus_bpe_merge2_sql())(
 register("graph_pagerank2_fixed", sql=_graph.graph_pagerank2_sql())(
     lambda s, d: _graph.graph_pagerank2_fixed(_docs(s, d))
 )
+register("graph_hits2_fixed", sql=_graph.graph_hits2_sql())(
+    lambda s, d: _graph.graph_hits2_fixed(_docs(s, d))
+)
+register("pipeline_rank_quality", sql=_graph.pipeline_rank_quality_sql())(
+    lambda s, d: _graph.pipeline_rank_quality(_docs(s, d))
+)
 register("corpus_bpe_encode", sql=tx.corpus_bpe_encode_sql())(
     lambda s, d: tx.corpus_bpe_encode(_docs(s, d))
 )

@@ -226,3 +226,201 @@ SELECT p.host_id, CAST(COALESCE(p.deg, 0) AS BIGINT) AS out_deg, p.pr1,
          + dang / p.n) AS pr2
 FROM pr1 p LEFT JOIN c2 ON p.host_id = c2.host_id CROSS JOIN dang1
 """
+
+
+def hits2(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(host_id, in_deg, out_deg, auth, hub): two HITS iterations
+    (Kleinberg) from the uniform hub start, L1-normalized each half-
+    step (L1, not L2: the normalizer is then a SUM — quantized exactly
+    like every other bounded-group sum — instead of a sqrt whose
+    argument would itself need a deterministic sum anyway; the
+    rank ORDER is identical under any positive scaling):
+
+        a ∝ Σ_{u→v} h(u)   then  a /= Σa
+        h ∝ Σ_{u→v} a(v)   then  h /= Σh
+
+    A page linked by good hubs is an authority; a page linking to
+    good authorities is a hub — the complementary centrality to
+    PageRank's random surfer (PageRank finds well-endorsed hosts,
+    HITS separates directories/aggregators from content). Composed in
+    one Catalyst tree: 4 edge joins all co-keyed on host ids, 4
+    1e12-quantized groupBy sums, normalizers as one-row broadcasts,
+    shared relations persist()+count()-fenced per the broadcast-fence
+    rule."""
+    nodes = nodes.persist()
+    edges = edges.persist()
+    ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    def half_step(rel, score, side_from, side_to, out_name):
+        # rel: (host_id, <score>); sum score over edges incident via
+        # side_from, grouped by side_to; L1-normalize with a one-row
+        # broadcast of the quantized total
+        raw = (
+            edges.join(
+                rel.select(F.col("host_id").alias(side_from), score),
+                side_from,
+            )
+            .groupBy(side_to)
+            .agg(
+                (F.sum(_q12(F.col(score))).cast("double") / _Q).alias("raw")
+            )
+            .select(F.col(side_to).alias("host_id"), "raw")
+        ).persist()
+        raw.count()  # fence: feeds the one-row total AND the join below
+        tot = raw.agg(
+            (F.sum(_q12(F.col("raw"))).cast("double") / _Q).alias("tot")
+        )
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "host_id",
+                F.when(
+                    F.col("tot") > 0, F.col("raw") / F.col("tot")
+                ).alias(out_name),
+            )
+        )
+
+    h0 = nodes.crossJoin(F.broadcast(nn)).select(
+        "host_id", (F.lit(1.0) / F.col("n")).alias("h")
+    )
+    a1 = half_step(h0, "h", "src", "dst", "a")
+    h1 = half_step(a1, "a", "dst", "src", "h")
+    a2 = half_step(h1, "h", "src", "dst", "auth")
+    h2 = half_step(a2, "auth", "dst", "src", "hub")
+    return (
+        nodes.join(ind.withColumnRenamed("dst", "host_id"), "host_id", "left")
+        .join(outd.withColumnRenamed("src", "host_id"), "host_id", "left")
+        .join(a2, "host_id", "left")
+        .join(h2, "host_id", "left")
+        .select(
+            "host_id",
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+
+
+def graph_hits2_fixed(docs: DataFrame) -> DataFrame:
+    """The registered query: two HITS iterations over the synthesized
+    host graph."""
+    nodes, edges = synth_host_graph(docs)
+    return hits2(nodes, edges)
+
+
+def graph_hits2_sql() -> str:
+    q = "CAST(FLOOR({x} * 1e12 + 0.5) AS BIGINT)"
+    return f"""
+WITH h AS (SELECT doc_id % {HOST_MOD} AS src, doc_id FROM documents),
+nodes AS (SELECT DISTINCT src AS host_id FROM h),
+raw_e AS (
+  SELECT src, (doc_id * 31 + 7 + 17 * j) % {HOST_MOD} AS dst
+  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM raw_e
+  WHERE dst <> src AND dst IN (SELECT host_id FROM nodes)
+),
+ind AS (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT host_id, 1.0 / n AS h FROM nodes CROSS JOIN nn),
+a1r AS (
+  SELECT dst AS host_id,
+         CAST(SUM({q.format(x="h")}) AS DOUBLE) / 1e12 AS raw
+  FROM edges JOIN h0 ON src = host_id GROUP BY dst
+),
+a1t AS (SELECT CAST(SUM({q.format(x="raw")}) AS DOUBLE) / 1e12 AS tot FROM a1r),
+a1 AS (SELECT host_id, CASE WHEN tot > 0 THEN raw / tot END AS a
+       FROM a1r CROSS JOIN a1t),
+h1r AS (
+  SELECT src AS host_id,
+         CAST(SUM({q.format(x="a")}) AS DOUBLE) / 1e12 AS raw
+  FROM edges JOIN a1 ON dst = host_id GROUP BY src
+),
+h1t AS (SELECT CAST(SUM({q.format(x="raw")}) AS DOUBLE) / 1e12 AS tot FROM h1r),
+h1 AS (SELECT host_id, CASE WHEN tot > 0 THEN raw / tot END AS hh
+       FROM h1r CROSS JOIN h1t),
+a2r AS (
+  SELECT dst AS host_id,
+         CAST(SUM({q.format(x="hh")}) AS DOUBLE) / 1e12 AS raw
+  FROM edges JOIN h1 ON src = host_id GROUP BY dst
+),
+a2t AS (SELECT CAST(SUM({q.format(x="raw")}) AS DOUBLE) / 1e12 AS tot FROM a2r),
+a2 AS (SELECT host_id, CASE WHEN tot > 0 THEN raw / tot END AS auth
+       FROM a2r CROSS JOIN a2t),
+h2r AS (
+  SELECT src AS host_id,
+         CAST(SUM({q.format(x="auth")}) AS DOUBLE) / 1e12 AS raw
+  FROM edges JOIN a2 ON dst = host_id GROUP BY src
+),
+h2t AS (SELECT CAST(SUM({q.format(x="raw")}) AS DOUBLE) / 1e12 AS tot FROM h2r),
+h2 AS (SELECT host_id, CASE WHEN tot > 0 THEN raw / tot END AS hub
+       FROM h2r CROSS JOIN h2t)
+SELECT n.host_id,
+       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+       COALESCE(auth, 0.0) AS auth,
+       COALESCE(hub, 0.0) AS hub
+FROM nodes n
+LEFT JOIN ind ON n.host_id = ind.dst
+LEFT JOIN outd ON n.host_id = outd.src
+LEFT JOIN a2 ON n.host_id = a2.host_id
+LEFT JOIN h2 ON n.host_id = h2.host_id
+"""
+
+
+def pipeline_rank_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, host_id, n_words, keep, centrality, weight): the
+    RefinedWeb-style composition this module exists for — a document's
+    sampling weight combines its CONTENT quality gate (the Gopher
+    panel) with its host's LINK centrality (two PageRank iterations):
+    centrality = pr2·N (1.0 = averagely-linked host, >1 = endorsed),
+    weight = centrality where the quality gate passes, else 0. A prep
+    run samples the corpus proportional to weight instead of treating
+    a link-farm page and a well-endorsed page as equals.
+
+    Scale: the gopher signals are the usual zero-shuffle single-pass
+    per doc; the rank relation is HOST-domain-sized and persist-fenced
+    (it feeds the one-row N build and the doc join), then broadcast
+    into the doc scan — the corpus shuffles nowhere; the join key
+    doc_id % 97 is the host derivation itself, computed in-row."""
+    from .textstats import gopher_filter
+
+    g = gopher_filter(docs).select(
+        "doc_id", "n_words", "keep", (F.col("doc_id") % HOST_MOD).alias("host_id")
+    )
+    nodes, edges = synth_host_graph(docs)
+    pr = pagerank2(nodes, edges).persist()
+    pr.count()  # fence: pr feeds the one-row N build AND the doc join
+    nn = pr.agg(F.count("*").alias("n_hosts"))
+    prn = pr.select("host_id", "pr2").crossJoin(F.broadcast(nn))
+    cent = F.col("pr2") * F.col("n_hosts")
+    return g.join(F.broadcast(prn), "host_id").select(
+        "doc_id",
+        "host_id",
+        "n_words",
+        "keep",
+        cent.alias("centrality"),
+        F.when(F.col("keep"), cent).otherwise(F.lit(0.0)).alias("weight"),
+    )
+
+
+def pipeline_rank_quality_sql() -> str:
+    from .textstats import gopher_filter_sql
+
+    pr = graph_pagerank2_sql()
+    gf = gopher_filter_sql(rel="documents")
+    return f"""
+WITH pr_rel AS ({pr}),
+g AS (SELECT doc_id, n_words, keep, doc_id % {HOST_MOD} AS host_id
+      FROM ({gf})),
+nn AS (SELECT COUNT(*) AS n_hosts FROM pr_rel)
+SELECT g.doc_id, g.host_id, g.n_words, g.keep,
+       pr_rel.pr2 * n_hosts AS centrality,
+       CASE WHEN g.keep THEN pr_rel.pr2 * n_hosts ELSE 0.0 END AS weight
+FROM g JOIN pr_rel ON g.host_id = pr_rel.host_id CROSS JOIN nn
+"""
