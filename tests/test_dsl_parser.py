@@ -277,3 +277,37 @@ def test_as_percent_numeric_total(spark):
     assert out == {"asPercent(m.a)": 20.0, "asPercent(m.b)": 80.0}
     self_tot = {r["name"]: r["value"] for r in evaluate(DslContext(cat), "asPercent(m.*)").collect()}
     assert self_tot["asPercent(m.a)"] == 20.0  # 50/250 of the per-t sum
+
+
+def test_evaluate_map_reduce_stacked_substr(spark):
+    """The last four inventory names end-to-end through the parser:
+    reduceSeries(mapSeries(...)) computes the per-group divide;
+    stacked() prefix-sums in name order per t; substr() renames."""
+    rows = []
+    for host in ("h1", "h2"):
+        for t in (0, 60):
+            rows.append((f"servers.{host}.disk.used", t, 30.0))
+            rows.append((f"servers.{host}.disk.total", t, 120.0))
+    catalog = spark.createDataFrame(
+        rows, "name string, t long, value double"
+    )
+    out = evaluate(
+        DslContext(catalog),
+        'reduceSeries(mapSeries(servers.*.disk.*, 1), '
+        '"asPercent", 3, "used", "total")',
+    )
+    got = {(r["name"], r["t"]): r["value"] for r in out.collect()}
+    assert got[("servers.h1.disk", 0)] == 25.0
+    assert got[("servers.h2.disk", 60)] == 25.0
+    assert len(got) == 4
+
+    st = evaluate(DslContext(catalog), "stacked(servers.*.disk.used)")
+    sv = {(r["name"], r["t"]): r["value"] for r in st.collect()}
+    # name order: h1 first (30), h2 stacked on top (60)
+    assert sv[("stacked(servers.h1.disk.used)", 0)] == 30.0
+    assert sv[("stacked(servers.h2.disk.used)", 0)] == 60.0
+
+    sub = evaluate(DslContext(catalog), "substr(servers.*.disk.total, 1, 2)")
+    assert {r["name"] for r in sub.select("name").distinct().collect()} == {
+        "h1", "h2"
+    }

@@ -270,6 +270,25 @@ def _dispatch(ctx: DslContext, call: Call) -> DataFrame:
         node = int(_num(a[1]))
         func = _str(a[2]) if len(a) > 2 else "sum"
         return db.group_by_node(s0(), node, func)
+    if f == "mapSeries":
+        # graphite's list-of-lists is a VIRTUAL grouping in the
+        # relational model — the frame passes through unchanged and
+        # reduceSeries re-derives the partition from its reduceNode
+        # (dsl_combine.reduce_series documents why that is the same
+        # partition); standalone inspection uses db.map_series
+        return s0()
+    if f == "reduceSeries":
+        lits = [x for x in a if isinstance(x, Literal)]
+        return db.reduce_series(
+            s0(), _str(lits[0]), int(_num(lits[1])),
+            _str(lits[2]), _str(lits[3]),
+        )
+    if f == "stacked":
+        return db.stacked_series(s0())
+    if f == "substr":
+        start = int(_num(a[1])) if len(a) > 1 else 0
+        stop = int(_num(a[2])) if len(a) > 2 else 0
+        return ds.substr_name(s0(), start, stop)
 
     rank = {
         "highestCurrent": ("current", True), "highestMax": ("max", True),

@@ -537,3 +537,132 @@ def group_by_node_sql(base, node: int, func: str = "sum"):
         f"SELECT {key} AS name, t, CAST({agg} AS DOUBLE) AS value "
         f"FROM ({base}) GROUP BY 1, 2"
     )
+
+
+# --- mapSeries / reduceSeries / stacked (round 10) ---------------------------
+# The last three `--`-marked names in the reference's COMBINE comment
+# inventory (dsl/funcs.go:259,264 — "returns a list of lists
+# (non-standard)" / "relies on mapSeries"). The reference never
+# implemented them because its evaluator passes SeriesSlice values;
+# the relational model makes them natural: mapSeries's list-of-lists
+# is a GROUP KEY COLUMN, and reduceSeries is a pivot per (group, t).
+
+
+def map_series(df: DataFrame, node: int) -> DataFrame:
+    """(grp, name, t, value): graphite mapSeries(seriesList, mapNode)
+    — series grouped by the node-th dot-component. Graphite returns a
+    list of series lists; relationally that is the same frame with
+    the group key materialized as a column (map-only, no shuffle).
+    reduceSeries consumes the grouping; standalone it is the
+    group-inspection relation."""
+    key = F.element_at(F.split(F.col(NAME), r"\."), node + 1)
+    return df.select(key.alias("grp"), F.col(NAME), F.col(T), F.col(VALUE))
+
+
+def map_series_sql(base, node: int) -> str:
+    return (
+        f"SELECT string_split(name, '.')[{node + 1}] AS grp, "
+        f"name, t, value FROM ({base})"
+    )
+
+
+def reduce_series(
+    df: DataFrame, fn: str, node: int, m1: str, m2: str
+) -> DataFrame:
+    """graphite reduceSeries(mapSeries(...), reduceFunction,
+    reduceNode, matcher1, matcher2): within each group, the series
+    whose reduceNode-th name component equals matcher1 is combined
+    with the matcher2 series per timestamp — asPercent / divideSeries
+    / diffSeries, the documented two-matcher reducers. Output series
+    are named by the group identity (the name with the reduceNode
+    component removed), which is what makes the result nestable.
+
+    The mapNode argument of the inner mapSeries is subsumed: grouping
+    by "name minus the reduceNode component" is the same partition
+    whenever the map/reduce node pair describes a well-formed
+    hierarchy (graphite's own examples), without assuming which other
+    node is the group key. One shuffle on (group, t); the pivot is
+    MAX over at-most-one row per matcher; divisions guarded."""
+    parts = F.split(F.col(NAME), r"\.")
+    seg = F.element_at(parts, node + 1)
+    key = F.array_join(
+        F.filter(parts, lambda x, i: i != F.lit(node)), "."
+    )
+    sel = df.select(
+        key.alias(NAME), seg.alias("m"), F.col(T), F.col(VALUE)
+    ).where(F.col("m").isin(m1, m2))
+    agg = sel.groupBy(NAME, T).agg(
+        F.max(F.when(F.col("m") == m1, F.col(VALUE))).alias("a"),
+        F.max(F.when(F.col("m") == m2, F.col(VALUE))).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    if fn == "asPercent":
+        v = F.when(b != 0, a / b * 100.0)
+    elif fn == "divideSeries":
+        v = F.when(b != 0, a / b)
+    elif fn == "diffSeries":
+        v = a - b
+    else:
+        raise ValueError(fn)
+    return agg.select(NAME, T, v.cast("double").alias(VALUE))
+
+
+def reduce_series_sql(base, fn: str, node: int, m1: str, m2: str) -> str:
+    parts = "string_split(name, '.')"
+    key = (
+        f"array_to_string(list_transform(list_filter("
+        f"list_transform({parts}, (x, i) -> {{'s': x, 'i': i}}), "
+        f"p -> p.i <> {node + 1}), p -> p.s), '.')"
+    )
+    seg = f"{parts}[{node + 1}]"
+    if fn == "asPercent":
+        v = "CASE WHEN b <> 0 THEN a / b * 100.0 END"
+    elif fn == "divideSeries":
+        v = "CASE WHEN b <> 0 THEN a / b END"
+    elif fn == "diffSeries":
+        v = "a - b"
+    else:
+        raise ValueError(fn)
+    return (
+        f"SELECT name, t, CAST({v} AS DOUBLE) AS value FROM ("
+        f"SELECT {key} AS name, t, "
+        f"MAX(CASE WHEN {seg} = '{m1}' THEN value END) AS a, "
+        f"MAX(CASE WHEN {seg} = '{m2}' THEN value END) AS b "
+        f"FROM ({base}) WHERE {seg} IN ('{m1}', '{m2}') "
+        f"GROUP BY 1, 2)"
+    )
+
+
+def stacked_series(df: DataFrame) -> DataFrame:
+    """graphite stacked(seriesList): each series becomes the running
+    sum of itself and every series BEFORE it (name order) at each
+    timestamp — the data transform behind stacked rendering, renamed
+    stacked(name) as graphite does when no stackName is given.
+
+    One window partitioned BY TIMESTAMP (partition count = the time
+    domain, never single-partition) ordered by name; the prefix sum
+    accumulates micro6 BIGINTs so both engines add in exact integer
+    arithmetic regardless of their window-sum implementation."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(T)
+        .orderBy(NAME)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.sum(micro6(F.col(VALUE))).over(w).cast("double") / 1000000.0
+    return df.select(
+        F.concat(F.lit("stacked("), F.col(NAME), F.lit(")")).alias(NAME),
+        F.col(T),
+        v.alias(VALUE),
+    )
+
+
+def stacked_series_sql(base) -> str:
+    return (
+        "SELECT 'stacked(' || name || ')' AS name, t, "
+        "CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) "
+        "OVER (PARTITION BY t ORDER BY name "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        f"/ 1000000.0 AS DOUBLE) AS value FROM ({base})"
+    )

@@ -271,3 +271,30 @@ def cacti_style_sql(base) -> str:
         f"JOIN ({mx}) x ON c.name = x.name JOIN ({mn}) n ON c.name = n.name) s "
         "ON b.name = s.name"
     )
+
+
+def substr_name(df, start: int, stop: int = 0) -> "DataFrame":
+    """graphite substr(seriesList, start, stop): rename each series
+    to dot-components [start:stop) (python slice semantics; stop=0
+    means to the end). Data unchanged; pure name algebra in-row.
+    The last `--`-marked SPECIAL name in the reference's comment
+    inventory (dsl/funcs.go)."""
+    parts = F.split(F.col(NAME), r"\.")
+    if stop and stop > 0:
+        length = F.lit(int(stop) - int(start))
+    else:
+        length = F.size(parts) - int(start)
+    return df.select(
+        F.array_join(F.slice(parts, int(start) + 1, length), ".").alias(NAME),
+        F.col(T),
+        F.col(VALUE),
+    )
+
+
+def substr_name_sql(base, start: int, stop: int = 0) -> str:
+    parts = "string_split(name, '.')"
+    hi = str(int(stop)) if stop and stop > 0 else f"len({parts})"
+    return (
+        f"SELECT array_to_string({parts}[{int(start) + 1} : {hi}], '.') "
+        f"AS name, t, value FROM ({base})"
+    )

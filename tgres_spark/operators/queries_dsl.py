@@ -137,6 +137,31 @@ _reg(
     lambda s, d: db.group_by_node(dotted(s, d), 0, "max"),
     db.group_by_node_sql(DOTTED_SQL, 0, "max"),
 )
+# the last four --/skipped names from the reference's comment
+# inventory (funcs.go COMBINE/SPECIAL blocks) — round 10 closes the
+# whole list: mapSeries's list-of-lists is a group-key column,
+# reduceSeries a (group, t) pivot, stacked a per-t prefix sum,
+# substr pure name algebra
+_reg(
+    "dsl_mapSeries",
+    lambda s, d: db.map_series(dotted(s, d), 1),
+    db.map_series_sql(DOTTED_SQL, 1),
+)
+_reg(
+    "dsl_reduceSeries",
+    lambda s, d: db.reduce_series(wa_base(s, d), "divideSeries", 1, "avg", "weight"),
+    db.reduce_series_sql(WA_SQL, "divideSeries", 1, "avg", "weight"),
+)
+_reg(
+    "dsl_stacked",
+    lambda s, d: db.stacked_series(base(s, d)),
+    db.stacked_series_sql(BASE_SQL),
+)
+_reg(
+    "dsl_substr",
+    lambda s, d: ds.substr_name(dotted(s, d), 1, 2),
+    ds.substr_name_sql(DOTTED_SQL, 1, 2),
+)
 _reg(
     "dsl_weightedAverage",
     lambda s, d: db.weighted_average(wa_base(s, d), "avg", "weight", 0),
