@@ -3427,3 +3427,97 @@ def test_hits2_hand_computed_three_nodes(spark):
     for h in (1, 2, 3):
         assert got[h]["auth"] == _pt.approx(want_auth[h], abs=1e-9)
         assert got[h]["hub"] == _pt.approx(want_hub[h], abs=1e-9)
+
+
+def test_matryoshka_eval_detects_truncation_loss(spark):
+    """Planted truncation failure: candidate A matches the query
+    PERFECTLY in the first 8 dims but carries a huge orthogonal tail
+    (full cosine 0.17); candidate B is a slightly-rotated true
+    neighbor (cosine 0.99 at every prefix). dims=8 retrieval picks A
+    (recall@1 = 0), full-dim picks B (recall@1 = 1) — exactly the
+    regret the operator prices."""
+    from tgres_spark.pipeline.similarity import emb_matryoshka_eval
+
+    def vec(pairs):
+        v = [0.0] * 64
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, 0, vec([(0, 1.0)])),                                   # query
+        (1, 0, vec([(0, 1.0)] + [(i, 1.0) for i in range(32, 64)])),  # A
+        (2, 0, vec([(0, 0.9), (1, 0.1)])),                         # B
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    got = {
+        r["dims"]: r
+        for r in emb_matryoshka_eval(
+            emb, dims=(8, 64), n_queries=1, k=2
+        ).collect()
+    }
+    assert got[8]["recall_at1"] == 0.0   # picked the prefix impostor
+    assert got[64]["recall_at1"] == 1.0
+    assert got[8]["mean_overlap_at_k"] == 1.0  # both candidates in top-2
+
+
+def test_unicode_anomalies_counts_planted_codepoints(spark):
+    """Planted invisibles: 2 zero-width + 1 bidi override + 1
+    replacement char + 1 C0 control, against a clean doc."""
+    from tgres_spark.pipeline.textstats import text_unicode_anomalies
+
+    dirty = "ab​cd‍efg‮hi�jk\x07z"
+    rows = [
+        (1, dirty, "en", "s", len(dirty)),
+        (2, "perfectly clean ascii text", "en", "s", 26),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in text_unicode_anomalies(docs).collect()}
+    assert got[1]["n_zero_width"] == 2
+    assert got[1]["n_bidi_ctrl"] == 1
+    assert got[1]["n_replacement"] == 1
+    assert got[1]["n_c0_ctrl"] == 1
+    assert got[1]["suspicious"] == 1
+    assert got[2]["suspicious"] == 0 and got[2]["anomaly_frac"] == 0.0
+
+
+def test_streaming_index_update_accumulates_generations(spark, tmp_path):
+    """Two doc micro-batches write back as generations 0/1 with
+    compact_threshold=2 forcing the fold; the resolved index equals
+    minhash_signatures over both batches."""
+    from tgres_spark.pipeline.dedup import (
+        _idx_manifested,
+        minhash_signatures,
+        read_signature_index,
+    )
+    from tgres_spark.streaming.incdedup import run_index_update_stream
+
+    sch = "doc_id long, text string, lang string"
+    b1 = [(1, "the quick brown fox jumps over the lazy dog today", "en")]
+    b2 = [(2, "completely different content about spark and parquet", "en")]
+    in_dir = str(tmp_path / "in")
+    for b in (b1, b2):
+        spark.createDataFrame(b, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    idx = str(tmp_path / "index")
+    run_index_update_stream(
+        spark, in_dir, idx, str(tmp_path / "ck"),
+        spark.createDataFrame(b1, sch).schema, compact_threshold=2,
+    )
+    got = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in read_signature_index(spark, idx).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_signatures(
+            spark.createDataFrame(b1 + b2, sch)
+        ).collect()
+    }
+    assert got == want
+    assert _idx_manifested(spark, idx, "b")  # a compaction fold happened

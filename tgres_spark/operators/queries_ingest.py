@@ -522,6 +522,44 @@ def streaming_rfm(spark, sf_dir):
 
 
 @register(
+    "streaming_index_update",
+    sql=(
+        "SELECT doc_id, array_to_string(sig, '') AS sig_cat FROM ("
+        + __import__(
+            "tgres_spark.pipeline.dedup", fromlist=["x"]
+        ).minhash_signatures_sql()
+        + ")"
+    ),
+)
+def streaming_index_update(spark, sf_dir):
+    """Live write-back of the dedup signature index (round 10,
+    streaming/incdedup.run_index_update_stream): four real doc
+    micro-batches each append their signatures as delta generation =
+    batch_id under the write-once-manifest discipline, with
+    compact_threshold=3 forcing a compaction fold MID-STREAM; the
+    accumulated index re-read (latest-wins resolve) must equal the
+    full-corpus minhash_signatures rerun — micro-batching is
+    invisible because a doc's signature depends only on its own
+    text. gen is deliberately not returned: which batch carried a doc
+    is file-split plumbing, not operator semantics."""
+    import tempfile
+
+    from ..pipeline.dedup import read_signature_index
+    from ..streaming.incdedup import run_index_update_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sidx_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.coalesce(4).write.mode("overwrite").parquet(f"{work}/in")
+    run_index_update_stream(
+        spark, f"{work}/in", f"{work}/index", f"{work}/ckpt", docs.schema,
+        compact_threshold=3,
+    )
+    return read_signature_index(spark, f"{work}/index").select(
+        "doc_id", F.concat_ws("", "sig").alias("sig_cat")
+    )
+
+
+@register(
     "streaming_pagerank",
     sql=__import__(
         "tgres_spark.pipeline.graph", fromlist=["x"]

@@ -145,6 +145,9 @@ register("dedup_embedding", sql=sim.dedup_embedding_sql())(
 register("dedup_embedding_lsh", sql=sim.dedup_embedding_lsh_sql())(
     lambda s, d: sim.dedup_embedding_lsh(_emb(s, d))
 )
+register("emb_matryoshka_eval", sql=sim.emb_matryoshka_eval_sql())(
+    lambda s, d: sim.emb_matryoshka_eval(_emb(s, d))
+)
 register("ann_cosine_topk", sql=sim.ann_cosine_topk_sql())(
     lambda s, d: sim.ann_cosine_topk(_emb(s, d))
 )
@@ -192,6 +195,9 @@ register("ann_ivf_pq_search", sql=sim.ann_ivf_pq_search_sql())(
 )
 register("pipeline_c4_clean", sql=tx.c4_clean_sql())(
     lambda s, d: tx.c4_clean(_docs(s, d))
+)
+register("text_unicode_anomalies", sql=tx.text_unicode_anomalies_sql())(
+    lambda s, d: tx.text_unicode_anomalies(_docs(s, d))
 )
 register("text_pii_scrub", sql=tx.pii_scrub_sql())(
     lambda s, d: tx.pii_scrub(_docs(s, d))

@@ -3699,3 +3699,163 @@ def ann_ivf_margin_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
         "AS tight_frac "
         "FROM per GROUP BY cell"
     )
+
+
+# --- matryoshka truncation evaluation (round 10) -----------------------------
+
+MRL_DIMS = (8, 16, 32, 64)
+MRL_QUERIES = 16
+MRL_K = 10
+
+
+def emb_matryoshka_eval(
+    emb: DataFrame,
+    dims: tuple = MRL_DIMS,
+    n_queries: int = MRL_QUERIES,
+    k: int = MRL_K,
+) -> DataFrame:
+    """(dims, recall_at1, mean_overlap_at_k): retrieval quality of
+    PREFIX-truncated embeddings vs the full vector — the
+    Matryoshka-representation storage dial (Kusupati et al. 2022): an
+    MRL-trained embedding keeps most retrieval quality in its first
+    8/16/32 dims, and this measures exactly what a given truncation
+    costs on THIS corpus before a pipeline commits to storing the
+    short prefix (8x storage + bandwidth at dims=8). recall_at1 =
+    fraction of queries whose truncated top-1 equals the full-dim
+    top-1; mean_overlap_at_k = mean |topk_trunc ∩ topk_full|/k.
+
+    Plan: ONE broadcast of the query batch into ONE corpus scan; all
+    |dims| prefix cosines are computed in-row from a single
+    materialized per-pair products array (prefix dot = fold of a
+    slice — no per-dims rescan), then exploded to (dims, pair) rows;
+    ranking windows partition by (dims, query) — group size = corpus
+    per query-dims, same as ann_cosine_topk's audited shape; the
+    overlap join is topk-sized. Left-fold doubles, id tie-breaks,
+    exact-integer ratios — deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    # materialize the elementwise arrays ONCE (the no-CSE-in-lambda
+    # rule): products and both squared streams, then each dims is a
+    # fold over a slice
+    mat = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.zip_with(
+            "qv", "cv", lambda x, y: x.cast("double") * y.cast("double")
+        ).alias("prod"),
+        F.transform("qv", lambda x: x.cast("double") * x.cast("double")).alias("q2"),
+        F.transform("cv", lambda x: x.cast("double") * x.cast("double")).alias("c2"),
+    )
+
+    def fold(col, d):
+        return F.aggregate(
+            F.slice(col, 1, d), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dims"),
+                (
+                    fold(F.col("prod"), d)
+                    / (F.sqrt(fold(F.col("q2"), d)) * F.sqrt(fold(F.col("c2"), d)))
+                ).alias("cos"),
+            )
+            for d in dims
+        ]
+    )
+    scored = mat.select(
+        "query_id", "neighbor_id", F.explode(cos_structs).alias("s")
+    ).select("query_id", "neighbor_id", F.col("s.dims").alias("dims"), F.col("s.cos").alias("cos"))
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .persist()
+    )
+    full = topk.where(F.col("dims") == max(dims)).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("full_rank"),
+    )
+    j = topk.join(full, ["query_id", "neighbor_id"], "left")
+    per_q = j.groupBy("dims", "query_id").agg(
+        F.max(
+            F.when(
+                (F.col("rank") == 1) & (F.col("full_rank") == 1), 1
+            ).otherwise(0)
+        ).alias("hit1"),
+        F.sum(
+            F.when(F.col("full_rank").isNotNull(), 1).otherwise(0)
+        ).alias("n_overlap"),
+    )
+    return per_q.groupBy("dims").agg(
+        (F.sum("hit1").cast("double") / F.count("*")).alias("recall_at1"),
+        (
+            F.sum("n_overlap").cast("double") / (F.count("*") * F.lit(int(k)))
+        ).alias("mean_overlap_at_k"),
+    ).select(F.col("dims").cast("bigint").alias("dims"), "recall_at1", "mean_overlap_at_k")
+
+
+def emb_matryoshka_eval_sql(
+    dims: tuple = MRL_DIMS, n_queries: int = MRL_QUERIES, k: int = MRL_K
+) -> str:
+    def fold(arr, d):
+        return (
+            f"list_reduce(list_prepend(0.0, {arr}[1 : {d}]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    cos_rows = ", ".join(
+        "{'dims': %d, 'cos': (%s) / (SQRT(%s) * SQRT(%s))}"
+        % (d, fold("prod", d), fold("q2", d), fold("c2", d))
+        for d in dims
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+mat AS (
+  SELECT query_id, neighbor_id,
+         list_transform(range(1, len(qv) + 1),
+           i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)) AS prod,
+         list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS q2,
+         list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS c2
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, s.dims AS dims, s.cos AS cos
+  FROM (SELECT query_id, neighbor_id, UNNEST([{cos_rows}]) AS s FROM mat)
+),
+topk AS (
+  SELECT * FROM (
+    SELECT dims, query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY dims, query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= {k}
+),
+fullk AS (
+  SELECT query_id, neighbor_id, rank AS full_rank FROM topk
+  WHERE dims = {max(dims)}
+),
+per_q AS (
+  SELECT t.dims, t.query_id,
+         MAX(CASE WHEN t.rank = 1 AND f.full_rank = 1 THEN 1 ELSE 0 END) AS hit1,
+         SUM(CASE WHEN f.full_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM topk t LEFT JOIN fullk f
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY t.dims, t.query_id
+)
+SELECT CAST(dims AS BIGINT) AS dims,
+       CAST(SUM(hit1) AS DOUBLE) / COUNT(*) AS recall_at1,
+       CAST(SUM(n_overlap) AS DOUBLE) / (COUNT(*) * {k}) AS mean_overlap_at_k
+FROM per_q GROUP BY dims
+"""

@@ -3740,3 +3740,76 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_words, n_tokens,
             THEN CAST(nch AS DOUBLE) / n_tokens END AS chars_per_token
 FROM per_lang
 """
+
+
+# --- unicode anomaly scan (round 10) -----------------------------------------
+
+_ZW_PAT = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{2060}]"
+_BIDI_PAT = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+_CTRL_PAT = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+_REPL_PAT = "\\x{FFFD}"
+
+
+def text_unicode_anomalies(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_zero_width, n_bidi_ctrl, n_c0_ctrl,
+    n_replacement, anomaly_frac, suspicious): the invisible-codepoint
+    scan a cleaning pipeline runs before tokenization — zero-width
+    characters hide prompt-injection payloads and break dedup (two
+    'identical' texts hash apart), bidi controls are the Trojan-Source
+    vector, U+FFFD marks upstream mojibake, and stray C0 controls mark
+    binary bleed-through. suspicious flags any doc with a nonzero
+    count; anomaly_frac prices the damage for a threshold cut.
+
+    Map-only column algebra: each count is
+    length(text) − length(regexp_replace(text, class, '')) — the
+    single-codepoint-class trick that works identically in Java regex
+    and RE2 (\\x{...} escapes in both), no UDF, whole-stage codegen.
+    Exact integers; one guarded division."""
+
+    def ccount(pat):
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), pat, "")
+        )
+
+    n = F.length("text")
+    zw, bd, ct, rp = (
+        ccount(_ZW_PAT), ccount(_BIDI_PAT), ccount(_CTRL_PAT), ccount(_REPL_PAT)
+    )
+    bad = zw + bd + ct + rp
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        zw.cast("bigint").alias("n_zero_width"),
+        bd.cast("bigint").alias("n_bidi_ctrl"),
+        ct.cast("bigint").alias("n_c0_ctrl"),
+        rp.cast("bigint").alias("n_replacement"),
+        F.when(n > 0, bad.cast("double") / n).alias("anomaly_frac"),
+        (bad > 0).cast("bigint").alias("suspicious"),
+    )
+
+
+def text_unicode_anomalies_sql(rel: str = "documents") -> str:
+    def ccount(pat):
+        return (
+            f"len(text) - len(regexp_replace(text, '{pat}', '', 'g'))"
+        )
+
+    zw = ccount("[\\x{200B}-\\x{200D}\\x{FEFF}\\x{2060}]")
+    bd = ccount("[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]")
+    ct = ccount(
+        "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+    )
+    rp = ccount("\\x{FFFD}")
+    return (
+        f"SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, "
+        f"CAST({zw} AS BIGINT) AS n_zero_width, "
+        f"CAST({bd} AS BIGINT) AS n_bidi_ctrl, "
+        f"CAST({ct} AS BIGINT) AS n_c0_ctrl, "
+        f"CAST({rp} AS BIGINT) AS n_replacement, "
+        f"CASE WHEN len(text) > 0 THEN "
+        f"CAST(({zw}) + ({bd}) + ({ct}) + ({rp}) AS DOUBLE) / len(text) END "
+        f"AS anomaly_frac, "
+        f"CAST((({zw}) + ({bd}) + ({ct}) + ({rp})) > 0 AS BIGINT) "
+        f"AS suspicious "
+        f"FROM {rel}"
+    )

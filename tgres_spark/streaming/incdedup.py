@@ -51,3 +51,49 @@ def run_incdedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_index_update_stream(
+    spark: SparkSession,
+    in_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    schema,
+    compact_threshold: int = 4,
+    files_per_trigger: int = 1,
+) -> None:
+    """The LIVE write-back half of the incremental dedup lifecycle
+    (round 10): each crawl micro-batch's minhash signatures are
+    appended to the persisted index as delta generation = batch_id,
+    compacting on the same cadence as the batch dedup_index_update —
+    so tomorrow's consult (run_incdedup_stream / dedup_incremental)
+    sees today's docs. Replay-idempotent by construction: the
+    generation number IS the batch id, and dedup_index_update
+    rewrites identical content under the same manifest on replay; a
+    crash between a delta's data write and its manifest leaves the
+    generation unobservable and the replay completes it (pinned in
+    the batch lifecycle pytest). After the run, read_signature_index
+    over the accumulated generations equals the full-corpus
+    minhash_signatures rerun — micro-batching is invisible because a
+    doc's signature depends only on its own text, which is what the
+    batch oracle checks."""
+    from ..pipeline.dedup import dedup_index_update
+
+    def _update(batch, batch_id: int) -> None:
+        dedup_index_update(
+            spark, index_dir, batch, generation=batch_id,
+            compact_threshold=compact_threshold,
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
