@@ -325,6 +325,15 @@ def mm_phash_dedup(spark, sf_dir):
     return mm.mm_phash_dedup(_docs(spark, sf_dir))
 
 
+@register("mm_phash_sweep", sql=mm.mm_phash_sweep_sql())
+def mm_phash_sweep(spark, sf_dir):
+    """Hamming-radius tuning dial for image dedup: cumulative
+    pair/media counts per radius 0..3 from ONE pigeonhole pass —
+    dedup_simhash_sweep's dial extended to the perceptual-hash
+    modality (pipeline/multimodal.py mm_phash_sweep)."""
+    return mm.mm_phash_sweep(_docs(spark, sf_dir))
+
+
 @register("mm_video_keyframes", sql=mm.mm_video_keyframes_sql())
 def mm_video_keyframes(spark, sf_dir):
     """Video near-dup pairs closing the modality matrix: JVM-side

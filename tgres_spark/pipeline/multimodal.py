@@ -760,3 +760,51 @@ def mm_scene_cuts_sql(every_n: int = 30, threshold: int = 3) -> str:
         f"CAST({ham} > {threshold} AS BIGINT) AS is_cut "
         "FROM lagged WHERE prev_idx IS NOT NULL"
     )
+
+
+def mm_phash_sweep(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(radius, n_pairs, n_media): the hamming-radius tuning dial for
+    IMAGE dedup (round 10) — dedup_simhash_sweep's argument applied to
+    the perceptual-hash modality: how many near-dup pairs (and how
+    many distinct images) each radius 0..max admits, measured from ONE
+    pigeonhole pass at the max radius (a pair found at hamming h
+    belongs to every radius ≥ h, so the sweep is a cumulative explode
+    over the already-bounded pair relation, never a re-block). The
+    dial an image-dedup run reads before picking its cutoff: radius 0
+    is exact-payload (the planted twins), each +1 admits
+    progressively-weaker matches."""
+    pairs = mm_phash_dedup(docs, max_hamming)
+    r = pairs.select(
+        "media_a",
+        "media_b",
+        F.explode(
+            F.sequence(F.col("hamming"), F.lit(int(max_hamming)))
+        ).alias("radius"),
+    )
+    np_ = r.groupBy("radius").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    nm = (
+        r.select(
+            "radius", F.explode(F.array("media_a", "media_b")).alias("m")
+        )
+        .distinct()
+        .groupBy("radius")
+        .agg(F.count("*").cast("bigint").alias("n_media"))
+    )
+    return np_.join(nm, "radius").select(
+        F.col("radius").cast("bigint").alias("radius"), "n_pairs", "n_media"
+    )
+
+
+def mm_phash_sweep_sql(max_hamming: int = 3) -> str:
+    return (
+        f"WITH pairs AS ({mm_phash_dedup_sql(max_hamming)}), "
+        "r AS (SELECT media_a, media_b, UNNEST(range(hamming, "
+        f"{int(max_hamming)} + 1)) AS radius FROM pairs), "
+        "np AS (SELECT radius, COUNT(*) AS n_pairs FROM r GROUP BY radius), "
+        "nm AS (SELECT radius, COUNT(*) AS n_media FROM ("
+        "SELECT DISTINCT radius, m FROM (SELECT radius, media_a AS m FROM r "
+        "UNION ALL SELECT radius, media_b FROM r)) GROUP BY radius) "
+        "SELECT CAST(radius AS BIGINT) AS radius, "
+        "CAST(n_pairs AS BIGINT) AS n_pairs, "
+        "CAST(n_media AS BIGINT) AS n_media FROM np JOIN nm USING (radius)"
+    )

@@ -395,9 +395,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_funnel",
-    sql="""
+_FUNNEL_SQL = """
 WITH e AS (
   SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t FROM events
 ), stage1 AS (
@@ -413,13 +411,15 @@ SELECT
   (SELECT COUNT(*) FROM stage1) AS n_view,
   (SELECT COUNT(*) FROM stage2) AS n_view_click,
   (SELECT COUNT(*) FROM stage3) AS n_view_click_purchase
-""",
-)
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel: per-stage min-time joins.
-    Each stage is a semi-join on user_id (broadcastable: one row per
-    user)."""
-    ev = load_table(spark, sf_dir, "events")
+"""
+
+
+def funnel_user_relation(ev: DataFrame) -> DataFrame:
+    """(user_id, t1, t2, t3): per-user ordered funnel stage times —
+    every aggregation keys on user_id, so a user's row depends ONLY on
+    that user's events (per-key decomposable: the delta-refresh class
+    of refresh.py's deployment rule). events_funnel =
+    funnel_rollup over this."""
     e = ev.select("user_id", "event_type", epoch_s("ts", ev).alias("t"))
     s1 = (
         e.where(F.col("event_type") == "view")
@@ -439,13 +439,26 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("t").alias("t3"))
     )
     # single distributed plan — no driver-side .count() round-trips
-    funnel = (
-        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
-    )
-    return funnel.agg(
+    return s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+
+
+def funnel_rollup(urel: DataFrame) -> DataFrame:
+    """The 3-count funnel panel from the per-user stage times (exact
+    integer counts fold associatively across users)."""
+    return urel.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_view_click_purchase"),
+    )
+
+
+@register("events_funnel", sql=_FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-stage min-time joins.
+    Each stage is a semi-join on user_id (broadcastable: one row per
+    user); see funnel_user_relation for the per-user decomposition."""
+    return funnel_rollup(
+        funnel_user_relation(load_table(spark, sf_dir, "events"))
     )
 
 
