@@ -44,31 +44,29 @@ def register(key: str, sql: str | None = None):
 # in _ATTEST_TAIL. This tuple is a constant — registry order is a pure
 # function of the code, independent of artifact files.
 _ATTEST_PRIORITY: tuple[str, ...] = (
-    # -- new round-9 operators (first driver exposure this round) --
-    "dedup_incremental", "dedup_incremental_components",
-    "dedup_containment", "streaming_dedup_incremental",
-    "corpus_bpe_merge2", "mm_text_image_pairs",
-    "streaming_catalog_compact", "text_kenlm_proxy",
-    "ann_ivf_refresh", "corpus_snapshot_diff", "pipeline_prep_funnel",
-    "events_attribution", "emb_pca_project", "text_quality_calibration",
-    "dedup_threshold_sweep",
-    # -- round-9 second wave (also first driver exposure this round) --
-    "pipeline_contamination_incremental", "emb_triplet_mining",
-    "tpch_basket_pairs", "corpus_token_gini", "corpus_quality_psi",
-    "dedup_url_canonical", "corpus_bpe_merge3", "streaming_attribution",
-    "dedup_simhash_sweep", "emb_pca2_deflate",
-    "corpus_lang_confusion", "pipeline_quality_sweep", "events_rfm",
-    "ann_ivf_margin", "mm_scene_cuts", "dedup_minhash_k_sweep",
-    "streaming_rfm", "ann_ivf_lloyd3_fixed", "pipeline_prep_increment",
-    "tpch_orders_seasonality", "corpus_source_overlap",
-    "events_dau_wau", "dedup_cluster_stats", "text_readability",
-    "streaming_scene_cuts", "pipeline_mix_excess_loss",
-    # -- oldest-green rotation: latest green row = round 1 --
-    "dsl_changed", "dsl_consolidateBy", "dsl_hitcount",
-    "dsl_interpolate", "dsl_keepLastValue", "dsl_keepLastValue_limited",
-    "dsl_scaleToSeconds", "dsl_smartSummarize", "dsl_summarize",
-    # (the r3/r4 oldest-green tranches rotate forward next round — this
-    #  round's window is all 41 new round-9 keys + the 9 leading r1 keys)
+    # -- new round-10 operators (first driver exposure this round) --
+    "dedup_index_update", "streaming_index_update",
+    "streaming_attribution_delta", "streaming_funnel_delta",
+    "corpus_bpe_encode", "corpus_bpe_fertility",
+    "graph_pagerank2_fixed", "graph_hits2_fixed",
+    "pipeline_rank_quality", "streaming_pagerank",
+    "pipeline_span_dedup2", "emb_matryoshka_eval",
+    "text_unicode_anomalies", "mm_phash_sweep",
+    "dsl_mapSeries", "dsl_reduceSeries", "dsl_stacked", "dsl_substr",
+    # -- oldest-green rotation: the 2 remaining r1 keys, then the full
+    #    r3 tranche, then the leading r4 keys (deterministic order)
+    "dsl_timeStack", "dsl_transformNull",
+    "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "events_props_extract", "mm_frame_sample", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "dedup_components", "dedup_embedding", "dedup_embedding_lsh",
+    "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
+    "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
+    "dsl_countSeries", "dsl_delay", "dsl_derivative", "dsl_diffSeries",
+    "dsl_divideSeries", "dsl_divideSeries_group",
+    # (the remaining r4 tranche rotates forward next round)
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
