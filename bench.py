@@ -120,6 +120,21 @@ BENCH_QUERIES = [
     "tpch_basket_pairs",
     "pipeline_contamination_incremental",
     "mm_scene_cuts",
+    # round-10 additions: the index write-back + compaction lifecycle
+    # (two generation writes + a fold + the resolved re-read), the BPE
+    # serving pass (corpus explode + vocab-sized 3-merge chain +
+    # co-keyed encode join), the two-iteration host PageRank (co-keyed
+    # contribution joins + one-row dangling scalars), the rank-weighted
+    # quality composition (gopher scan × broadcast rank relation), the
+    # two-granularity span profile (16+64 word windows off one words
+    # array), and the matryoshka truncation eval (4 prefix cosines per
+    # pair off one materialized products array)
+    "dedup_index_update",
+    "corpus_bpe_encode",
+    "graph_pagerank2_fixed",
+    "pipeline_rank_quality",
+    "pipeline_span_dedup2",
+    "emb_matryoshka_eval",
 ]
 
 
