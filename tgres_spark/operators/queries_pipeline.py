@@ -166,6 +166,9 @@ register("ann_lsh_buckets", sql=sim.ann_lsh_buckets_sql())(
 register("ann_ivf_search")(
     lambda s, d: sim.ann_ivf_search(_emb(s, d))
 )
+register("ann_ivf_tombstone", sql=sim.ann_ivf_tombstone_sql())(
+    lambda s, d: sim.ann_ivf_tombstone(_emb(s, d))
+)
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
     lambda s, d: sim.ann_ivf_assign(_emb(s, d))
 )

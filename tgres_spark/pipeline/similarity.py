@@ -3859,3 +3859,82 @@ SELECT CAST(dims AS BIGINT) AS dims,
        CAST(SUM(n_overlap) AS DOUBLE) / (COUNT(*) * {k}) AS mean_overlap_at_k
 FROM per_q GROUP BY dims
 """
+
+
+# --- IVF tombstone / deletion maintenance (round 10) --------------------------
+
+TOMB_MOD = 7
+TOMB_COMPACT_FRAC = 0.3
+
+
+def ann_ivf_tombstone(
+    emb: DataFrame,
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    mod: int = TOMB_MOD,
+    compact_frac: float = TOMB_COMPACT_FRAC,
+) -> DataFrame:
+    """(cell, n_before, n_deleted, n_live, deleted_frac,
+    needs_compact): DELETION maintenance for the IVF index — the
+    other half of the lifecycle next to ann_ivf_refresh's additions.
+    A production index absorbs deletions (GDPR purges, retracted
+    docs, dedup winners replacing losers) as TOMBSTONES — the
+    inverted lists are not rewritten per delete; instead each cell
+    tracks its dead fraction and is compacted (list rewritten
+    live-only) when it crosses compact_frac, because a cell whose
+    list is 30% tombstones pays 1.4× scan cost on every probe that
+    lands in it. The deleted set here is the deterministic
+    vec_id % 7 == 0 split (query plumbing, same convention as
+    INCREMENT_MOD).
+
+    Scale: ONE map-only broadcast-argmin assignment pass (shared
+    ann_ivf_assign shape — zero shuffle over the corpus), then a ≤k-row
+    groupBy; output size constant in N. Exact integers; one guarded
+    division."""
+    a = ann_ivf_assign(emb, k, seed)
+    per = a.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum((F.col("vec_id") % mod == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    frac = F.when(
+        F.col("n_before") > 0,
+        F.col("n_deleted").cast("double") / F.col("n_before"),
+    )
+    return per.select(
+        "cell",
+        "n_before",
+        "n_deleted",
+        (F.col("n_before") - F.col("n_deleted")).cast("bigint").alias("n_live"),
+        frac.alias("deleted_frac"),
+        (frac >= float(compact_frac)).cast("bigint").alias("needs_compact"),
+    )
+
+
+def ann_ivf_tombstone_sql(
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    mod: int = TOMB_MOD,
+    compact_frac: float = TOMB_COMPACT_FRAC,
+) -> str:
+    cents = _ivf_codebook(k, seed=seed)
+    return (
+        f"WITH {_ivf_cents_cte(cents)}, "
+        f"d AS (SELECT vec_id, {_ivf_dists_sql()} AS dists "
+        "FROM embeddings CROSS JOIN ivfk), "
+        "a AS (SELECT vec_id, "
+        "CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell "
+        "FROM d), "
+        "per AS (SELECT cell, COUNT(*) AS n_before, "
+        f"SUM(CASE WHEN vec_id % {mod} = 0 THEN 1 ELSE 0 END) AS n_deleted "
+        "FROM a GROUP BY cell) "
+        "SELECT cell, CAST(n_before AS BIGINT) AS n_before, "
+        "CAST(n_deleted AS BIGINT) AS n_deleted, "
+        "CAST(n_before - n_deleted AS BIGINT) AS n_live, "
+        "CASE WHEN n_before > 0 THEN CAST(n_deleted AS DOUBLE) / n_before "
+        "END AS deleted_frac, "
+        "CAST((CASE WHEN n_before > 0 THEN CAST(n_deleted AS DOUBLE) "
+        f"/ n_before END) >= {float(compact_frac)!r} AS BIGINT) "
+        "AS needs_compact FROM per"
+    )
