@@ -3521,3 +3521,35 @@ def test_streaming_index_update_accumulates_generations(spark, tmp_path):
     }
     assert got == want
     assert _idx_manifested(spark, idx, "b")  # a compaction fold happened
+
+
+def test_prep_weights_combines_all_gates(spark):
+    """The capstone weight table: a clean doc on a host gets
+    weight = centrality; a doc failing the unicode gate gets 0
+    regardless of quality; a doc that is one whole duplicated
+    paragraph is discounted by its frac_long."""
+    from tgres_spark.pipeline.graph import pipeline_prep_weights
+
+    base = " ".join(f"w{i % 37}x{i % 11}" for i in range(80))
+    dirty = " ".join(f"d{i % 31}y{i % 13}" for i in range(80))
+    para = " ".join(f"p{i}" for i in range(70))
+    rows = [
+        (1, base, "en", "s", 1),                      # clean, unique
+        (2, dirty + " ​", "en", "s", 1),         # zero-width -> gated
+        (3, para + " " + " ".join(f"a{i}" for i in range(30)), "en", "s", 1),
+        (4, " ".join(f"b{i}" for i in range(20)) + " " + para, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in pipeline_prep_weights(docs).collect()}
+    assert got[2]["clean_unicode"] == 0 and got[2]["weight"] == 0.0
+    if got[1]["keep_quality"]:
+        assert got[1]["weight"] == got[1]["centrality"]  # frac_long 0
+    # docs 3/4 share the 70-word paragraph: discount strictly applied
+    for d in (3, 4):
+        assert got[d]["frac_long"] > 0
+        if got[d]["keep_quality"]:
+            assert got[d]["weight"] == got[d]["centrality"] * (
+                1.0 - got[d]["frac_long"]
+            )

@@ -223,6 +223,9 @@ register("graph_hits2_fixed", sql=_graph.graph_hits2_sql())(
 register("pipeline_rank_quality", sql=_graph.pipeline_rank_quality_sql())(
     lambda s, d: _graph.pipeline_rank_quality(_docs(s, d))
 )
+register("pipeline_prep_weights", sql=_graph.pipeline_prep_weights_sql())(
+    lambda s, d: _graph.pipeline_prep_weights(_docs(s, d))
+)
 register("corpus_bpe_encode", sql=tx.corpus_bpe_encode_sql())(
     lambda s, d: tx.corpus_bpe_encode(_docs(s, d))
 )

@@ -424,3 +424,78 @@ SELECT g.doc_id, g.host_id, g.n_words, g.keep,
        CASE WHEN g.keep THEN pr_rel.pr2 * n_hosts ELSE 0.0 END AS weight
 FROM g JOIN pr_rel ON g.host_id = pr_rel.host_id CROSS JOIN nn
 """
+
+
+def pipeline_prep_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, host_id, n_words, keep_quality, clean_unicode,
+    frac_long, centrality, weight): the round-10 capstone — the
+    per-document SAMPLING-WEIGHT table a mixture/curriculum run
+    consumes, combining every signal family this engine computes:
+
+        weight = centrality · (1 − frac_long)   if the doc passes the
+                 Gopher content gate AND the unicode-anomaly gate,
+                 else 0
+
+    — a well-endorsed host's clean doc samples above uniform; a doc
+    that is mostly a duplicated paragraph (frac_long → 1) is
+    discounted toward zero even when its host ranks well; invisible-
+    codepoint docs are excluded outright (they poison dedup AND
+    tokenizers, so no weight can redeem them).
+
+    Plan: three doc-keyed relations (rank×gopher composition, unicode
+    scan, two-granularity span profile) joined on doc_id — one
+    co-keyed shuffle domain; the rank relation inside
+    pipeline_rank_quality is host-sized and broadcast; the span
+    profile is the only multi-shuffle component and each of its
+    shuffles is on uniform md5 keys. Scalar IEEE weight algebra on
+    deterministic inputs."""
+    from .contamination import span_dedup2
+    from .textstats import text_unicode_anomalies
+
+    rq = pipeline_rank_quality(docs).select(
+        "doc_id", "host_id", "n_words", F.col("keep").alias("keep_quality"),
+        "centrality",
+    )
+    ua = text_unicode_anomalies(docs).select(
+        "doc_id", (F.col("suspicious") == 0).alias("clean_unicode")
+    )
+    sd = span_dedup2(docs).select(
+        "doc_id", F.coalesce("frac_long", F.lit(0.0)).alias("frac_long")
+    )
+    j = rq.join(ua, "doc_id").join(sd, "doc_id")
+    w = F.when(
+        F.col("keep_quality") & F.col("clean_unicode"),
+        F.col("centrality") * (F.lit(1.0) - F.col("frac_long")),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        "host_id",
+        "n_words",
+        "keep_quality",
+        F.col("clean_unicode").cast("bigint").alias("clean_unicode"),
+        "frac_long",
+        "centrality",
+        w.alias("weight"),
+    )
+
+
+def pipeline_prep_weights_sql() -> str:
+    from .contamination import span_dedup2_sql
+    from .textstats import text_unicode_anomalies_sql
+
+    return f"""
+WITH rq AS ({pipeline_rank_quality_sql()}),
+ua AS (SELECT doc_id, suspicious = 0 AS clean_unicode
+       FROM ({text_unicode_anomalies_sql()})),
+sd AS (SELECT doc_id, COALESCE(frac_long, 0.0) AS frac_long
+       FROM ({span_dedup2_sql()}))
+SELECT rq.doc_id, rq.host_id, rq.n_words,
+       rq.keep AS keep_quality,
+       CAST(ua.clean_unicode AS BIGINT) AS clean_unicode,
+       sd.frac_long, rq.centrality,
+       CASE WHEN rq.keep AND ua.clean_unicode
+            THEN rq.centrality * (1.0 - sd.frac_long)
+            ELSE 0.0 END AS weight
+FROM rq JOIN ua ON rq.doc_id = ua.doc_id
+JOIN sd ON rq.doc_id = sd.doc_id
+"""
