@@ -52,6 +52,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "pipeline_rank_quality", "streaming_pagerank",
     "pipeline_span_dedup2", "emb_matryoshka_eval",
     "text_unicode_anomalies", "mm_phash_sweep",
+    "ann_ivf_tombstone", "pipeline_prep_weights",
     "dsl_mapSeries", "dsl_reduceSeries", "dsl_stacked", "dsl_substr",
     # -- oldest-green rotation: the 2 remaining r1 keys, then the full
     #    r3 tranche, then the leading r4 keys (deterministic order)
@@ -65,7 +66,6 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
     "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
     "dsl_countSeries", "dsl_delay", "dsl_derivative", "dsl_diffSeries",
-    "dsl_divideSeries", "dsl_divideSeries_group",
     # (the remaining r4 tranche rotates forward next round)
 )
 
