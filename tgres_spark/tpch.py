@@ -1258,3 +1258,86 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+_LTV_SQL = """
+WITH p AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS week,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v6
+  FROM events WHERE event_type = 'purchase'
+), f AS (
+  SELECT user_id, MIN(week) AS cohort FROM p GROUP BY user_id
+), s AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY cohort
+), r AS (
+  SELECT f.cohort, p.week - f.cohort AS off, SUM(v6) AS rev6
+  FROM p JOIN f USING (user_id) GROUP BY 1, 2
+), c AS (
+  SELECT cohort, off, rev6,
+         SUM(rev6) OVER (PARTITION BY cohort ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum6
+  FROM r
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(off AS BIGINT) AS week_offset,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       CAST(rev6 AS DOUBLE) / 1000000.0 AS revenue,
+       CAST(cum6 AS DOUBLE) / 1000000.0 AS cum_revenue,
+       (CAST(cum6 AS DOUBLE) / 1000000.0) / cohort_size AS ltv_per_user
+FROM c JOIN s USING (cohort)
+"""
+
+
+@register("events_cohort_ltv", sql=_LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle (round 10): purchasers cohorted
+    by FIRST-purchase week; each (cohort, week_offset) cell reports
+    that week's revenue, the running cumulative, and LTV per cohort
+    user — the panel that turns events_retention's activity counts
+    into money, and the one every payback-period model reads.
+
+    Scale: linear in purchase events — per-user MIN for the cohort,
+    one user-co-keyed join back, a (cohort × offset)-domain groupBy,
+    and the cumulative as a window PARTITIONED BY COHORT ordered by
+    offset (group size = a cohort's observed offsets, never
+    corpus-scale). Money accumulates micro6 BIGINTs end-to-end — the
+    running sum is an INT window sum, so both engines agree regardless
+    of their float-window implementation; doubles appear only at the
+    final /1e6 casts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = epoch_s("ts", ev)
+    week = ((e - e % 604800) / 604800).cast("bigint")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        week.alias("week"),
+        F.floor(F.col("value").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v6"),
+    )
+    f = p.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    s = f.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    r = (
+        p.join(f, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("off"))
+        .agg(F.sum("v6").alias("rev6"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = r.withColumn("cum6", F.sum("rev6").over(w))
+    return c.join(s, "cohort").select(
+        F.col("cohort").cast("bigint").alias("cohort_week"),
+        F.col("off").cast("bigint").alias("week_offset"),
+        "cohort_size",
+        (F.col("rev6").cast("double") / 1000000.0).alias("revenue"),
+        (F.col("cum6").cast("double") / 1000000.0).alias("cum_revenue"),
+        (
+            (F.col("cum6").cast("double") / 1000000.0) / F.col("cohort_size")
+        ).alias("ltv_per_user"),
+    )
