@@ -3553,3 +3553,23 @@ def test_prep_weights_combines_all_gates(spark):
             assert got[d]["weight"] == got[d]["centrality"] * (
                 1.0 - got[d]["frac_long"]
             )
+
+
+def test_bpe_sweep_monotone_compression(spark):
+    """The training curve: stage 0 = chars+1 per word occurrence;
+    each merge strictly reduces corpus tokens while the fixture has
+    repeated pairs to merge; vocab_size (distinct words) constant."""
+    from tgres_spark.pipeline.textstats import corpus_bpe_sweep
+
+    text = "lower lowest low low lower newer new"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["n_merges"]: r for r in corpus_bpe_sweep(docs).collect()}
+    words = text.split()
+    assert got[0]["n_tokens"] == sum(len(w) + 1 for w in words)
+    assert got[0]["n_words"] == len(words)
+    toks = [got[r]["n_tokens"] for r in range(4)]
+    assert all(a > b for a, b in zip(toks, toks[1:]))  # strict descent
+    assert len({got[r]["vocab_size"] for r in range(4)}) == 1

@@ -232,6 +232,9 @@ register("corpus_bpe_encode", sql=tx.corpus_bpe_encode_sql())(
 register("corpus_bpe_fertility", sql=tx.corpus_bpe_fertility_sql())(
     lambda s, d: tx.corpus_bpe_fertility(_docs(s, d))
 )
+register("corpus_bpe_sweep", sql=tx.corpus_bpe_sweep_sql())(
+    lambda s, d: tx.corpus_bpe_sweep(_docs(s, d))
+)
 register("corpus_bpe_merge3", sql=tx.corpus_bpe_merge3_sql())(
     lambda s, d: tx.corpus_bpe_merge3(_docs(s, d))
 )

@@ -3813,3 +3813,95 @@ def text_unicode_anomalies_sql(rel: str = "documents") -> str:
         f"AS suspicious "
         f"FROM {rel}"
     )
+
+
+def corpus_bpe_sweep(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(n_merges, vocab_size, n_words, n_tokens, tokens_per_word): the
+    tokenizer TRAINING curve — corpus compression after 0..n merges,
+    the dial that answers "how many merges buy how much" before a
+    vocab budget is committed (the marginal token savings of each
+    merge shrinks; the curve's knee is the budget). Stage 0 is the
+    character baseline (every word = chars + '</w>').
+
+    Rides the trainer's machinery: ONE corpus explode (the persisted
+    word count), the same learn+fold chain as corpus_bpe_encode on the
+    VOCAB relation, and one vocab-sized aggregate per stage —
+    Σ n·|syms_r| — unioned into an (n+1)-row panel. Exact integers;
+    one guarded ratio."""
+    from .dedup import words
+
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    stages = [vocab.select("w", "n", syms.alias("toks"))]
+    for r in range(n_merges):
+        s = stages[-1]
+        p = s.select("n", F.explode(_bpe_adj_pairs(F.col("toks"))).alias("pair"))
+        t = (
+            p.groupBy("pair")
+            .agg(F.sum("n").alias("weight"))
+            .orderBy(F.col("weight").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.split(F.col("pair"), " ").getItem(0).alias(f"a{r}"),
+                F.split(F.col("pair"), " ").getItem(1).alias(f"b{r}"),
+            )
+        )
+        stages.append(
+            s.crossJoin(F.broadcast(t)).select(
+                "w", "n",
+                _bpe_fold_merge(F.col("toks"), f"a{r}", f"b{r}").alias("toks"),
+            )
+        )
+    out = None
+    for r, s in enumerate(stages):
+        row = s.agg(
+            F.lit(r).cast("bigint").alias("n_merges"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.size("toks")).cast("bigint").alias("n_tokens"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "n_merges",
+        "vocab_size",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words"),
+        ).alias("tokens_per_word"),
+    )
+
+
+def corpus_bpe_sweep_sql(n_merges: int = BPE_N_MERGES) -> str:
+    from .dedup import WORDS_SQL
+
+    w = WORDS_SQL.format(c="text")
+    chain = _bpe_encoded_vocab_sql(n_merges).format(w=w)
+    stage_rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS n_merges, "
+        f"CAST(COUNT(*) AS BIGINT) AS vocab_size, "
+        f"CAST(SUM(n) AS BIGINT) AS n_words, "
+        f"CAST(SUM(n * len(syms)) AS BIGINT) AS n_tokens FROM done{r}"
+        for r in range(n_merges + 1)
+    )
+    return f"""
+WITH RECURSIVE
+{chain},
+panel AS ({stage_rows})
+SELECT n_merges, vocab_size, n_words, n_tokens,
+       CASE WHEN n_words > 0
+            THEN CAST(n_tokens AS DOUBLE) / n_words END AS tokens_per_word
+FROM panel
+"""
