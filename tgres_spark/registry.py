@@ -53,7 +53,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "pipeline_span_dedup2", "emb_matryoshka_eval",
     "text_unicode_anomalies", "mm_phash_sweep",
     "ann_ivf_tombstone", "pipeline_prep_weights", "events_cohort_ltv",
-    "corpus_bpe_sweep",
+    "corpus_bpe_sweep", "events_activity_histogram",
     "dsl_mapSeries", "dsl_reduceSeries", "dsl_stacked", "dsl_substr",
     # -- oldest-green rotation: the 2 remaining r1 keys, then the full
     #    r3 tranche, then the leading r4 keys (deterministic order)
@@ -66,7 +66,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "dedup_components", "dedup_embedding", "dedup_embedding_lsh",
     "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
     "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
-    "dsl_countSeries", "dsl_delay",
+    "dsl_countSeries",
     # (the remaining r4 tranche rotates forward next round)
 )
 

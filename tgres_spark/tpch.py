@@ -1341,3 +1341,62 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum6").cast("double") / 1000000.0) / F.col("cohort_size")
         ).alias("ltv_per_user"),
     )
+
+
+_ACTIVITY_HIST_SQL = """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+), b AS (
+  SELECT CAST(FLOOR(LOG2(n_events)) AS BIGINT) AS bucket,
+         n_events
+  FROM u
+), tot AS (SELECT COUNT(*) AS all_users, SUM(n_events) AS all_events FROM u)
+SELECT bucket,
+       CAST(POW(2, bucket) AS BIGINT) AS min_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / all_users AS user_share,
+       CAST(SUM(n_events) AS DOUBLE) / all_events AS event_share
+FROM b CROSS JOIN tot GROUP BY bucket, all_users, all_events
+"""
+
+
+@register("events_activity_histogram", sql=_ACTIVITY_HIST_SQL)
+def events_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-curve activity histogram (round 10): users bucketed by
+    floor(log2(events)) with user/event shares per bucket — the
+    power-law panel behind "1% of users generate 40% of events",
+    WITHOUT the global sort a decile/ntile formulation needs: log2
+    buckets are computed in-row, so the plan is one user groupBy plus
+    one ≤~40-key bucket groupBy (both map-combined) and a one-row
+    totals broadcast. Bucket ids by exact integer algebra — n_events
+    is a positive bigint, and floor(log2(n)) over the bigint domain is
+    exactly the bit length minus one in BOTH engines for every n <
+    2^47 (log2 of an exactly-representable int is exact or lands
+    strictly inside the unit interval — no tie to round); shares
+    divide exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    b = u.select(
+        F.floor(F.log2("n_events")).cast("bigint").alias("bucket"),
+        "n_events",
+    )
+    tot = u.agg(
+        F.count("*").alias("all_users"), F.sum("n_events").alias("all_events")
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("min_events"),
+        "n_users",
+        "n_events",
+        (F.col("n_users").cast("double") / F.col("all_users")).alias(
+            "user_share"
+        ),
+        (F.col("n_events").cast("double") / F.col("all_events")).alias(
+            "event_share"
+        ),
+    )
