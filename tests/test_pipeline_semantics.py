@@ -3573,3 +3573,102 @@ def test_bpe_sweep_monotone_compression(spark):
     toks = [got[r]["n_tokens"] for r in range(4)]
     assert all(a > b for a, b in zip(toks, toks[1:]))  # strict descent
     assert len({got[r]["vocab_size"] for r in range(4)}) == 1
+
+
+def test_span_scrub_removes_later_occurrence_keeps_first(spark):
+    """The REMOVAL transform's keep-first-occurrence rule: docs 1 and
+    2 share a verbatim 20-word run at DIFFERENT offsets; doc 1
+    (corpus-min doc_id) keeps its text verbatim, doc 2 has exactly the
+    20 shared words excised (interval union of its 5 duplicated
+    16-windows); doc 3 is a byte-identical copy of doc 1 and is
+    scrubbed to EMPTY. clean_hash is pinned against md5 of the
+    hand-built expected cleaned strings — the same contract
+    boilerplate_strip hash-checks."""
+    import hashlib
+
+    from tgres_spark.pipeline.contamination import span_scrub
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = " ".join(f"a{i}" for i in range(3)) + " " + shared + " " + \
+        " ".join(f"x{i}" for i in range(7))
+    b = shared + " " + " ".join(f"y{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", 1), (2, b, "en", "s", 1), (3, a, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in span_scrub(docs, k=16).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1: authority for every shared window -> untouched
+    assert got[1]["removed_words"] == 0 and got[1]["removed_frac"] == 0.0
+    assert got[1]["clean_hash"] == h(a) and got[1]["clean_chars"] == len(a)
+    # doc 2: the 20 shared words cut, tail survives in order
+    b_clean = " ".join(f"y{i}" for i in range(10))
+    assert got[2]["removed_words"] == 20
+    assert got[2]["removed_frac"] == 20 / 30
+    assert got[2]["clean_hash"] == h(b_clean)
+    assert got[2]["clean_chars"] == len(b_clean)
+    # doc 3: every window duplicated with min_doc=1 -> fully scrubbed
+    assert got[3]["removed_words"] == 30 and got[3]["clean_hash"] == h("")
+    assert got[3]["clean_chars"] == 0
+
+
+def test_ann_ivf_compact_lifecycle(spark, tmp_path):
+    """The IVF compaction execute step's three pins: (a) compaction
+    rewrites ONLY needs-compact cells — every other cell's parquet
+    files are byte-for-byte untouched (same paths, same mtimes); (b)
+    a second run is a no-op (returns [], NO file anywhere changes);
+    (c) consult-after-compact: the live view re-read from the
+    compacted index equals the tombstone-filtered source embeddings
+    exactly."""
+    import os
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        ann_ivf_compact_cells,
+        ann_ivf_index_live,
+        ann_ivf_index_write,
+    )
+
+    rng = __import__("numpy").random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=EMB_DIM)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    work = str(tmp_path / "ivf")
+    ann_ivf_index_write(spark, work, emb)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(work):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    compacted = ann_ivf_compact_cells(spark, work, mod=7, compact_frac=0.1)
+    assert compacted, "fixture must trigger at least one compaction"
+    after = snapshot()
+    # (a) untouched cells: identical paths + mtimes
+    touched_dirs = {f"cell={c}" for c in compacted}
+    for p, m in before.items():
+        if not any(t in p for t in touched_dirs):
+            assert p in after and after[p] == m, f"untouched file changed: {p}"
+    # compacted cells really were rewritten
+    assert any(
+        p not in before or before.get(p) != m
+        for p, m in after.items()
+        if any(t in p for t in touched_dirs)
+    )
+    # (b) idempotence: second run selects nothing, changes nothing
+    assert ann_ivf_compact_cells(spark, work, mod=7, compact_frac=0.1) == []
+    assert snapshot() == after
+    # (c) consult-after-compact equals tombstone-filtered source
+    live = {
+        r["vec_id"] for r in ann_ivf_index_live(spark, work, mod=7).collect()
+    }
+    assert live == {i for i in range(120) if i % 7 != 0}

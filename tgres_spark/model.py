@@ -116,7 +116,7 @@ EVENTS_SERIES_SQL = (
 
 
 def sanitize_name(col: Column) -> Column:
-    """misc.SanitizeName (misc/misc.go:33-37): whitespace runs → '_',
+    r"""misc.SanitizeName (misc/misc.go:33-37): whitespace runs → '_',
     '/' → '-', strip every other char outside [a-zA-Z_\-0-9.]. Applied
     at every ingest edge the reference sanitizes (graphite text,
     statsd, pixel)."""
@@ -131,8 +131,8 @@ def sanitize_name_sql(expr: str) -> str:
     replaces all."""
     return (
         "regexp_replace(regexp_replace(regexp_replace("
-        f"{expr}, '\s+', '_', 'g'), '/', '-', 'g'), "
-        "'[^a-zA-Z_\-0-9.]', '', 'g')"
+        f"{expr}, '\\s+', '_', 'g'), '/', '-', 'g'), "
+        r"'[^a-zA-Z_\-0-9.]', '', 'g')"
     )
 
 

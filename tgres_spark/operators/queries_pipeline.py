@@ -169,6 +169,24 @@ register("ann_ivf_search")(
 register("ann_ivf_tombstone", sql=sim.ann_ivf_tombstone_sql())(
     lambda s, d: sim.ann_ivf_tombstone(_emb(s, d))
 )
+
+
+@register("ann_ivf_compact", sql=sim.ann_ivf_compact_sql())
+def _ann_ivf_compact(s, d):
+    """The compaction EXECUTE step ann_ivf_tombstone schedules: the
+    IVF index is genuinely written partitioned by cell, the
+    needs-compact cells are rewritten live-only in ONE dynamic-
+    partition-overwrite job (untouched cells' files never rewritten),
+    and the returned relation counts PHYSICAL rows from a re-read of
+    the post-compaction parquet — proving exactly the tombstoned rows
+    of the compacted cells left disk (pipeline/similarity.py
+    ann_ivf_compact_cells)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tgres_ivfc_")
+    sim.ann_ivf_index_write(s, work, _emb(s, d))
+    compacted = sim.ann_ivf_compact_cells(s, work)
+    return sim.ann_ivf_compact_audit(s, work, compacted)
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
     lambda s, d: sim.ann_ivf_assign(_emb(s, d))
 )
@@ -489,6 +507,18 @@ def pipeline_span_dedup2(spark, sf_dir):
     from ..pipeline.contamination import span_dedup2
 
     return span_dedup2(_docs(spark, sf_dir))
+
+
+@register("pipeline_span_scrub", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).span_scrub_sql())
+def pipeline_span_scrub(spark, sf_dir):
+    """Span-dedup REMOVAL transform: excises every cross-document
+    duplicated 16-word span from all but its corpus-min (first-
+    occurrence) document and hash-checks the CLEANED text per doc —
+    the execute step the span_dedup/span_dedup2 profiles measure
+    (pipeline/contamination.py span_scrub)."""
+    from ..pipeline.contamination import span_scrub
+
+    return span_scrub(_docs(spark, sf_dir))
 
 
 @register("pipeline_boilerplate_strip", sql=__import__("tgres_spark.pipeline.contamination", fromlist=["x"]).boilerplate_strip_sql())

@@ -830,3 +830,136 @@ def span_dedup2_sql(k_short: int = 16, k_long: int = 64) -> str:
         "LEFT JOIN covs USING (doc_id) "
         "LEFT JOIN covl USING (doc_id)"
     )
+
+
+# --- span-dedup REMOVAL transform (round 11) ----------------------------------
+
+
+def span_scrub(docs: DataFrame, k: int = 16) -> DataFrame:
+    """Span-level dedup EXECUTE step (round 11): span_dedup /
+    span_dedup2 MEASURE cross-document span duplication; this one
+    EXCISES it, the way Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") actually delete duplicated
+    substrings rather than discount whole documents. Rule:
+    keep-first-occurrence — for every k-word window whose hash occurs
+    in >= 2 DISTINCT documents, the corpus-min doc_id is the authority
+    and keeps its text; every LATER document cuts the union of its
+    covered word ranges (the same interval-union machinery as
+    span_dedup, but consumed as a removal mask instead of a coverage
+    count). Output mirrors boilerplate_strip's hash-checked transform
+    contract: (doc_id, n_words, removed_words, removed_frac,
+    clean_hash, clean_chars) where clean_hash = md5 of the CLEANED
+    text (surviving words in original order, space-joined) — the
+    transform itself is what the correctness gate hashes.
+
+    Scale shape: ONE text scan feeds the words array; the only
+    non-doc-keyed shuffle is the span-hash groupBy (uniform md5 keys,
+    bounded by the distinct window domain); the authority relation is
+    pre-filtered to multi-doc hashes BEFORE joining back so the
+    removal join is duplicated-spans-sized, not corpus-sized;
+    reassembly shuffles (pos, word) rows co-keyed by doc_id — linear
+    in corpus words, no all-pairs anywhere. Reference analogue: none
+    (the reference has no corpus ops); this is the ExactSubstr
+    deployment shape. Division guarded per the CLAUDE.md rule."""
+    base = docs.select("doc_id", words(F.col("text")).alias("w"))
+    spans = base.select(
+        "doc_id", F.posexplode(shingles_of(F.col("w"), k)).alias("p", "g")
+    ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))
+    auth = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("min_doc"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("h", "min_doc")
+    )
+    rem = spans.join(auth, "h").where(F.col("doc_id") > F.col("min_doc"))
+    cov = rem.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    widx = base.select(
+        "doc_id", F.posexplode("w").alias("p", "word")
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "word")
+    kept = widx.join(cov, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                lambda st: st["word"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count("*").alias("kept_words"),
+    )
+    nw = base.select("doc_id", F.size("w").alias("n_words"))
+    ids = docs.select("doc_id").distinct()
+    nwc = F.coalesce("n_words", F.lit(0)).cast("bigint")
+    keptc = F.coalesce("kept_words", F.lit(0)).cast("bigint")
+    return (
+        ids.join(nw, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            nwc.alias("n_words"),
+            (nwc - keptc).alias("removed_words"),
+            F.when(
+                nwc > 0, (nwc - keptc).cast("double") / F.col("n_words")
+            ).alias("removed_frac"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("clean_hash"),
+            F.length(F.coalesce("cleaned", F.lit(""))).cast("bigint").alias(
+                "clean_chars"
+            ),
+        )
+    )
+
+
+def span_scrub_sql(k: int = 16) -> str:
+    w = WORDS_SQL.format(c="text")
+    return f"""
+WITH base AS (SELECT doc_id, ({w}) AS w FROM documents),
+sp AS (
+  SELECT doc_id,
+         UNNEST(range(1, CASE WHEN len(w) >= {k}
+                       THEN len(w) - {k - 2} ELSE 1 END)) AS s,
+         md5(UNNEST({_shingles_from_w_slice_sql(k)})) AS h
+  FROM base
+),
+auth AS (
+  SELECT h, MIN(doc_id) AS min_doc
+  FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+rem AS (SELECT doc_id, s FROM sp JOIN auth USING (h) WHERE doc_id > min_doc),
+cov AS (SELECT DISTINCT doc_id, UNNEST(range(s, s + {k})) AS pos FROM rem),
+widx AS (
+  SELECT doc_id, UNNEST(range(1, len(w) + 1)) AS pos, UNNEST(w) AS word
+  FROM base
+),
+kept AS (
+  SELECT wi.doc_id, wi.pos, wi.word
+  FROM widx wi LEFT JOIN cov c ON c.doc_id = wi.doc_id AND c.pos = wi.pos
+  WHERE c.pos IS NULL
+),
+cleaned AS (
+  SELECT doc_id, COALESCE(string_agg(word, ' ' ORDER BY pos), '') AS cleaned,
+         COUNT(*) AS kept_words
+  FROM kept GROUP BY doc_id
+),
+nw AS (SELECT doc_id, len(w) AS n_words FROM base)
+SELECT ids.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_words, 0) - COALESCE(kept_words, 0) AS BIGINT)
+         AS removed_words,
+       CASE WHEN COALESCE(n_words, 0) > 0
+            THEN CAST(COALESCE(n_words, 0) - COALESCE(kept_words, 0)
+                      AS DOUBLE) / n_words
+       END AS removed_frac,
+       md5(COALESCE(cleaned, '')) AS clean_hash,
+       CAST(length(COALESCE(cleaned, '')) AS BIGINT) AS clean_chars
+FROM (SELECT DISTINCT doc_id FROM documents) ids
+LEFT JOIN nw USING (doc_id)
+LEFT JOIN cleaned USING (doc_id)
+"""

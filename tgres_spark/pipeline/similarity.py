@@ -3759,13 +3759,19 @@ def emb_matryoshka_eval(
             F.slice(col, 1, d), F.lit(0.0), lambda acc, x: acc + x
         )
 
+    # zero-norm guard (ADVICE r10): a vector whose first-d dims are all
+    # zero would give 0.0/0.0 = NaN in Spark (sorts FIRST under DESC)
+    # but NULL in DuckDB — guard to NULL in BOTH engines and order
+    # desc_nulls_last explicitly so a regenerated-testdata zero prefix
+    # can never flip the per-(dims,query) top-k.
     cos_structs = F.array(
         *[
             F.struct(
                 F.lit(d).alias("dims"),
-                (
+                F.when(
+                    (fold(F.col("q2"), d) > 0) & (fold(F.col("c2"), d) > 0),
                     fold(F.col("prod"), d)
-                    / (F.sqrt(fold(F.col("q2"), d)) * F.sqrt(fold(F.col("c2"), d)))
+                    / (F.sqrt(fold(F.col("q2"), d)) * F.sqrt(fold(F.col("c2"), d))),
                 ).alias("cos"),
             )
             for d in dims
@@ -3775,7 +3781,7 @@ def emb_matryoshka_eval(
         "query_id", "neighbor_id", F.explode(cos_structs).alias("s")
     ).select("query_id", "neighbor_id", F.col("s.dims").alias("dims"), F.col("s.cos").alias("cos"))
     w = Window.partitionBy("dims", "query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -3815,9 +3821,19 @@ def emb_matryoshka_eval_sql(
             "(acc, x) -> acc + x)"
         )
 
+    # zero-norm guard mirrors the Spark side: NULL (not NaN) on a
+    # zero prefix, NULLS LAST in the ranking window below.
     cos_rows = ", ".join(
-        "{'dims': %d, 'cos': (%s) / (SQRT(%s) * SQRT(%s))}"
-        % (d, fold("prod", d), fold("q2", d), fold("c2", d))
+        "{'dims': %d, 'cos': CASE WHEN (%s) > 0 AND (%s) > 0 "
+        "THEN (%s) / (SQRT(%s) * SQRT(%s)) END}"
+        % (
+            d,
+            fold("q2", d),
+            fold("c2", d),
+            fold("prod", d),
+            fold("q2", d),
+            fold("c2", d),
+        )
         for d in dims
     )
     return f"""
@@ -3839,7 +3855,8 @@ scored AS (
 topk AS (
   SELECT * FROM (
     SELECT dims, query_id, neighbor_id, ROW_NUMBER() OVER (
-      PARTITION BY dims, query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      PARTITION BY dims, query_id
+      ORDER BY cos DESC NULLS LAST, neighbor_id ASC) AS rank
     FROM scored) WHERE rank <= {k}
 ),
 fullk AS (
@@ -3937,4 +3954,170 @@ def ann_ivf_tombstone_sql(
         "CAST((CASE WHEN n_before > 0 THEN CAST(n_deleted AS DOUBLE) "
         f"/ n_before END) >= {float(compact_frac)!r} AS BIGINT) "
         "AS needs_compact FROM per"
+    )
+
+
+# --- IVF tombstone compaction EXECUTE step (round 11) --------------------------
+#
+# ann_ivf_tombstone SCHEDULES compaction (per-cell needs_compact);
+# these functions PERFORM it — the execute half the archive and
+# dedup-index layers already have (archive.py rrd_compact_archive,
+# dedup.py dedup_index_compact). The index lives as one parquet
+# relation partitioned by cell (index_dir/cells/cell=N/); deletions
+# are tombstones (vec_id % mod == 0, the same deterministic split the
+# scheduler audits); compaction rewrites ONLY the cells whose
+# PHYSICAL dead fraction crosses compact_frac, dropping tombstoned
+# rows — untouched cells' files are never rewritten (the
+# no-gratuitous-rewrite pin from rrd_compact_archive). Because the
+# dead fraction is measured on the physical index, a second run sees
+# 0 tombstones in every compacted cell and rewrites nothing —
+# idempotent by construction.
+
+
+def ann_ivf_index_write(
+    spark, index_dir: str, emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7
+) -> None:
+    """Materialize the IVF index: one map-only broadcast-argmin
+    assignment pass, written partitioned by cell so every probe (and
+    every compaction) touches only its own inverted list's files."""
+    a = ann_ivf_assign(emb, k, seed).select("vec_id", "cell")
+    rows = emb.join(a, "vec_id").select("vec_id", "embedding", "cell")
+    rows.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
+
+
+def ann_ivf_index_live(
+    spark, index_dir: str, mod: int = TOMB_MOD
+) -> DataFrame:
+    """The live view: physical rows minus the tombstone mask. For
+    compacted cells the mask is a no-op (the dead rows are physically
+    gone); for not-yet-compacted cells it hides them at read time —
+    the standard tombstone read discipline."""
+    idx = spark.read.parquet(f"{index_dir}/cells")
+    return idx.where(F.col("vec_id") % mod != 0)
+
+
+def ann_ivf_compact_cells(
+    spark,
+    index_dir: str,
+    mod: int = TOMB_MOD,
+    compact_frac: float = TOMB_COMPACT_FRAC,
+) -> list[int]:
+    """Rewrite live-only every cell whose PHYSICAL tombstone fraction
+    >= compact_frac; leave every other cell's files untouched.
+    Returns the compacted cell ids (sorted).
+
+    Mechanics: the per-cell audit is a <=k-row collect (codebook-
+    bounded, like the one-row scalar reads the plan audit allows);
+    the rewrite is ONE dynamic-partition-overwrite job over the
+    needs-compact cells' live rows — at k=4096 cells on a real
+    cluster this stays a single job, not a per-cell loop. A cell left
+    with ZERO live rows gets its directory retired directly (dynamic
+    overwrite only replaces partitions present in the output).
+    Idempotent: compacted cells read back with physical dead frac 0,
+    so a replay selects nothing."""
+    cells_dir = f"{index_dir}/cells"
+    idx = spark.read.parquet(cells_dir)
+    tomb = (F.col("vec_id") % mod) == 0
+    per = (
+        idx.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_phys"),
+            F.sum(tomb.cast("int")).alias("n_dead"),
+        )
+        .collect()
+    )
+    bad = sorted(
+        int(r["cell"])
+        for r in per
+        if r["n_dead"] > 0
+        and r["n_phys"] > 0
+        and r["n_dead"] / r["n_phys"] >= compact_frac
+    )
+    if not bad:
+        return []
+    zero_live = [
+        int(r["cell"]) for r in per if int(r["cell"]) in set(bad)
+        and r["n_dead"] == r["n_phys"]
+    ]
+    live_bad = idx.where(F.col("cell").isin(bad) & ~tomb)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        live_bad.write.mode("overwrite").partitionBy("cell").parquet(cells_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if zero_live:
+        from ..streaming.catalog import _fs
+
+        for c in zero_live:
+            fs, p, _ = _fs(spark, f"{cells_dir}/cell={c}")
+            fs.delete(p, True)
+    return bad
+
+
+def ann_ivf_compact_audit(
+    spark,
+    index_dir: str,
+    compacted: list[int],
+    mod: int = TOMB_MOD,
+) -> DataFrame:
+    """(cell, n_physical, n_live, was_compacted) from a RE-READ of
+    the post-compaction index — n_physical counts rows actually on
+    disk, so the relation proves the rewrite dropped exactly the
+    tombstoned rows of the compacted cells and left every other
+    cell's physical rows (tombstones included) alone."""
+    idx = spark.read.parquet(f"{index_dir}/cells")
+    tomb = (F.col("vec_id") % mod) == 0
+    comp = F.col("cell").isin([int(c) for c in compacted]) if compacted else F.lit(False)
+    return (
+        idx.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_physical"),
+            F.sum((~tomb).cast("int")).cast("bigint").alias("n_live"),
+            F.max(comp.cast("int")).cast("bigint").alias("was_compacted"),
+        )
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_physical",
+            "n_live",
+            "was_compacted",
+        )
+    )
+
+
+def ann_ivf_compact_sql(
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    mod: int = TOMB_MOD,
+    compact_frac: float = TOMB_COMPACT_FRAC,
+) -> str:
+    """Oracle: the post-compaction physical state derived
+    arithmetically — a compacted cell's physical rows are its live
+    rows, an untouched cell keeps everything."""
+    cents = _ivf_codebook(k, seed=seed)
+    return (
+        f"WITH {_ivf_cents_cte(cents)}, "
+        f"d AS (SELECT vec_id, {_ivf_dists_sql()} AS dists "
+        "FROM embeddings CROSS JOIN ivfk), "
+        "a AS (SELECT vec_id, "
+        "CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell "
+        "FROM d), "
+        "per AS (SELECT cell, COUNT(*) AS n_before, "
+        f"SUM(CASE WHEN vec_id % {mod} = 0 THEN 1 ELSE 0 END) AS n_deleted "
+        "FROM a GROUP BY cell), "
+        "state AS (SELECT cell, n_before, n_deleted, "
+        "(n_deleted > 0 AND n_before > 0 AND "
+        f"CAST(n_deleted AS DOUBLE) / n_before >= {float(compact_frac)!r}) "
+        "AS wc FROM per) "
+        "SELECT CAST(cell AS BIGINT) AS cell, "
+        "CAST(CASE WHEN wc THEN n_before - n_deleted ELSE n_before END "
+        "AS BIGINT) AS n_physical, "
+        "CAST(n_before - n_deleted AS BIGINT) AS n_live, "
+        "CAST(CASE WHEN wc THEN 1 ELSE 0 END AS BIGINT) AS was_compacted "
+        "FROM state WHERE NOT (wc AND n_before = n_deleted)"
     )

@@ -44,7 +44,9 @@ def register(key: str, sql: str | None = None):
 # in _ATTEST_TAIL. This tuple is a constant — registry order is a pure
 # function of the code, independent of artifact files.
 _ATTEST_PRIORITY: tuple[str, ...] = (
-    # -- new round-10 operators (first driver exposure this round) --
+    # -- new round-11 operators (first driver exposure this round) --
+    "pipeline_span_scrub", "ann_ivf_compact",
+    # -- round-10 operators (driver-r10 green; rotate next) --
     "dedup_index_update", "streaming_index_update",
     "streaming_attribution_delta", "streaming_funnel_delta",
     "corpus_bpe_encode", "corpus_bpe_fertility",
