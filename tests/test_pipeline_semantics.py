@@ -3672,3 +3672,115 @@ def test_ann_ivf_compact_lifecycle(spark, tmp_path):
         r["vec_id"] for r in ann_ivf_index_live(spark, work, mod=7).collect()
     }
     assert live == {i for i in range(120) if i % 7 != 0}
+
+
+def test_ann_ivf_refit_warm_objective_descends(spark):
+    """Lloyd's monotonicity through the warm re-fit: the corpus-total
+    mean squared assignment distance AFTER the 2-step warm re-fit is
+    <= the objective under the original codebook; the re-fit's
+    per-cell (n_after, obj_after) agrees exactly with an independent
+    ann_ivf_lloyd(iters=2) run's assignment relation; and at least
+    one centroid genuinely moved."""
+    import numpy as np
+    import pytest as _pt
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        ann_ivf_assign,
+        ann_ivf_lloyd,
+        ann_ivf_refit_warm,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=EMB_DIM)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_ivf_refit_warm(emb).collect()
+    assert out and all(r["moved_dist"] >= 0 for r in out)
+    assert any(r["moved_dist"] > 0 for r in out)
+    # total objective descends (weighted by member counts)
+    before = {r["vec_id"]: r["dist"] for r in ann_ivf_assign(emb).collect()}
+    after = {
+        (r["vec_id"]): r["dist"]
+        for r in ann_ivf_lloyd(emb, iters=2).collect()
+    }
+    assert sum(after.values()) <= sum(before.values()) + 1e-6
+    # per-cell after-state equals the independent lloyd2 run
+    a2 = ann_ivf_lloyd(emb, iters=2).collect()
+    want_n, want_s = {}, {}
+    for r in a2:
+        want_n[r["cell"]] = want_n.get(r["cell"], 0) + 1
+        want_s[r["cell"]] = want_s.get(r["cell"], 0) + int(
+            np.floor(r["dist"] * 1e6 + 0.5)
+        )
+    for r in out:
+        if r["n_after"] > 0:
+            assert r["n_after"] == want_n[r["cell"]]
+            assert r["obj_after"] == _pt.approx(
+                want_s[r["cell"]] / 1e6 / want_n[r["cell"]], abs=1e-12
+            )
+
+
+def test_pagerank2_weighted_edge_beats_unweighted_tie(spark):
+    """Edge multiplicity matters: node 1 links node 2 three times and
+    node 3 once. The unweighted kernel reads both as one edge (pr2
+    ties exactly); the weighted kernel splits node 1's mass 3:1, so
+    node 2 outranks node 3. Personalization is held flat (equal
+    keeps) to isolate the weight effect; hand-check pins the 3:1
+    contribution split on iteration 1."""
+    import pytest as _pt
+
+    from tgres_spark.pipeline.graph import pagerank2, pagerank2_weighted
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "host_id long")
+    flat = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "host_id long, keeps long"
+    )
+    ew = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got = {
+        r["host_id"]: r
+        for r in pagerank2_weighted(nodes, ew, flat).collect()
+    }
+    assert got[2]["pr2"] > got[3]["pr2"]
+    # iteration-1 contribution split is exactly 3/4 vs 1/4 of node 1's
+    # start mass p=1/3 (all p equal): contrib(2) = d*(1/3)*(3/4) ...
+    p = 1 / 3
+    d = 0.85
+    # dangling mass from nodes 2,3 (no out-edges) = 2p, redistributed by p
+    want2 = (1 - d) * p + d * (p * 3 / 4 + 2 * p * p)
+    want3 = (1 - d) * p + d * (p * 1 / 4 + 2 * p * p)
+    assert got[2]["pr1"] == _pt.approx(want2, abs=1e-9)
+    assert got[3]["pr1"] == _pt.approx(want3, abs=1e-9)
+    # the unweighted kernel on the deduped edge set ties 2 and 3
+    e1 = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    un = {r["host_id"]: r for r in pagerank2(nodes, e1).collect()}
+    assert un[2]["pr2"] == un[3]["pr2"]
+
+
+def test_pagerank2_weighted_personalization_shifts_rank(spark):
+    """Topic-sensitive teleport: a structurally symmetric 2-cycle
+    (1<->2, equal weights) ranks equal under a flat prior, but a
+    Gopher prior favoring host 1 (keeps 5 vs 0) shifts both the
+    teleport and the dangling redistribution toward it — pr2(1) >
+    pr2(2), and p is the exact Laplace ratio (6/7 vs 1/7 of the
+    smoothed mass)."""
+    import pytest as _pt
+
+    from tgres_spark.pipeline.graph import pagerank2_weighted
+
+    nodes = spark.createDataFrame([(1,), (2,)], "host_id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "src long, dst long, w long"
+    )
+    flat = spark.createDataFrame([(1, 1), (2, 1)], "host_id long, keeps long")
+    eq = {r["host_id"]: r for r in pagerank2_weighted(nodes, edges, flat).collect()}
+    assert eq[1]["pr2"] == eq[2]["pr2"]
+    skew = spark.createDataFrame([(1, 5), (2, 0)], "host_id long, keeps long")
+    got = {r["host_id"]: r for r in pagerank2_weighted(nodes, edges, skew).collect()}
+    assert got[1]["p"] == _pt.approx(6 / 7, abs=1e-12)
+    assert got[2]["p"] == _pt.approx(1 / 7, abs=1e-12)
+    assert got[1]["pr2"] > got[2]["pr2"]

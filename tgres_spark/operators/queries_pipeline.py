@@ -235,6 +235,9 @@ register("corpus_bpe_merge2", sql=tx.corpus_bpe_merge2_sql())(
 register("graph_pagerank2_fixed", sql=_graph.graph_pagerank2_sql())(
     lambda s, d: _graph.graph_pagerank2_fixed(_docs(s, d))
 )
+register("graph_pagerank2_weighted", sql=_graph.graph_pagerank2_weighted_sql())(
+    lambda s, d: _graph.graph_pagerank2_weighted(_docs(s, d))
+)
 register("graph_hits2_fixed", sql=_graph.graph_hits2_sql())(
     lambda s, d: _graph.graph_hits2_fixed(_docs(s, d))
 )
@@ -682,6 +685,9 @@ register("ann_ivf_balance", sql=sim.ann_ivf_balance_sql())(
 )
 register("ann_ivf_margin", sql=sim.ann_ivf_margin_sql())(
     lambda s, d: sim.ann_ivf_margin(_emb(s, d))
+)
+register("ann_ivf_refit_warm", sql=sim.ann_ivf_refit_warm_sql())(
+    lambda s, d: sim.ann_ivf_refit_warm(_emb(s, d))
 )
 register("ann_ivf_refresh", sql=sim.ann_ivf_refresh_sql())(
     lambda s, d: sim.ann_ivf_refresh(_emb(s, d))

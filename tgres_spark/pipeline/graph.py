@@ -499,3 +499,268 @@ SELECT rq.doc_id, rq.host_id, rq.n_words,
 FROM rq JOIN ua ON rq.doc_id = ua.doc_id
 JOIN sd ON rq.doc_id = sd.doc_id
 """
+
+
+# --- weighted + personalized PageRank (round 11) -------------------------------
+
+
+def synth_host_graph_weighted(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges-with-weight): the same deterministic host graph
+    as synth_host_graph but KEEPING edge multiplicity — a host whose
+    pages link another host 1000 times is a 1000× stronger
+    endorsement than a single stray link, and the unweighted kernel's
+    `.distinct()` erased that (round-10 verdict's growth edge).
+    Weight = number of doc-level links behind the (src, dst) host
+    pair; the dedupe groupBy becomes a count groupBy — same shuffle,
+    one extra bigint column."""
+    h = docs.select((F.col("doc_id") % HOST_MOD).alias("src"), "doc_id")
+    nodes = h.select(F.col("src").alias("host_id")).distinct()
+    raw = h.select(
+        "src",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("doc_id") * 31 + 7 + 17 * j) % HOST_MOD
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).where(F.col("dst") != F.col("src"))
+    edges = (
+        raw.join(nodes.select(F.col("host_id").alias("dst")), "dst", "semi")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return nodes, edges
+
+
+def host_personalization(docs: DataFrame) -> DataFrame:
+    """(host_id, keeps): per-host count of documents passing the
+    Gopher content gate — the topic/quality prior that seeds the
+    personalized teleport. Doc-keyed single pass + one host-domain
+    groupBy."""
+    from .textstats import gopher_filter
+
+    return (
+        gopher_filter(docs)
+        .select(
+            (F.col("doc_id") % HOST_MOD).alias("host_id"),
+            F.col("keep").cast("bigint").alias("k"),
+        )
+        .groupBy("host_id")
+        .agg(F.sum("k").cast("bigint").alias("keeps"))
+    )
+
+
+def pagerank2_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    pers: DataFrame,
+    damp: float = PR_DAMP,
+) -> DataFrame:
+    """(host_id, out_w, keeps, p, pr1, pr2): two WEIGHTED,
+    PERSONALIZED (topic-sensitive, Haveliwala 2002) PageRank
+    iterations in one Catalyst tree:
+
+        pr_{t+1}(v) = (1-d)·p(v) + d·( Σ_{u→v} pr_t(u)·w(u,v)/W(u)
+                                       + dang_t·p(v) )
+
+    where W(u) = Σ_dst w(u,dst), the teleport vector p is the
+    Laplace-smoothed Gopher keep rate p(v) = (keeps(v)+1)/(Σkeeps+N)
+    (smoothing keeps every host reachable — a zero-keep host must
+    still absorb teleport mass or the chain loses irreducibility),
+    the start is pr0 = p, and dangling mass redistributes BY p (the
+    standard personalized correction — uniform redistribution would
+    leak rank back toward hosts the prior meant to discount).
+
+    Same 100 TB shape as pagerank2: contribution joins co-keyed on
+    host ids, in-neighbor sums quantized to 1e12-unit BIGINTs before
+    map-side combine, N / Σkeeps / dangling mass one-row broadcasts,
+    persist fences per the broadcast-fence rule. p is an
+    exact-integer ratio; pr·w/W is identical-op-order IEEE algebra in
+    both engines."""
+    d = float(damp)
+    edges = edges.persist()
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    nd = (
+        nodes.join(
+            wsum.select(F.col("src").alias("host_id"), "wsum"),
+            "host_id",
+            "left",
+        )
+        .join(pers, "host_id", "left")
+        .select(
+            "host_id",
+            "wsum",
+            F.coalesce("keeps", F.lit(0)).cast("bigint").alias("keeps"),
+        )
+        .persist()
+    )
+    nd.count()  # fence: nd feeds the one-row totals build AND the chain
+    tot = nd.agg(
+        F.sum("keeps").alias("tk"), F.count(F.lit(1)).alias("n")
+    )
+    p0 = (
+        nd.crossJoin(F.broadcast(tot))
+        .select(
+            "host_id",
+            "wsum",
+            "keeps",
+            (
+                (F.col("keeps") + F.lit(1)).cast("double")
+                / (F.col("tk") + F.col("n"))
+            ).alias("p"),
+        )
+        .withColumn("pr0", F.col("p"))
+        .persist()
+    )
+    p0.count()  # fence: p0 feeds the contrib join AND the one-row dang build
+
+    def _iter(rel, pr_col):
+        contrib = (
+            edges.join(
+                rel.select(
+                    F.col("host_id").alias("src"), pr_col, "wsum"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.sum(
+                        _q12(F.col(pr_col) * F.col("w") / F.col("wsum"))
+                    ).cast("double")
+                    / _Q
+                ).alias("contrib")
+            )
+            .select(F.col("dst").alias("host_id"), "contrib")
+        )
+        dang = rel.agg(
+            (
+                F.sum(
+                    F.when(F.col("wsum").isNull(), _q12(F.col(pr_col)))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / _Q
+            ).alias("dang")
+        )
+        return contrib, dang
+
+    c1, dang0 = _iter(p0, "pr0")
+    pr1 = (
+        p0.join(c1, "host_id", "left")
+        .crossJoin(F.broadcast(dang0))
+        .select(
+            "host_id",
+            "wsum",
+            "keeps",
+            "p",
+            (
+                F.lit(1.0 - d) * F.col("p")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dang") * F.col("p")
+                )
+            ).alias("pr1"),
+        )
+        .persist()
+    )
+    pr1.count()  # fence: pr1 feeds the contrib join AND the one-row dang build
+    c2, dang1 = _iter(pr1, "pr1")
+    return (
+        pr1.join(c2, "host_id", "left")
+        .crossJoin(F.broadcast(dang1))
+        .select(
+            "host_id",
+            F.coalesce("wsum", F.lit(0)).cast("bigint").alias("out_w"),
+            "keeps",
+            "p",
+            "pr1",
+            (
+                F.lit(1.0 - d) * F.col("p")
+                + F.lit(d)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dang") * F.col("p")
+                )
+            ).alias("pr2"),
+        )
+    )
+
+
+def graph_pagerank2_weighted(docs: DataFrame) -> DataFrame:
+    """The registered query: two weighted, Gopher-personalized
+    PageRank iterations over the multiplicity-preserving host graph
+    of the documents table."""
+    nodes, edges = synth_host_graph_weighted(docs)
+    return pagerank2_weighted(nodes, edges, host_personalization(docs))
+
+
+def graph_pagerank2_weighted_sql(damp: float = PR_DAMP) -> str:
+    from .textstats import gopher_filter_sql
+
+    d = float(damp)
+    q = "CAST(FLOOR({x} * 1e12 + 0.5) AS BIGINT)"
+    gf = gopher_filter_sql(rel="documents")
+    return f"""
+WITH h AS (SELECT doc_id % {HOST_MOD} AS src, doc_id FROM documents),
+nodes AS (SELECT DISTINCT src AS host_id FROM h),
+raw_e AS (
+  SELECT src, (doc_id * 31 + 7 + 17 * j) % {HOST_MOD} AS dst
+  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM raw_e
+  WHERE dst <> src AND dst IN (SELECT host_id FROM nodes)
+  GROUP BY src, dst
+),
+ws AS (SELECT src, SUM(w) AS wsum FROM edges GROUP BY src),
+pers AS (
+  SELECT doc_id % {HOST_MOD} AS host_id,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keeps
+  FROM ({gf}) GROUP BY host_id
+),
+nd AS (
+  SELECT host_id, wsum, CAST(COALESCE(keeps, 0) AS BIGINT) AS keeps
+  FROM nodes LEFT JOIN ws ON host_id = src
+  LEFT JOIN pers USING (host_id)
+),
+tot AS (SELECT SUM(keeps) AS tk, COUNT(*) AS n FROM nd),
+p0 AS (
+  SELECT host_id, wsum, keeps,
+         CAST(keeps + 1 AS DOUBLE) / (tk + n) AS p,
+         CAST(keeps + 1 AS DOUBLE) / (tk + n) AS pr0
+  FROM nd CROSS JOIN tot
+),
+c1 AS (
+  SELECT dst AS host_id,
+         CAST(SUM({q.format(x="pr0 * w / wsum")}) AS DOUBLE) / 1e12 AS contrib
+  FROM edges JOIN p0 ON src = p0.host_id GROUP BY dst
+),
+dang0 AS (
+  SELECT CAST(SUM(CASE WHEN wsum IS NULL THEN {q.format(x="pr0")}
+                       ELSE 0 END) AS DOUBLE) / 1e12 AS dang
+  FROM p0
+),
+pr1 AS (
+  SELECT p0.host_id, wsum, keeps, p,
+         {1.0 - d!r} * p + {d!r} * (COALESCE(contrib, 0.0) + dang * p) AS pr1
+  FROM p0 LEFT JOIN c1 ON p0.host_id = c1.host_id CROSS JOIN dang0
+),
+c2 AS (
+  SELECT dst AS host_id,
+         CAST(SUM({q.format(x="pr1 * w / wsum")}) AS DOUBLE) / 1e12 AS contrib
+  FROM edges JOIN pr1 ON src = pr1.host_id GROUP BY dst
+),
+dang1 AS (
+  SELECT CAST(SUM(CASE WHEN wsum IS NULL THEN {q.format(x="pr1")}
+                       ELSE 0 END) AS DOUBLE) / 1e12 AS dang
+  FROM pr1
+)
+SELECT p.host_id, CAST(COALESCE(p.wsum, 0) AS BIGINT) AS out_w,
+       p.keeps, p.p, p.pr1,
+       {1.0 - d!r} * p.p + {d!r} * (COALESCE(c2.contrib, 0.0)
+         + dang * p.p) AS pr2
+FROM pr1 p LEFT JOIN c2 ON p.host_id = c2.host_id CROSS JOIN dang1
+"""

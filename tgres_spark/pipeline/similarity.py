@@ -867,11 +867,10 @@ def _sq_dists(cents_col):
     )
 
 
-def _lloyd_step(a: DataFrame) -> DataFrame:
-    """One Lloyd update over (vec_id, embedding, cell): recompute cell
-    centroids (micro6 BIGINT member sums, map-side combined) and
-    re-assign every vector against the new centroid list broadcast as
-    ONE row. Returns (vec_id, embedding, cell, dist)."""
+def _lloyd_cents(a: DataFrame) -> DataFrame:
+    """The centroid half of a Lloyd update: per-cell micro6 BIGINT
+    member sums (map-side combined), mean = (int64/1e6)/cnt with the
+    op order the oracle mirrors. Returns (cell, centroid)."""
     dim = EMB_DIM
     sums = a.groupBy("cell").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -884,7 +883,7 @@ def _lloyd_step(a: DataFrame) -> DataFrame:
             for i in range(dim)
         ],
     )
-    new_cents = sums.select(
+    return sums.select(
         "cell",
         F.array(
             *[
@@ -895,6 +894,12 @@ def _lloyd_step(a: DataFrame) -> DataFrame:
             ]
         ).alias("centroid"),
     )
+
+
+def _lloyd_reassign(a: DataFrame, new_cents: DataFrame) -> DataFrame:
+    """The re-assignment half of a Lloyd update: collapse (cell,
+    centroid) to ONE broadcast row and argmin every vector against
+    it. Returns (vec_id, embedding, cell, dist)."""
     clist = new_cents.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs")
     ).select(
@@ -917,6 +922,14 @@ def _lloyd_step(a: DataFrame) -> DataFrame:
             F.array_min("dists").alias("dist"),
         )
     )
+
+
+def _lloyd_step(a: DataFrame) -> DataFrame:
+    """One Lloyd update over (vec_id, embedding, cell): recompute cell
+    centroids (_lloyd_cents) and re-assign every vector against the
+    new centroid list broadcast as ONE row. Returns (vec_id,
+    embedding, cell, dist)."""
+    return _lloyd_reassign(a, _lloyd_cents(a))
 
 
 def ann_ivf_lloyd(
@@ -4120,4 +4133,187 @@ def ann_ivf_compact_sql(
         "CAST(n_before - n_deleted AS BIGINT) AS n_live, "
         "CAST(CASE WHEN wc THEN 1 ELSE 0 END AS BIGINT) AS was_compacted "
         "FROM state WHERE NOT (wc AND n_before = n_deleted)"
+    )
+
+
+# --- drift-triggered warm codebook re-fit (round 11) ---------------------------
+
+
+def ann_ivf_refit_warm(
+    emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7
+) -> DataFrame:
+    """(cell, n_before, n_after, moved_dist, obj_before, obj_after):
+    the CONSUMER of ann_ivf_refresh's drift/growth re-train signals —
+    a warm-started re-fit that runs 2 Lloyd iterations from the
+    EXISTING codebook over the full (old + increment) corpus instead
+    of re-seeding, which is how a production index re-trains: the old
+    centroids are already near the optimum, so a warm start converges
+    in a couple of sweeps where a cold k-means++ restart pays the
+    full fit (and reshuffles every stored cell id). Per cell it emits
+    what the re-fit changed: member counts under the old vs new
+    codebook, how far the centroid moved (L2, micro6-quantized), and
+    the mean squared assignment distance before (old codebook, old
+    assignment) vs after (new codebook, new assignment) — Lloyd
+    guarantees the TOTAL objective is non-increasing, the pytest pins
+    it, and per-cell the deltas are the split/merge signals the next
+    maintenance cycle reads.
+
+    Plan: the same unrolled 2-iteration single-Catalyst-tree shape as
+    ann_ivf_lloyd2_fixed (assignment map-only vs one-row broadcast
+    codebooks; centroid updates are k-row micro6 groupBys), plus two
+    k-row objective aggregations; per the broadcast-fence rule the
+    assignment relations feeding multiple one-row broadcast builds
+    are persist()+count()-fenced. Output constant in N. Determinism:
+    micro6 sums everywhere, (int64/1e6)/cnt mean op order, left-fold
+    squared L2, micro6-quantized sqrt for moved_dist."""
+    from ..model import micro6
+
+    cents = _ivf_codebook(k, seed=seed)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+            F.array_min("dists").alias("dist"),
+        )
+        .persist()
+    )
+    a0.count()
+    a1 = _lloyd_reassign(a0, _lloyd_cents(a0)).persist()
+    a1.count()
+    c2 = _lloyd_cents(a1).persist()
+    c2.count()
+    a2 = _lloyd_reassign(a1, c2)
+    ob = a0.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(micro6(F.col("dist"))).alias("ob6"),
+    )
+    oa = a2.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(micro6(F.col("dist"))).alias("oa6"),
+    )
+    c0df = spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell long, c0 array<double>",
+    )
+    moved = c2.join(F.broadcast(c0df), "cell").select(
+        "cell",
+        (
+            F.floor(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "centroid", "c0", lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("moved_dist"),
+    )
+    return (
+        moved.join(ob, "cell", "left")
+        .join(oa, "cell", "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            "moved_dist",
+            F.when(
+                F.col("n_before") > 0,
+                F.col("ob6").cast("double") / 1000000.0 / F.col("n_before"),
+            ).alias("obj_before"),
+            F.when(
+                F.col("n_after") > 0,
+                F.col("oa6").cast("double") / 1000000.0 / F.col("n_after"),
+            ).alias("obj_after"),
+        )
+    )
+
+
+def ann_ivf_refit_warm_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
+    """Same CTE chain as ann_ivf_lloyd_sql(iters=2) with dist carried
+    through every assignment, plus the per-cell before/after
+    objective and centroid-movement emissions."""
+    from ..model import micro6_sql
+
+    cents = _ivf_codebook(k, seed=seed)
+    dim = EMB_DIM
+    sum_cols = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    cent_arr = (
+        "["
+        + ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / cnt" for i in range(dim))
+        + "]"
+    )
+    parts = [
+        _ivf_cents_cte(cents),
+        f"d0 AS (SELECT vec_id, embedding, {_ivf_dists_sql()} AS dists "
+        "FROM embeddings CROSS JOIN ivfk)",
+        "a1 AS (SELECT vec_id, embedding, "
+        "CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell, "
+        "CAST(list_min(dists) AS DOUBLE) AS dist FROM d0)",
+    ]
+    for it in (1, 2):
+        prev = f"a{it}"
+        diff = f"(CAST({prev}.embedding[i] AS DOUBLE) - c[i])"
+        dists = (
+            f"list_transform(clist{it}.cents2, c -> "
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> {diff} * {diff})), (acc, x) -> acc + x))"
+        )
+        parts += [
+            f"sums{it} AS (SELECT cell, COUNT(*) AS cnt, {sum_cols} "
+            f"FROM {prev} GROUP BY cell)",
+            f"nc{it} AS (SELECT cell, {cent_arr} AS centroid FROM sums{it})",
+            f"clist{it} AS (SELECT list(cell ORDER BY cell) AS cells, "
+            f"list(centroid ORDER BY cell) AS cents2 FROM nc{it})",
+            f"d{it} AS (SELECT {prev}.vec_id, {prev}.embedding, "
+            f"clist{it}.cells, {dists} AS dists FROM {prev}, clist{it})",
+            f"a{it + 1} AS (SELECT vec_id, embedding, "
+            "CAST(cells[list_position(dists, list_min(dists))] AS BIGINT) AS cell, "
+            f"CAST(list_min(dists) AS DOUBLE) AS dist FROM d{it})",
+        ]
+    mv_sq = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> (nc2.centroid[i] - cs[CAST(nc2.cell AS BIGINT)][i]) * "
+        "(nc2.centroid[i] - cs[CAST(nc2.cell AS BIGINT)][i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    parts += [
+        "ob AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before, "
+        f"SUM({micro6_sql('dist')}) AS ob6 FROM a1 GROUP BY cell)",
+        "oa AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after, "
+        f"SUM({micro6_sql('dist')}) AS oa6 FROM a3 GROUP BY cell)",
+        "mv AS (SELECT nc2.cell, "
+        f"FLOOR(SQRT({mv_sq}) * 1000000.0 + 0.5) / 1000000.0 AS moved_dist "
+        "FROM nc2, ivfk)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(mv.cell AS BIGINT) AS cell, "
+        "CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before, "
+        "CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after, "
+        "moved_dist, "
+        "CASE WHEN n_before > 0 THEN CAST(ob6 AS DOUBLE) / 1000000.0 / n_before "
+        "END AS obj_before, "
+        "CASE WHEN n_after > 0 THEN CAST(oa6 AS DOUBLE) / 1000000.0 / n_after "
+        "END AS obj_after "
+        "FROM mv LEFT JOIN ob ON ob.cell = mv.cell "
+        "LEFT JOIN oa ON oa.cell = mv.cell"
     )
