@@ -3784,3 +3784,67 @@ def test_pagerank2_weighted_personalization_shifts_rank(spark):
     assert got[1]["p"] == _pt.approx(6 / 7, abs=1e-12)
     assert got[2]["p"] == _pt.approx(1 / 7, abs=1e-12)
     assert got[1]["pr2"] > got[2]["pr2"]
+
+
+def test_sample_by_weight_multiplicity_rules(spark):
+    """The weight-proportional sampler's contract: zero-weight docs
+    draw 0 copies structurally; a doc whose expected multiplicity is
+    an exact integer draws exactly it (floor(k + u) = k for u < 1);
+    fractional expectations draw floor or ceil; and over many docs
+    the stochastic rounding is unbiased — total copies tracks total
+    expected within a few percent."""
+    from tgres_spark.pipeline.prep import sample_by_weight
+
+    rows = [(int(i), [0.0, 1.0, 2.0, 5.0][i % 4]) for i in range(400)]
+    w = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = {r["doc_id"]: r for r in sample_by_weight(w).collect()}
+    mean = sum(x[1] for x in rows) / len(rows)  # = 2.0 exactly
+    assert mean == 2.0
+    total = 0
+    for i, wt in rows:
+        r = got[i]
+        exp = wt / mean
+        total += r["n_copies"]
+        if wt == 0.0:
+            assert r["n_copies"] == 0
+        elif exp == int(exp):
+            assert r["n_copies"] == int(exp), (i, wt, r["n_copies"])
+        else:
+            assert r["n_copies"] in (int(exp), int(exp) + 1)
+    want_total = sum(x[1] / mean for x in rows)  # = 400
+    assert abs(total - want_total) / want_total < 0.05
+
+
+def test_ann_ivf_split_descends_and_partitions(spark):
+    """Bisecting-split invariants: only cells above the factor x
+    even-share threshold appear; n_a + n_b = n_before on every row;
+    and the per-cell mean squared distance NEVER increases (each
+    parity group's mean minimizes its own SSE; re-assignment only
+    moves members to a closer center), with strict descent somewhere
+    on a non-degenerate corpus."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        ann_ivf_assign,
+        ann_ivf_split,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=EMB_DIM)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_ivf_split(emb, factor=1.2).collect()
+    assert out, "fixture must produce at least one hot cell"
+    counts = {}
+    for r in ann_ivf_assign(emb).collect():
+        counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+    thresh = 1.2 * 300 / 16
+    hot = {c for c, n in counts.items() if n > thresh}
+    assert {r["cell"] for r in out} == hot
+    for r in out:
+        assert r["n_a"] + r["n_b"] == r["n_before"] == counts[r["cell"]]
+        assert r["obj_after"] <= r["obj_before"] + 1e-9
+    assert any(r["obj_after"] < r["obj_before"] - 1e-9 for r in out)

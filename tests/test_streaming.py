@@ -1066,3 +1066,117 @@ def test_attribution_delta_refresh_touched_users_only(spark, tmp_path):
         map(tuple, df.where(F.col("user_id") == 200).collect())
     )
     assert u200(s_first) == u200(s_last) and u200(s_last)
+
+
+def test_prep_increment_stream_dedups_against_earlier_batch(spark, tmp_path):
+    """The live prep loop's defining property: batch 2's docs are
+    screened against batch 1's docs THROUGH the signature index
+    updated mid-stream (no in-memory state). doc 10 (batch 2) is a
+    verbatim copy of doc 5 (batch 1) -> dup_increment; doc 15 copies
+    an original-corpus doc -> dup_corpus; doc 20 copies the benchmark
+    doc -> contaminated; doc 5 itself stays clean (the min-id keeper
+    rule)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from tgres_spark.pipeline.contamination import contamination_index
+    from tgres_spark.pipeline.dedup import dedup_index_update
+    from tgres_spark.streaming.incdedup import run_prep_increment_stream
+
+    t = "the quick brown fox jumps over the lazy dog while seventeen zebras watch from a distant hill every day"
+    c = "completely different corpus content about spark shuffles parquet footers and adaptive query execution plans"
+    b = "benchmark evaluation passage held out from training data with its own unmistakable phrasing and cadence"
+    sch = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        [(1, c, "en", "s1", 1), (2, b, "en", "src0", 1)], sch
+    )
+    work = str(tmp_path)
+    dedup_index_update(
+        spark, f"{work}/index",
+        corpus.where(F.col("doc_id") % 5 != 0), generation=0,
+        compact_threshold=10**9,
+    )
+    contamination_index(corpus).write.parquet(f"{work}/bench")
+    b1 = [(5, t, "en", "s1", 1)]
+    b2 = [(10, t, "en", "s1", 1), (15, c, "en", "s1", 1),
+          (20, b, "en", "s1", 1)]
+    _os.makedirs(f"{work}/in")
+    t0 = _time.time() - 3600
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+            f"{work}/tmp{i}"
+        )
+        part = _glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        _shutil.copyfile(part, dst)
+        _os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    run_prep_increment_stream(
+        spark, f"{work}/in", f"{work}/index", f"{work}/bench",
+        f"{work}/out", f"{work}/ck",
+        spark.createDataFrame(b1, sch).schema,
+    )
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{work}/out/b*").collect()
+    }
+    assert set(got) == {5, 10, 15, 20}
+    assert got[5]["dup_increment"] == 0 and got[5]["dup_corpus"] == 0
+    # the cross-batch pin: doc 10 saw doc 5 via the mid-stream index
+    assert got[10]["dup_increment"] == 1 and got[10]["dup_corpus"] == 0
+    assert got[15]["dup_corpus"] == 1
+    assert got[20]["contaminated"] == 1 and got[20]["keep"] == 0
+    # two real micro-batches landed
+    bdirs = [d for d in _os.listdir(f"{work}/out") if d.startswith("b")]
+    assert len(bdirs) == 2
+
+
+def test_refresh_raw_fold_bounds_listing_and_preserves_relation(spark, tmp_path):
+    """raw_compact_every folds the raw landing mid-stream without
+    changing the published relation: a 4-batch delta-refresh run with
+    fold cadence 2 publishes exactly the no-fold run's final
+    snapshot, the raw/ listing ends bounded (generations at or below
+    the previous fold retired, only post-fold deltas remain), and a
+    rawbase generation exists with the full row count."""
+    from tgres_spark.streaming.refresh import (
+        _raw_gens,
+        read_latest_snapshot,
+        run_delta_refresh,
+    )
+    from tgres_spark.tpch import attribution_rollup, attribution_user_relation
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "in")
+    # repartition (not coalesce: the tiny source is 1 split) so the
+    # stream genuinely runs 4 micro-batches at maxFilesPerTrigger=1
+    ev.repartition(4).write.parquet(in_dir)
+    for name, every in (("nofold", None), ("fold", 2)):
+        run_delta_refresh(
+            spark, in_dir, str(tmp_path / name), str(tmp_path / f"ck_{name}"),
+            ev.schema, attribution_user_relation, "user_id",
+            publish_fn=attribution_rollup, raw_compact_every=every,
+        )
+    want = sorted(
+        map(tuple, read_latest_snapshot(spark, str(tmp_path / "nofold")).collect())
+    )
+    got = sorted(
+        map(tuple, read_latest_snapshot(spark, str(tmp_path / "fold")).collect())
+    )
+    assert got == want
+    bases = _raw_gens(spark, str(tmp_path / "fold"), "rawbase")
+    raws = _raw_gens(spark, str(tmp_path / "fold"), "raw")
+    assert bases, "a fold must have happened"
+    # grace-retire: raw generations at or below the PREVIOUS base are
+    # gone; with cadence 2 over 4 batches at least one retirement ran
+    assert len(raws) < 4
+    # the newest base holds every row landed up to its generation
+    n_base = spark.read.parquet(
+        str(tmp_path / "fold") + f"/rawbase/b{bases[-1]:06d}"
+    ).count()
+    n_total = ev.count()
+    assert 0 < n_base <= n_total
+    # base + post-base deltas reconstruct the full landing
+    from tgres_spark.streaming.refresh import _live_raw
+
+    assert _live_raw(spark, str(tmp_path / "fold")).count() == n_total

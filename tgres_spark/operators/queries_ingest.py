@@ -517,6 +517,7 @@ def streaming_funnel_delta(spark, sf_dir):
     run_delta_refresh(
         spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", ev.schema,
         funnel_user_relation, "user_id", publish_fn=funnel_rollup,
+        raw_compact_every=3,  # exercise the raw fold mid-stream
     )
     return read_latest_snapshot(spark, f"{work}/out")
 
@@ -587,6 +588,74 @@ def streaming_index_update(spark, sf_dir):
     )
     return read_signature_index(spark, f"{work}/index").select(
         "doc_id", F.concat_ws("", "sig").alias("sig_cat")
+    )
+
+
+@register(
+    "streaming_prep_increment",
+    sql=__import__(
+        "tgres_spark.pipeline.prep", fromlist=["x"]
+    ).prep_increment_sql(),
+)
+def streaming_prep_increment(spark, sf_dir):
+    """The live prep loop end-to-end (round 11,
+    streaming/incdedup.run_prep_increment_stream): the corpus
+    signature index initializes as generation 0 and the benchmark
+    gram index persists once; the increment then arrives as four
+    REAL doc_id-ordered micro-batches, each scored against BOTH
+    indexes (gopher + decontamination + near-dup) AND writing its own
+    signatures back mid-stream — batch N's docs deduplicate against
+    batches < N through the index, not through any in-memory state.
+    Ordered arrival (monotone doc_id batching: file names and mtimes
+    both ascending) makes the accumulated verdicts equal the batch
+    prep_increment relation verbatim, which is the oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..pipeline.contamination import contamination_index
+    from ..pipeline.dedup import INCREMENT_MOD, dedup_index_update
+    from ..streaming.incdedup import run_prep_increment_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sprep_")
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % INCREMENT_MOD
+    dedup_index_update(
+        spark, f"{work}/index", docs.where(m != 0), generation=0,
+        compact_threshold=10**9,
+    )
+    contamination_index(docs).write.mode("overwrite").parquet(
+        f"{work}/bench"
+    )
+    inc = docs.where((m == 0) & (F.col("source") != "src0"))
+    # monotone doc_id batching: 4 id-quartile files, names AND mtimes
+    # ascending so any file-source ordering tie-break agrees
+    ids = sorted(r["doc_id"] for r in inc.select("doc_id").collect())
+    cuts = [ids[max(0, (len(ids) * (i + 1)) // 4 - 1)] for i in range(4)]
+    cuts[-1] = ids[-1]
+    os.makedirs(f"{work}/in")
+    t0 = time.time() - 3600
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = inc.where(
+            (F.col("doc_id") <= hi)
+            & (F.lit(True) if lo is None else (F.col("doc_id") > lo))
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+        src_file = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        lo = hi
+    run_prep_increment_stream(
+        spark, f"{work}/in", f"{work}/index", f"{work}/bench",
+        f"{work}/out", f"{work}/ckpt", docs.schema,
+    )
+    return spark.read.parquet(f"{work}/out/b*").select(
+        "doc_id", "gopher_keep", "contaminated", "dup_corpus",
+        "dup_increment", "keep",
     )
 
 

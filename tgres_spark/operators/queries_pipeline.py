@@ -656,6 +656,18 @@ def pipeline_prep_increment(spark, sf_dir):
     )
 
 
+@register("pipeline_sample_weighted", sql=pp.sample_by_weight_sql())
+def pipeline_sample_weighted(spark, sf_dir):
+    """The prep-weights CONSUMER: per-doc training-set multiplicity
+    drawn proportional to the pipeline_prep_weights relation via
+    deterministic stochastic rounding — mean one copy per doc,
+    zero-weight docs structurally excluded (pipeline/prep.py
+    sample_by_weight)."""
+    from ..pipeline.graph import pipeline_prep_weights
+
+    return pp.sample_by_weight(pipeline_prep_weights(_docs(spark, sf_dir)))
+
+
 register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(
     lambda spark, sf_dir: tx.text_bigram_lm(_docs(spark, sf_dir))
 )
@@ -688,6 +700,9 @@ register("ann_ivf_margin", sql=sim.ann_ivf_margin_sql())(
 )
 register("ann_ivf_refit_warm", sql=sim.ann_ivf_refit_warm_sql())(
     lambda s, d: sim.ann_ivf_refit_warm(_emb(s, d))
+)
+register("ann_ivf_split", sql=sim.ann_ivf_split_sql())(
+    lambda s, d: sim.ann_ivf_split(_emb(s, d))
 )
 register("ann_ivf_refresh", sql=sim.ann_ivf_refresh_sql())(
     lambda s, d: sim.ann_ivf_refresh(_emb(s, d))

@@ -1996,7 +1996,19 @@ def _idx_manifested(spark, index_dir: str, prefix: str) -> list[int]:
 def _idx_publish(spark, index_dir: str, name: str) -> None:
     """Write-once pointer (catalog.py:_publish_manifest discipline):
     a single small-object create is atomic on POSIX and object
-    stores; re-publishing on replay rewrites identical content."""
+    stores; re-publishing on replay rewrites identical content.
+
+    SINGLE-WRITER ASSUMPTION (made explicit per the round-10 advice):
+    the create(overwrite=true) is safe ONLY because a generation's
+    content is a pure function of its inputs — the legitimate
+    re-publisher is a replayed job writing byte-identical data, so
+    swapping the pointer is a no-op. A caller that re-publishes an
+    existing generation number with DIFFERENT data violates the
+    lifecycle's contract (generation numbers are crawl dates / batch
+    ids — they never carry two payloads); nothing here detects that,
+    by design: one index has one writer (the crawl loop), and a
+    cross-writer CAS would buy nothing on stores without atomic
+    rename anyway."""
     import json
 
     from ..streaming.catalog import _fs

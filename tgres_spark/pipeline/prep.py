@@ -873,3 +873,87 @@ def mix_excess_loss_sql(eta: float = MIX_ETA) -> str:
         "SELECT source, n_docs, tokens, base_share, mean_logp, excess, "
         "CAST(raw6 AS DOUBLE) / tot6 AS weight FROM scored CROSS JOIN norm"
     )
+
+
+# --- weight-proportional sampling execute step (round 11) ----------------------
+
+SAMPLE_W_SEED = 17
+
+
+def sample_by_weight(
+    weights: DataFrame, seed: int = SAMPLE_W_SEED
+) -> DataFrame:
+    """(doc_id, weight, expected_copies, n_copies): the CONSUMER of
+    the prep_weights relation — pipeline_prep_weights produces "the
+    per-document sampling-weight table a mixture/curriculum run
+    consumes", and this is that consumption: each doc's training-set
+    multiplicity, drawn proportional to weight with DETERMINISTIC
+    stochastic rounding (the epoch-multiplicity construction real
+    pipelines use instead of with-replacement draws, which don't
+    distribute):
+
+        expected = weight / mean(weight)          (mean copies = 1)
+        n_copies = floor(expected + u(doc))       u = hash-unit float
+
+    Stochastic rounding by the doc's own seeded hash makes
+    E[n_copies] = expected exactly while staying replay-stable on any
+    engine/partitioning (the sample_stratified hash-order property,
+    applied to rounding instead of ranking); zero-weight docs get
+    u < 1 + 0 -> 0 copies structurally.
+
+    Determinism: the mean is a micro6 BIGINT sum / 1e6 / N (bounded-
+    group rule); expected is ONE IEEE division (guarded); u =
+    first-8-hex-of-md5 / 2^32 — exact dyadic rational, identical in
+    both engines (Spark conv(,16,10); DuckDB CAST('0x'||hex)). One
+    corpus-scan input, one one-row broadcast, map-only otherwise."""
+    from ..model import micro6
+
+    tot = weights.agg(
+        F.sum(micro6(F.col("weight"))).alias("w6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    mean_w = F.col("w6").cast("double") / 1000000.0 / F.col("n")
+    expected = F.when(mean_w > 0, F.col("weight") / mean_w)
+    return weights.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "weight",
+        expected.alias("expected_copies"),
+        F.floor(F.coalesce(expected, F.lit(0.0)) + u)
+        .cast("bigint")
+        .alias("n_copies"),
+    )
+
+
+def sample_by_weight_sql(seed: int = SAMPLE_W_SEED) -> str:
+    """Oracle over the composed prep-weights CTE; u's hex parse is
+    CAST('0x' || substr(md5, 1, 8) AS BIGINT) — same 32-bit integer
+    as Spark's conv(, 16, 10), same dyadic division."""
+    from ..model import micro6_sql
+    from .graph import pipeline_prep_weights_sql
+
+    u = (
+        f"CAST('0x' || substr(md5({seed} || ':' || doc_id), 1, 8) AS BIGINT)"
+        " / 4294967296.0"
+    )
+    return f"""
+WITH w AS ({pipeline_prep_weights_sql()}),
+tot AS (SELECT SUM({micro6_sql('weight')}) AS w6, COUNT(*) AS n FROM w)
+SELECT doc_id, weight,
+       CASE WHEN CAST(w6 AS DOUBLE) / 1000000.0 / n > 0
+            THEN weight / (CAST(w6 AS DOUBLE) / 1000000.0 / n)
+       END AS expected_copies,
+       CAST(FLOOR(COALESCE(CASE WHEN CAST(w6 AS DOUBLE) / 1000000.0 / n > 0
+                    THEN weight / (CAST(w6 AS DOUBLE) / 1000000.0 / n)
+               END, 0.0) + {u}) AS BIGINT) AS n_copies
+FROM w CROSS JOIN tot
+"""

@@ -867,12 +867,12 @@ def _sq_dists(cents_col):
     )
 
 
-def _lloyd_cents(a: DataFrame) -> DataFrame:
-    """The centroid half of a Lloyd update: per-cell micro6 BIGINT
+def _lloyd_cents(a: DataFrame, keys: tuple = ("cell",)) -> DataFrame:
+    """The centroid half of a Lloyd update: per-key micro6 BIGINT
     member sums (map-side combined), mean = (int64/1e6)/cnt with the
-    op order the oracle mirrors. Returns (cell, centroid)."""
+    op order the oracle mirrors. Returns (*keys, centroid)."""
     dim = EMB_DIM
-    sums = a.groupBy("cell").agg(
+    sums = a.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("cnt"),
         *[
             F.sum(
@@ -884,7 +884,7 @@ def _lloyd_cents(a: DataFrame) -> DataFrame:
         ],
     )
     return sums.select(
-        "cell",
+        *keys,
         F.array(
             *[
                 (F.col(f"s{i}").cast("double") / 1000000.0 / F.col("cnt")).alias(
@@ -4317,3 +4317,172 @@ def ann_ivf_refit_warm_sql(k: int = IVF_CODEBOOK_K, seed: int = 7) -> str:
         "FROM mv LEFT JOIN ob ON ob.cell = mv.cell "
         "LEFT JOIN oa ON oa.cell = mv.cell"
     )
+
+
+# --- hot-cell split execute step (round 11) ------------------------------------
+
+SPLIT_FACTOR = 1.5
+
+
+def ann_ivf_split(
+    emb: DataFrame,
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    factor: float = SPLIT_FACTOR,
+) -> DataFrame:
+    """(cell, n_before, n_a, n_b, obj_before, obj_after): the
+    hot-cell SPLIT — the maintenance action ann_ivf_balance's skew
+    audit calls for (a cell absorbing disproportionate mass turns
+    nprobe=1 into a near-linear scan for every query that routes to
+    it) but nothing executed. Every cell holding more than
+    ``factor``× the even share (n/k) is split 2-ways: members seed by
+    vec_id parity, one Lloyd step fits the two sub-centroids, members
+    re-assign to the nearer one — bisecting k-means' split step
+    (Steinbach et al. 2000), warm within the cell. The per-cell mean
+    squared distance is GUARANTEED non-increasing (each parity
+    group's mean minimizes its own SSE and re-assignment only ever
+    moves a member to a closer center), pytest-pinned.
+
+    Scale: assignment is the shared map-only broadcast-argmin pass;
+    the hot-cell relation is ≤k rows and broadcasts into the member
+    filter; sub-centroid fitting is ONE groupBy over hot-cell members
+    with micro6 map-combined sums (≤2k result rows); re-assignment
+    broadcasts the ≤2k sub-centroid rows back. Output ≤k rows.
+    Determinism: micro6 sums, (int64/1e6)/cnt means, left-fold
+    squared L2, argmin ties to the lower parity."""
+    from ..model import micro6
+
+    cents = _ivf_codebook(k, seed=seed)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+            F.array_min("dists").alias("dist"),
+        )
+        .persist()
+    )
+    a0.count()  # fence: a0 feeds the one-row total AND the member scan
+    per = a0.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = a0.agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") > F.lit(float(factor)) * F.col("n") / F.lit(int(k)))
+        .select("cell")
+    )
+    mem = a0.join(F.broadcast(hot), "cell").withColumn(
+        "p", (F.col("vec_id") % 2).cast("bigint")
+    ).persist()
+    mem.count()  # fence: mem feeds the ≤2k sub-centroid build AND reassign
+    sc = (
+        _lloyd_cents(mem, keys=("cell", "p"))
+        .groupBy("cell")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("p", "centroid"))).alias("cs")
+        )
+        .select(
+            "cell",
+            F.col("cs.p").alias("ps"),
+            F.col("cs.centroid").alias("cents2"),
+        )
+    )
+    j = mem.join(F.broadcast(sc), "cell").select(
+        "cell",
+        "vec_id",
+        "dist",
+        "ps",
+        _sq_dists(F.col("cents2")).alias("sd"),
+    )
+    side = F.element_at(
+        F.col("ps"),
+        F.array_position(F.col("sd"), F.array_min("sd")).cast("int"),
+    )
+    scored = j.select(
+        "cell",
+        "dist",
+        side.alias("side"),
+        F.array_min("sd").alias("dist_new"),
+    )
+    return scored.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum((F.col("side") == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("side") == 1).cast("int")).cast("bigint").alias("n_b"),
+        (
+            F.sum(micro6(F.col("dist"))).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("obj_before"),
+        (
+            F.sum(micro6(F.col("dist_new"))).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("obj_after"),
+    ).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_before", "n_a", "n_b", "obj_before", "obj_after",
+    )
+
+
+def ann_ivf_split_sql(
+    k: int = IVF_CODEBOOK_K, seed: int = 7, factor: float = SPLIT_FACTOR
+) -> str:
+    from ..model import micro6_sql
+
+    cents = _ivf_codebook(k, seed=seed)
+    dim = EMB_DIM
+    sum_cols = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    cent_arr = (
+        "["
+        + ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / cnt" for i in range(dim))
+        + "]"
+    )
+    diff = "(CAST(mem.embedding[i] AS DOUBLE) - c[i])"
+    sub_dists = (
+        "list_transform(sc.cents2, c -> "
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x))"
+    )
+    return f"""
+WITH {_ivf_cents_cte(cents)},
+d0 AS (SELECT vec_id, embedding, {_ivf_dists_sql()} AS dists
+       FROM embeddings CROSS JOIN ivfk),
+a0 AS (SELECT vec_id, embedding,
+       CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell,
+       CAST(list_min(dists) AS DOUBLE) AS dist FROM d0),
+tot AS (SELECT COUNT(*) AS n FROM a0),
+hot AS (SELECT cell FROM (SELECT cell, COUNT(*) AS cnt FROM a0 GROUP BY cell)
+        CROSS JOIN tot WHERE cnt > {float(factor)!r} * n / {int(k)}),
+mem AS (SELECT a0.*, CAST(vec_id % 2 AS BIGINT) AS p
+        FROM a0 WHERE cell IN (SELECT cell FROM hot)),
+sums AS (SELECT cell, p, COUNT(*) AS cnt, {sum_cols}
+         FROM mem GROUP BY cell, p),
+nc AS (SELECT cell, p, {cent_arr} AS centroid FROM sums),
+sc AS (SELECT cell, list(p ORDER BY p) AS ps,
+       list(centroid ORDER BY p) AS cents2 FROM nc GROUP BY cell),
+scored AS (
+  SELECT mem.cell, mem.dist,
+         sc.ps[list_position({sub_dists}, list_min({sub_dists}))] AS side,
+         CAST(list_min({sub_dists}) AS DOUBLE) AS dist_new
+  FROM mem JOIN sc ON mem.cell = sc.cell
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM({micro6_sql('dist')}) AS DOUBLE) / 1000000.0 / COUNT(*)
+         AS obj_before,
+       CAST(SUM({micro6_sql('dist_new')}) AS DOUBLE) / 1000000.0 / COUNT(*)
+         AS obj_after
+FROM scored GROUP BY cell
+"""

@@ -46,7 +46,8 @@ def register(key: str, sql: str | None = None):
 _ATTEST_PRIORITY: tuple[str, ...] = (
     # -- new round-11 operators (first driver exposure this round) --
     "pipeline_span_scrub", "ann_ivf_compact", "ann_ivf_refit_warm",
-    "graph_pagerank2_weighted",
+    "graph_pagerank2_weighted", "streaming_prep_increment",
+    "pipeline_sample_weighted", "ann_ivf_split",
     # -- round-10 operators (driver-r10 green; rotate next) --
     "dedup_index_update", "streaming_index_update",
     "streaming_attribution_delta", "streaming_funnel_delta",

@@ -83,4 +83,8 @@ def run_attribution_delta_stream(
         attribution_user_relation, "user_id",
         publish_fn=attribution_rollup,
         files_per_trigger=files_per_trigger,
+        # fold the raw landing every 3 generations so the per-batch
+        # history listing stays bounded by the fold cadence instead of
+        # growing with total batch count (round-11 advice item)
+        raw_compact_every=3,
     )

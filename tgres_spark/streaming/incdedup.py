@@ -97,3 +97,136 @@ def run_index_update_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_prep_increment_stream(
+    spark: SparkSession,
+    in_dir: str,
+    index_dir: str,
+    bench_index_path: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    threshold: float | None = None,
+    base_generation: int = 1,
+    compact_threshold: int = 4,
+    files_per_trigger: int = 1,
+) -> None:
+    """The FULL production crawl loop in one stream (round 11): each
+    doc micro-batch is scored against BOTH persisted indexes — the
+    Gopher gate (per-doc), decontamination against the benchmark gram
+    index, near-dup screening against the generation-resolved corpus
+    signature index — its per-doc verdict relation lands under
+    ``out_dir/b<batch_id>``, AND its own signatures are written back
+    as delta generation ``base_generation + batch_id``, so the NEXT
+    batch deduplicates against this one: the consult half
+    (run_incdedup_stream) and the write-back half
+    (run_index_update_stream) composed into the loop a live crawl
+    actually runs.
+
+    Stateless foreachBatch class (refresh.py's class 1): no state
+    outlives a batch beyond the index itself, which carries exactly
+    the replay-idempotent write-once-manifest discipline of
+    dedup_index_update. Verdict flags are PURE ID-RULE functions —
+    dup_corpus when a strong pair's partner is a corpus-id doc
+    (doc_id % 5 != 0), dup_increment when a strong pair joins two
+    increment-id docs and flags the LARGER id (prep_increment's exact
+    min-id-keeper rules) — so given arrival ordered by doc_id
+    (earlier batch => smaller ids), the accumulated verdicts equal
+    the BATCH prep_increment relation verbatim and the batch oracle
+    checks the stream. The id rule also makes replay safe: a crash
+    after the signature write-back re-runs the batch against an index
+    already containing its own docs, and self-pairs (doc_a = doc_b)
+    / batch-mate pairs classify identically to the internal pass.
+
+    100 TB: per batch, only increment text is read; the corpus index
+    is consulted map-only (increment band keys broadcast); the
+    write-back is increment-sized. The index compacts mid-stream on
+    the usual cadence."""
+    from ..pipeline.contamination import contamination_incremental
+    from ..pipeline.dedup import (
+        INCREMENT_MOD,
+        dedup_incremental,
+        dedup_index_update,
+        read_signature_index,
+    )
+    from ..pipeline.prep import INC_DUP_THRESHOLD
+    from ..pipeline.textstats import gopher_filter
+    from pyspark.sql import functions as F
+
+    thr = float(INC_DUP_THRESHOLD if threshold is None else threshold)
+
+    def _prep(batch, batch_id: int) -> None:
+        idx = read_signature_index(spark, index_dir)
+        g = gopher_filter(batch).select("doc_id", F.col("keep").alias("gkeep"))
+        c = contamination_incremental(spark, bench_index_path, batch).select(
+            "doc_id", "contaminated"
+        )
+        strong = dedup_incremental(spark, idx, batch).where(
+            F.col("est_sim") >= thr
+        )
+        inc_a = F.col("doc_a") % INCREMENT_MOD == 0
+        inc_b = F.col("doc_b") % INCREMENT_MOD == 0
+        dupc = (
+            strong.where(inc_a != inc_b)
+            .select(
+                F.when(inc_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                    "doc_id"
+                )
+            )
+            .distinct()
+            .withColumn("dc", F.lit(1))
+        )
+        dupi = (
+            strong.where(inc_a & inc_b & (F.col("doc_a") != F.col("doc_b")))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("di", F.lit(1))
+        )
+        gopher_keep = F.coalesce(F.col("gkeep").cast("bigint"), F.lit(0))
+        contaminated = F.coalesce(F.col("contaminated"), F.lit(0))
+        dup_corpus = F.coalesce(F.col("dc"), F.lit(0)).cast("bigint")
+        dup_increment = F.coalesce(F.col("di"), F.lit(0)).cast("bigint")
+        verdict = (
+            batch.select("doc_id")
+            .join(g, "doc_id", "left")
+            .join(F.broadcast(c), "doc_id", "left")
+            .join(F.broadcast(dupc), "doc_id", "left")
+            .join(F.broadcast(dupi), "doc_id", "left")
+            .select(
+                "doc_id",
+                gopher_keep.alias("gopher_keep"),
+                contaminated.alias("contaminated"),
+                dup_corpus.alias("dup_corpus"),
+                dup_increment.alias("dup_increment"),
+                (
+                    (gopher_keep == 1)
+                    & (contaminated == 0)
+                    & (dup_corpus == 0)
+                    & (dup_increment == 0)
+                )
+                .cast("bigint")
+                .alias("keep"),
+            )
+        )
+        verdict.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id:06d}")
+        dedup_index_update(
+            spark,
+            index_dir,
+            batch,
+            generation=base_generation + batch_id,
+            compact_threshold=compact_threshold,
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_prep)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

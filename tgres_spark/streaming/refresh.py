@@ -23,6 +23,103 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _raw_gens(spark: SparkSession, out_dir: str, kind: str) -> list[int]:
+    """Committed generations under ``out_dir/<kind>``: numbered b*
+    directories CONTAINING a _SUCCESS marker — a crash mid-write
+    leaves the dir uncommitted and invisible to every reader, and the
+    replayed batch's overwrite completes it (the manifest discipline
+    of dedup_index_update, with parquet's own job-commit marker as
+    the manifest)."""
+    from .catalog import _fs
+
+    fs, d, jvm = _fs(spark, f"{out_dir}/{kind}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        n = st.getPath().getName()
+        if (
+            n.startswith("b")
+            and n[1:].isdigit()
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{out_dir}/{kind}/{n}/_SUCCESS"
+                )
+            )
+        ):
+            out.append(int(n[1:]))
+    return sorted(out)
+
+
+def _live_raw(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Everything landed so far: the newest committed rawbase fold
+    plus every committed raw generation above it. Without folds this
+    is exactly the old ``raw/b*`` glob; after a fold the listing (and
+    parquet footer count) is bounded by the fold cadence instead of
+    growing with total batch count."""
+    bases = _raw_gens(spark, out_dir, "rawbase")
+    raws = _raw_gens(spark, out_dir, "raw")
+    floor = -1
+    parts = []
+    if bases:
+        floor = bases[-1]
+        parts.append(
+            spark.read.parquet(f"{out_dir}/rawbase/b{floor:06d}")
+        )
+    parts.extend(
+        spark.read.parquet(f"{out_dir}/raw/b{g:06d}")
+        for g in raws
+        if g > floor
+    )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def _fold_raw(spark: SparkSession, out_dir: str, batch_id: int) -> None:
+    """Fold the live raw generations into one ``rawbase/b<batch_id>``
+    (dedup_index_compact's grace-retire discipline): the PREVIOUS
+    fold's sources — old bases and the raw generations it consumed —
+    retire first (shadowed for a full cycle, no reader can hold
+    them); the generations THIS fold consumes stay readable until the
+    next fold. A crash before the new base's _SUCCESS leaves readers
+    on the old base + raws (identical relation); a replayed batch
+    rewrites its own raw/b<id> but the read path ignores ids at or
+    below the base floor."""
+    from .catalog import _fs
+
+    bases = _raw_gens(spark, out_dir, "rawbase")
+    raws = _raw_gens(spark, out_dir, "raw")
+    if bases:
+        prev = bases[-1]
+        fs, _, jvm = _fs(spark, out_dir)
+        for g in [g for g in raws if g <= prev]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{out_dir}/raw/b{g:06d}"), True
+            )
+        for b in bases[:-1]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{out_dir}/rawbase/b{b:06d}"),
+                True,
+            )
+    _live_raw(spark, out_dir).write.mode("overwrite").parquet(
+        f"{out_dir}/rawbase/b{batch_id:06d}"
+    )
+
+
+def _maybe_fold_raw(
+    spark: SparkSession, out_dir: str, batch_id: int, every: int | None
+) -> None:
+    if every is None:
+        return
+    bases = _raw_gens(spark, out_dir, "rawbase")
+    floor = bases[-1] if bases else -1
+    live = [g for g in _raw_gens(spark, out_dir, "raw") if g > floor]
+    if len(live) + (1 if bases else 0) >= every:
+        _fold_raw(spark, out_dir, batch_id)
+
+
 def run_cumulative_refresh(
     spark: SparkSession,
     in_dir: str,
@@ -31,15 +128,17 @@ def run_cumulative_refresh(
     schema,
     relation_fn: Callable[[DataFrame], DataFrame],
     files_per_trigger: int = 1,
+    raw_compact_every: int | None = None,
 ) -> None:
     def _refresh(batch, batch_id: int) -> None:
         batch.write.mode("overwrite").parquet(
             f"{out_dir}/raw/b{batch_id:06d}"
         )
-        allrows = spark.read.parquet(f"{out_dir}/raw/b*")
+        allrows = _live_raw(spark, out_dir)
         relation_fn(allrows).write.mode("overwrite").parquet(
             f"{out_dir}/snap/b{batch_id:06d}"
         )
+        _maybe_fold_raw(spark, out_dir, batch_id, raw_compact_every)
 
     src = (
         spark.readStream.schema(schema)
@@ -100,6 +199,7 @@ def run_delta_refresh(
     key_col: str,
     publish_fn: Callable[[DataFrame], DataFrame] | None = None,
     files_per_trigger: int = 1,
+    raw_compact_every: int | None = None,
 ) -> None:
     """Per-key delta refresh: ``key_relation_fn`` must be per-key
     decomposable on ``key_col`` (its output for a key depends only on
@@ -119,7 +219,13 @@ def run_delta_refresh(
     touched-history scan prunes to the touched buckets (here the
     broadcast semi-join reaches the parquet scan as a pushed IN
     filter); the state snapshot is key-bucketed so the anti-join
-    co-locates; snap is publish_fn-sized (channels, not users)."""
+    co-locates; snap is publish_fn-sized (channels, not users).
+    ``raw_compact_every`` bounds the raw landing's file listing:
+    every N live generations the accumulated raws fold into one
+    rawbase generation (_fold_raw's grace-retire discipline), so a
+    long-lived stream's per-batch history read stays O(fold cadence)
+    directories instead of O(total batches); None (default) keeps
+    the unbounded-but-simple layout."""
     from .catalog import _fs
 
     def _latest_state_before(batch_id: int):
@@ -142,7 +248,7 @@ def run_delta_refresh(
 
         batch.write.mode("overwrite").parquet(f"{out_dir}/raw/b{batch_id:06d}")
         keys = batch.select(key_col).distinct()
-        hist = spark.read.parquet(f"{out_dir}/raw/b*")
+        hist = _live_raw(spark, out_dir)
         touched = key_relation_fn(
             hist.join(F.broadcast(keys), key_col, "semi")
         )
@@ -160,6 +266,7 @@ def run_delta_refresh(
         cur = spark.read.parquet(f"{out_dir}/state/b{batch_id:06d}")
         out = publish_fn(cur) if publish_fn is not None else cur
         out.write.mode("overwrite").parquet(f"{out_dir}/snap/b{batch_id:06d}")
+        _maybe_fold_raw(spark, out_dir, batch_id, raw_compact_every)
 
     src = (
         spark.readStream.schema(schema)
