@@ -135,6 +135,22 @@ BENCH_QUERIES = [
     "pipeline_rank_quality",
     "pipeline_span_dedup2",
     "emb_matryoshka_eval",
+    # round-11 additions: the span-dedup removal transform (interval
+    # union consumed as a removal mask + per-doc reassembly), the IVF
+    # tombstone compaction execute (partitioned index write + dynamic
+    # partition overwrite + physical re-read), the warm 2-step
+    # codebook re-fit (two fenced assignment relations + per-cell
+    # objective deltas), the weighted+personalized PageRank (count
+    # groupBy edges + Laplace teleport), the prep-weights sampler
+    # (full prep_weights composition + hash-unit rounding), and the
+    # hot-cell bisecting split (hot-member groupBy + ≤2k broadcast
+    # re-assign)
+    "pipeline_span_scrub",
+    "ann_ivf_compact",
+    "ann_ivf_refit_warm",
+    "graph_pagerank2_weighted",
+    "pipeline_sample_weighted",
+    "ann_ivf_split",
 ]
 
 

@@ -48,30 +48,31 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "pipeline_span_scrub", "ann_ivf_compact", "ann_ivf_refit_warm",
     "graph_pagerank2_weighted", "streaming_prep_increment",
     "pipeline_sample_weighted", "ann_ivf_split",
-    # -- round-10 operators (driver-r10 green; rotate next) --
-    "dedup_index_update", "streaming_index_update",
-    "streaming_attribution_delta", "streaming_funnel_delta",
-    "corpus_bpe_encode", "corpus_bpe_fertility",
-    "graph_pagerank2_fixed", "graph_hits2_fixed",
-    "pipeline_rank_quality", "streaming_pagerank",
-    "pipeline_span_dedup2", "emb_matryoshka_eval",
-    "text_unicode_anomalies", "mm_phash_sweep",
-    "ann_ivf_tombstone", "pipeline_prep_weights", "events_cohort_ltv",
-    "corpus_bpe_sweep", "events_activity_histogram",
-    "dsl_mapSeries", "dsl_reduceSeries", "dsl_stacked", "dsl_substr",
-    # -- oldest-green rotation: the 2 remaining r1 keys, then the full
-    #    r3 tranche, then the leading r4 keys (deterministic order)
-    "dsl_timeStack", "dsl_transformNull",
-    "ann_cosine_topk", "ann_lsh_topk", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "events_props_extract", "mm_frame_sample", "text_fingerprint",
-    "text_langid", "text_quality", "text_tokens",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "dedup_components", "dedup_embedding", "dedup_embedding_lsh",
-    "dsl_absolute", "dsl_asPercent", "dsl_asPercent_total",
-    "dsl_averageSeriesWithWildcards", "dsl_averageSeries_gaps",
-    "dsl_countSeries",
-    # (the remaining r4 tranche rotates forward next round)
+    # -- oldest-green rotation (round 11): the 23 round-10 operators
+    #    and the r1/r3/leading-r4 tranche all refreshed in the r10
+    #    window, so the oldest-green set is now exactly the 41 keys
+    #    whose latest green driver row is round 4 (rebuilt ledger,
+    #    deterministic alphabetical order), then the leading r5 keys
+    #    to fill the 50-slot window
+    "dsl_delay", "dsl_derivative", "dsl_diffSeries",
+    "dsl_divideSeries", "dsl_divideSeries_group",
+    "dsl_expression_divide", "dsl_expression_weighted",
+    "dsl_group", "dsl_groupByNode", "dsl_integral", "dsl_invert",
+    "dsl_isNonNull", "dsl_logarithm", "dsl_maxSeries_gaps",
+    "dsl_nonNegativeDerivative", "dsl_nonNegativeDerivative_wrap",
+    "dsl_offset", "dsl_offsetToZero", "dsl_perSecond",
+    "dsl_percentileOfSeries", "dsl_pow", "dsl_rangeOfSeries",
+    "dsl_scale", "dsl_squareRoot", "dsl_stddevSeries",
+    "dsl_sumSeriesWithWildcards", "dsl_sumSeries_gaps",
+    "dsl_timeShift", "dsl_weightedAverage", "events_hist_quantiles",
+    "pipeline_contamination", "pipeline_corpus_clean",
+    "pipeline_mix_rebalance", "pipeline_passage_dedup",
+    "pipeline_sample_stratified", "pipeline_token_pack",
+    "rrd_archive_route", "rrd_heartbeat_gaps", "rrd_multi_rra",
+    "rrd_spec_rollup", "text_unigram_logprob",
+    # leading r5 keys (alphabetical) to fill the window
+    "ann_lsh_buckets", "dsl_alias",
+    # (the remaining r5 tranche rotates forward next round)
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
