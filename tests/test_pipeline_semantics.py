@@ -3848,3 +3848,106 @@ def test_ann_ivf_split_descends_and_partitions(spark):
         assert r["n_a"] + r["n_b"] == r["n_before"] == counts[r["cell"]]
         assert r["obj_after"] <= r["obj_before"] + 1e-9
     assert any(r["obj_after"] < r["obj_before"] - 1e-9 for r in out)
+
+
+def test_ann_ivf_merge_retires_cold_cells(spark):
+    """Cold-cell merge invariants: exactly the below-frac-share cells
+    appear; obj_after >= obj_before on every row (removing a center
+    can only move members farther); every retired member's
+    destination is a SURVIVING cell (checked by re-deriving the cold
+    set); and the survivors' own members are untouched by
+    construction (the merge only re-assigns cold members)."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        ann_ivf_assign,
+        ann_ivf_merge,
+    )
+
+    rng = np.random.default_rng(37)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=EMB_DIM)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_ivf_merge(emb, frac=0.8).collect()
+    assert out, "fixture must produce at least one cold cell"
+    counts = {}
+    for r in ann_ivf_assign(emb).collect():
+        counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+    cold = {c for c, n in counts.items() if n < 0.8 * 200 / 16}
+    assert {r["cell"] for r in out} == cold
+    for r in out:
+        assert r["n_members"] == counts[r["cell"]]
+        assert r["obj_after"] >= r["obj_before"] - 1e-9
+        assert 1 <= r["n_dest_cells"] <= 16 - len(cold)
+
+
+def test_host_components_flags_islands(spark):
+    """Island detection on a hand graph: a 5-host chain (giant
+    component) plus a 2-host mutual-link island. The island hosts get
+    is_island=1 with component_size 2 and root = their min id; the
+    chain hosts get the chain's min root and is_island=0 (size 5 >
+    ISLAND_MAX=3). PageRank alone cannot separate these — the
+    island's teleport mass keeps it ranked — which is why the
+    structural signal exists."""
+    from tgres_spark.pipeline.graph import host_components
+
+    nodes = spark.createDataFrame(
+        [(h,) for h in (1, 2, 3, 4, 5, 90, 91)], "host_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (90, 91), (91, 90)],
+        "src long, dst long",
+    )
+    got = {r["host_id"]: r for r in host_components(nodes, edges).collect()}
+    for h in (1, 2, 3, 4, 5):
+        assert got[h]["root_id"] == 1
+        assert got[h]["component_size"] == 5 and got[h]["is_island"] == 0
+    for h in (90, 91):
+        assert got[h]["root_id"] == 90
+        assert got[h]["component_size"] == 2 and got[h]["is_island"] == 1
+
+
+def test_events_markov_chain_hand_computed(spark, tmp_path):
+    """Hand-solved 2-user journey: user 1 walks A,B,A,B and user 2
+    walks A,C. Direct transitions: A->B twice, B->A once, A->C once,
+    so p1(A,B)=2/3, p1(A,C)=1/3, p1(B,A)=1. Two-step: p2(A,A) =
+    p1(A,B)*p1(B,A) = 2/3 (micro6-quantized), p2(B,B) =
+    p1(B,A)*p1(A,B) = 2/3; C absorbs (no outgoing -> its whole p1/p2
+    row is zeros on the explicit grid)."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), 1, t, 0.0, "")
+        for i, t in enumerate(["A", "B", "A", "B"])
+    ] + [
+        (10 + i, dt.datetime(2024, 1, 1, 1, 0, i), 2, t, 0.0, "")
+        for i, t in enumerate(["A", "C"])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    from tgres_spark.tpch import events_markov_chain
+
+    got = {
+        (r["src_type"], r["dst_type"]): r
+        for r in events_markov_chain(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 9  # full 3x3 grid
+    q6 = lambda x: __import__("math").floor(x * 1e6 + 0.5) / 1e6
+    assert got[("A", "B")]["n"] == 2
+    assert got[("A", "B")]["p1"] == _pt.approx(2 / 3)
+    assert got[("A", "C")]["p1"] == _pt.approx(1 / 3)
+    assert got[("B", "A")]["p1"] == 1.0
+    assert got[("A", "A")]["p2"] == _pt.approx(q6(q6((2 / 3) * 1.0)))
+    assert got[("B", "B")]["p2"] == _pt.approx(q6((2 / 3)))
+    for d in ("A", "B", "C"):
+        assert got[("C", d)]["n"] == 0 and got[("C", d)]["p1"] == 0.0
+        assert got[("C", d)]["p2"] == 0.0

@@ -238,6 +238,9 @@ register("graph_pagerank2_fixed", sql=_graph.graph_pagerank2_sql())(
 register("graph_pagerank2_weighted", sql=_graph.graph_pagerank2_weighted_sql())(
     lambda s, d: _graph.graph_pagerank2_weighted(_docs(s, d))
 )
+register("graph_host_components", sql=_graph.graph_host_components_sql())(
+    lambda s, d: _graph.graph_host_components(_docs(s, d))
+)
 register("graph_hits2_fixed", sql=_graph.graph_hits2_sql())(
     lambda s, d: _graph.graph_hits2_fixed(_docs(s, d))
 )
@@ -703,6 +706,9 @@ register("ann_ivf_refit_warm", sql=sim.ann_ivf_refit_warm_sql())(
 )
 register("ann_ivf_split", sql=sim.ann_ivf_split_sql())(
     lambda s, d: sim.ann_ivf_split(_emb(s, d))
+)
+register("ann_ivf_merge", sql=sim.ann_ivf_merge_sql())(
+    lambda s, d: sim.ann_ivf_merge(_emb(s, d))
 )
 register("ann_ivf_refresh", sql=sim.ann_ivf_refresh_sql())(
     lambda s, d: sim.ann_ivf_refresh(_emb(s, d))

@@ -764,3 +764,75 @@ SELECT p.host_id, CAST(COALESCE(p.wsum, 0) AS BIGINT) AS out_w,
          + dang * p.p) AS pr2
 FROM pr1 p LEFT JOIN c2 ON p.host_id = c2.host_id CROSS JOIN dang1
 """
+
+
+# --- link-farm island detection (round 11) -------------------------------------
+
+ISLAND_MAX = 3
+
+
+def host_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(host_id, root_id, component_size, is_island): connected
+    components of the (undirected) host link graph — the structural
+    signal behind this module's opening claim that "a page on a
+    link-farm ISLAND" is likelier junk: a well-linked host lives in
+    the giant component of the web graph; a cluster of hosts that
+    only link each other (components of <= ISLAND_MAX hosts) is the
+    classic link-farm / parked-domain shape, and centrality alone
+    can't see it (PageRank mass inside a closed island is
+    self-consistent — the teleport keeps it alive). Composes the
+    shared propagate_components engine (min-label + pointer doubling,
+    dedup.py:622) on the host domain; sizes are one root-domain
+    groupBy joined back host-keyed."""
+    from .dedup import propagate_components
+
+    lab = propagate_components(
+        nodes.select(F.col("host_id").alias("doc_id")),
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")),
+    )
+    sizes = lab.groupBy("root_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return lab.join(sizes, "root_id").select(
+        F.col("doc_id").cast("bigint").alias("host_id"),
+        F.col("root_id").cast("bigint").alias("root_id"),
+        F.col("component_size").cast("bigint").alias("component_size"),
+        (F.col("component_size") <= F.lit(int(ISLAND_MAX)))
+        .cast("bigint")
+        .alias("is_island"),
+    )
+
+
+def graph_host_components(docs: DataFrame) -> DataFrame:
+    """The registered query: island detection over the synthesized
+    host graph of the documents table."""
+    nodes, edges = synth_host_graph(docs)
+    return host_components(nodes, edges)
+
+
+def graph_host_components_sql() -> str:
+    return f"""
+WITH RECURSIVE
+h AS (SELECT doc_id % {HOST_MOD} AS src, doc_id FROM documents),
+nodes AS (SELECT DISTINCT src AS host_id FROM h),
+raw_e AS (
+  SELECT src, (doc_id * 31 + 7 + 17 * j) % {HOST_MOD} AS dst
+  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j)
+),
+de AS (
+  SELECT DISTINCT src, dst FROM raw_e
+  WHERE dst <> src AND dst IN (SELECT host_id FROM nodes)
+),
+edges AS (SELECT src AS a, dst AS b FROM de
+          UNION SELECT dst, src FROM de),
+reach AS (SELECT host_id AS a, host_id AS b FROM nodes
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lab AS (SELECT a AS host_id, MIN(b) AS root_id FROM reach GROUP BY a),
+sizes AS (SELECT root_id, COUNT(*) AS component_size FROM lab
+          GROUP BY root_id)
+SELECT CAST(host_id AS BIGINT) AS host_id,
+       CAST(lab.root_id AS BIGINT) AS root_id,
+       CAST(component_size AS BIGINT) AS component_size,
+       CAST(component_size <= {ISLAND_MAX} AS BIGINT) AS is_island
+FROM lab JOIN sizes ON lab.root_id = sizes.root_id
+"""

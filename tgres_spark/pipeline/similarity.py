@@ -4486,3 +4486,165 @@ SELECT CAST(cell AS BIGINT) AS cell,
          AS obj_after
 FROM scored GROUP BY cell
 """
+
+
+# --- cold-cell merge execute step (round 11) -----------------------------------
+
+MERGE_FRAC = 0.5
+
+
+def ann_ivf_merge(
+    emb: DataFrame,
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    frac: float = MERGE_FRAC,
+) -> DataFrame:
+    """(cell, n_members, obj_before, obj_after, n_dest_cells): the
+    COLD-cell half of the cell lifecycle next to ann_ivf_split's hot
+    half — a cell holding under ``frac``× the even share wastes a
+    codebook slot and a probe route (its list is scanned on every
+    query that lands there for almost no recall), so production
+    indexes retire cold centroids and fold their members into the
+    surviving cells. Every cold cell's members re-assign to the
+    nearest SURVIVING centroid (map-only argmin against the k-minus-
+    cold broadcast list); per retired cell the relation reports the
+    member count, the mean squared distance before (own centroid) and
+    after (adopted centroid — obj_after >= obj_before structurally,
+    removing a center can only move members farther; the pytest pins
+    the inequality and that survivors keep their members untouched),
+    and how many surviving cells absorbed the members. At least one
+    cell always survives: cold is strictly-below-average, and not
+    every cell can be below average.
+
+    Scale: one shared assignment pass; the cold set and survivor
+    codebook are ≤k-row relations collapsed to ONE broadcast row (no
+    driver collect); the re-assignment touches cold members only.
+    Output ≤k rows. Micro6 means, left-fold distances, first-index
+    argmin ties."""
+    from ..model import micro6
+
+    cents = _ivf_codebook(k, seed=seed)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+            F.array_min("dists").alias("dist"),
+        )
+        .persist()
+    )
+    a0.count()  # fence: a0 feeds the one-row total AND the member scan
+    per = a0.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = a0.agg(F.count(F.lit(1)).alias("n"))
+    cold = (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") < F.lit(float(frac)) * F.col("n") / F.lit(int(k)))
+        .select("cell")
+    )
+    # surviving codebook: literal cells 1..k minus the cold set,
+    # collapsed to one broadcast row (cells sorted, centroids aligned)
+    cells_lit = spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell long, centroid array<double>",
+    )
+    surv = (
+        cells_lit.join(cold, "cell", "anti")
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs"))
+        .select(F.col("cs.cell").alias("cells"), F.col("cs.centroid").alias("cents2"))
+    )
+    mem = a0.join(F.broadcast(cold), "cell")
+    moved = (
+        mem.crossJoin(F.broadcast(surv))
+        .select(
+            "cell",
+            "dist",
+            "cells",
+            _sq_dists(F.col("cents2")).alias("sd"),
+        )
+        .select(
+            "cell",
+            "dist",
+            F.element_at(
+                F.col("cells"),
+                F.array_position(F.col("sd"), F.array_min("sd")).cast("int"),
+            )
+            .cast("bigint")
+            .alias("dest"),
+            F.array_min("sd").alias("dist_new"),
+        )
+    )
+    return moved.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (
+            F.sum(micro6(F.col("dist"))).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("obj_before"),
+        (
+            F.sum(micro6(F.col("dist_new"))).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("obj_after"),
+        F.count_distinct("dest").cast("bigint").alias("n_dest_cells"),
+    ).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_members", "obj_before", "obj_after", "n_dest_cells",
+    )
+
+
+def ann_ivf_merge_sql(
+    k: int = IVF_CODEBOOK_K, seed: int = 7, frac: float = MERGE_FRAC
+) -> str:
+    from ..model import micro6_sql
+
+    cents = _ivf_codebook(k, seed=seed)
+    cells_lit = ", ".join(
+        "(%d, %s)" % (i + 1, "[" + ", ".join(repr(float(x)) for x in c) + "]")
+        for i, c in enumerate(cents)
+    )
+    diff = "(CAST(mem.embedding[i] AS DOUBLE) - c[i])"
+    sub_dists = (
+        "list_transform(surv.cents2, c -> "
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {diff} * {diff})), (acc, x) -> acc + x))"
+    )
+    return f"""
+WITH {_ivf_cents_cte(cents)},
+d0 AS (SELECT vec_id, embedding, {_ivf_dists_sql()} AS dists
+       FROM embeddings CROSS JOIN ivfk),
+a0 AS (SELECT vec_id, embedding,
+       CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell,
+       CAST(list_min(dists) AS DOUBLE) AS dist FROM d0),
+tot AS (SELECT COUNT(*) AS n FROM a0),
+cold AS (SELECT cell FROM (SELECT cell, COUNT(*) AS cnt FROM a0 GROUP BY cell)
+         CROSS JOIN tot WHERE cnt < {float(frac)!r} * n / {int(k)}),
+clit AS (SELECT * FROM (VALUES {cells_lit}) t(cell, centroid)),
+surv AS (SELECT list(cell ORDER BY cell) AS cells,
+         list(centroid ORDER BY cell) AS cents2
+         FROM clit WHERE cell NOT IN (SELECT cell FROM cold)),
+mem AS (SELECT a0.* FROM a0 WHERE cell IN (SELECT cell FROM cold)),
+moved AS (
+  SELECT mem.cell, mem.dist,
+         CAST(surv.cells[list_position({sub_dists}, list_min({sub_dists}))]
+              AS BIGINT) AS dest,
+         CAST(list_min({sub_dists}) AS DOUBLE) AS dist_new
+  FROM mem CROSS JOIN surv
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM({micro6_sql('dist')}) AS DOUBLE) / 1000000.0 / COUNT(*)
+         AS obj_before,
+       CAST(SUM({micro6_sql('dist_new')}) AS DOUBLE) / 1000000.0 / COUNT(*)
+         AS obj_after,
+       CAST(COUNT(DISTINCT dest) AS BIGINT) AS n_dest_cells
+FROM moved GROUP BY cell
+"""

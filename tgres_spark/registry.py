@@ -47,7 +47,8 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     # -- new round-11 operators (first driver exposure this round) --
     "pipeline_span_scrub", "ann_ivf_compact", "ann_ivf_refit_warm",
     "graph_pagerank2_weighted", "streaming_prep_increment",
-    "pipeline_sample_weighted", "ann_ivf_split",
+    "pipeline_sample_weighted", "ann_ivf_split", "ann_ivf_merge",
+    "graph_host_components", "events_markov_chain",
     # -- oldest-green rotation (round 11): the 23 round-10 operators
     #    and the r1/r3/leading-r4 tranche all refreshed in the r10
     #    window, so the oldest-green set is now exactly the 41 keys

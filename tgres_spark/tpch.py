@@ -1400,3 +1400,126 @@ def events_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_share"
         ),
     )
+
+
+_MARKOV_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, COUNT(*) AS n FROM ordered
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+rowtot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY src),
+p1 AS (
+  SELECT trans.src, trans.dst,
+         n, CAST(n AS DOUBLE) / tot AS p1
+  FROM trans JOIN rowtot ON trans.src = rowtot.src
+),
+p2 AS (
+  SELECT a.src, b.dst,
+         CAST(SUM(CAST(FLOOR((a.p1 * b.p1) * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS p2
+  FROM p1 a JOIN p1 b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+types AS (SELECT DISTINCT event_type AS t FROM events)
+SELECT s.t AS src_type, d.t AS dst_type,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       COALESCE(p1.p1, 0.0) AS p1,
+       COALESCE(p2.p2, 0.0) AS p2
+FROM types s CROSS JOIN types d
+LEFT JOIN p1 ON p1.src = s.t AND p1.dst = d.t
+LEFT JOIN p2 ON p2.src = s.t AND p2.dst = d.t
+"""
+
+
+@register("events_markov_chain", sql=_MARKOV_SQL)
+def events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain (round 11): the event-type transition
+    matrix — per user, consecutive events (ordered by ts with the
+    unique event_id as the deterministic tie-break) yield (src, dst)
+    counts; p1 row-normalizes them, and p2 is the COMPOSED two-step
+    transition (Σ_mid p1·p1 — the unrolled chain power, same
+    fixed-iteration discipline as pagerank2/lloyd2), emitted over the
+    full type×type grid so absorbing gaps read as explicit zeros. The
+    journey-structure panel next to events_funnel's fixed 3-stage
+    view: the funnel asks "did view→click→purchase happen", the chain
+    reports where EVERY step actually goes (e.g. how much traffic
+    error kicks back to view).
+
+    Scale: one user-co-keyed lead() window over events (sessionize's
+    audited shape); everything after lives on the TYPE domain (≤
+    |types|² rows — constants, not data-sized); the 2-step sum
+    quantizes micro6 before the ≤|types|-term groupBy per the
+    bounded-group rule; the grid is a broadcast nested-loop of two
+    tiny type relations, never a corpus cartesian. Exact-integer p1;
+    all divisions guarded by construction (rowtot ≥ n ≥ 1)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    trans = (
+        ordered.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowtot = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    p1 = trans.join(rowtot, "src").select(
+        "src", "dst", "n", (F.col("n").cast("double") / F.col("tot")).alias("p1")
+    )
+    a = p1.select(F.col("src"), F.col("dst").alias("mid"), F.col("p1").alias("pa"))
+    b = p1.select(F.col("src").alias("mid"), F.col("dst"), F.col("p1").alias("pb"))
+    p2 = (
+        a.join(b, "mid")
+        .groupBy("src", "dst")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("pa") * F.col("pb")) * 1000000.0 + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 1000000.0
+            ).alias("p2")
+        )
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = types.select(F.col("t").alias("src_type")).crossJoin(
+        F.broadcast(types.select(F.col("t").alias("dst_type")))
+    )
+    return (
+        grid.join(
+            p1.select(
+                F.col("src").alias("src_type"),
+                F.col("dst").alias("dst_type"),
+                "n",
+                "p1",
+            ),
+            ["src_type", "dst_type"],
+            "left",
+        )
+        .join(
+            p2.select(
+                F.col("src").alias("src_type"),
+                F.col("dst").alias("dst_type"),
+                "p2",
+            ),
+            ["src_type", "dst_type"],
+            "left",
+        )
+        .select(
+            "src_type",
+            "dst_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("p1", F.lit(0.0)).alias("p1"),
+            F.coalesce("p2", F.lit(0.0)).alias("p2"),
+        )
+    )
