@@ -3951,3 +3951,49 @@ def test_events_markov_chain_hand_computed(spark, tmp_path):
     for d in ("A", "B", "C"):
         assert got[("C", d)]["n"] == 0 and got[("C", d)]["p1"] == 0.0
         assert got[("C", d)]["p2"] == 0.0
+
+
+def test_pack_weighted_explodes_multiplicities_into_shards(spark):
+    """The shard builder's contract on a hand corpus routed through
+    the REAL prep_weights scoring: every emitted (doc_id, copy_id)
+    matches the sampler's n_copies exactly (copy_ids are 1..n, docs
+    with 0 copies absent); per-lang shard ids are a contiguous
+    0..max prefix partition under the token-budget rule (each
+    shard's token load stays under budget + the straddling doc);
+    and copies of the same doc are allowed to land in different
+    shards (hash scatter)."""
+    from tgres_spark.pipeline.graph import pipeline_prep_weights
+    from tgres_spark.pipeline.prep import pack_weighted, sample_by_weight
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = pack_weighted(docs, budget=512).collect()
+    assert got
+    want = {
+        r["doc_id"]: r["n_copies"]
+        for r in sample_by_weight(pipeline_prep_weights(docs)).collect()
+    }
+    seen: dict = {}
+    for r in got:
+        seen.setdefault(r["doc_id"], []).append(r["copy_id"])
+    for d, copies in seen.items():
+        assert sorted(copies) == list(range(1, want[d] + 1))
+    assert all(want.get(d, 0) == 0 for d in want if d not in seen)
+    # shards are contiguous per lang and respect the budget rule:
+    # every shard except possibly the last has cumulative tokens
+    # crossing its boundary only via the straddling doc
+    from collections import defaultdict
+
+    per_lang = defaultdict(list)
+    for r in got:
+        per_lang[r["lang"]].append(r)
+    for lang, rows in per_lang.items():
+        shards = sorted({r["shard"] for r in rows})
+        assert shards == list(range(len(shards)))
+        load = defaultdict(int)
+        for r in rows:
+            load[r["shard"]] += r["n_tokens"]
+        # a shard opens before the budget boundary, so its load is
+        # < budget + its largest (straddling) doc
+        for s in shards:
+            biggest = max(r["n_tokens"] for r in rows if r["shard"] == s)
+            assert load[s] < 512 + biggest

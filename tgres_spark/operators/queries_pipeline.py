@@ -659,6 +659,16 @@ def pipeline_prep_increment(spark, sf_dir):
     )
 
 
+@register("pipeline_pack_weighted", sql=pp.pack_weighted_sql())
+def pipeline_pack_weighted(spark, sf_dir):
+    """The end of the prep pipeline: prep_weights scores → integer
+    multiplicities → per-copy explode → token-budget shards in
+    seeded-hash order (copies of a doc scatter across shards) — the
+    training-shard table a dataloader reads (pipeline/prep.py
+    pack_weighted)."""
+    return pp.pack_weighted(_docs(spark, sf_dir))
+
+
 @register("pipeline_sample_weighted", sql=pp.sample_by_weight_sql())
 def pipeline_sample_weighted(spark, sf_dir):
     """The prep-weights CONSUMER: per-doc training-set multiplicity

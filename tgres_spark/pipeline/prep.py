@@ -957,3 +957,88 @@ SELECT doc_id, weight,
                END, 0.0) + {u}) AS BIGINT) AS n_copies
 FROM w CROSS JOIN tot
 """
+
+
+def pack_weighted(
+    docs: DataFrame, budget: int = 2048, seed: int = SAMPLE_W_SEED
+) -> DataFrame:
+    """(lang, doc_id, copy_id, n_tokens, shard): the END of the prep
+    pipeline — the training-shard table a dataloader actually reads.
+    Composes the whole round-10/11 weighting story into its final
+    artifact: pipeline_prep_weights scores every doc (centrality ×
+    dup-discount, quality+unicode gated), sample_by_weight turns the
+    scores into integer multiplicities (epoch-multiplicity, mean one
+    copy), and this explodes each doc into its copies and packs them
+    into token-budget shards per language with token_pack's exact
+    prefix-sum rule (seeded-hash order over (doc_id, copy_id) so
+    copies of the same doc scatter across shards instead of
+    clumping — the property epoch-replication needs for i.i.d.-ish
+    batches). Zero-weight docs never appear (n_copies = 0
+    structurally).
+
+    Scale: the explode multiplies rows by mean ≈ 1 (Σ copies ≈ N by
+    construction), so the pack window runs over a corpus-sized
+    relation per lang — token_pack's audited shape; everything
+    upstream is the already-audited prep_weights/sampler plan. Exact
+    integers end-to-end (token counts, prefix sums, floor-div
+    shards)."""
+    from .graph import pipeline_prep_weights
+    from pyspark.sql import Window
+
+    w = sample_by_weight(pipeline_prep_weights(docs), seed=seed)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    rep = (
+        w.where(F.col("n_copies") > 0)
+        .join(toks, "doc_id")
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies").cast("int"))
+            ).alias("copy_id"),
+        )
+    )
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("doc_id"), F.col("copy_id"))
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(h.asc(), F.col("doc_id").asc(), F.col("copy_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return rep.select(
+        "lang",
+        "doc_id",
+        F.col("copy_id").cast("bigint").alias("copy_id"),
+        "n_tokens",
+        F.floor(before / budget).cast("bigint").alias("shard"),
+    )
+
+
+def pack_weighted_sql(budget: int = 2048, seed: int = SAMPLE_W_SEED) -> str:
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    h = f"md5({seed} || ':' || doc_id || ':' || copy_id)"
+    return f"""
+WITH sw AS ({sample_by_weight_sql(seed)}),
+toks AS (SELECT doc_id, lang, CAST({toks} AS BIGINT) AS n_tokens
+         FROM documents),
+rep AS (
+  SELECT lang, doc_id, n_tokens,
+         UNNEST(range(1, n_copies + 1)) AS copy_id
+  FROM sw JOIN toks USING (doc_id) WHERE n_copies > 0
+)
+SELECT lang, doc_id, CAST(copy_id AS BIGINT) AS copy_id, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+            ORDER BY {h} ASC, doc_id ASC, copy_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {budget}) AS BIGINT) AS shard
+FROM rep
+"""

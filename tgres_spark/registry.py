@@ -49,6 +49,7 @@ _ATTEST_PRIORITY: tuple[str, ...] = (
     "graph_pagerank2_weighted", "streaming_prep_increment",
     "pipeline_sample_weighted", "ann_ivf_split", "ann_ivf_merge",
     "graph_host_components", "events_markov_chain",
+    "pipeline_pack_weighted",
     # -- oldest-green rotation (round 11): the 23 round-10 operators
     #    and the r1/r3/leading-r4 tranche all refreshed in the r10
     #    window, so the oldest-green set is now exactly the 41 keys
