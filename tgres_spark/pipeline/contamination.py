@@ -66,6 +66,7 @@ def passage_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     # regex split per element inside the chunk lambda
     pas = (
         docs.select("doc_id", words(F.col("text")).alias("w"))
+        .persist()  # see span_dedup's base comment (collapse re-inlines)
         .select("doc_id", _passages_of(F.col("w"), k).alias("ps"))
         .select("doc_id", F.explode("ps").alias("p"))
         .select("doc_id", F.md5("p").alias("h"))
@@ -226,13 +227,20 @@ def span_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     relation); the position explode is k x the DUPLICATED windows
     only — the spread filter runs first, so clean corpora explode
     almost nothing. No all-pairs anything."""
+    # persist pins the window arrays as CONCRETE data: binding w/gs in
+    # a select is NOT enough — Catalyst's projection collapse re-inlines
+    # words(text) into the shingle lambda under the downstream Generate,
+    # re-running the regex split per array element (O(words·windows)
+    # per doc; measured 42 s vs 0.3 s for the bare explode at sf0.1,
+    # round 11). The cache is (doc_id, counts, window arrays) ≈ 3× text
+    # — MEMORY_AND_DISK, the prep_full persisted-corpus class.
     base = docs.select(
         "doc_id", words(F.col("text")).alias("w")
     ).select(
         "doc_id",
         F.size("w").alias("n_words"),
         shingles_of(F.col("w"), k).alias("gs"),
-    )
+    ).persist()
     spans = base.select(
         "doc_id", F.posexplode("gs").alias("p", "g")
     ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))
@@ -514,13 +522,15 @@ def _boiler_parts(docs: DataFrame, k: int, min_docs: int):
     """Shared internals of the boilerplate family: returns
     (stats, cleaned) — per-doc chunk counts and the reassembled
     cleaned text relation (doc_id, cleaned)."""
+    # persist: see span_dedup's base comment (projection collapse
+    # re-inlines words(text) into the passage lambda under Generate)
     base = docs.select(
         "doc_id", words(F.col("text")).alias("w")
     ).select(
         "doc_id",
         "w",
         F.floor(F.size("w") / k).cast("bigint").alias("nch"),
-    )
+    ).persist()
     ch = (
         base.select(
             "doc_id", F.posexplode(_passages_of(F.col("w"), k)).alias("i", "p")
@@ -732,12 +742,16 @@ def span_dedup2(
     shuffles once on uniform md5 keys; position explodes run on
     DUPLICATED windows only (the spread filter first). Division
     guards per the CLAUDE.md rule."""
+    # persist pins both granularities' window arrays as concrete data
+    # (see span_dedup's base comment: projection collapse otherwise
+    # re-inlines words(text) into the shingle lambdas under every
+    # downstream Generate — the O(words·windows) regex trap)
     base = docs.select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.size("w").alias("n_words"),
         shingles_of(F.col("w"), k_short).alias("gs"),
         shingles_of(F.col("w"), k_long).alias("gl"),
-    )
+    ).persist()
 
     def covered(col, k):
         spans = base.select(
@@ -861,7 +875,9 @@ def span_scrub(docs: DataFrame, k: int = 16) -> DataFrame:
     in corpus words, no all-pairs anywhere. Reference analogue: none
     (the reference has no corpus ops); this is the ExactSubstr
     deployment shape. Division guarded per the CLAUDE.md rule."""
-    base = docs.select("doc_id", words(F.col("text")).alias("w"))
+    # persist: see span_dedup's base comment (projection collapse
+    # re-inlines words(text) into the shingle lambda under Generate)
+    base = docs.select("doc_id", words(F.col("text")).alias("w")).persist()
     spans = base.select(
         "doc_id", F.posexplode(shingles_of(F.col("w"), k)).alias("p", "g")
     ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))

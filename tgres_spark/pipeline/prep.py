@@ -985,7 +985,16 @@ def pack_weighted(
     from .graph import pipeline_prep_weights
     from pyspark.sql import Window
 
-    w = sample_by_weight(pipeline_prep_weights(docs), seed=seed)
+    # double broadcast-fence (CLAUDE.md rule, the r9 emb_pca2_deflate
+    # race): the weights relation feeds the sampler's one-row totals
+    # build AND the sampler output feeds this function's join's
+    # broadcast build — unfenced, the concurrent builds re-ran the
+    # whole prep_weights subtree serially (~6x: measured 92 s warm at
+    # sf0.1; 5.7 s with the fences)
+    pw = pipeline_prep_weights(docs).persist()
+    pw.count()
+    w = sample_by_weight(pw, seed=seed).persist()
+    w.count()
     toks = docs.select(
         "doc_id",
         "lang",
