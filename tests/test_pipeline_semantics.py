@@ -3997,3 +3997,86 @@ def test_pack_weighted_explodes_multiplicities_into_shards(spark):
         for s in shards:
             biggest = max(r["n_tokens"] for r in rows if r["shard"] == s)
             assert load[s] < 512 + biggest
+
+
+def test_ann_ivf_search_maintained_end_to_end(spark, tmp_path):
+    """The consult path through the FULL maintained lifecycle: build
+    index + codebook, compact, split, merge (all three must fire on
+    the clustered fixture), then (a) the live view still equals the
+    tombstone-filtered source; (b) physical cells and codebook agree
+    exactly; (c) an exhaustive-probe search (nprobe >= |codebook|)
+    through the maintained artifact equals brute-force exact top-k
+    over the surviving vectors computed independently on the driver —
+    maintenance reshaped the routing, never the answers."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        ann_ivf_compact_cells,
+        ann_ivf_index_live,
+        ann_ivf_index_write_full,
+        ann_ivf_merge_cells,
+        ann_ivf_search_index,
+        ann_ivf_split_cells,
+        _ivf_codebook_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    # three tight clusters -> a few very hot cells (split fires) and
+    # many empty codebook slots (merge fires)
+    centers = rng.normal(size=(3, EMB_DIM)) * 3.0
+    rows = [
+        (int(i), [float(x) for x in centers[i % 3] + rng.normal(size=EMB_DIM) * 0.2])
+        for i in range(160)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    work = str(tmp_path / "ivfm")
+    ann_ivf_index_write_full(spark, work, emb)
+    compacted = ann_ivf_compact_cells(spark, work, mod=7, compact_frac=0.1)
+    split = ann_ivf_split_cells(spark, work, mod=7)
+    merged = ann_ivf_merge_cells(spark, work, mod=7)
+    assert compacted and split and merged, (compacted, split, merged)
+
+    # (a) survivors: the live view equals the tombstone-filtered source
+    live = {
+        r["vec_id"] for r in ann_ivf_index_live(spark, work, mod=7).collect()
+    }
+    assert live == {i for i in range(160) if i % 7 != 0}
+    # (b) physical cells and codebook agree (no orphan dirs, no dead
+    # routing slots)
+    cb_cells = {c for c, _ in _ivf_codebook_rows(spark, work)}
+    phys_cells = {
+        int(r["cell"])
+        for r in spark.read.parquet(f"{work}/cells").select("cell").distinct().collect()
+    }
+    assert phys_cells == cb_cells
+    # new split ids present, merged ids gone
+    assert any(n in cb_cells for _, n in split)
+    assert all(c not in cb_cells for c in merged)
+
+    # (c) exhaustive probe == brute force over survivors. Brute force
+    # uses a plain left-fold accumulation (same IEEE op order as
+    # Spark's aggregate) so distances are bit-identical.
+    vecs = {i: v for i, v in rows if i in live}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    got = ann_ivf_search_index(
+        spark, work, n_queries=10, k=10, nprobe=len(cb_cells), mod=7
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dist"])
+        )
+    assert set(by_q) == {i for i in range(10) if i % 7 != 0}
+    for qid, hits in by_q.items():
+        want = sorted(
+            ((d2(vecs[qid], v), nid) for nid, v in vecs.items() if nid != qid)
+        )[:10]
+        got_sorted = [(d, n) for _, n, d in sorted(hits)]
+        assert got_sorted == [(d, n) for d, n in want], f"query {qid}"

@@ -633,8 +633,18 @@ def streaming_prep_increment(spark, sf_dir):
     # monotone doc_id batching: 4 id-quartile files, names AND mtimes
     # ascending so any file-source ordering tie-break agrees
     ids = sorted(r["doc_id"] for r in inc.select("doc_id").collect())
+    # ADVICE r11: an empty increment slice would IndexError on ids[-1]
+    # below, and duplicate quartile cuts on tiny increments would write
+    # empty micro-batch files — fail loudly / dedupe instead.
+    if not ids:
+        raise ValueError(
+            "streaming_prep_increment: empty increment slice "
+            f"(doc_id % {INCREMENT_MOD} == 0 AND source != 'src0') "
+            "in the documents table — nothing to stream"
+        )
     cuts = [ids[max(0, (len(ids) * (i + 1)) // 4 - 1)] for i in range(4)]
     cuts[-1] = ids[-1]
+    cuts = sorted(set(cuts))
     os.makedirs(f"{work}/in")
     t0 = time.time() - 3600
     lo = None

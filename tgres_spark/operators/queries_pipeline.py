@@ -187,6 +187,28 @@ def _ann_ivf_compact(s, d):
     sim.ann_ivf_index_write(s, work, _emb(s, d))
     compacted = sim.ann_ivf_compact_cells(s, work)
     return sim.ann_ivf_compact_audit(s, work, compacted)
+@register("ann_ivf_search_maintained", sql=sim.ann_ivf_search_maintained_sql())
+def _ann_ivf_search_maintained(s, d):
+    """The index-maintenance loop closed END-TO-END (round 12): build
+    the physical IVF index + routing codebook, run the full lifecycle
+    — tombstone compaction, hot-cell split, cold-cell merge, each
+    mutating the cells AND the codebook — then SEARCH through the
+    maintained artifact (probe routing via the current codebook over
+    the current partitions). The DuckDB twin replays the whole chain
+    relationally on the live vectors, so a green hash proves reads
+    through the maintained cache equal the chain on the surviving
+    vectors (reference analogue: receiver/dscache.go:1 — reads always
+    consult the maintained cache, never go around it)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tgres_ivfm_")
+    sim.ann_ivf_index_write_full(s, work, _emb(s, d))
+    sim.ann_ivf_compact_cells(s, work)
+    sim.ann_ivf_split_cells(s, work)
+    sim.ann_ivf_merge_cells(s, work)
+    return sim.ann_ivf_search_index(s, work)
+
+
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
     lambda s, d: sim.ann_ivf_assign(_emb(s, d))
 )
@@ -678,7 +700,13 @@ def pipeline_sample_weighted(spark, sf_dir):
     sample_by_weight)."""
     from ..pipeline.graph import pipeline_prep_weights
 
-    return pp.sample_by_weight(pipeline_prep_weights(_docs(spark, sf_dir)))
+    # ADVICE r11: fence prep_weights before sample_by_weight — its
+    # crossJoin(broadcast(tot)) one-row totals build would otherwise
+    # re-evaluate the whole prep_weights subtree a second time (the
+    # same broadcast-fence rule pack_weighted applies).
+    pw = pipeline_prep_weights(_docs(spark, sf_dir)).persist()
+    pw.count()
+    return pp.sample_by_weight(pw)
 
 
 register("text_bigram_lm", sql=tx.text_bigram_lm_sql())(

@@ -742,16 +742,22 @@ def span_dedup2(
     shuffles once on uniform md5 keys; position explodes run on
     DUPLICATED windows only (the spread filter first). Division
     guards per the CLAUDE.md rule."""
-    # persist pins both granularities' window arrays as concrete data
-    # (see span_dedup's base comment: projection collapse otherwise
-    # re-inlines words(text) into the shingle lambdas under every
-    # downstream Generate — the O(words·windows) regex trap)
+    # NO persist here, deliberately (VERDICT r11 finding 1): the
+    # round-11 defensive persist of both shingle arrays cached ~80x the
+    # text and cost 4.8x per cold run, and a words-only persist still
+    # measured ~1.5x the no-persist plan — span_scrub's projection-
+    # collapse regex trap does not fire in this shape (each shingles_of
+    # lambda feeds exactly one posexplode Generate; driver r10 ran this
+    # exact plan at 0.513s vs the 0.612s budget). Recomputing the regex
+    # split per consumer is the scale-safe choice too: at 100 TB the
+    # split is embarrassingly parallel while an 80x (or even 1x) text
+    # cache would spill.
     base = docs.select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.size("w").alias("n_words"),
         shingles_of(F.col("w"), k_short).alias("gs"),
         shingles_of(F.col("w"), k_long).alias("gl"),
-    ).persist()
+    )
 
     def covered(col, k):
         spans = base.select(

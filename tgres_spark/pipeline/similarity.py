@@ -4055,15 +4055,16 @@ def ann_ivf_compact_cells(
         and r["n_dead"] == r["n_phys"]
     ]
     live_bad = idx.where(F.col("cell").isin(bad) & ~tomb)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        live_bad.write.mode("overwrite").partitionBy("cell").parquet(cells_dir)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # ADVICE r11: scope dynamic overwrite to THIS write via the writer
+    # option (honored per-write since Spark 2.4) instead of mutating
+    # the session-global conf, which a concurrent writer in the same
+    # SparkSession would silently inherit.
+    (
+        live_bad.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(cells_dir)
+    )
     if zero_live:
         from ..streaming.catalog import _fs
 
@@ -4647,4 +4648,483 @@ SELECT CAST(cell AS BIGINT) AS cell,
          AS obj_after,
        CAST(COUNT(DISTINCT dest) AS BIGINT) AS n_dest_cells
 FROM moved GROUP BY cell
+"""
+
+
+# --- maintained-index search end-to-end (round 12) -----------------------------
+#
+# The lifecycle ops above each ATTEST on the index relation
+# (compact/split/merge audits); nothing yet proved that a QUERY over
+# the maintained physical artifact equals the search you would get on
+# the surviving vectors — the composition a production index exists
+# for (reference analogue: receiver/dscache.go:1 — reads always go
+# through the maintained cache, never around it). These functions
+# close that loop: the codebook lives IN the index directory
+# (index_dir/codebook, (cell, centroid) parquet) and is updated by
+# every maintenance step, and ann_ivf_search_index routes queries
+# through the CURRENT codebook over the CURRENT physical cells — so
+# tombstone → compact → split → merge → search is one artifact's
+# lifetime, checked end-to-end by the registered query's DuckDB twin
+# (which replays the whole chain relationally on the live vectors).
+
+
+def _ivf_codebook_write(spark, index_dir: str, rows) -> None:
+    """Overwrite index_dir/codebook with (cell, centroid) rows —
+    always a <=O(k) literal list, the index's routing metadata."""
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in rows],
+        "cell long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+
+
+def _ivf_codebook_rows(spark, index_dir: str) -> list:
+    """Read the routing codebook back as a sorted (cell, centroid)
+    list — a <=k-row bounded collect (codebook-scale, like the
+    compaction audit)."""
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_dir}/codebook").collect()
+    )
+
+
+def ann_ivf_index_write_full(
+    spark, index_dir: str, emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7
+) -> None:
+    """ann_ivf_index_write plus the routing codebook: the complete
+    physical index artifact the maintenance steps below keep
+    consistent (cells AND the codebook that routes into them)."""
+    ann_ivf_index_write(spark, index_dir, emb, k, seed)
+    cents = _ivf_codebook(k, seed=seed)
+    _ivf_codebook_write(
+        spark, index_dir, [(i + 1, c) for i, c in enumerate(cents)]
+    )
+
+
+def ann_ivf_split_cells(
+    spark,
+    index_dir: str,
+    factor: float = SPLIT_FACTOR,
+    mod: int = TOMB_MOD,
+) -> list[tuple[int, int]]:
+    """PHYSICAL hot-cell split: ann_ivf_split's bisecting-2-means
+    executed against the index directory. Cells whose LIVE member
+    count exceeds factor x the even share (n_live / |codebook|) are
+    split: live members seed by vec_id parity, one Lloyd step fits
+    two sub-centroids, members re-assign to the nearer one; side-a
+    keeps the old cell id, side-b gets a fresh id (max codebook id +
+    rank of the hot cell). The affected partitions are rewritten in
+    ONE dynamic-partition-overwrite job (hot cells' tombstones drop
+    with the rewrite — a free compaction); untouched cells' files are
+    never touched; the codebook is rewritten to match. Returns the
+    (old_cell, new_cell) pairs.
+
+    Scale: counts/codebook are <=k-row bounded collects; the member
+    scan touches hot cells' partitions only (partition-pruned isin);
+    the rewrite rows are persist-fenced before overwriting their own
+    source partitions. Determinism: micro6 sub-centroid means,
+    left-fold distances, argmin ties to the lower parity."""
+    cells_dir = f"{index_dir}/cells"
+    cb = _ivf_codebook_rows(spark, index_dir)
+    kk = len(cb)
+    live = ann_ivf_index_live(spark, index_dir, mod).persist()
+    n = live.count()  # fence: live feeds the counts AND the member scan
+    per = {
+        int(r["cell"]): int(r["cnt"])
+        for r in live.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    hot = sorted(c for c, _ in cb if per.get(c, 0) > factor * n / kk)
+    if not hot:
+        live.unpersist()
+        return []
+    maxc = max(c for c, _ in cb)
+    newid = {c: maxc + i + 1 for i, c in enumerate(hot)}
+    mem = (
+        live.where(F.col("cell").isin(hot))
+        .withColumn("p", (F.col("vec_id") % 2).cast("bigint"))
+        .persist()
+    )
+    mem.count()  # fence: mem feeds the sub-centroid build AND the re-assign
+    sc = _lloyd_cents(mem, keys=("cell", "p"))
+    # <=2*|hot| rows — the new codebook entries (bounded collect);
+    # taken BEFORE the partition overwrite invalidates the source
+    sc_rows = [
+        (int(r["cell"]), int(r["p"]), [float(x) for x in r["centroid"]])
+        for r in sc.collect()
+    ]
+    sc1 = (
+        sc.groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("p", "centroid"))).alias("cs"))
+        .select(
+            "cell", F.col("cs.p").alias("ps"), F.col("cs.centroid").alias("cents2")
+        )
+    )
+    j = mem.join(F.broadcast(sc1), "cell").select(
+        "cell", "vec_id", "embedding", "ps",
+        _sq_dists(F.col("cents2")).alias("sd"),
+    )
+    side = F.element_at(
+        F.col("ps"), F.array_position(F.col("sd"), F.array_min("sd")).cast("int")
+    )
+    mapdf = spark.createDataFrame(
+        [(int(c), int(newid[c])) for c in hot], "cell long, ncell long"
+    )
+    out = (
+        j.select("cell", "vec_id", "embedding", side.alias("side"))
+        .join(F.broadcast(mapdf), "cell")
+        .select(
+            "vec_id",
+            "embedding",
+            F.when(F.col("side") == 0, F.col("cell"))
+            .otherwise(F.col("ncell"))
+            .cast("bigint")
+            .alias("cell"),
+        )
+        .persist()
+    )
+    out.count()  # materialize before overwriting the partitions it reads
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(cells_dir)
+    )
+    # a hot cell whose live members all landed on side b wrote no rows
+    # under its old id: dynamic overwrite never cleared that partition,
+    # so retire the stale directory explicitly (same discipline as the
+    # compaction's zero-live branch)
+    written = {
+        int(r["cell"]) for r in out.select("cell").distinct().collect()
+    }
+    stale = [c for c in hot if c not in written]
+    if stale:
+        from ..streaming.catalog import _fs
+
+        for c in stale:
+            fs, p, _ = _fs(spark, f"{cells_dir}/cell={c}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    new_cb = [(c, v) for c, v in cb if c not in set(hot)] + [
+        (c if p == 0 else newid[c], v) for c, p, v in sc_rows
+    ]
+    _ivf_codebook_write(spark, index_dir, sorted(new_cb))
+    out.unpersist()
+    mem.unpersist()
+    live.unpersist()
+    return [(c, newid[c]) for c in hot]
+
+
+def ann_ivf_merge_cells(
+    spark,
+    index_dir: str,
+    frac: float = MERGE_FRAC,
+    mod: int = TOMB_MOD,
+) -> list[int]:
+    """PHYSICAL cold-cell merge: ann_ivf_merge's retirement executed
+    against the index directory. Every codebook cell whose LIVE
+    member count is under frac x the even share (cells with zero
+    members included — empty routing slots are the coldest) retires:
+    its live members re-assign to the nearest SURVIVING centroid, the
+    destination partitions are rewritten once (existing physical rows
+    + adopted members) under dynamic partition overwrite, the cold
+    cells' directories are deleted (their tombstones die with them),
+    and the codebook drops the retired rows. At least one cell always
+    survives (not every cell can be below the mean share for
+    frac <= 1). Returns the retired cell ids (sorted).
+
+    Scale: bounded collects only (<=k codebook rows, <=k per-cell
+    counts, <=k distinct destinations); the adopted-member re-assign
+    is cold-partition-pruned and argmins against ONE broadcast
+    survivor row; the rewrite touches destination partitions only."""
+    cells_dir = f"{index_dir}/cells"
+    cb = _ivf_codebook_rows(spark, index_dir)
+    kk = len(cb)
+    idx = spark.read.parquet(cells_dir)
+    live = idx.where(F.col("vec_id") % mod != 0).persist()
+    n = live.count()  # fence: live feeds counts, the member scan, dest rows
+    per = {
+        int(r["cell"]): int(r["cnt"])
+        for r in live.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    cold = sorted(c for c, _ in cb if per.get(c, 0) < frac * n / kk)
+    if not cold:
+        live.unpersist()
+        return []
+    surv_rows = [(c, v) for c, v in cb if c not in set(cold)]
+    surv = (
+        spark.createDataFrame(surv_rows, "cell long, centroid array<double>")
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs"))
+        .select(
+            F.col("cs.cell").alias("cells"), F.col("cs.centroid").alias("cents2")
+        )
+    )
+    moved = (
+        live.where(F.col("cell").isin(cold))
+        .crossJoin(F.broadcast(surv))
+        .select(
+            "vec_id", "embedding", "cells", _sq_dists(F.col("cents2")).alias("sd")
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.element_at(
+                F.col("cells"),
+                F.array_position(F.col("sd"), F.array_min("sd")).cast("int"),
+            )
+            .cast("bigint")
+            .alias("cell"),
+        )
+        .persist()
+    )
+    dests = sorted(
+        int(r["cell"]) for r in moved.select("cell").distinct().collect()
+    )
+    # destination partitions rewrite as existing PHYSICAL rows (their
+    # tombstones keep riding until compaction) + adopted live members
+    out = (
+        idx.where(F.col("cell").isin(dests))
+        .select("vec_id", "embedding", F.col("cell").cast("bigint").alias("cell"))
+        .unionByName(moved)
+        .persist()
+    )
+    out.count()  # materialize before overwriting its own source partitions
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(cells_dir)
+    )
+    from ..streaming.catalog import _fs
+
+    for c in cold:
+        fs, p, _ = _fs(spark, f"{cells_dir}/cell={c}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    _ivf_codebook_write(spark, index_dir, surv_rows)
+    out.unpersist()
+    moved.unpersist()
+    live.unpersist()
+    return cold
+
+
+def ann_ivf_search_index(
+    spark,
+    index_dir: str,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+    mod: int = TOMB_MOD,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank): IVF search THROUGH the
+    maintained physical artifact — routing via the CURRENT codebook
+    parquet, candidates from the CURRENT cell partitions (tombstone
+    read-mask applied), exact L2 over the probed lists. Queries are
+    the live index rows with vec_id < n_queries (reads go through the
+    cache, never around it). With nprobe >= |codebook| this is
+    EXACTLY brute-force over the surviving vectors regardless of how
+    maintenance reshaped the cells — the pytest pins that equality
+    after a full compact -> split -> merge chain.
+
+    Scale: the codebook collapses to one broadcast row; the probe
+    relation is n_queries x nprobe rows and its cell set becomes a
+    STATIC partition-pruning filter on the cells scan (only probed
+    inverted lists are read — the point of IVF); the per-candidate
+    work is one left-fold L2. Ties to (dist, lower cell position) for
+    probes and (dist, lower neighbor_id) for ranks."""
+    from pyspark.sql import Window
+
+    cbdf = spark.read.parquet(f"{index_dir}/codebook")
+    onerow = (
+        cbdf.groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs"))
+        .select(
+            F.col("cs.cell").alias("cells"), F.col("cs.centroid").alias("cents2")
+        )
+    )
+    live = ann_ivf_index_live(spark, index_dir, mod)
+    q = live.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qdists = F.transform(
+        F.col("cents2"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("qv"), c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    qd = (
+        q.crossJoin(F.broadcast(onerow))
+        .select("query_id", "qv", "cells", qdists.alias("dists"))
+        .select(
+            "query_id", "qv", "cells", F.posexplode("dists").alias("pos", "dist")
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("pos").asc()
+    )
+    probes = (
+        qd.withColumn("prank", F.row_number().over(wp))
+        .where(F.col("prank") <= nprobe)
+        .select(
+            "query_id",
+            "qv",
+            F.element_at(F.col("cells"), (F.col("pos") + 1).cast("int"))
+            .cast("bigint")
+            .alias("cell"),
+        )
+        .persist()
+    )
+    # bounded collect (n_queries x nprobe): the probed-cell set becomes
+    # a static partition filter so only those inverted lists are read
+    probed = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            live.where(F.col("cell").isin(probed)).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+                F.col("cell").cast("bigint").alias("cell"),
+            ),
+            "cell",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("query_id", "neighbor_id", exact.alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", F.col("rank").cast("bigint"))
+    )
+
+
+def ann_ivf_search_maintained_sql(
+    kcb: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    mod: int = TOMB_MOD,
+    factor: float = SPLIT_FACTOR,
+    frac: float = MERGE_FRAC,
+    n_queries: int = 10,
+    k: int = 10,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of the FULL maintained-index lifecycle: tombstone
+    filter (compaction never changes the live view, so it needs no
+    relational model), hot-cell split on the live counts, cold-cell
+    merge on the post-split codebook, then the probe-routed search
+    against the final codebook + assignment — the end-to-end proof
+    that a query through the maintained artifact equals the chain
+    replayed on the surviving vectors."""
+    cents = _ivf_codebook(kcb, seed=seed)
+    dim = EMB_DIM
+    cells_lit = ", ".join(
+        "(%d, %s)" % (i + 1, "[" + ", ".join(repr(float(x)) for x in c) + "]")
+        for i, c in enumerate(cents)
+    )
+    sum_cols = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s{i}"
+        for i in range(dim)
+    )
+    cent_arr = (
+        "["
+        + ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / cnt" for i in range(dim))
+        + "]"
+    )
+    sd_mem = _ivf_dists_sql(vec="mem.embedding", cs="sc.cents2")
+    sd_cold = _ivf_dists_sql(vec="cm.embedding", cs="surv.cents2")
+    sd_q = _ivf_dists_sql(vec="q.qv", cs="surv.cents2")
+    pair = "(CAST(p.qv[i] AS DOUBLE) - CAST(f.embedding[i] AS DOUBLE))"
+    exact = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {pair} * {pair})), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH {_ivf_cents_cte(cents)},
+clit AS (SELECT * FROM (VALUES {cells_lit}) t(cell, centroid)),
+live AS (SELECT * FROM embeddings WHERE vec_id % {mod} <> 0),
+d0 AS (SELECT vec_id, embedding, {_ivf_dists_sql()} AS dists
+       FROM live CROSS JOIN ivfk),
+a0 AS (SELECT vec_id, embedding,
+       CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell FROM d0),
+tot AS (SELECT COUNT(*) AS n FROM a0),
+cnt0 AS (SELECT cell, COUNT(*) AS cnt FROM a0 GROUP BY cell),
+hot AS (SELECT clit.cell FROM clit LEFT JOIN cnt0 ON clit.cell = cnt0.cell
+        CROSS JOIN tot
+        WHERE COALESCE(cnt0.cnt, 0) > {float(factor)!r} * n / {int(kcb)}),
+hotmap AS (SELECT cell,
+           {int(kcb)} + CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT)
+           AS ncell FROM hot),
+mem AS (SELECT a0.*, CAST(vec_id % 2 AS BIGINT) AS p
+        FROM a0 WHERE cell IN (SELECT cell FROM hot)),
+sums AS (SELECT cell, p, COUNT(*) AS cnt, {sum_cols} FROM mem GROUP BY cell, p),
+nc AS (SELECT cell, p, {cent_arr} AS centroid FROM sums),
+sc AS (SELECT cell, list(p ORDER BY p) AS ps,
+       list(centroid ORDER BY p) AS cents2 FROM nc GROUP BY cell),
+sassign AS (
+  SELECT mem.vec_id, mem.embedding,
+         CASE WHEN sc.ps[list_position({sd_mem}, list_min({sd_mem}))] = 0
+              THEN mem.cell ELSE hm.ncell END AS cell
+  FROM mem JOIN sc ON mem.cell = sc.cell JOIN hotmap hm ON mem.cell = hm.cell
+  UNION ALL
+  SELECT vec_id, embedding, cell FROM a0
+  WHERE cell NOT IN (SELECT cell FROM hot)
+),
+cb1 AS (
+  SELECT cell, centroid FROM clit WHERE cell NOT IN (SELECT cell FROM hot)
+  UNION ALL
+  SELECT CASE WHEN nc.p = 0 THEN nc.cell ELSE hm.ncell END AS cell, nc.centroid
+  FROM nc JOIN hotmap hm ON nc.cell = hm.cell
+),
+k1 AS (SELECT COUNT(*) AS kk FROM cb1),
+cnt1 AS (SELECT cell, COUNT(*) AS cnt FROM sassign GROUP BY cell),
+cold AS (SELECT cb1.cell FROM cb1 LEFT JOIN cnt1 ON cb1.cell = cnt1.cell
+         CROSS JOIN k1 CROSS JOIN tot
+         WHERE COALESCE(cnt1.cnt, 0) < {float(frac)!r} * n / kk),
+surv AS (SELECT list(cell ORDER BY cell) AS cells,
+         list(centroid ORDER BY cell) AS cents2
+         FROM cb1 WHERE cell NOT IN (SELECT cell FROM cold)),
+cm AS (SELECT * FROM sassign WHERE cell IN (SELECT cell FROM cold)),
+moved AS (SELECT cm.vec_id, cm.embedding,
+          CAST(surv.cells[list_position({sd_cold}, list_min({sd_cold}))]
+               AS BIGINT) AS cell
+          FROM cm CROSS JOIN surv),
+final AS (SELECT vec_id, embedding, cell FROM sassign
+          WHERE cell NOT IN (SELECT cell FROM cold)
+          UNION ALL SELECT vec_id, embedding, cell FROM moved),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM live
+      WHERE vec_id < {int(n_queries)}),
+qd AS (SELECT query_id, qv, surv.cells AS cells, {sd_q} AS dists
+       FROM q CROSS JOIN surv),
+qx AS (SELECT query_id, qv, UNNEST(cells) AS cell, UNNEST(dists) AS cdist,
+       UNNEST(range(1, len(cells) + 1)) AS pos FROM qd),
+probes AS (SELECT query_id, qv, CAST(cell AS BIGINT) AS cell FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cdist ASC, pos ASC) AS pr FROM qx)
+  WHERE pr <= {int(nprobe)}),
+cand AS (SELECT p.query_id, f.vec_id AS neighbor_id, {exact} AS dist
+         FROM probes p JOIN final f ON p.cell = f.cell
+         WHERE p.query_id <> f.vec_id)
+SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS dist,
+       CAST(rank AS BIGINT) AS rank FROM
+  (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY dist ASC, neighbor_id ASC) AS rank FROM cand)
+  WHERE rank <= {int(k)}
 """

@@ -116,6 +116,12 @@ def _maybe_fold_raw(
     bases = _raw_gens(spark, out_dir, "rawbase")
     floor = bases[-1] if bases else -1
     live = [g for g in _raw_gens(spark, out_dir, "raw") if g > floor]
+    # ADVICE r11: with every=1, a REPLAYED fold batch has no live raw
+    # generation above the base floor — folding then would delete its
+    # own raw dir and overwrite the sole rawbase copy while reading it
+    # (a V1 self-overwrite). Nothing to fold => skip.
+    if not live:
+        return
     if len(live) + (1 if bases else 0) >= every:
         _fold_raw(spark, out_dir, batch_id)
 
