@@ -1180,3 +1180,111 @@ def test_refresh_raw_fold_bounds_listing_and_preserves_relation(spark, tmp_path)
     from tgres_spark.streaming.refresh import _live_raw
 
     assert _live_raw(spark, str(tmp_path / "fold")).count() == n_total
+
+
+def test_generation_pack_freezes_prior_shards(spark, tmp_path):
+    """The class-4 frozen-generation contract (run_generation_pack):
+    (a) a later tranche of arriving docs NEVER rewrites an earlier
+    generation's files (paths + mtimes identical); (b) each
+    generation equals the batch pack_weighted of exactly its own docs
+    plus the per-lang width offset (the mixture-frozen semantics);
+    (c) offsets chain: every generation's shards start above every
+    prior generation's max within the lang."""
+    import os
+
+    from tgres_spark.pipeline.prep import pack_weighted
+    from tgres_spark.streaming.refresh import (
+        read_generations,
+        run_generation_pack,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    quarters = [
+        ids[(n * i) // 4:(n * (i + 1)) // 4] for i in range(4)
+    ]
+    work = str(tmp_path / "pack")
+    os.makedirs(f"{work}/in")
+    t0 = 1_600_000_000
+
+    def land(i):
+        sub = docs.where(F.col("doc_id").isin(quarters[i]))
+        sub.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+        import glob
+        import shutil
+
+        src = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        shutil.copyfile(src, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(f"{work}/out/gen"):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    # tranche 1: two batches
+    land(0)
+    land(1)
+    run_generation_pack(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", docs.schema,
+        pack_weighted,
+    )
+    before = snapshot()
+    assert before, "first tranche must produce generations"
+    # tranche 2: two more batches through the SAME checkpoint
+    land(2)
+    land(3)
+    run_generation_pack(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", docs.schema,
+        pack_weighted,
+    )
+    after = snapshot()
+    # (a) frozen: every tranche-1 file identical, new files appeared
+    for p, m in before.items():
+        assert p in after and after[p] == m, f"frozen generation changed: {p}"
+    assert len(after) > len(before)
+
+    # (b) per-generation equality vs batch pack of its own docs
+    def batch_pack(i):
+        return {
+            (r["lang"], r["doc_id"], r["copy_id"], r["n_tokens"], r["shard"])
+            for r in pack_weighted(
+                docs.where(F.col("doc_id").isin(quarters[i]))
+            ).collect()
+        }
+
+    got_by_gen = {}
+    for g in range(4):
+        got_by_gen[g] = {
+            (r["lang"], r["doc_id"], r["copy_id"], r["n_tokens"], r["shard"])
+            for r in spark.read.parquet(f"{work}/out/gen/b{g:06d}").collect()
+        }
+    # generation 0 has no offset: equal outright
+    assert got_by_gen[0] == batch_pack(0)
+    # later generations: equal modulo the per-lang offset, and (c)
+    # every shard starts strictly above all prior generations' max
+    for g in range(1, 4):
+        prior_max = {}
+        for pg in range(g):
+            for lang, _, _, _, s in got_by_gen[pg]:
+                prior_max[lang] = max(prior_max.get(lang, -1), s)
+        rel = batch_pack(g)
+        offs = {
+            lang: prior_max.get(lang, -1) + 1
+            for lang in {t[0] for t in rel}
+        }
+        shifted = {
+            (lang, d, c, t, s + offs[lang]) for lang, d, c, t, s in rel
+        }
+        assert got_by_gen[g] == shifted, f"generation {g}"
+        for lang, _, _, _, s in got_by_gen[g]:
+            assert s >= prior_max.get(lang, -1) + 1
+
+    # the published union covers every doc with >=1 copy exactly once
+    pub = read_generations(spark, f"{work}/out")
+    assert pub.count() == sum(len(v) for v in got_by_gen.values())

@@ -670,6 +670,66 @@ def streaming_prep_increment(spark, sf_dir):
 
 
 @register(
+    "streaming_pack_increment",
+    sql=__import__(
+        "tgres_spark.pipeline.prep", fromlist=["x"]
+    ).pack_increment_sql(),
+)
+def streaming_pack_increment(spark, sf_dir):
+    """Incremental shard refresh (round 12, the r11 growth edge): the
+    training-shard table gets its refresh-class assignment — class 4,
+    APPEND-ONLY FROZEN GENERATIONS (streaming/refresh.py
+    run_generation_pack): pack_weighted's seeded-hash prefix-sum is
+    global, so any cumulative re-pack would reassign shards a
+    training run already consumed; instead each arriving doc batch
+    packs ONLY its own docs (weights + multiplicities + pack order
+    computed within the generation — the documented mixture-drift
+    tradeoff, docs/SCALE.md) into NEW shards offset by
+    max(prior shard)+1 per lang, and earlier generations' files are
+    never rewritten (frozenness mtime-pinned in pytest). Four real
+    doc_id-quartile micro-batches (names + mtimes both ascending);
+    the oracle replays each generation's full pack_weighted chain on
+    its doc subset with the same width-sum offsets."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..pipeline import prep as pp
+    from ..streaming.refresh import read_generations, run_generation_pack
+
+    work = tempfile.mkdtemp(prefix="tgres_spack_")
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    # the floor rule the oracle's gens CASE mirrors: file i holds
+    # 1-based doc_id ranks in ((n*i)//4, (n*(i+1))//4]
+    cuts = sorted({ids[(n * (i + 1)) // 4 - 1] for i in range(4)})
+    os.makedirs(f"{work}/in")
+    t0 = time.time() - 3600
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = docs.where(
+            (F.col("doc_id") <= hi)
+            & (F.lit(True) if lo is None else (F.col("doc_id") > lo))
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+        src_file = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        lo = hi
+    run_generation_pack(
+        spark, f"{work}/in", f"{work}/out", f"{work}/ckpt", docs.schema,
+        pp.pack_weighted,
+    )
+    return read_generations(spark, f"{work}/out").select(
+        "lang", "doc_id", "copy_id", "n_tokens", "shard"
+    )
+
+
+@register(
     "streaming_pagerank",
     sql=__import__(
         "tgres_spark.pipeline.graph", fromlist=["x"]

@@ -1051,3 +1051,57 @@ SELECT lang, doc_id, CAST(copy_id AS BIGINT) AS copy_id, n_tokens,
             / {budget}) AS BIGINT) AS shard
 FROM rep
 """
+
+
+def pack_increment_sql(
+    n_gens: int = 4, budget: int = 2048, seed: int = SAMPLE_W_SEED
+) -> str:
+    """DuckDB twin of the frozen-generation streaming pack
+    (streaming/refresh.py run_generation_pack): documents partition
+    into n_gens doc_id-quartile generations (the same floor rule the
+    stream's batch files use: generation i holds 1-based ranks in
+    ((n*i)//n_gens, (n*(i+1))//n_gens]), each generation packs
+    INDEPENDENTLY via the full pack_weighted chain computed on that
+    generation's docs alone (the per-generation weight normalization
+    is the documented mixture-drift tradeoff), and generation g's
+    shards offset by the sum of prior generations' per-lang shard
+    widths (max relative shard + 1 — identical to the stream's
+    max(absolute)+1 chaining). Each generation shadows ``documents``
+    with a scoped CTE so the whole pack_weighted oracle replays
+    unmodified on the subset."""
+    inner = pack_weighted_sql(budget, seed).strip()
+    assert inner.startswith("WITH ")
+    inner_body = inner[len("WITH "):]
+    cases = " ".join(
+        f"WHEN r <= (n * {i + 1}) // {n_gens} THEN {i}"
+        for i in range(n_gens - 1)
+    )
+    g_ctes = ",\n".join(
+        f"g{g} AS (WITH documents AS "
+        f"(SELECT b.* FROM basedocs b JOIN gens ON b.doc_id = gens.doc_id "
+        f"WHERE gens.gen = {g}),\n{inner_body})"
+        for g in range(n_gens)
+    )
+    widths = " UNION ALL ".join(
+        f"SELECT {g} AS gen, lang, MAX(shard) + 1 AS w FROM g{g} GROUP BY lang"
+        for g in range(n_gens)
+    )
+    packed = " UNION ALL ".join(
+        f"SELECT {g} AS gen, * FROM g{g}" for g in range(n_gens)
+    )
+    return f"""
+WITH basedocs AS (SELECT * FROM main.documents),
+gens AS (SELECT doc_id, CASE {cases} ELSE {n_gens - 1} END AS gen FROM
+  (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+          COUNT(*) OVER () AS n FROM basedocs)),
+{g_ctes},
+widths AS ({widths}),
+offs AS (SELECT gen, lang,
+         COALESCE(SUM(w) OVER (PARTITION BY lang ORDER BY gen
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM widths),
+packed AS ({packed})
+SELECT p.lang, p.doc_id, p.copy_id, p.n_tokens,
+       CAST(p.shard + o.off AS BIGINT) AS shard
+FROM packed p JOIN offs o ON p.gen = o.gen AND p.lang = o.lang
+"""

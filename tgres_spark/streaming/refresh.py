@@ -286,3 +286,85 @@ def run_delta_refresh(
         .start()
     )
     q.awaitTermination()
+
+
+# --- frozen-generation pack refresh (round 12) --------------------------------
+#
+# Class 4 of the deployment rule above: APPEND-ONLY FROZEN
+# GENERATIONS. The shard table (pipeline/prep.py pack_weighted) fits
+# none of classes 1-3: its seeded-hash prefix-sum is global, so a
+# cumulative refresh would re-pack EVERY shard on every batch —
+# invalidating shards a training run may already have consumed, the
+# one thing a shard store must never do. The production discipline is
+# the opposite: shard assignments FREEZE per generation. Each
+# micro-batch packs ONLY its own docs' copies (weights, multiplicity
+# and the pack order computed within the generation) into NEW shards
+# starting at max(prior shard)+1 per lang; prior generations' files
+# are never rewritten. The tradeoff — per-generation weight
+# normalization drifts from the corpus-global mixture the full
+# re-pack would give — is documented in docs/SCALE.md; the published
+# relation is the union of committed generations.
+
+
+def run_generation_pack(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    pack_fn: Callable[[DataFrame], DataFrame],
+    files_per_trigger: int = 1,
+) -> None:
+    """``pack_fn(batch_docs)`` must return (lang, doc_id, copy_id,
+    n_tokens, shard) with GENERATION-RELATIVE shard ids (0-based, as
+    pack_weighted emits). Each batch lands as ``gen/b<id>`` with its
+    shards offset by max(absolute shard)+1 per lang over committed
+    generations STRICTLY BELOW batch_id — so a replayed batch
+    recomputes the same offsets from the same priors and its
+    overwrite is idempotent, and later batches never touch earlier
+    files (frozenness is pytest-pinned on mtimes)."""
+    import pyspark.sql.functions as F
+
+    def _refresh(batch, batch_id: int) -> None:
+        rel = pack_fn(batch)
+        prior = [
+            g for g in _raw_gens(spark, out_dir, "gen") if g < batch_id
+        ]
+        if prior:
+            pri = spark.read.parquet(
+                *[f"{out_dir}/gen/b{g:06d}" for g in prior]
+            )
+            offs = pri.groupBy("lang").agg(
+                (F.max("shard") + 1).cast("bigint").alias("off")
+            )
+            rel = rel.join(F.broadcast(offs), "lang", "left").select(
+                "lang",
+                "doc_id",
+                "copy_id",
+                "n_tokens",
+                (F.col("shard") + F.coalesce(F.col("off"), F.lit(0)))
+                .cast("bigint")
+                .alias("shard"),
+            )
+        rel.write.mode("overwrite").parquet(f"{out_dir}/gen/b{batch_id:06d}")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_generations(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The published shard table: the union of committed generations."""
+    gens = _raw_gens(spark, out_dir, "gen")
+    return spark.read.parquet(
+        *[f"{out_dir}/gen/b{g:06d}" for g in gens]
+    )
