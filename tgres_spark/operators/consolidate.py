@@ -181,7 +181,7 @@ def consolidate_multi(
         known_val = F.col(VALUE)
     pts = sf.select(
         F.col(NAME), F.col(T), known_val.alias("v"), dur.alias("dur")
-    ).persist()
+    ).persist()  # fence: returned plan reads this cache
     _MULTI_CACHE.append(pts)
 
     outs = []

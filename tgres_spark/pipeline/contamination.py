@@ -66,7 +66,7 @@ def passage_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     # regex split per element inside the chunk lambda
     pas = (
         docs.select("doc_id", words(F.col("text")).alias("w"))
-        .persist()  # see span_dedup's base comment (collapse re-inlines)
+        .persist()  # see span_dedup's base comment (collapse re-inlines)  # fence: returned plan reads this cache
         .select("doc_id", _passages_of(F.col("w"), k).alias("ps"))
         .select("doc_id", F.explode("ps").alias("p"))
         .select("doc_id", F.md5("p").alias("h"))
@@ -240,7 +240,7 @@ def span_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
         "doc_id",
         F.size("w").alias("n_words"),
         shingles_of(F.col("w"), k).alias("gs"),
-    ).persist()
+    ).persist()  # fence: returned plan reads this cache
     spans = base.select(
         "doc_id", F.posexplode("gs").alias("p", "g")
     ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))
@@ -530,7 +530,7 @@ def _boiler_parts(docs: DataFrame, k: int, min_docs: int):
         "doc_id",
         "w",
         F.floor(F.size("w") / k).cast("bigint").alias("nch"),
-    ).persist()
+    ).persist()  # fence: returned plan reads this cache
     ch = (
         base.select(
             "doc_id", F.posexplode(_passages_of(F.col("w"), k)).alias("i", "p")
@@ -883,7 +883,7 @@ def span_scrub(docs: DataFrame, k: int = 16) -> DataFrame:
     deployment shape. Division guarded per the CLAUDE.md rule."""
     # persist: see span_dedup's base comment (projection collapse
     # re-inlines words(text) into the shingle lambda under Generate)
-    base = docs.select("doc_id", words(F.col("text")).alias("w")).persist()
+    base = docs.select("doc_id", words(F.col("text")).alias("w")).persist()  # fence: returned plan reads this cache
     spans = base.select(
         "doc_id", F.posexplode(shingles_of(F.col("w"), k)).alias("p", "g")
     ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))

@@ -167,7 +167,7 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     shingle→md5 pipeline runs three times. Signatures are tiny
     (16 hex strings per doc), so this caches gigabytes per 100 TB of
     raw text, not terabytes."""
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).persist()  # fence: returned plan reads this cache
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -904,7 +904,7 @@ def dedup_minhash_band_sweep(
     like dedup_minhash_lsh's signature persist, the leak is bounded
     (16 hex strings / two ids per row) and the sweep harnesses
     (bench.py, tools/check_oracle.py) clearCache() between queries."""
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).persist()  # fence: returned plan reads this cache
 
     def band_rel(bands: int, rows: int):
         return sig.select(
@@ -944,7 +944,7 @@ def dedup_minhash_band_sweep(
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     base_pairs = (
         cand.where(F.col("cfg") == "16x1").select("doc_a", "doc_b")
@@ -1148,7 +1148,7 @@ def dedup_incremental(
         if isinstance(index_path, DataFrame)
         else spark.read.parquet(index_path)
     ).select("doc_id", "sig")
-    inc_sig = minhash_signatures(increment).persist()
+    inc_sig = minhash_signatures(increment).persist()  # fence: returned plan reads this cache
     inc_bands = _band_keys(inc_sig, keep_sig=True)
     idx_bands = _band_keys(idx_sig, keep_sig=True)
 
@@ -1237,7 +1237,7 @@ def dedup_containment(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     that bucket-local candidate domain, never all pairs; intersection
     counts group on uniform (doc_a, doc_b) keys. Determinism: integer
     set sizes, double divisions with fixed operand order."""
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).persist()  # fence: returned plan reads this cache
     comp = sig.select(
         "doc_id", F.posexplode("sig").alias("i", "v")
     )
@@ -1444,7 +1444,7 @@ def dedup_threshold_sweep(docs: DataFrame) -> DataFrame:
     counts, and one distinct (threshold, doc) count over the exploded
     pair endpoints — all aggregates on tiny keys. The corpus total
     re-enters as a one-row broadcast."""
-    pairs = dedup_minhash_lsh(docs).persist()
+    pairs = dedup_minhash_lsh(docs).persist()  # fence: returned plan reads this cache
     spark = docs.sparkSession
     th = spark.createDataFrame(
         [(float(t),) for t in _THRESHOLD_SWEEP], "threshold double"
@@ -1693,7 +1693,7 @@ def dedup_simhash_sweep(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             "hamming",
             (ni.cast("double") / (F.col("na") + F.col("nb") - ni)).alias("jacc"),
         )
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     radii = docs.sparkSession.range(max_hamming + 1).select(
         F.col("id").cast("bigint").alias("radius")
@@ -1793,7 +1793,7 @@ def dedup_minhash_k_sweep(docs: DataFrame) -> DataFrame:
     division, sqrt rounded at 6 per the libm rule."""
     from ..model import dec6
 
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs).persist()  # fence: returned plan reads this cache
     comp = sig.select("doc_id", F.posexplode("sig").alias("i", "v"))
     cand = (
         comp.alias("a")

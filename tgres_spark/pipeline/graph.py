@@ -83,7 +83,7 @@ def pagerank2(
     consumer is persist()+count()-fenced."""
     d = float(damp)
     nodes = nodes.persist()
-    edges = edges.persist()
+    edges = edges.persist()  # fence: returned plan reads this cache
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nd = nodes.join(
         deg.select(F.col("src").alias("host_id"), "deg"), "host_id", "left"
@@ -248,7 +248,7 @@ def hits2(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     shared relations persist()+count()-fenced per the broadcast-fence
     rule."""
     nodes = nodes.persist()
-    edges = edges.persist()
+    edges = edges.persist()  # fence: returned plan reads this cache
     ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
     outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     nn = nodes.agg(F.count("*").alias("n"))
@@ -580,7 +580,7 @@ def pagerank2_weighted(
     exact-integer ratio; pr·w/W is identical-op-order IEEE algebra in
     both engines."""
     d = float(damp)
-    edges = edges.persist()
+    edges = edges.persist()  # fence: returned plan reads this cache
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     nd = (
         nodes.join(

@@ -505,9 +505,9 @@ def prep_full(docs: DataFrame, k: int = 16) -> DataFrame:
     # plan reads them), so they are not unpersisted here; the sweep
     # harnesses (bench.py, tools/check_oracle.py) clearCache()
     # between queries to keep long sessions bounded.
-    cleaned = boilerplate_clean_docs(docs, k).persist()
+    cleaned = boilerplate_clean_docs(docs, k).persist()  # fence: returned plan reads this cache
     gf = gopher_filter(cleaned).where(F.col("keep")).select("doc_id")
-    kept = cleaned.join(gf, "doc_id").persist()
+    kept = cleaned.join(gf, "doc_id").persist()  # fence: returned plan reads this cache
     kb = (
         dedup_keep_best(kept)
         .where(F.col("keep"))
@@ -606,9 +606,9 @@ def prep_funnel(docs: DataFrame, k: int = 16) -> DataFrame:
             F.sum(toks).cast("bigint").alias("n_tokens"),
         )
 
-    cleaned = boilerplate_clean_docs(docs, k).persist()
+    cleaned = boilerplate_clean_docs(docs, k).persist()  # fence: returned plan reads this cache
     gf = gopher_filter(cleaned).where(F.col("keep")).select("doc_id")
-    kept = cleaned.join(gf, "doc_id").persist()
+    kept = cleaned.join(gf, "doc_id").persist()  # fence: returned plan reads this cache
     kb = dedup_keep_best(kept).where(F.col("keep")).select("doc_id")
     final = kept.join(kb, "doc_id")
     return (
@@ -993,7 +993,7 @@ def pack_weighted(
     # sf0.1; 5.7 s with the fences)
     pw = pipeline_prep_weights(docs).persist()
     pw.count()
-    w = sample_by_weight(pw, seed=seed).persist()
+    w = sample_by_weight(pw, seed=seed).persist()  # fence: returned plan reads this cache
     w.count()
     toks = docs.select(
         "doc_id",

@@ -581,7 +581,7 @@ def dedup_embedding_lsh(
     its dot k times; distinct-first computes it once and shuffles only
     16-byte id pairs, not 64-float embeddings. The signature relation
     is persisted — it feeds the key explode and both rejoin sides."""
-    sig = _lsh_signatures(emb, seed=seed).persist()
+    sig = _lsh_signatures(emb, seed=seed).persist()  # fence: returned plan reads this cache
     keys = _lsh_keys(sig)
     cand = (
         keys.alias("a")
@@ -651,7 +651,7 @@ def ann_lsh_topk(
     literals."""
     from pyspark.sql import Window
 
-    sig = _lsh_signatures(emb, seed=seed).persist()
+    sig = _lsh_signatures(emb, seed=seed).persist()  # fence: returned plan reads this cache
     keys = _lsh_keys(sig)
     qk = keys.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
@@ -3029,7 +3029,7 @@ def mm_text_image_pairs(
     query count exactly like ann_cosine_topk."""
     from pyspark.sql import Window
 
-    sig = _lsh_signatures(emb, seed=seed).persist()
+    sig = _lsh_signatures(emb, seed=seed).persist()  # fence: returned plan reads this cache
     text_q = (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * n_queries)
     is_img = F.col("vec_id") % 2 == 0
 
@@ -3478,7 +3478,7 @@ def emb_pca2_deflate(emb: DataFrame) -> DataFrame:
     # d²-row count, the corpus is read once — ~11s, the
     # emb_power_iter2 floor). The sweep harness clearCache()s between
     # queries.
-    cov = emb_covariance(emb).persist()
+    cov = emb_covariance(emb).persist()  # fence: returned plan reads this cache
     cov.count()
     full = cov.union(
         cov.where(F.col("i") != F.col("j")).select(
@@ -3489,7 +3489,7 @@ def emb_pca2_deflate(emb: DataFrame) -> DataFrame:
     # the output join, and each evaluation is ~a dozen tiny stages of
     # 64-row algebra whose scheduling overhead dominates (64 rows,
     # but every collect_list is a full shuffle round)
-    p = _power_iter2_from_cov(cov).persist()
+    p = _power_iter2_from_cov(cov).persist()  # fence: returned plan reads this cache
     p.count()
     v2lam = p.agg(
         F.transform(
@@ -3799,7 +3799,7 @@ def emb_matryoshka_eval(
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     full = topk.where(F.col("dims") == max(dims)).select(
         "query_id",
@@ -4185,12 +4185,12 @@ def ann_ivf_refit_warm(
             .alias("cell"),
             F.array_min("dists").alias("dist"),
         )
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     a0.count()
-    a1 = _lloyd_reassign(a0, _lloyd_cents(a0)).persist()
+    a1 = _lloyd_reassign(a0, _lloyd_cents(a0)).persist()  # fence: returned plan reads this cache
     a1.count()
-    c2 = _lloyd_cents(a1).persist()
+    c2 = _lloyd_cents(a1).persist()  # fence: returned plan reads this cache
     c2.count()
     a2 = _lloyd_reassign(a1, c2)
     ob = a0.groupBy("cell").agg(
@@ -4976,7 +4976,7 @@ def ann_ivf_search_index(
             .cast("bigint")
             .alias("cell"),
         )
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     # bounded collect (n_queries x nprobe): the probed-cell set becomes
     # a static partition filter so only those inverted lists are read

@@ -2312,7 +2312,7 @@ def corpus_bpe_merge2(docs: DataFrame, k: int = 50) -> DataFrame:
         # same tree; without the persist the corpus word count runs
         # twice. Vocab-sized (distinct words), tiny at any corpus
         # scale; sweep harnesses clearCache() between queries.
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     syms = F.concat(
         F.transform(
@@ -3030,7 +3030,7 @@ def corpus_bpe_merge3(docs: DataFrame, k: int = 50) -> DataFrame:
         docs.select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     syms = F.concat(
         F.transform(
@@ -3575,7 +3575,7 @@ def corpus_bpe_encode(
         docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
     enc = bpe_vocab_encoded(vocab, n_merges).select(
@@ -3623,7 +3623,7 @@ def corpus_bpe_fertility(
         )
         .groupBy("doc_id", "lang", "w")
         .agg(F.count("*").alias("c"))
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
     enc = bpe_vocab_encoded(vocab, n_merges).select(
@@ -3834,7 +3834,7 @@ def corpus_bpe_sweep(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
         docs.select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .persist()
+        .persist()  # fence: returned plan reads this cache
     )
     syms = F.concat(
         F.transform(
