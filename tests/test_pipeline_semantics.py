@@ -4080,3 +4080,87 @@ def test_ann_ivf_search_maintained_end_to_end(spark, tmp_path):
         )[:10]
         got_sorted = [(d, n) for _, n, d in sorted(hits)]
         assert got_sorted == [(d, n) for d, n in want], f"query {qid}"
+
+
+def test_dedup_semdedup_keeps_the_outlier(spark):
+    """SemDeDup's keep rule on a hand-built cluster: three near-
+    duplicate vectors in one cell where v2 sits FARTHEST from the
+    cluster centroid -> v2 is the keeper, the two centroid-closer
+    copies drop; an unrelated singleton in another cell keeps itself;
+    and near-identical vectors in DIFFERENT cells are never grouped
+    (candidate generation is cell-local by construction)."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        IVF_CODEBOOK_K,
+        _ivf_codebook,
+        dedup_semdedup,
+    )
+
+    cents = np.array(_ivf_codebook(IVF_CODEBOOK_K, seed=7))
+    c0, c1 = cents[0], cents[1]
+    # w: unit vector orthogonal to c0 (Gram-Schmidt from c1) — tilting
+    # along w lowers the cosine to the centroid without leaving the
+    # cell; v2 tilts hardest so it is the farthest-from-centroid copy
+    w = c1 - (c1 @ c0) / (c0 @ c0) * c0
+    w = w / np.linalg.norm(w) * np.linalg.norm(c0)
+    rows = [
+        (1, [float(x) for x in c0 + 0.02 * w]),
+        (2, [float(x) for x in c0 + 0.40 * w]),
+        (3, [float(x) for x in c0 + 0.03 * w]),
+        (9, [float(x) for x in c1 * 1.1]),  # singleton, other cell
+    ]
+    # fixture sanity: all pairwise cosines among 1,2,3 clear 0.9
+    vs = {i: np.array(v) for i, v in rows[:3]}
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            if i < j:
+                cos = vs[i] @ vs[j] / (
+                    np.linalg.norm(vs[i]) * np.linalg.norm(vs[j])
+                )
+                assert cos >= 0.9, (i, j, cos)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in dedup_semdedup(emb, threshold=0.9).collect()}
+    assert len(got) == 4
+    # 1,2,3 share a cell and a component
+    cells = {got[i]["cell"] for i in (1, 2, 3)}
+    assert len(cells) == 1 and got[9]["cell"] not in cells
+    roots = {got[i]["root_id"] for i in (1, 2, 3)}
+    assert roots == {1}
+    # keeper = lowest cosine to centroid
+    sims = {i: got[i]["cent_sim"] for i in (1, 2, 3)}
+    outlier = min(sims, key=lambda i: (sims[i], i))
+    for i in (1, 2, 3):
+        assert got[i]["is_keeper"] == (i == outlier)
+    assert got[9]["is_keeper"] and got[9]["root_id"] == 9
+
+
+def test_dedup_semdedup_cell_locality(spark):
+    """Two nearly-identical vectors straddling a cell boundary do NOT
+    group (the paper's deliberate trade: recall is bounded by the
+    cluster granularity) — pinning that the pair join is genuinely
+    cell-bucketed, not all-pairs."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        IVF_CODEBOOK_K,
+        _ivf_codebook,
+        ann_ivf_assign,
+        dedup_semdedup,
+    )
+
+    cents = np.array(_ivf_codebook(IVF_CODEBOOK_K, seed=7))
+    mid = (cents[0] + cents[1]) / 2.0
+    d = cents[1] - cents[0]
+    eps = d / np.linalg.norm(d) * 1e-3
+    rows = [
+        (1, [float(x) for x in mid - eps]),
+        (2, [float(x) for x in mid + eps]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    asg = {r["vec_id"]: r["cell"] for r in ann_ivf_assign(emb).collect()}
+    assert asg[1] != asg[2], "fixture must straddle the boundary"
+    got = {r["vec_id"]: r for r in dedup_semdedup(emb, threshold=0.5).collect()}
+    assert got[1]["root_id"] == 1 and got[2]["root_id"] == 2
+    assert got[1]["is_keeper"] and got[2]["is_keeper"]

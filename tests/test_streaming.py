@@ -1288,3 +1288,72 @@ def test_generation_pack_freezes_prior_shards(spark, tmp_path):
     # the published union covers every doc with >=1 copy exactly once
     pub = read_generations(spark, f"{work}/out")
     assert pub.count() == sum(len(v) for v in got_by_gen.values())
+
+
+def test_ivf_search_stream_order_free_and_equals_batch(spark, tmp_path):
+    """The streaming consult path's two pins: (a) per-query outputs
+    through the stream equal the batch search over the same
+    maintained index EXACTLY; (b) arrival order is irrelevant —
+    running the same queries in REVERSED file order produces the
+    identical relation (the class-1 property: a query's top-k is a
+    function of the index alone)."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        ann_ivf_compact_cells,
+        ann_ivf_index_live,
+        ann_ivf_index_write_full,
+        ann_ivf_search_index,
+    )
+    from tgres_spark.streaming.ivfsearch import run_ivf_search_stream
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=EMB_DIM)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "index")
+    ann_ivf_index_write_full(spark, idx, emb)
+    ann_ivf_compact_cells(spark, idx, mod=7, compact_frac=0.1)
+
+    q = (
+        ann_ivf_index_live(spark, idx)
+        .where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"], r["dist"], r["rank"])
+        for r in ann_ivf_search_index(spark, idx, n_queries=8).collect()
+    }
+
+    def run(order):
+        work = str(tmp_path / f"s{order}")
+        os.makedirs(f"{work}/in")
+        qids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+        halves = [qids[: len(qids) // 2], qids[len(qids) // 2:]]
+        if order == "rev":
+            halves = halves[::-1]
+        for i, ids in enumerate(halves):
+            part = q.where(F.col("vec_id").isin(ids))
+            part.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+            src = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+            dst = f"{work}/in/{i:02d}.parquet"
+            shutil.copyfile(src, dst)
+            os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+        run_ivf_search_stream(
+            spark, f"{work}/in", idx, f"{work}/out", f"{work}/ckpt",
+            q.schema,
+        )
+        return {
+            (r["query_id"], r["neighbor_id"], r["dist"], r["rank"])
+            for r in spark.read.parquet(f"{work}/out/b*").collect()
+        }
+
+    assert run("fwd") == want
+    assert run("rev") == want

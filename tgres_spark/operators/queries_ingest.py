@@ -730,6 +730,64 @@ def streaming_pack_increment(spark, sf_dir):
 
 
 @register(
+    "streaming_ivf_search",
+    sql=__import__(
+        "tgres_spark.pipeline.similarity", fromlist=["x"]
+    ).ann_ivf_search_maintained_sql(),
+)
+def streaming_ivf_search(spark, sf_dir):
+    """The maintained-index consult path DEPLOYED as a stream (round
+    12, streaming/ivfsearch.py): the physical IVF index runs its full
+    lifecycle (build + codebook, tombstone compaction, hot-cell
+    split, cold-cell merge), then the query set arrives as real
+    micro-batches — each batch probes the CURRENT codebook and scans
+    only its probed inverted lists, landing per-query top-k under
+    out/b<batch_id>. Per-query outputs are index-functions only
+    (class 1, per-batch decomposable), so the accumulated outputs
+    equal the batch search verbatim — same oracle as
+    ann_ivf_search_maintained, and the ONE streaming query with no
+    arrival-order caveat."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..pipeline import similarity as sim
+    from ..streaming.ivfsearch import run_ivf_search_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_sivf_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sim.ann_ivf_index_write_full(spark, f"{work}/index", emb)
+    sim.ann_ivf_compact_cells(spark, f"{work}/index")
+    sim.ann_ivf_split_cells(spark, f"{work}/index")
+    sim.ann_ivf_merge_cells(spark, f"{work}/index")
+    q = (
+        sim.ann_ivf_index_live(spark, f"{work}/index")
+        .where(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+    )
+    qids = sorted(r["vec_id"] for r in q.select("vec_id").collect())
+    halves = [qids[: len(qids) // 2], qids[len(qids) // 2:]]
+    os.makedirs(f"{work}/in")
+    t0 = time.time() - 3600
+    for i, ids in enumerate(halves):
+        part = q.where(F.col("vec_id").isin(ids))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+        src_file = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    run_ivf_search_stream(
+        spark, f"{work}/in", f"{work}/index", f"{work}/out",
+        f"{work}/ckpt", q.schema,
+    )
+    return spark.read.parquet(f"{work}/out/b*").select(
+        "query_id", "neighbor_id", "dist", "rank"
+    )
+
+
+@register(
     "streaming_pagerank",
     sql=__import__(
         "tgres_spark.pipeline.graph", fromlist=["x"]

@@ -4931,6 +4931,25 @@ def ann_ivf_search_index(
     inverted lists are read — the point of IVF); the per-candidate
     work is one left-fold L2. Ties to (dist, lower cell position) for
     probes and (dist, lower neighbor_id) for ranks."""
+    live = ann_ivf_index_live(spark, index_dir, mod)
+    q = live.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_ivf_search_index_q(spark, index_dir, q, k, nprobe, mod)
+
+
+def ann_ivf_search_index_q(
+    spark,
+    index_dir: str,
+    q: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    mod: int = TOMB_MOD,
+) -> DataFrame:
+    """The probe-and-scan core of ann_ivf_search_index with an
+    EXTERNAL query relation (query_id, qv) — the consult path a
+    streaming deployment calls per micro-batch of arriving queries
+    (streaming/ivfsearch.py)."""
     from pyspark.sql import Window
 
     cbdf = spark.read.parquet(f"{index_dir}/codebook")
@@ -4942,9 +4961,6 @@ def ann_ivf_search_index(
         )
     )
     live = ann_ivf_index_live(spark, index_dir, mod)
-    q = live.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
     qdists = F.transform(
         F.col("cents2"),
         lambda c: F.aggregate(
@@ -5127,4 +5143,195 @@ SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS dist,
   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY dist ASC, neighbor_id ASC) AS rank FROM cand)
   WHERE rank <= {int(k)}
+"""
+
+
+# --- SemDeDup: cluster-bucketed semantic dedup (round 12) ----------------------
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def dedup_semdedup(
+    emb: DataFrame,
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """(vec_id, cell, root_id, cent_sim, is_keeper): SemDeDup (Abbas
+    et al. 2023, arXiv:2303.09540) — the PUBLISHED k-means-bucketed
+    semantic dedup, the third candidate-generation geometry next to
+    the exact-pair baseline (dedup_embedding) and the LSH path
+    (dedup_embedding_cluster): vectors assign to k-means cells (the
+    shared fixed IVF codebook), near-duplicate pairs are searched
+    WITHIN cells only (the paper's cost bound: pairwise work is
+    per-cluster, never corpus-wide), duplicate groups are the
+    connected components of the within-cell pair graph, and each
+    group keeps the member with the LOWEST cosine similarity to its
+    cluster centroid — the paper's keep-the-outlier rule (the point
+    nearest the centroid is the most redundant with the cluster's
+    mass; keeping the farthest preserves diversity). Singletons keep
+    themselves.
+
+    Scale: assignment is the map-only broadcast-argmin pass; the pair
+    join is cell-bucketed (shuffle key = cell, the codebook bounds
+    fan-out; cluster granularity k is the paper's knob for bounding
+    per-cell pairwise work); components run on the pair relation via
+    the shared propagate_components engine; the keeper window
+    partitions by root_id (groups are near-dup-sized). Determinism:
+    left-fold dots/norms, centroid norms precomputed as literals with
+    the same left fold, keeper ordering on micro6-quantized
+    similarity with vec_id ties.
+
+    Reference analogue: series/series.go:1's dedup-on-ingest keeps
+    one representative per identical series; this is the semantic
+    generalization the LLM-pipeline needs."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..model import micro6
+    from .dedup import propagate_components
+
+    cents = _ivf_codebook(k, seed=seed)
+
+    def _py_norm(c):
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    clit = emb.sparkSession.createDataFrame(
+        [
+            (i + 1, [float(x) for x in c], _py_norm(c))
+            for i, c in enumerate(cents)
+        ],
+        "cell long, centroid array<double>, cnorm double",
+    )
+    a0 = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+        )
+    )
+    v = (
+        a0.join(F.broadcast(clit), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            (
+                _dot(F.col("embedding"), F.col("centroid"))
+                / (_norm(F.col("embedding")) * F.col("cnorm"))
+            ).alias("cent_sim"),
+        )
+        .persist()  # fence: returned plan reads this cache (pairs + labels + output join)
+    )
+    v.count()
+    a = v.select(
+        F.col("cell").alias("ca"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("cell").alias("cb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= float(threshold))
+    )
+    lab = propagate_components(
+        v.select(F.col("vec_id").alias("doc_id")),
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+    )
+    w = Window.partitionBy("root_id").orderBy(
+        micro6(F.col("cent_sim")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        v.select("vec_id", "cell", "cent_sim")
+        .join(lab.select(F.col("doc_id").alias("vec_id"), "root_id"), "vec_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("root_id").cast("bigint").alias("root_id"),
+            "cent_sim",
+            (F.col("rk") == 1).alias("is_keeper"),
+        )
+    )
+
+
+def dedup_semdedup_sql(
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    import math
+
+    from ..model import micro6_sql
+
+    cents = _ivf_codebook(k, seed=seed)
+
+    def _py_norm(c):
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cells_lit = ", ".join(
+        "(%d, %s, %r)"
+        % (
+            i + 1,
+            "[" + ", ".join(repr(float(x)) for x in c) + "]",
+            _py_norm(c),
+        )
+        for i, c in enumerate(cents)
+    )
+    cdot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    cos = f"({_DOT_AB_SQL}) / (a.nrm * b.nrm)"
+    return f"""
+WITH RECURSIVE {_ivf_cents_cte(cents)},
+clit AS (SELECT * FROM (VALUES {cells_lit}) t(cell, centroid, cnorm)),
+d0 AS (SELECT vec_id, {_ivf_dists_sql()} AS dists
+       FROM embeddings CROSS JOIN ivfk),
+a0 AS (SELECT vec_id,
+       CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell FROM d0),
+v AS (SELECT e.vec_id, a0.cell, e.embedding, {_NORM_SQL} AS nrm,
+      {cdot} / ({_NORM_SQL} * c.cnorm) AS cent_sim
+      FROM embeddings e JOIN a0 ON e.vec_id = a0.vec_id
+      JOIN clit c ON a0.cell = c.cell),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {float(threshold)!r}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+          UNION SELECT vec_b, vec_a FROM p),
+reach AS (SELECT vec_id AS a, vec_id AS b FROM v
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lab AS (SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS root_id
+        FROM reach GROUP BY a)
+SELECT v.vec_id, v.cell, lab.root_id, v.cent_sim,
+       ROW_NUMBER() OVER (PARTITION BY lab.root_id
+         ORDER BY {micro6_sql('v.cent_sim')} ASC, v.vec_id ASC) = 1
+         AS is_keeper
+FROM v JOIN lab ON v.vec_id = lab.vec_id
 """
