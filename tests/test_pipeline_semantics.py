@@ -4164,3 +4164,41 @@ def test_dedup_semdedup_cell_locality(spark):
     got = {r["vec_id"]: r for r in dedup_semdedup(emb, threshold=0.5).collect()}
     assert got[1]["root_id"] == 1 and got[2]["root_id"] == 2
     assert got[1]["is_keeper"] and got[2]["is_keeper"]
+
+
+def test_emb_abtt_removes_the_dominant_direction(spark):
+    """All-But-The-Top's two pins: (a) Pythagoras — pc1 is unit, so
+    norm_before^2 = proj1^2 + norm_after^2 for every vector (up to
+    fold rounding); (b) on a corpus whose variance is one planted
+    direction plus tiny noise, removal collapses the norms: every
+    corrected vector keeps < 15% of its centered norm."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import EMB_DIM, emb_abtt
+
+    rng = np.random.default_rng(3)
+    mu = rng.normal(size=EMB_DIM)
+    d = rng.normal(size=EMB_DIM)
+    d /= np.linalg.norm(d)
+    rows = [
+        (
+            int(i),
+            [
+                float(x)
+                for x in mu + (i - 30) * 0.5 * d
+                + rng.normal(size=EMB_DIM) * 0.01
+            ],
+        )
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = emb_abtt(emb).collect()
+    assert len(got) == 60
+    for r in got:
+        nb, na, p = r["norm_before"], r["norm_after"], r["proj1"]
+        assert abs(nb * nb - (na * na + p * p)) < 1e-6, r
+    # exclude the vectors near the centroid (tiny centered norm)
+    big = [r for r in got if r["norm_before"] > 1.0]
+    assert len(big) >= 40
+    for r in big:
+        assert r["norm_after"] < 0.15 * r["norm_before"], r

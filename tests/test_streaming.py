@@ -1357,3 +1357,89 @@ def test_ivf_search_stream_order_free_and_equals_batch(spark, tmp_path):
 
     assert run("fwd") == want
     assert run("rev") == want
+
+
+def test_semdedup_increment_stream_dedups_through_the_index(spark, tmp_path):
+    """The embedding crawl loop's cross-batch pin: vector 20 (batch 2)
+    is a near-duplicate of vector 10 (batch 1) and of nothing in the
+    corpus — it can only be flagged dup_increment through the index
+    updated mid-stream by batch 1's write-back. Vector 10 itself
+    keeps (its only partner has the HIGHER id). A corpus near-dup in
+    the same cell flags dup_corpus. Everything far apart keeps."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import (
+        EMB_DIM,
+        IVF_CODEBOOK_K,
+        _ivf_codebook,
+    )
+    from tgres_spark.streaming.incdedup import run_semdedup_increment_stream
+
+    cents = np.array(_ivf_codebook(IVF_CODEBOOK_K, seed=7))
+    c0, c1, c2 = cents[0], cents[1], cents[2]
+    rng = np.random.default_rng(7)
+    noise = rng.normal(size=EMB_DIM) * 1e-3
+    rows = {
+        # corpus (vec_id % 5 != 0)
+        1: c0 * 1.02,            # corpus twin of increment vec 5
+        2: c1 * 4.0,             # far away, different cell
+        # increment (vec_id % 5 == 0), arriving in id order
+        5: c0 * 1.01,            # ~ corpus vec 1 -> dup_corpus
+        10: c2 * 1.03,           # no partner yet -> keep
+        20: c2 * 1.03 + noise,   # ~ vec 10 through the index -> dup_increment
+        25: c1 * -4.0,           # isolated direction -> keep
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows.items()],
+        "vec_id long, embedding array<double>",
+    )
+    work = str(tmp_path / "sem")
+    from tgres_spark.pipeline.similarity import _norm, _sq_dists
+
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    (
+        emb.where(F.col("vec_id") % 5 != 0)
+        .crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id", "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint").alias("cell"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .write.mode("overwrite").parquet(f"{work}/idx/g000000")
+    )
+    inc = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    os.makedirs(f"{work}/in")
+    batches = [[5, 10], [20, 25]]
+    for i, ids in enumerate(batches):
+        part = inc.where(F.col("vec_id").isin(ids))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+        src = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_600_000_000 + i * 10, 1_600_000_000 + i * 10))
+    run_semdedup_increment_stream(
+        spark, f"{work}/in", f"{work}/idx", f"{work}/out", f"{work}/ckpt",
+        inc.schema, threshold=0.95,
+    )
+    got = {
+        r["vec_id"]: r
+        for r in spark.read.parquet(f"{work}/out/b*").collect()
+    }
+    assert set(got) == {5, 10, 20, 25}
+    assert got[5]["dup_corpus"] == 1 and got[5]["keep"] == 0
+    assert got[10]["dup_corpus"] == 0 and got[10]["dup_increment"] == 0
+    assert got[10]["keep"] == 1
+    # the cross-batch flag: only reachable through the index write-back
+    assert got[20]["dup_increment"] == 1 and got[20]["keep"] == 0
+    assert got[25]["keep"] == 1
+    # the index now holds corpus + both batches
+    n_idx = spark.read.parquet(*sorted(glob.glob(f"{work}/idx/g*"))).count()
+    assert n_idx == 6

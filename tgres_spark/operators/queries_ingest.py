@@ -730,6 +730,92 @@ def streaming_pack_increment(spark, sf_dir):
 
 
 @register(
+    "streaming_semdedup_increment",
+    sql=__import__(
+        "tgres_spark.pipeline.similarity", fromlist=["x"]
+    ).dedup_semdedup_increment_sql(),
+)
+def streaming_semdedup_increment(spark, sf_dir):
+    """The EMBEDDING-side crawl loop (round 12, the semantic twin of
+    streaming_prep_increment): the corpus vectors (vec_id % 5 != 0)
+    initialize the cell index as generation 0; the increment arrives
+    as four REAL vec_id-ordered micro-batches, each scored for
+    within-cell semantic near-dups against BOTH the index (corpus +
+    earlier batches' write-back) and its own batch-mates, then
+    writing its vectors back — batch N deduplicates against batches
+    < N through the index. Id-rule flags (corpus partner: any;
+    increment partner: lower vec_id) + ordered arrival (names and
+    mtimes both ascending) make the accumulated verdicts equal the
+    batch dedup_semdedup_increment relation verbatim — the oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.incdedup import run_semdedup_increment_stream
+
+    work = tempfile.mkdtemp(prefix="tgres_ssem_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.col("vec_id") % 5
+    # generation 0: the corpus side of the index, cell-assigned
+    from ..pipeline.similarity import (
+        _ivf_codebook, _norm, _sq_dists,
+    )
+
+    cents = _ivf_codebook(16, seed=7)
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    (
+        emb.where(m != 0)
+        .crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{work}/idx/g000000")
+    )
+    inc = emb.where(m == 0).select("vec_id", "embedding")
+    ids = sorted(r["vec_id"] for r in inc.select("vec_id").collect())
+    if not ids:
+        raise ValueError(
+            "streaming_semdedup_increment: empty increment slice "
+            "(vec_id % 5 == 0) in the embeddings table"
+        )
+    cuts = [ids[max(0, (len(ids) * (i + 1)) // 4 - 1)] for i in range(4)]
+    cuts[-1] = ids[-1]
+    cuts = sorted(set(cuts))
+    os.makedirs(f"{work}/in")
+    t0 = time.time() - 3600
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = inc.where(
+            (F.col("vec_id") <= hi)
+            & (F.lit(True) if lo is None else (F.col("vec_id") > lo))
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp{i}")
+        src_file = glob.glob(f"{work}/tmp{i}/part-*.parquet")[0]
+        dst = f"{work}/in/{i:02d}.parquet"
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        lo = hi
+    run_semdedup_increment_stream(
+        spark, f"{work}/in", f"{work}/idx", f"{work}/out",
+        f"{work}/ckpt", inc.schema,
+    )
+    return spark.read.parquet(f"{work}/out/b*").select(
+        "vec_id", "cell", "dup_corpus", "dup_increment", "keep"
+    )
+
+
+@register(
     "streaming_ivf_search",
     sql=__import__(
         "tgres_spark.pipeline.similarity", fromlist=["x"]

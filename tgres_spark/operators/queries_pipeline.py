@@ -209,9 +209,15 @@ def _ann_ivf_search_maintained(s, d):
     return sim.ann_ivf_search_index(s, work)
 
 
+register("emb_abtt", sql=sim.emb_abtt_sql())(
+    lambda s, d: sim.emb_abtt(_emb(s, d))
+)
 register("dedup_semdedup", sql=sim.dedup_semdedup_sql())(
     lambda s, d: sim.dedup_semdedup(_emb(s, d))
 )
+register(
+    "dedup_semdedup_increment", sql=sim.dedup_semdedup_increment_sql()
+)(lambda s, d: sim.dedup_semdedup_increment(_emb(s, d)))
 register("ann_ivf_assign", sql=sim.ann_ivf_assign_sql())(
     lambda s, d: sim.ann_ivf_assign(_emb(s, d))
 )

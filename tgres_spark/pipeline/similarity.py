@@ -5335,3 +5335,255 @@ SELECT v.vec_id, v.cell, lab.root_id, v.cent_sim,
          AS is_keeper
 FROM v JOIN lab ON v.vec_id = lab.vec_id
 """
+
+
+# --- all-but-the-top embedding postprocessing (round 12) -----------------------
+
+
+def emb_abtt(emb: DataFrame) -> DataFrame:
+    """(vec_id, proj1, norm_before, norm_after): All-But-The-Top
+    postprocessing (Mu & Viswanath 2018, ICLR — 'All-but-the-Top:
+    Simple and Effective Postprocessing for Word Representations'):
+    embedding sets share a large common mean vector and a few
+    dominant directions that encode frequency, not meaning; removing
+    them (v' = v - mu - (pc1 . (v - mu)) pc1, D=1 here) measurably
+    improves similarity tasks. Per vector this emits the top-PC
+    projection being removed and the norm before/after — the
+    isotropy audit a pipeline runs before committing to the
+    postprocessed store (a large norm drop = the vector was mostly
+    common direction = low-information).
+
+    Spark-first: the corpus is touched exactly TWICE — once by the
+    emb_covariance explode (the shared d2-relation primitive, persist-
+    fenced) and once by the output scan; mu and pc1 collapse to one
+    broadcast row each; pc1 is the same fixed-2-step power iteration
+    emb_power_iter2 oracles (deterministic by construction, no
+    convergence loop). Centered arrays are MATERIALIZED before any
+    fold (the CSE rule); all folds are index-ordered left folds."""
+    from ..model import dec6
+
+    cov = emb_covariance(emb).persist()  # fence: returned plan reads this cache
+    cov.count()
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mu = (
+        emb.select(F.posexplode(vd).alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("i"))
+        .agg(
+            (F.sum(dec6(F.col("x"))).cast("double") / F.count("*")).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("mu")
+        )
+    )
+    pc1 = _power_iter2_from_cov(cov).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v2"))),
+            lambda s: s["v2"],
+        ).alias("pc1")
+    )
+    cen = (
+        emb.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(pc1))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "mu", lambda x, y: x.cast("double") - y
+            ).alias("cen"),
+            "pc1",
+        )
+    )
+    proj = F.aggregate(
+        F.zip_with("cen", "pc1", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    withp = cen.select("vec_id", "cen", "pc1", proj.alias("proj1"))
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cen"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "cen",
+                "pc1",
+                lambda x, y: (x - F.col("proj1") * y)
+                * (x - F.col("proj1") * y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return withp.select(
+        "vec_id",
+        "proj1",
+        nb.alias("norm_before"),
+        na.alias("norm_after"),
+    )
+
+
+def emb_abtt_sql() -> str:
+    from ..model import dec6_sql
+
+    fold = "list_reduce(list_prepend(0.0, {l}), (a, x) -> a + x)"
+    d = EMB_DIM
+    mu_el = f"CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE)"
+    return f"""
+WITH p2 AS ({emb_power_iter2_sql()}),
+pc1l AS (SELECT list(v2 ORDER BY i ASC) AS pc1 FROM p2),
+mul AS (SELECT list(m ORDER BY mi ASC) AS mu FROM (
+  SELECT CAST(r.i AS INTEGER) AS mi,
+         CAST(SUM({dec6_sql(mu_el)}) AS DOUBLE) / COUNT(*) AS m
+  FROM embeddings, range(1, {d + 1}) r(i) GROUP BY r.i)),
+cen AS (SELECT vec_id,
+        list_transform(range(1, {d + 1}),
+          i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS cen, pc1
+        FROM embeddings CROSS JOIN mul CROSS JOIN pc1l),
+withp AS (SELECT vec_id, cen, pc1,
+  {fold.format(l=f"list_transform(range(1, {d + 1}), i -> cen[i] * pc1[i])")}
+  AS proj1 FROM cen)
+SELECT vec_id, proj1,
+  SQRT({fold.format(l=f"list_transform(range(1, {d + 1}), i -> cen[i] * cen[i])")})
+    AS norm_before,
+  SQRT({fold.format(l=f"list_transform(range(1, {d + 1}), i -> (cen[i] - proj1 * pc1[i]) * (cen[i] - proj1 * pc1[i]))")})
+    AS norm_after
+FROM withp
+"""
+
+
+# --- incremental SemDeDup: the embedding-side crawl loop (round 12) ------------
+
+
+def dedup_semdedup_increment(
+    emb: DataFrame,
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    mod: int = 5,
+) -> DataFrame:
+    """(vec_id, cell, dup_corpus, dup_increment, keep): incremental
+    SemDeDup — the EMBEDDING twin of dedup_incremental's crawl
+    convention: the corpus (vec_id % mod != 0) is already indexed;
+    the increment (vec_id % mod == 0) arrives and each new vector is
+    checked for semantic near-duplicates WITHIN ITS CELL against (a)
+    the corpus and (b) earlier increment vectors. The increment-side
+    flag is a pure id rule (partner.vec_id < self.vec_id — the
+    min-id-keeper convention), which is exactly what makes the
+    STREAMING deployment equal this batch relation under ordered
+    arrival and replay-safe (a batch re-scored against an index
+    already containing its own vectors classifies identically).
+
+    Scale: one shared assignment pass; the pair join is cell-bucketed
+    with the increment side 1/mod of the corpus; flags are two maxes
+    per increment vector. Determinism: left-fold dots/norms, exact
+    boolean algebra."""
+    cents = _ivf_codebook(k, seed=seed)
+    cdf = emb.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+    a = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_position(F.col("dists"), F.array_min("dists"))
+            .cast("bigint")
+            .alias("cell"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .persist()  # fence: returned plan reads this cache (both join sides)
+    )
+    a.count()
+    inc = F.col("vec_id") % mod == 0
+    q = a.where(inc).select(
+        F.col("cell").alias("cq"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    p = a.select(
+        F.col("cell").alias("cp"),
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pv"),
+        F.col("nrm").alias("pn"),
+    )
+    cos = _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))
+    hits = (
+        q.join(p, (F.col("cq") == F.col("cp")) & (F.col("qid") != F.col("pid")))
+        .where(cos >= float(threshold))
+        .select(
+            "qid",
+            (F.col("pid") % mod != 0).alias("p_corpus"),
+            ((F.col("pid") % mod == 0) & (F.col("pid") < F.col("qid"))).alias(
+                "p_prior_inc"
+            ),
+        )
+        .groupBy("qid")
+        .agg(
+            F.max(F.col("p_corpus").cast("int")).alias("dc"),
+            F.max(F.col("p_prior_inc").cast("int")).alias("di"),
+        )
+    )
+    return (
+        a.where(inc)
+        .select("vec_id", "cell")
+        .join(hits, F.col("vec_id") == F.col("qid"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dc", F.lit(0)).cast("bigint").alias("dup_corpus"),
+            F.coalesce("di", F.lit(0)).cast("bigint").alias("dup_increment"),
+            (
+                (F.coalesce("dc", F.lit(0)) == 0)
+                & (F.coalesce("di", F.lit(0)) == 0)
+            )
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )
+
+
+def dedup_semdedup_increment_sql(
+    k: int = IVF_CODEBOOK_K,
+    seed: int = 7,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    mod: int = 5,
+) -> str:
+    cents = _ivf_codebook(k, seed=seed)
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x) / (q.qn * p.pn)"
+    )
+    return f"""
+WITH {_ivf_cents_cte(cents)},
+d0 AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm,
+       {_ivf_dists_sql()} AS dists FROM embeddings CROSS JOIN ivfk),
+a AS (SELECT vec_id, embedding, nrm,
+      CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cell FROM d0),
+q AS (SELECT cell AS cq, vec_id AS qid, embedding AS qv, nrm AS qn
+      FROM a WHERE vec_id % {mod} = 0),
+p AS (SELECT cell AS cp, vec_id AS pid, embedding AS pv, nrm AS pn FROM a),
+hits AS (
+  SELECT qid,
+         MAX(CASE WHEN pid % {mod} <> 0 THEN 1 ELSE 0 END) AS dc,
+         MAX(CASE WHEN pid % {mod} = 0 AND pid < qid THEN 1 ELSE 0 END) AS di
+  FROM q JOIN p ON cq = cp AND qid <> pid
+  WHERE {cos} >= {float(threshold)!r}
+  GROUP BY qid
+)
+SELECT a.vec_id, a.cell,
+       CAST(COALESCE(dc, 0) AS BIGINT) AS dup_corpus,
+       CAST(COALESCE(di, 0) AS BIGINT) AS dup_increment,
+       CAST(CASE WHEN COALESCE(dc, 0) = 0 AND COALESCE(di, 0) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a LEFT JOIN hits ON a.vec_id = hits.qid
+WHERE a.vec_id % {mod} = 0
+"""

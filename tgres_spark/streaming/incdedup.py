@@ -230,3 +230,139 @@ def run_prep_increment_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_semdedup_increment_stream(
+    spark: SparkSession,
+    in_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    k: int = 16,
+    seed: int = 7,
+    threshold: float = 0.4,
+    mod: int = 5,
+    files_per_trigger: int = 1,
+) -> None:
+    """The EMBEDDING-side crawl loop (round 12, the semantic twin of
+    run_prep_increment_stream): each micro-batch of arriving vectors
+    (1) assigns to codebook cells, (2) checks for within-cell
+    near-duplicates against the persisted vector index (corpus
+    generation 0 + every earlier batch's write-back) AND its own
+    batch-mates, (3) lands its per-vector verdict under
+    ``out/b<id>``, then (4) writes its own (vec_id, cell, embedding)
+    rows back as ``idx/g<batch_id+1>`` — so batch N deduplicates
+    against batches < N through the index, not in-memory state.
+    Verdict flags are pure id rules (corpus partner: any; increment
+    partner: lower vec_id), so under vec_id-ordered arrival the
+    accumulated verdicts equal the batch dedup_semdedup_increment
+    relation verbatim, and a replayed batch re-scored against an
+    index already holding its own vectors classifies identically
+    (self-pairs excluded; batch-mate pairs carry the same id rule)."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from ..pipeline.similarity import (
+        _dot,
+        _ivf_codebook,
+        _norm,
+        _sq_dists,
+    )
+
+    cents = _ivf_codebook(k, seed=seed)
+    cdf = spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
+    )
+
+    def _assign(df):
+        return (
+            df.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id", "embedding",
+                _sq_dists(F.col("cents")).alias("dists"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.array_position(F.col("dists"), F.array_min("dists"))
+                .cast("bigint")
+                .alias("cell"),
+                _norm(F.col("embedding")).alias("nrm"),
+            )
+        )
+
+    def _score(batch, batch_id: int) -> None:
+        gens = sorted(_glob.glob(f"{index_dir}/g*"))
+        idx = spark.read.parquet(*gens)
+        ba = _assign(batch).persist()
+        ba.count()  # fence: ba feeds the q side, the p union AND the write-back
+        q = ba.select(
+            F.col("cell").alias("cq"),
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        p = idx.unionByName(ba.select("vec_id", "embedding", "cell", "nrm")).select(
+            F.col("cell").alias("cp"),
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").alias("pv"),
+            F.col("nrm").alias("pn"),
+        )
+        cos = _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))
+        hits = (
+            q.join(
+                p, (F.col("cq") == F.col("cp")) & (F.col("qid") != F.col("pid"))
+            )
+            .where(cos >= float(threshold))
+            .select(
+                "qid",
+                (F.col("pid") % mod != 0).alias("p_corpus"),
+                (
+                    (F.col("pid") % mod == 0) & (F.col("pid") < F.col("qid"))
+                ).alias("p_prior_inc"),
+            )
+            .groupBy("qid")
+            .agg(
+                F.max(F.col("p_corpus").cast("int")).alias("dc"),
+                F.max(F.col("p_prior_inc").cast("int")).alias("di"),
+            )
+        )
+        (
+            ba.select("vec_id", "cell")
+            .join(hits, F.col("vec_id") == F.col("qid"), "left")
+            .select(
+                "vec_id",
+                "cell",
+                F.coalesce("dc", F.lit(0)).cast("bigint").alias("dup_corpus"),
+                F.coalesce("di", F.lit(0)).cast("bigint").alias("dup_increment"),
+                (
+                    (F.coalesce("dc", F.lit(0)) == 0)
+                    & (F.coalesce("di", F.lit(0)) == 0)
+                )
+                .cast("bigint")
+                .alias("keep"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/b{batch_id:06d}")
+        )
+        # write-back AFTER the verdict lands: generation = batch_id+1
+        # (generation 0 is the corpus), overwrite => replay idempotent
+        ba.select("vec_id", "embedding", "cell", "nrm").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/g{batch_id + 1:06d}")
+        ba.unpersist()
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(in_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
