@@ -4202,3 +4202,71 @@ def test_emb_abtt_removes_the_dominant_direction(spark):
     assert len(big) >= 40
     for r in big:
         assert r["norm_after"] < 0.15 * r["norm_before"], r
+
+
+def test_community_labelprop_two_cliques(spark):
+    """Hand-checked LPA: two 4-cliques bridged by ONE edge stay two
+    communities (the bridge is outvoted 3-to-1 in every round), each
+    labeled by its minimum member; an isolated node keeps itself.
+    host_components would merge the bridged cliques into one — the
+    structure LPA sees and connectivity cannot."""
+    from tgres_spark.pipeline.graph import (
+        community_labelprop,
+        host_components,
+    )
+
+    cliq1 = [1, 2, 3, 4]
+    cliq2 = [10, 11, 12, 13]
+    edges = [
+        (a, b) for c in (cliq1, cliq2) for a in c for b in c if a < b
+    ] + [(4, 10)]  # the bridge
+    nodes = spark.createDataFrame(
+        [(i,) for i in cliq1 + cliq2 + [99]], "host_id long"
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["host_id"]: (r["label"], r["comm_size"])
+        for r in community_labelprop(nodes, e).collect()
+    }
+    for i in cliq1:
+        assert got[i] == (1, 4), (i, got[i])
+    for i in cliq2:
+        assert got[i] == (10, 4), (i, got[i])
+    assert got[99] == (99, 1)
+    # connectivity merges the bridged cliques — LPA's added structure
+    comp = {
+        r["host_id"]: r["root_id"]
+        for r in host_components(nodes, e).collect()
+    }
+    assert comp[1] == comp[10]
+
+
+def test_emb_isotropy_flags_anisotropy(spark):
+    """One dominant direction -> top_share near 1; isotropic noise ->
+    top_share near 1/d (both within loose bounds — the audit is a
+    dial, the pins are the regimes)."""
+    import numpy as np
+
+    from tgres_spark.pipeline.similarity import EMB_DIM, emb_isotropy
+
+    rng = np.random.default_rng(2)
+    d = rng.normal(size=EMB_DIM)
+    d /= np.linalg.norm(d)
+    aniso = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in (i - 40) * d + rng.normal(size=EMB_DIM) * 0.01])
+            for i in range(80)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = emb_isotropy(aniso).collect()[0]
+    assert r1["top_share"] > 0.95, r1
+    iso = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in rng.normal(size=EMB_DIM)])
+            for i in range(400)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = emb_isotropy(iso).collect()[0]
+    assert r2["top_share"] < 0.1, r2

@@ -272,6 +272,12 @@ register("graph_pagerank2_weighted", sql=_graph.graph_pagerank2_weighted_sql())(
 register("graph_host_components", sql=_graph.graph_host_components_sql())(
     lambda s, d: _graph.graph_host_components(_docs(s, d))
 )
+register("graph_community_labelprop", sql=_graph.graph_community_labelprop_sql())(
+    lambda s, d: _graph.graph_community_labelprop(_docs(s, d))
+)
+register("emb_isotropy", sql=sim.emb_isotropy_sql())(
+    lambda s, d: sim.emb_isotropy(_emb(s, d))
+)
 register("graph_hits2_fixed", sql=_graph.graph_hits2_sql())(
     lambda s, d: _graph.graph_hits2_fixed(_docs(s, d))
 )

@@ -836,3 +836,113 @@ SELECT CAST(host_id AS BIGINT) AS host_id,
        CAST(component_size <= {ISLAND_MAX} AS BIGINT) AS is_island
 FROM lab JOIN sizes ON lab.root_id = sizes.root_id
 """
+
+
+# --- label-propagation communities (round 12) ----------------------------------
+
+
+def community_labelprop(
+    nodes: DataFrame, edges: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """(host_id, label, comm_size): semi-synchronous label propagation
+    (Raghavan et al. 2007) over the UNDIRECTED host graph, ``rounds``
+    fixed iterations — community detection, the structure
+    host_components' connectivity cannot see (one giant weakly-
+    connected web component still splits into link neighborhoods; a
+    link farm is a dense community long before it is a separate
+    component). Each round every node adopts the most frequent label
+    among its neighbors, ties broken to the SMALLEST label (the
+    deterministic variant — classic LPA's random tie-break doesn't
+    replay); isolated nodes keep their own label. Fixed rounds keep
+    the relation oracle-able (the same fixed-iteration discipline as
+    pagerank2/hits2).
+
+    Scale: per round ONE co-keyed edge join + one (node, label) count
+    groupBy + one per-node argmax window (partitioned by host_id —
+    never global); the undirected edge relation materializes once.
+    Exact integer counts; no floats anywhere."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()  # fence: returned plan reads this cache (every round joins it)
+    )
+    und.count()
+    lab = nodes.select("host_id", F.col("host_id").alias("label"))
+    w = Window.partitionBy("host_id").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        neigh = (
+            und.join(
+                lab.select(F.col("host_id").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("host_id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            neigh.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("host_id", F.col("label").alias("nlabel"))
+        )
+        lab = (
+            nodes.join(lab, "host_id")
+            .join(best, "host_id", "left")
+            .select(
+                "host_id",
+                F.coalesce("nlabel", "label").alias("label"),
+            )
+        )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("comm_size"))
+    return lab.join(sizes, "label").select(
+        F.col("host_id").cast("bigint").alias("host_id"),
+        F.col("label").cast("bigint").alias("label"),
+        F.col("comm_size").cast("bigint").alias("comm_size"),
+    )
+
+
+def graph_community_labelprop(docs: DataFrame) -> DataFrame:
+    """community_labelprop over the shared synthesized host graph."""
+    nodes, edges = synth_host_graph(docs)
+    return community_labelprop(nodes, edges)
+
+
+def graph_community_labelprop_sql(rounds: int = 2) -> str:
+    # the synthesized host graph, undirected (mirrors synth_host_graph)
+    links = ", ".join(f"(doc_id * 31 + 7 + 17 * {j}) % {HOST_MOD}" for j in range(3))
+    rounds_sql = []
+    prev = "lab0"
+    for r in range(rounds):
+        rounds_sql.append(
+            f"n{r} AS (SELECT und.src AS host_id, {prev}.label, COUNT(*) AS cnt "
+            f"FROM und JOIN {prev} ON und.dst = {prev}.host_id "
+            "GROUP BY und.src, label), "
+            f"b{r} AS (SELECT host_id, label AS nlabel FROM ("
+            "SELECT host_id, label, ROW_NUMBER() OVER (PARTITION BY host_id "
+            f"ORDER BY cnt DESC, label ASC) AS rk FROM n{r}) WHERE rk = 1), "
+            f"lab{r + 1} AS (SELECT nodes.host_id, "
+            f"COALESCE(b{r}.nlabel, {prev}.label) AS label "
+            f"FROM nodes JOIN {prev} ON nodes.host_id = {prev}.host_id "
+            f"LEFT JOIN b{r} ON nodes.host_id = b{r}.host_id)"
+        )
+        prev = f"lab{r + 1}"
+    chain = ", ".join(rounds_sql)
+    return f"""
+WITH h AS (SELECT doc_id % {HOST_MOD} AS src, doc_id FROM documents),
+nodes AS (SELECT DISTINCT src AS host_id FROM h),
+raw_e AS (SELECT src, UNNEST([{links}]) AS dst FROM h),
+e AS (SELECT DISTINCT src, dst FROM raw_e
+      WHERE dst <> src AND dst IN (SELECT host_id FROM nodes)),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+lab0 AS (SELECT host_id, host_id AS label FROM nodes),
+{chain},
+sizes AS (SELECT label, COUNT(*) AS comm_size FROM {prev} GROUP BY label)
+SELECT CAST(l.host_id AS BIGINT) AS host_id,
+       CAST(l.label AS BIGINT) AS label,
+       CAST(s.comm_size AS BIGINT) AS comm_size
+FROM {prev} l JOIN sizes s ON l.label = s.label
+"""

@@ -5587,3 +5587,59 @@ SELECT a.vec_id, a.cell,
 FROM a LEFT JOIN hits ON a.vec_id = hits.qid
 WHERE a.vec_id % {mod} = 0
 """
+
+
+# --- one-row isotropy audit (round 12) -----------------------------------------
+
+
+def emb_isotropy(emb: DataFrame) -> DataFrame:
+    """(trace, lambda1_est, top_share): the one-row isotropy audit
+    that tells a pipeline whether emb_abtt's postprocessing is worth
+    running — top_share = lambda1/trace is the fraction of total
+    variance captured by the dominant direction (isotropic embeddings
+    ~1/d; frequency-dominated embedding sets concentrate 30-60% in
+    one direction, the pathology Mu & Viswanath 2018 correct).
+    lambda1 is the same fixed-2-step power-iteration Rayleigh
+    quotient emb_power_iter2 oracles; trace folds the covariance
+    diagonal in index order (64 bounded rows — the sorted-array fold
+    rule, never an unordered double sum).
+
+    Scale: ONE corpus pass (the shared emb_covariance explode);
+    everything downstream is d^2-row algebra collapsing to one row."""
+    cov = emb_covariance(emb).persist()  # fence: returned plan reads this cache
+    cov.count()
+    tr = (
+        cov.where(F.col("i") == F.col("j"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cov"))).alias("ds"))
+        .select(
+            F.aggregate(
+                F.col("ds"), F.lit(0.0), lambda a, s: a + s["cov"]
+            ).alias("trace")
+        )
+    )
+    lam = (
+        _power_iter2_from_cov(cov)
+        .where(F.col("i") == 1)
+        .select(F.col("rayleigh").alias("lambda1_est"))
+    )
+    return tr.crossJoin(F.broadcast(lam)).select(
+        "trace",
+        "lambda1_est",
+        F.when(
+            F.col("trace") > 0, F.col("lambda1_est") / F.col("trace")
+        ).alias("top_share"),
+    )
+
+
+def emb_isotropy_sql() -> str:
+    fold = "list_reduce(list_prepend(0.0, {l}), (a, x) -> a + x)"
+    return f"""
+WITH p2 AS ({emb_power_iter2_sql()}),
+lam AS (SELECT rayleigh AS lambda1_est FROM p2 WHERE i = 1),
+covd AS ({emb_covariance_sql()}),
+tr AS (SELECT {fold.format(l="list(cov ORDER BY i ASC)")} AS trace
+       FROM covd WHERE i = j)
+SELECT trace, lambda1_est,
+       CASE WHEN trace > 0 THEN lambda1_est / trace END AS top_share
+FROM tr CROSS JOIN lam
+"""
