@@ -44,37 +44,32 @@ def register(key: str, sql: str | None = None):
 # in _ATTEST_TAIL. This tuple is a constant — registry order is a pure
 # function of the code, independent of artifact files.
 _ATTEST_PRIORITY: tuple[str, ...] = (
-    # -- new round-11 operators (first driver exposure this round) --
-    "pipeline_span_scrub", "ann_ivf_compact", "ann_ivf_refit_warm",
-    "graph_pagerank2_weighted", "streaming_prep_increment",
-    "pipeline_sample_weighted", "ann_ivf_split", "ann_ivf_merge",
-    "graph_host_components", "events_markov_chain",
-    "pipeline_pack_weighted",
-    # -- oldest-green rotation (round 11): the 23 round-10 operators
-    #    and the r1/r3/leading-r4 tranche all refreshed in the r10
-    #    window, so the oldest-green set is now exactly the 41 keys
-    #    whose latest green driver row is round 4 (rebuilt ledger,
-    #    deterministic alphabetical order), then the leading r5 keys
-    #    to fill the 50-slot window
-    "dsl_delay", "dsl_derivative", "dsl_diffSeries",
-    "dsl_divideSeries", "dsl_divideSeries_group",
-    "dsl_expression_divide", "dsl_expression_weighted",
-    "dsl_group", "dsl_groupByNode", "dsl_integral", "dsl_invert",
-    "dsl_isNonNull", "dsl_logarithm", "dsl_maxSeries_gaps",
-    "dsl_nonNegativeDerivative", "dsl_nonNegativeDerivative_wrap",
-    "dsl_offset", "dsl_offsetToZero", "dsl_perSecond",
-    "dsl_percentileOfSeries", "dsl_pow", "dsl_rangeOfSeries",
-    "dsl_scale", "dsl_squareRoot", "dsl_stddevSeries",
-    "dsl_sumSeriesWithWildcards", "dsl_sumSeries_gaps",
-    "dsl_timeShift", "dsl_weightedAverage", "events_hist_quantiles",
-    "pipeline_contamination", "pipeline_corpus_clean",
-    "pipeline_mix_rebalance", "pipeline_passage_dedup",
-    "pipeline_sample_stratified", "pipeline_token_pack",
-    "rrd_archive_route", "rrd_heartbeat_gaps", "rrd_multi_rra",
+    # -- new round-12 operators (first driver exposure this round) --
+    "ann_ivf_search_maintained", "streaming_pack_increment",
+    "dedup_semdedup", "streaming_ivf_search", "emb_abtt",
+    "dedup_semdedup_increment", "streaming_semdedup_increment",
+    "graph_community_labelprop", "emb_isotropy",
+    # -- oldest-green rotation (round 12, rebuilt ledger r01-r11):
+    #    the two keys whose latest green row is still round 4
+    #    (rrd_spec_rollup, text_unigram_logprob — tail of the r11
+    #    window), then the r5 tranche in the ledger's deterministic
+    #    order to fill the 50-slot window
     "rrd_spec_rollup", "text_unigram_logprob",
-    # leading r5 keys (alphabetical) to fill the window
-    "ann_lsh_buckets", "dsl_alias",
-    # (the remaining r5 tranche rotates forward next round)
+    "ann_lsh_buckets", "dsl_alias", "dsl_aliasByMetric",
+    "dsl_aliasByNode", "dsl_aliasSub", "dsl_aliasSub_backref",
+    "dsl_averageAbove", "dsl_averageBelow", "dsl_cactiStyle",
+    "dsl_color", "dsl_constantLine", "dsl_currentAbove",
+    "dsl_currentBelow", "dsl_exclude", "dsl_grep",
+    "dsl_highestAverage", "dsl_highestCurrent", "dsl_highestMax",
+    "dsl_holtWintersForecast_fixed", "dsl_limit",
+    "dsl_lowestAverage", "dsl_lowestCurrent", "dsl_maximumAbove",
+    "dsl_maximumBelow", "dsl_minimumAbove", "dsl_minimumBelow",
+    "dsl_mostDeviant", "dsl_movingAverage", "dsl_movingMax",
+    "dsl_movingMedian", "dsl_movingMin", "dsl_movingSum",
+    "dsl_nPercentile", "dsl_randomWalk", "dsl_removeAbovePercentile",
+    "dsl_removeAboveValue", "dsl_removeBelowPercentile",
+    "dsl_removeBelowValue", "dsl_sinusoid",
+    # (the remaining r5/r6 tranche rotates forward next round)
 )
 
 # Declared rows-only iterative fits (no DuckDB oracle exists): forced
