@@ -151,6 +151,19 @@ BENCH_QUERIES = [
     "graph_pagerank2_weighted",
     "pipeline_sample_weighted",
     "ann_ivf_split",
+    # round-12 additions: the full maintained-index lifecycle + search
+    # (codebook write + compact + physical split/merge + probe-routed
+    # scan — the heaviest new composition), cluster-bucketed SemDeDup
+    # (within-cell pair join + components + keeper window), its
+    # incremental consult variant, the All-But-The-Top postprocessing
+    # pass and the isotropy dial (both ride the d2 covariance explode),
+    # and the 2-round label-propagation communities
+    "ann_ivf_search_maintained",
+    "dedup_semdedup",
+    "dedup_semdedup_increment",
+    "emb_abtt",
+    "emb_isotropy",
+    "graph_community_labelprop",
 ]
 
 

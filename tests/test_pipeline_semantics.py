@@ -4270,3 +4270,36 @@ def test_emb_isotropy_flags_anisotropy(spark):
     )
     r2 = emb_isotropy(iso).collect()[0]
     assert r2["top_share"] < 0.1, r2
+
+
+def test_nb_quality_learns_separable_vocab(spark):
+    """The classifier bootstrap on a perfectly separable fixture:
+    good docs draw from a 'clean' vocabulary and pass Gopher; bad
+    docs are one junk word repeated (fails max_top_word_frac) with a
+    junk-only vocabulary. The NB model trained on the even-id half
+    must classify every odd-id doc correctly (accuracy 1.0), with
+    positive scores exactly on the good docs."""
+    from tgres_spark.pipeline.textstats import nb_quality
+
+    good_words = [f"word{i:02d}ish" for i in range(30)]
+    rows = []
+    for i in range(40):
+        if i % 4 < 2:  # good docs (even split of each parity)
+            text = " ".join(
+                good_words[(i + j) % 30] for j in range(30)
+            )
+        else:  # junk: one word repeated 30x -> top_word_frac = 1;
+            # vocabulary keyed on i//4 so every junk word seen at test
+            # time was also seen (with label 0) at train time
+            text = " ".join(f"junk{(i // 4) % 3}spam" for _ in range(30))
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nb_quality(docs).collect()}
+    # only odd ids are scored (the held-out split)
+    assert set(got) == {i for i in range(40) if i % 2 == 1}
+    for i, r in got.items():
+        want = 1 if i % 4 < 2 else 0
+        assert r["label"] == want, (i, r)
+        assert r["predicted"] == want, (i, r)
+        assert r["correct"] == 1, (i, r)
+        assert (r["score"] >= 0) == (want == 1)

@@ -736,6 +736,9 @@ register("pipeline_mix_excess_loss", sql=pp.mix_excess_loss_sql())(
 register("pipeline_quality_sweep", sql=tx.pipeline_quality_sweep_sql())(
     lambda spark, sf_dir: tx.pipeline_quality_sweep(_docs(spark, sf_dir))
 )
+register("pipeline_nb_quality", sql=tx.nb_quality_sql())(
+    lambda spark, sf_dir: tx.nb_quality(_docs(spark, sf_dir))
+)
 register("pipeline_perplexity_filter", sql=tx.perplexity_filter_sql())(
     lambda spark, sf_dir: tx.perplexity_filter(_docs(spark, sf_dir))
 )

@@ -3905,3 +3905,145 @@ SELECT n_merges, vocab_size, n_words, n_tokens,
             THEN CAST(n_tokens AS DOUBLE) / n_words END AS tokens_per_word
 FROM panel
 """
+
+
+# --- Naive-Bayes quality classifier bootstrap (round 12) -----------------------
+
+
+def nb_quality(docs: DataFrame, n_buckets_chars: int = 3) -> DataFrame:
+    """(doc_id, label, score, predicted, correct): a hashed-feature
+    Bernoulli Naive-Bayes quality classifier trained on the corpus's
+    OWN rule-based labels — the classifier-bootstrap move the GPT-3 /
+    CCNet data pipelines published (train a cheap linear model on a
+    trusted quality signal, then score everything with it; fastText
+    in the papers, NB here — same hashed bag-of-words geometry as
+    text_dsir_select, closed-form training so the whole train+score
+    round stays one relational plan with no iteration). Train split =
+    doc_id%2==0 with gopher_filter's keep as the label; per hashed
+    unigram bucket (first-3-hex md5, 4096 buckets) the model is the
+    smoothed log-odds w_b = log10((d_b1+1)/(N1+2)) −
+    log10((d_b0+1)/(N0+2)) over train-doc PRESENCE counts; a test doc
+    (doc_id%2==1) scores Σ w_b over its distinct present buckets
+    (unseen buckets take the closed-form zero-count weight) plus the
+    prior log-odds. predicted = score >= 0; ``correct`` compares
+    against the doc's own held-out gopher label.
+
+    Scale: one words explode per split (distinct doc-bucket pairs),
+    the model is ≤4096 rows and BROADCASTS into the test scan; priors
+    are a one-row broadcast; no iteration anywhere. Determinism:
+    log10 rounded at 9 (the libm rule) per term, per-doc sums as
+    micro6 BIGINT (bounded by 4096 terms), one IEEE addition for the
+    prior."""
+    from ..model import micro6
+    from .dedup import words
+
+    g = gopher_filter(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    wb = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.col("w")), 1, n_buckets_chars).alias("bkt"),
+        )
+        .distinct()
+    )
+    train = g.where(F.col("doc_id") % 2 == 0)
+    test = g.where(F.col("doc_id") % 2 == 1)
+    tb = wb.join(train, "doc_id")
+    counts = tb.groupBy("bkt").agg(
+        F.sum((F.col("label") == 1).cast("int")).alias("d1"),
+        F.sum((F.col("label") == 0).cast("int")).alias("d0"),
+    )
+    pri = train.agg(
+        F.sum((F.col("label") == 1).cast("int")).alias("n1"),
+        F.sum((F.col("label") == 0).cast("int")).alias("n0"),
+    )
+
+    def w_of(d1, d0):
+        return F.round(
+            F.log(
+                10.0,
+                (d1 + 1).cast("double") / (F.col("n1") + 2),
+            ),
+            9,
+        ) - F.round(
+            F.log(
+                10.0,
+                (d0 + 1).cast("double") / (F.col("n0") + 2),
+            ),
+            9,
+        )
+
+    model = counts.crossJoin(F.broadcast(pri)).select(
+        "bkt", w_of(F.col("d1"), F.col("d0")).alias("w")
+    )
+    unseen = pri.select(
+        w_of(F.lit(0), F.lit(0)).alias("wu"),
+        F.round(
+            F.log(
+                10.0, (F.col("n1") + 1).cast("double") / (F.col("n0") + 1)
+            ),
+            9,
+        ).alias("bias"),
+    )
+    scored = (
+        wb.join(test, "doc_id")
+        .join(F.broadcast(model), "bkt", "left")
+        .crossJoin(F.broadcast(unseen))
+        .groupBy("doc_id", "label", "bias")
+        .agg(F.sum(micro6(F.coalesce(F.col("w"), F.col("wu")))).alias("s6"))
+    )
+    score = F.col("s6").cast("double") / 1000000.0 + F.col("bias")
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("label"),
+        score.alias("score"),
+        (score >= 0).cast("bigint").alias("predicted"),
+        ((score >= 0).cast("int") == F.col("label"))
+        .cast("bigint")
+        .alias("correct"),
+    )
+
+
+def nb_quality_sql(n_buckets_chars: int = 3) -> str:
+    from ..model import micro6_sql
+
+    def w_of(d1, d0):
+        return (
+            f"ROUND(LN(CAST({d1} + 1 AS DOUBLE) / (n1 + 2)) / LN(10.0), 9) "
+            f"- ROUND(LN(CAST({d0} + 1 AS DOUBLE) / (n0 + 2)) / LN(10.0), 9)"
+        )
+
+    return f"""
+WITH g AS ({gopher_filter_sql()}),
+lab AS (SELECT doc_id, CAST(keep AS INT) AS label FROM g),
+wb AS (SELECT DISTINCT doc_id,
+       substr(md5(UNNEST({WORDS_SQL.format(c="text")})), 1, {n_buckets_chars})
+       AS bkt FROM documents),
+train AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
+counts AS (SELECT bkt,
+           SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS d1,
+           SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS d0
+           FROM wb JOIN train USING (doc_id) GROUP BY bkt),
+pri AS (SELECT SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0 FROM train),
+model AS (SELECT bkt, {w_of('d1', 'd0')} AS w FROM counts CROSS JOIN pri),
+unseen AS (SELECT {w_of('0', '0')} AS wu,
+           ROUND(LN(CAST(n1 + 1 AS DOUBLE) / (n0 + 1)) / LN(10.0), 9)
+           AS bias FROM pri),
+scored AS (SELECT t.doc_id, t.label, u.bias,
+           SUM({micro6_sql('COALESCE(m.w, u.wu)')}) AS s6
+           FROM wb JOIN test t USING (doc_id)
+           LEFT JOIN model m ON wb.bkt = m.bkt
+           CROSS JOIN unseen u
+           GROUP BY t.doc_id, t.label, u.bias)
+SELECT doc_id, CAST(label AS BIGINT) AS label,
+       CAST(s6 AS DOUBLE) / 1000000.0 + bias AS score,
+       CAST(CAST(s6 AS DOUBLE) / 1000000.0 + bias >= 0 AS BIGINT)
+         AS predicted,
+       CAST((CASE WHEN CAST(s6 AS DOUBLE) / 1000000.0 + bias >= 0
+             THEN 1 ELSE 0 END) = label AS BIGINT) AS correct
+FROM scored
+"""
