@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "emb_abtt",
     "emb_isotropy",
     "graph_community_labelprop",
+    "pipeline_nb_quality",
 ]
 
 

@@ -5184,14 +5184,21 @@ def dedup_semdedup(
     themselves.
 
     Scale: assignment is the map-only broadcast-argmin pass; the pair
-    join is cell-bucketed (shuffle key = cell, the codebook bounds
-    fan-out; cluster granularity k is the paper's knob for bounding
-    per-cell pairwise work); components run on the pair relation via
-    the shared propagate_components engine; the keeper window
-    partitions by root_id (groups are near-dup-sized). Determinism:
-    left-fold dots/norms, centroid norms precomputed as literals with
-    the same left fold, keeper ordering on micro6-quantized
-    similarity with vec_id ties.
+    join is cell-bucketed (shuffle key = cell); components run on the
+    pair relation via the shared propagate_components engine; the
+    keeper window partitions by root_id (groups are near-dup-sized).
+    The cost law is the paper's: SUM over cells of |cell|^2 — at a
+    FIXED k the per-cell pairwise work grows quadratically with
+    corpus size (measured: 12.2x time at 10x rows with k=16; 6.3x
+    with k=64 — the 10x rehearsal table in docs/NOTES_r12.md), so
+    production scales k with N (the paper runs k ~ 100k at web
+    scale) and fits the codebook to the data (ann_ivf_lloyd /
+    ann_ivf_refit_warm — a random codebook cannot subdivide a dense
+    natural cluster no matter how large k gets; a fitted one
+    bisects it, which is exactly what ann_ivf_split executes).
+    Determinism: left-fold dots/norms, centroid norms precomputed as
+    literals with the same left fold, keeper ordering on
+    micro6-quantized similarity with vec_id ties.
 
     Reference analogue: series/series.go:1's dedup-on-ingest keeps
     one representative per identical series; this is the semantic
