@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .model import literal_df
 
 from .model import NAME, T, VALUE, micro6
 from .operators.consolidate import slot_end
@@ -290,7 +291,7 @@ def pixel_agg_frame(spark, commands) -> DataFrame:
     ``render.pixel_datapoints`` does for the count pixels."""
     from .model import sanitize_name
 
-    cmds = spark.createDataFrame(
+    cmds = literal_df(spark,
         list(commands), "cmd string, name string, value double, t long"
     )
     return pixel_agg_parsed(cmds)

@@ -216,3 +216,46 @@ def r6(col: Column) -> Column:
     """Round a double output to 6 decimals — the cross-engine contract for
     any value produced by non-associative float math (stddev, products)."""
     return F.round(col, 6)
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a LOW-parallelism relation up to the
+    session's default parallelism before per-row-heavy work (regex
+    tokenization, shingle/passage explodes, k×d higher-order-function
+    distance folds). Scale-adaptive by construction: an input already
+    carrying >= defaultParallelism partitions passes through UNTOUCHED
+    — at cluster scale the scan supplies the parallelism and this is a
+    no-op; locally a single sub-MB parquet file yields ONE scan task,
+    and without the spread the whole per-row stage runs single-threaded
+    on a 32-core box (measured r12 at sf0.1: dedup_semdedup 17.9 s →
+    3.4 s, pipeline_prep_full 13.8 s → ~6 s). Round-robin repartition
+    is deterministic under retries (sort-before-repartition,
+    SPARK-23207) and every consumer is row-independent, so results are
+    unchanged at any partitioning."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small LITERAL relation as a SINGLE-slice Python RDD
+    (optimization round 12). spark.createDataFrame(list) parallelizes
+    even a 1-row literal into defaultParallelism slices, and EVERY
+    evaluation of the plan — each broadcast build, each coalesce(1)
+    codebook write — pays a Python-worker round per slice (mostly
+    EMPTY slices); a 16-row codebook coalesce(1) parquet write
+    measured 5.4 s on an idle 32-core box vs 0.31 s single-slice, and
+    a noop evaluation 0.51 s vs 0.25 s. One slice is semantically
+    identical (same pickled-row path, same toInternal conversions,
+    doubles cross bit-exactly) — only the slice count changes, and a
+    literal this small never needs partition parallelism. (A pure-JVM
+    F.lit struct-explode plan was measured too: zero Python workers
+    but ~3 s of PLANNING per evaluation for a 16×64-double tree —
+    worse. See OPTIMIZATION_r12.md.)"""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

@@ -10,6 +10,7 @@ included.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from ..model import literal_df
 
 from ..aggregator import (
     flush_counters_sql,
@@ -764,7 +765,7 @@ def streaming_semdedup_increment(spark, sf_dir):
     )
 
     cents = _ivf_codebook(16, seed=7)
-    cdf = spark.createDataFrame(
+    cdf = literal_df(spark,
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
     (

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..model import spread_small
 from .dedup import WORDS_SQL, shingles_of, shingles_sql, words
 
 
@@ -65,7 +66,7 @@ def passage_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     # (shingles_of docstring): an inlined words() recomputes the full
     # regex split per element inside the chunk lambda
     pas = (
-        docs.select("doc_id", words(F.col("text")).alias("w"))
+        spread_small(docs).select("doc_id", words(F.col("text")).alias("w"))
         .persist()  # see span_dedup's base comment (collapse re-inlines)  # fence: returned plan reads this cache
         .select("doc_id", _passages_of(F.col("w"), k).alias("ps"))
         .select("doc_id", F.explode("ps").alias("p"))
@@ -234,7 +235,9 @@ def span_dedup(docs: DataFrame, k: int = 16) -> DataFrame:
     # per doc; measured 42 s vs 0.3 s for the bare explode at sf0.1,
     # round 11). The cache is (doc_id, counts, window arrays) ≈ 3× text
     # — MEMORY_AND_DISK, the prep_full persisted-corpus class.
-    base = docs.select(
+    # spread_small: the 1-task local scan would otherwise run the
+    # regex split + shingle build single-threaded (no-op at scale).
+    base = spread_small(docs).select(
         "doc_id", words(F.col("text")).alias("w")
     ).select(
         "doc_id",
@@ -523,8 +526,11 @@ def _boiler_parts(docs: DataFrame, k: int, min_docs: int):
     (stats, cleaned) — per-doc chunk counts and the reassembled
     cleaned text relation (doc_id, cleaned)."""
     # persist: see span_dedup's base comment (projection collapse
-    # re-inlines words(text) into the passage lambda under Generate)
-    base = docs.select(
+    # re-inlines words(text) into the passage lambda under Generate).
+    # spread_small first: the documents scan is ONE task locally and
+    # the regex split + passage explode are per-row (model.spread_small
+    # docstring has the measurements; no-op at cluster scale).
+    base = spread_small(docs).select(
         "doc_id", words(F.col("text")).alias("w")
     ).select(
         "doc_id",
@@ -742,17 +748,23 @@ def span_dedup2(
     shuffles once on uniform md5 keys; position explodes run on
     DUPLICATED windows only (the spread filter first). Division
     guards per the CLAUDE.md rule."""
-    # NO persist here, deliberately (VERDICT r11 finding 1): the
-    # round-11 defensive persist of both shingle arrays cached ~80x the
-    # text and cost 4.8x per cold run, and a words-only persist still
-    # measured ~1.5x the no-persist plan — span_scrub's projection-
-    # collapse regex trap does not fire in this shape (each shingles_of
-    # lambda feeds exactly one posexplode Generate; driver r10 ran this
-    # exact plan at 0.513s vs the 0.612s budget). Recomputing the regex
-    # split per consumer is the scale-safe choice too: at 100 TB the
-    # split is embarrassingly parallel while an 80x (or even 1x) text
-    # cache would spill.
-    base = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    # Persist the WORDS array only (VERDICT r11 finding 1's exact
+    # prescription): 1x text, never the two shingle arrays (~80x text,
+    # the r11 regression). The persist is NOT optional: with w left
+    # lazy, any consumer that needs the full row (the oracle's collect,
+    # prep_weights' frac_long projection, a noop sink) lets Catalyst
+    # collapse the projection and re-inline words(text) into the
+    # shingles_of lambdas — the regex split re-runs PER ARRAY ELEMENT
+    # and the query goes quadratic in words-per-doc (measured r12:
+    # 87 s for prep_weights' pruned consumer at sf0.1, 18.7 s for the
+    # oracle's sf0.01 collect, vs ~1 s with w concrete; bench's
+    # count() timing hid it because count-pruning keeps the Generates
+    # separate). A cached (doc_id, w) row is the smallest barrier that
+    # blocks the re-inline for EVERY consumer shape.
+    wrel = spread_small(docs).select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).persist()  # fence: returned plan reads this cache
+    base = wrel.select(
         "doc_id",
         F.size("w").alias("n_words"),
         shingles_of(F.col("w"), k_short).alias("gs"),
@@ -883,7 +895,9 @@ def span_scrub(docs: DataFrame, k: int = 16) -> DataFrame:
     deployment shape. Division guarded per the CLAUDE.md rule."""
     # persist: see span_dedup's base comment (projection collapse
     # re-inlines words(text) into the shingle lambda under Generate)
-    base = docs.select("doc_id", words(F.col("text")).alias("w")).persist()  # fence: returned plan reads this cache
+    base = spread_small(docs).select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).persist()  # fence: returned plan reads this cache
     spans = base.select(
         "doc_id", F.posexplode(shingles_of(F.col("w"), k)).alias("p", "g")
     ).select("doc_id", (F.col("p") + 1).alias("s"), F.md5("g").alias("h"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..model import literal_df
 
 N_HASHES = 16
 N_BANDS = 4
@@ -676,14 +677,14 @@ def propagate_components(
         touched = {p for r in edge_rows for p in (r["a"], r["b"])}
         lab = [(d, find(d)) for d in sorted(touched)]
         spark = nodes.sparkSession
-        touched_df = spark.createDataFrame(
+        touched_df = literal_df(spark,
             [(d,) for d in sorted(touched)], "doc_id long"
         )
         singles = nodes.join(touched_df, "doc_id", "left_anti").select(
             "doc_id", F.col("doc_id").alias("root_id")
         )
         if lab:
-            return spark.createDataFrame(
+            return literal_df(spark,
                 lab, "doc_id long, root_id long"
             ).unionAll(singles)
         return singles
@@ -1446,7 +1447,7 @@ def dedup_threshold_sweep(docs: DataFrame) -> DataFrame:
     re-enters as a one-row broadcast."""
     pairs = dedup_minhash_lsh(docs).persist()  # fence: returned plan reads this cache
     spark = docs.sparkSession
-    th = spark.createDataFrame(
+    th = literal_df(spark,
         [(float(t),) for t in _THRESHOLD_SWEEP], "threshold double"
     )
     hit = pairs.crossJoin(F.broadcast(th)).where(
@@ -1831,7 +1832,7 @@ def dedup_minhash_k_sweep(docs: DataFrame) -> DataFrame:
             (ni.cast("double") / (F.col("na") + F.col("nb") - ni)).alias("jacc"),
         )
     )
-    ks = docs.sparkSession.createDataFrame(
+    ks = literal_df(docs.sparkSession,
         [(k,) for k in MINHASH_KS], "k int"
     )
     est = F.aggregate(

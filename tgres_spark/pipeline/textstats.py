@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..model import literal_df
 
 from .dedup import WORDS_SQL, words
 
@@ -586,6 +587,39 @@ def perplexity_filter_sql(backoff: float = 0.4) -> str:
     )
 
 
+def _top_run_count(arr):
+    """Max multiplicity of any element of a string array: sort, then
+    count the longest equal-run in ONE O(n log n) pass — the same
+    integer, by definition, as the O(n·distinct) distinct×filter scan
+    it replaces (optimization round 12: that scan was ~n²/2 interpreted
+    comparisons per document and dominated every consumer that actually
+    evaluates the repetition signals — pipeline_prep_full's gopher
+    stage measured ~12 s at sf0.1, ~1 s with the run-length fold; the
+    standalone gopher/repetition bench keys looked fast only because
+    count() pruned the signal columns). Integer-valued, so the swap is
+    bit-safe: the doubles downstream divide the identical integers."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)
+        ).otherwise(acc["run"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    # empty array -> 0 (the callers filter n >= 2, and every consumer
+    # guards the division, so the NULL-vs-0 distinction of the old
+    # array_max(empty) is unreachable in output)
+    return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
+
+
 def text_repetition(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac):
     Gopher-style repetition signals (Rae et al. 2021 §A1.1 — excessive
@@ -613,18 +647,8 @@ def text_repetition(docs: DataFrame) -> DataFrame:
         ),
     )
     b = base.select("doc_id", "ws", n.alias("n"), bigrams.alias("bg"))
-    top_w = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("ws")),
-            lambda x: F.size(F.filter(F.col("ws"), lambda y: y == x)),
-        )
-    )
-    top_b = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("bg")),
-            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
-        )
-    )
+    top_w = _top_run_count(F.col("ws"))
+    top_b = _top_run_count(F.col("bg"))
     nn = F.col("n")
     return b.select(
         "doc_id",
@@ -697,18 +721,8 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
         "doc_id", "ws", n.alias("n"), bigrams.alias("bg"),
         word_chars.alias("wc"),
     )
-    top_w = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("ws")),
-            lambda x: F.size(F.filter(F.col("ws"), lambda y: y == x)),
-        )
-    )
-    top_b = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("bg")),
-            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
-        )
-    )
+    top_w = _top_run_count(F.col("ws"))
+    top_b = _top_run_count(F.col("bg"))
     nn = F.col("n")
     # every division guarded although base filters len >= 2: across a
     # persist boundary (pipeline_prep_full's cleaned corpus, which
@@ -3271,7 +3285,7 @@ def pipeline_quality_sweep(docs: DataFrame) -> DataFrame:
     _, prob = _quality_logit()
     n_tok = F.size(words(F.col("text"))).cast("bigint")
     q = docs.select(prob.alias("prob"), n_tok.alias("ntok"))
-    cuts = docs.sparkSession.createDataFrame(
+    cuts = literal_df(docs.sparkSession,
         [(c,) for c in QUALITY_CUTS], "cutoff double"
     )
     kept = q.crossJoin(F.broadcast(cuts)).where(

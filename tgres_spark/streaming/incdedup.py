@@ -264,6 +264,7 @@ def run_semdedup_increment_stream(
 
     import pyspark.sql.functions as F
 
+    from ..model import literal_df
     from ..pipeline.similarity import (
         _dot,
         _ivf_codebook,
@@ -272,7 +273,7 @@ def run_semdedup_increment_stream(
     )
 
     cents = _ivf_codebook(k, seed=seed)
-    cdf = spark.createDataFrame(
+    cdf = literal_df(spark,
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
 
