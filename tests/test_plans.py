@@ -142,10 +142,15 @@ def test_multi_rra_shares_one_duration_pass(spark, qs):
 
 def test_repetition_and_gopher_are_map_only(spark, qs):
     # per-doc repetition signals must come from higher-order functions,
-    # never an explode + corpus-wide groupBy: zero shuffles in the plan
+    # never an explode + corpus-wide groupBy: no KEY shuffle in the
+    # plan. A single RoundRobinPartitioning exchange is the
+    # model.spread_small scan-parallelism spread (round 12) — data-
+    # independent, carries no aggregation, allowed; hashpartitioning
+    # would mean the signals left the per-row HOF shape and is not.
     for key in ("text_repetition", "pipeline_gopher_filter"):
         p = plan_of(qs[key](spark, SF))
-        assert "Exchange" not in p, key
+        assert "Exchange hashpartitioning" not in p, key
+        assert "SinglePartition" not in p, key
 
 
 def test_ivf_assign_broadcasts_codebook(spark, qs):

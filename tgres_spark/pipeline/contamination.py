@@ -130,7 +130,7 @@ def contamination_check(
     threshold. Benchmark membership is by ``source`` here; a real run
     passes the actual eval-set relation as the benchmark side."""
     grams = (
-        docs.select("doc_id", "source", words(F.col("text")).alias("w"))
+        spread_small(docs).select("doc_id", "source", words(F.col("text")).alias("w"))
         .select(
             "doc_id",
             "source",
@@ -351,7 +351,7 @@ def bloom_decontaminate(
     from ..operators.sketch import _bloom_bits, bloom_sketch
 
     grams = (
-        docs.select("doc_id", "source", words(F.col("text")).alias("w"))
+        spread_small(docs).select("doc_id", "source", words(F.col("text")).alias("w"))
         .select(
             "doc_id",
             "source",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..model import literal_df
+from ..model import literal_df, spread_small
 
 N_HASHES = 16
 N_BANDS = 4
@@ -112,7 +112,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     the exploded shingle relation — the largest intermediate in the
     whole pipeline. Map-side partial aggregation collapses each
     partition to one 16-column row per doc before the only shuffle."""
-    sh = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    sh = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id", F.explode(shingles_of(F.col("w"))).alias("sh")
     )
     salts = ["", "a:", "b:", "c:"]
@@ -252,7 +252,7 @@ def dedup_minhash_est(docs: DataFrame) -> DataFrame:
     set sizes, one double division with identical op order, ABS of
     identical doubles."""
     pairs = dedup_minhash_lsh(docs)
-    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id", F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh")
     )
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
@@ -339,7 +339,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     shuffles hash on doc_id-prefixed keys with map-side combine (the
     (doc_id, bit) relation collapses to 64 rows/doc per partition
     before it moves)."""
-    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    w = spread_small(docs).select("doc_id", F.explode(words(F.col("text"))).alias("w"))
     wc = w.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
     hx = wc.select("doc_id", "cnt", F.md5("w").alias("h"))
     halves = hx.select(
@@ -534,7 +534,7 @@ def dedup_ngram_jaccard(
     pass and joined on the (lang, g) key the self-join already
     shuffles on — co-partitioned, no extra exchange."""
     grams = (
-        docs.select("doc_id", "lang", words(F.col("text")).alias("w"))
+        spread_small(docs).select("doc_id", "lang", words(F.col("text")).alias("w"))
         .select(
             "doc_id", "lang", F.explode(shingles_of(F.col("w"), k=2)).alias("g")
         )
@@ -950,7 +950,7 @@ def dedup_minhash_band_sweep(
     base_pairs = (
         cand.where(F.col("cfg") == "16x1").select("doc_a", "doc_b")
     )
-    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
     )
@@ -1252,7 +1252,7 @@ def dedup_containment(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         )
         .distinct()
     )
-    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
     )
@@ -1668,7 +1668,7 @@ def dedup_simhash_sweep(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     from ..model import dsum
 
     pairs = chunk_hamming_pairs(simhash(docs), max_hamming)
-    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
     )
@@ -1808,7 +1808,7 @@ def dedup_minhash_k_sweep(docs: DataFrame) -> DataFrame:
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    shd = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
     )

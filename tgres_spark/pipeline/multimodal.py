@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..model import spread_small
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int, "
     "sample_rate int, n_frames int"
@@ -37,7 +39,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
     payload = F.unhex(F.concat(F.md5("text"), F.md5(F.reverse("text"))))
-    return docs.select(
+    # spread_small: the single-file documents scan is ONE task locally,
+    # which would serialize the payload hashing AND every downstream
+    # mapInPandas featurize into one Python worker (no-op at scale).
+    return spread_small(docs).select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         payload.alias("payload"),

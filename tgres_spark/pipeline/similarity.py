@@ -52,7 +52,7 @@ def ann_cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 10) -> DataFra
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = _spread(emb).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
         F.broadcast(q)
@@ -480,7 +480,7 @@ def _lsh_signatures(emb: DataFrame, seed: int = 42) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    d = emb.crossJoin(F.broadcast(planes_df)).select(
+    d = _spread(emb).crossJoin(F.broadcast(planes_df)).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
@@ -774,7 +774,7 @@ def ann_ivf_assign(emb: DataFrame, k: int = IVF_CODEBOOK_K, seed: int = 7) -> Da
             lambda acc, x: acc + x,
         ),
     )
-    d = emb.crossJoin(F.broadcast(cdf)).select("vec_id", dists.alias("dists"))
+    d = _spread(emb).crossJoin(F.broadcast(cdf)).select("vec_id", dists.alias("dists"))
     return d.select(
         "vec_id",
         F.array_position(F.col("dists"), F.array_min("dists"))
@@ -963,7 +963,7 @@ def ann_ivf_lloyd(
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
     a = (
-        emb.crossJoin(F.broadcast(cdf))
+        _spread(emb).crossJoin(F.broadcast(cdf))
         .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
         .select(
             "vec_id",
@@ -1057,7 +1057,7 @@ def _pq_with_codes(emb: DataFrame, seed: int = 11) -> DataFrame:
     # F.transform pass the ELEMENT INDEX as the second argument,
     # silently shadowing the captured subvector number — materialize
     # the subvector slices first and close over `s` outside the lambda.
-    with_sub = emb.crossJoin(F.broadcast(cdf)).select(
+    with_sub = _spread(emb).crossJoin(F.broadcast(cdf)).select(
         "vec_id",
         "embedding",
         "cbs",
@@ -1615,7 +1615,7 @@ def ann_ivfadc_search(
         )
 
     asg = (
-        emb.crossJoin(F.broadcast(ivf_cdf))
+        _spread(emb).crossJoin(F.broadcast(ivf_cdf))
         .select("vec_id", "embedding", "cents",
                 ivf_dists("embedding").alias("dists"))
         .select(
@@ -2246,7 +2246,7 @@ def emb_int8_quantize(emb: DataFrame) -> DataFrame:
         lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
     )
     return (
-        emb.select("vec_id", "embedding")
+        _spread(emb).select("vec_id", "embedding")
         .join(F.broadcast(scales_row))
         .select("vec_id", "embedding", "scales", codes.alias("codes"))
         .select("vec_id", "embedding", "codes", recon.alias("recon"))
@@ -2329,7 +2329,7 @@ def _int8_recon(emb: DataFrame) -> DataFrame:
         F.col("codes"), F.col("scales"), lambda c, s: c.cast("double") * s
     )
     return (
-        emb.select("vec_id", "embedding")
+        _spread(emb).select("vec_id", "embedding")
         .join(F.broadcast(scales_row))
         .select("vec_id", "scales", codes.alias("codes"))
         .select("vec_id", recon.alias("rv"))
@@ -3655,7 +3655,7 @@ def ann_ivf_margin(
     cdf = literal_df(emb.sparkSession,
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
-    d = emb.crossJoin(F.broadcast(cdf)).select(
+    d = _spread(emb).crossJoin(F.broadcast(cdf)).select(
         "vec_id", _sq_dists(F.col("cents")).alias("dists")
     )
     ds = F.array_sort(F.col("dists"))
@@ -3735,7 +3735,7 @@ def emb_matryoshka_eval(
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(
+    c = _spread(emb).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -4380,7 +4380,7 @@ def ann_ivf_split(
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
     a0 = (
-        emb.crossJoin(F.broadcast(cdf))
+        _spread(emb).crossJoin(F.broadcast(cdf))
         .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
         .select(
             "vec_id",
@@ -4551,7 +4551,7 @@ def ann_ivf_merge(
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
     a0 = (
-        emb.crossJoin(F.broadcast(cdf))
+        _spread(emb).crossJoin(F.broadcast(cdf))
         .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
         .select(
             "vec_id",
@@ -5521,7 +5521,7 @@ def dedup_semdedup_increment(
         [([list(map(float, c)) for c in cents],)], "cents array<array<double>>"
     )
     a = (
-        emb.crossJoin(F.broadcast(cdf))
+        _spread(emb).crossJoin(F.broadcast(cdf))
         .select("vec_id", "embedding", _sq_dists(F.col("cents")).alias("dists"))
         .select(
             "vec_id",

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..model import literal_df
+from ..model import literal_df, spread_small
 
 from .dedup import WORDS_SQL, words
 
@@ -311,7 +311,7 @@ def text_unigram_logprob(docs: DataFrame) -> DataFrame:
     satisfied: |logp| < 20 per token)."""
     from ..model import micro6
 
-    tok = docs.select(
+    tok = spread_small(docs).select(
         "doc_id", F.explode(words(F.col("text"))).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count("*").alias("c"))
@@ -389,7 +389,7 @@ def text_bigram_lm(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
     int/int double divisions for the fractions."""
     from ..model import micro6
 
-    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
     train_tok = (
         base.where(F.col("doc_id") % 2 == 0)
         .select(F.explode("ws").alias("w"))
@@ -636,7 +636,7 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     Docs with < 2 words are dropped (repetition undefined) — mirrored
     in the oracle. All counts are integers; each ratio is a single
     int/int double division, identical in both engines."""
-    base = docs.select("doc_id", words(F.col("text")).alias("ws")).where(
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws")).where(
         F.size("ws") >= 2
     )
     n = F.size("ws")
@@ -702,7 +702,7 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     text_repetition). The keep flag is pure integer/boolean algebra
     over signals that are themselves cross-engine exact."""
     r = GOPHER_RULES
-    base = docs.select("doc_id", words(F.col("text")).alias("ws")).where(
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws")).where(
         F.size("ws") >= 2
     )
     n = F.size("ws")
@@ -803,7 +803,7 @@ def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 50) -> DataFrame:
     both engines pick the same k rows."""
     from .dedup import shingles_of, words
 
-    base = docs.select(words(F.col("text")).alias("ws"), "doc_id")
+    base = spread_small(docs).select(words(F.col("text")).alias("ws"), "doc_id")
     grams = base.select(
         "doc_id", F.explode(shingles_of(F.col("ws"), n)).alias("gram")
     )
@@ -847,7 +847,7 @@ def corpus_zipf_fit(docs: DataFrame, k: int = 100) -> DataFrame:
     from ..model import micro6
     from .dedup import words
 
-    base = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    base = spread_small(docs).select(F.explode(words(F.col("text"))).alias("w"))
     counts = base.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(k)
 
@@ -925,7 +925,7 @@ def _dsir_buckets(docs: DataFrame) -> DataFrame:
     the streaming scorer's model build."""
     from .dedup import words
 
-    base = docs.select("doc_id", "source", words(F.col("text")).alias("ws"))
+    base = spread_small(docs).select("doc_id", "source", words(F.col("text")).alias("ws"))
     b2 = base.where(F.size("ws") >= 2)
     return (
         b2.select(
@@ -1196,7 +1196,7 @@ def corpus_heaps_curve(docs: DataFrame, n_points: int = 10) -> DataFrame:
     integer."""
     from .dedup import words
 
-    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
     per_doc = base.select("doc_id", F.size("ws").alias("n_tok"))
     wmin = (
         base.select("doc_id", F.explode("ws").alias("w"))
@@ -1528,7 +1528,7 @@ def corpus_bpe_pairs(docs: DataFrame, k: int = 50) -> DataFrame:
     from .dedup import words
 
     vocab = (
-        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
@@ -1752,7 +1752,7 @@ def text_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
     from .dedup import shingles_of
 
     grams = (
-        docs.select("doc_id", words(F.col("text")).alias("w"))
+        spread_small(docs).select("doc_id", words(F.col("text")).alias("w"))
         .select("doc_id", F.explode(shingles_of(F.col("w"), k)).alias("g"))
         .select("doc_id", F.md5("g").alias("h"))
         .distinct()
@@ -1825,7 +1825,7 @@ def text_tfidf_keywords(docs: DataFrame, topn: int = 5) -> DataFrame:
     WindowGroupLimit rank, never a global sort."""
     from .dedup import words
 
-    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    w = spread_small(docs).select("doc_id", F.explode(words(F.col("text"))).alias("w"))
     tf = w.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df_ = w.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.select(F.count_distinct("doc_id").alias("n"))
@@ -1917,7 +1917,7 @@ def corpus_oov_rate(docs: DataFrame, vocab_size: int = 24) -> DataFrame:
     the scoring join, scoring is map-side after it; the final groupBy
     has (lang × source) keys. No doc-row sort anywhere; top-V is
     TakeOrdered, not a global window."""
-    base = docs.select(
+    base = spread_small(docs).select(
         "doc_id", "lang", "source", words(F.col("text")).alias("ws")
     )
     vocab = _oov_vocab(base, vocab_size).select("w", F.lit(1).alias("iv"))
@@ -1995,7 +1995,7 @@ def oov_vocab_row(docs: DataFrame, vocab_size: int = 24) -> DataFrame:
     dsir_model_row, the constant-size artifact that broadcasts into a
     stateless stream projection (≤vocab_size entries at ANY corpus
     size)."""
-    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
     return _oov_vocab(base, vocab_size).agg(
         F.array_sort(F.collect_list("w")).alias("va")
     )
@@ -2064,7 +2064,7 @@ def corpus_diversity(docs: DataFrame) -> DataFrame:
     (bounded by type domain × sources) and the per-source fold;
     source totals re-enter by broadcast join."""
     wc = (
-        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select("source", F.explode(words(F.col("text"))).alias("w"))
         .groupBy("source", "w")
         .agg(F.count("*").alias("c"))
     )
@@ -2154,7 +2154,7 @@ def text_trigram_lm(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
     be NULL/0."""
     from ..model import micro6
 
-    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
     train_tok = (
         base.where(F.col("doc_id") % 2 == 0)
         .select(F.explode("ws").alias("w"))
@@ -2319,7 +2319,7 @@ def corpus_bpe_merge2(docs: DataFrame, k: int = 50) -> DataFrame:
     from .dedup import words
 
     vocab = (
-        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
         # feeds round-1 weights AND the merge/round-2 recount in the
@@ -2481,7 +2481,7 @@ def text_kenlm_proxy(
     from ..model import micro6
     from .dedup import words
 
-    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
     train = base.where(F.col("doc_id") % 2 == 0)
     train_tok = train.select(F.explode("ws").alias("w"))
     cu = train_tok.groupBy("w").agg(F.count("*").alias("cu"))
@@ -3041,7 +3041,7 @@ def corpus_bpe_merge3(docs: DataFrame, k: int = 50) -> DataFrame:
     from .dedup import words
 
     vocab = (
-        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
         .persist()  # fence: returned plan reads this cache
@@ -3361,7 +3361,7 @@ def corpus_source_overlap(docs: DataFrame, k: int = 8) -> DataFrame:
     from .dedup import shingles_of
 
     g = (
-        docs.select("source", words(F.col("text")).alias("w"))
+        spread_small(docs).select("source", words(F.col("text")).alias("w"))
         .select("source", F.explode(shingles_of(F.col("w"), k)).alias("gr"))
         .select("source", F.md5("gr").alias("h"))
         .distinct()
@@ -3586,7 +3586,7 @@ def corpus_bpe_encode(
     from .dedup import words
 
     dw = (
-        docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select("doc_id", F.explode(words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
         .persist()  # fence: returned plan reads this cache
@@ -3632,7 +3632,7 @@ def corpus_bpe_fertility(
     from .dedup import words
 
     dw = (
-        docs.select(
+        spread_small(docs).select(
             "doc_id", "lang", F.explode(words(F.col("text"))).alias("w")
         )
         .groupBy("doc_id", "lang", "w")
@@ -3790,7 +3790,9 @@ def text_unicode_anomalies(docs: DataFrame) -> DataFrame:
         ccount(_ZW_PAT), ccount(_BIDI_PAT), ccount(_CTRL_PAT), ccount(_REPL_PAT)
     )
     bad = zw + bd + ct + rp
-    return docs.select(
+    # spread_small: four regex scans per row off a 1-task local scan
+    # (no-op at scale); consumed for real by prep_weights/prep chains
+    return spread_small(docs).select(
         "doc_id",
         n.cast("bigint").alias("n_chars"),
         zw.cast("bigint").alias("n_zero_width"),
@@ -3845,7 +3847,7 @@ def corpus_bpe_sweep(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame
     from .dedup import words
 
     vocab = (
-        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
         .persist()  # fence: returned plan reads this cache
@@ -3955,7 +3957,7 @@ def nb_quality(docs: DataFrame, n_buckets_chars: int = 3) -> DataFrame:
         "doc_id", F.col("keep").cast("int").alias("label")
     )
     wb = (
-        docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        spread_small(docs).select("doc_id", F.explode(words(F.col("text"))).alias("w"))
         .select(
             "doc_id",
             F.substring(F.md5(F.col("w")), 1, n_buckets_chars).alias("bkt"),
