@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..model import literal_df
+
 PR_DAMP = 0.85
 HOST_MOD = 97
 _Q = 1_000_000_000_000.0  # 1e12 quantization unit
@@ -65,109 +67,87 @@ def synth_host_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
+def _q12_py(x: float) -> int:
+    """Driver replica of _q12: floor(x·1e12 + 0.5) — the same two
+    IEEE double ops, then an exact floor to int."""
+    import math
+
+    return math.floor(x * _Q + 0.5)
+
+
 def pagerank2(
     nodes: DataFrame, edges: DataFrame, damp: float = PR_DAMP
 ) -> DataFrame:
     """(host_id, out_deg, pr1, pr2): two damped PageRank iterations
-    from the uniform start, composed in one Catalyst tree. Dangling
-    nodes (no out-edges after filtering) redistribute their mass
-    uniformly — the standard correction, carried as a one-row scalar:
+    from the uniform start. Dangling nodes (no out-edges after
+    filtering) redistribute their mass uniformly — the standard
+    correction:
 
         pr_{t+1}(v) = (1-d)/N + d·( Σ_{u→v} pr_t(u)/deg(u) + dang_t/N )
 
-    100 TB shape: the two contribution joins are co-keyed on host ids
-    (edges ⋈ deg on src, then ⋈ pr on src — same key, one shuffle
-    partitioning reused); the in-neighbor sums map-combine; N /
-    dangling mass are one-row broadcasts. Per the broadcast-fence rule
-    (CLAUDE.md), every relation feeding a one-row build under another
-    consumer is persist()+count()-fenced."""
+    Shape (optimization round 12): the host domain is bounded by
+    HOST_MOD=97 — a STRUCTURAL constant, independent of corpus size —
+    so nodes (≤97 rows) and edges (≤97·96 rows) are bounded collects
+    (the accepted codebook-collect class), and both rank iterations
+    run as driver arithmetic replicating the old Catalyst plan
+    bit-exactly: per-edge _q12 quantization before int sums (int
+    addition is order-free; sums stay ≤97·1e12 « 2^53), bigint→double
+    casts and divisions in the identical op order, coalesce(·,0.0)
+    as dict-miss → 0.0. The old shape paid ~8 fenced jobs + 2
+    co-keyed contribution joins on ≤97-row relations — pure driver
+    planning/scheduling overhead (the _lloyd_cents lesson). The
+    corpus-sized work (graph synthesis scans) stays distributed in
+    the callers; only the host-domain algebra moved."""
     d = float(damp)
-    nodes = nodes.persist()
-    edges = edges.persist()  # fence: returned plan reads this cache
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nd = nodes.join(
-        deg.select(F.col("src").alias("host_id"), "deg"), "host_id", "left"
-    ).persist()
-    nd.count()  # fence: nd feeds the one-row stats build AND the output join
-    stats = nd.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("deg").isNull().cast("bigint")).alias("ndang"),
-    )
-
-    def _iter(pr_rel, pr_col):
-        # pr_rel: (host_id, <pr_col>, deg nullable) — one iteration
-        contrib = (
-            edges.join(
-                pr_rel.select(
-                    F.col("host_id").alias("src"), pr_col, "deg"
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(
-                (
-                    F.sum(_q12(F.col(pr_col) / F.col("deg"))).cast("double")
-                    / _Q
-                ).alias("contrib")
-            )
-            .select(F.col("dst").alias("host_id"), "contrib")
-        )
-        dang = pr_rel.agg(
-            (
-                F.sum(
-                    F.when(F.col("deg").isNull(), _q12(F.col(pr_col)))
-                    .otherwise(F.lit(0))
-                ).cast("double")
-                / _Q
-            ).alias("dang")
-        )
-        return contrib, dang
-
+    spark = nodes.sparkSession
+    ns = sorted(int(r["host_id"]) for r in nodes.collect())
+    es = [(int(r["src"]), int(r["dst"])) for r in edges.collect()]
+    deg: dict = {}
+    for s, _t in es:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(ns)
+    ndang = sum(1 for v in ns if v not in deg)
     # iteration 1 from the uniform start: pr0 = 1/N exactly, so the
     # dangling mass is ndang/N exactly — no quantized sum needed
-    pr0 = nd.crossJoin(F.broadcast(stats)).select(
-        "host_id",
-        "deg",
-        "n",
-        "ndang",
-        (F.lit(1.0) / F.col("n")).alias("pr0"),
-    )
-    c1, _ = _iter(pr0, "pr0")
-    pr1 = (
-        pr0.join(c1, "host_id", "left")
-        .select(
-            "host_id",
-            "deg",
-            "n",
-            (
-                F.lit(1.0 - d) / F.col("n")
-                + F.lit(d)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + (F.col("ndang") / F.col("n")) / F.col("n")
-                )
-            ).alias("pr1"),
+    pr0 = 1.0 / n
+    c1: dict = {}
+    for s, t in es:
+        c1[t] = c1.get(t, 0) + _q12_py(pr0 / deg[s])
+    # replicate the exact expression order of the old plan:
+    # (1-d)/n + d*(coalesce(contrib,0) + (ndang/n)/n)
+    pr1 = {
+        v: (1.0 - d) / n
+        + d
+        * (
+            (float(c1[v]) / _Q if v in c1 else 0.0)
+            + (ndang / n) / n
         )
-        .persist()
-    )
-    pr1.count()  # fence: pr1 feeds the contrib join AND the one-row dang build
-    c2, dang1 = _iter(pr1, "pr1")
-    return (
-        pr1.join(c2, "host_id", "left")
-        .crossJoin(F.broadcast(dang1))
-        .select(
-            "host_id",
-            F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("out_deg"),
-            "pr1",
-            (
-                F.lit(1.0 - d) / F.col("n")
-                + F.lit(d)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dang") / F.col("n")
-                )
-            ).alias("pr2"),
+        for v in ns
+    }
+    dang1 = 0
+    for v in ns:
+        if v not in deg:
+            dang1 += _q12_py(pr1[v])
+    dang1d = float(dang1) / _Q
+    c2: dict = {}
+    for s, t in es:
+        c2[t] = c2.get(t, 0) + _q12_py(pr1[s] / deg[s])
+    rows = [
+        (
+            v,
+            deg.get(v, 0),
+            pr1[v],
+            (1.0 - d) / n
+            + d
+            * (
+                (float(c2[v]) / _Q if v in c2 else 0.0)
+                + dang1d / n
+            ),
         )
+        for v in ns
+    ]
+    return literal_df(
+        spark, rows, "host_id long, out_deg bigint, pr1 double, pr2 double"
     )
 
 
@@ -573,119 +553,65 @@ def pagerank2_weighted(
     standard personalized correction — uniform redistribution would
     leak rank back toward hosts the prior meant to discount).
 
-    Same 100 TB shape as pagerank2: contribution joins co-keyed on
-    host ids, in-neighbor sums quantized to 1e12-unit BIGINTs before
-    map-side combine, N / Σkeeps / dangling mass one-row broadcasts,
-    persist fences per the broadcast-fence rule. p is an
-    exact-integer ratio; pr·w/W is identical-op-order IEEE algebra in
-    both engines."""
+    Shape (optimization round 12): same driver-side bounded-collect
+    kernel as pagerank2 — nodes ≤97, weighted edges ≤97·96, pers ≤97
+    rows, all bounded by the structural HOST_MOD constant; the
+    per-edge _q12(pr·w/W) quantization, the exact-integer p ratio,
+    and every coalesce/divide replicate the old Catalyst expressions
+    in identical IEEE op order (int sums are order-free). The
+    corpus-sized work (weighted graph synthesis, the Gopher keep-rate
+    scan behind pers) stays distributed in the callers."""
     d = float(damp)
-    edges = edges.persist()  # fence: returned plan reads this cache
-    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    nd = (
-        nodes.join(
-            wsum.select(F.col("src").alias("host_id"), "wsum"),
-            "host_id",
-            "left",
-        )
-        .join(pers, "host_id", "left")
-        .select(
-            "host_id",
-            "wsum",
-            F.coalesce("keeps", F.lit(0)).cast("bigint").alias("keeps"),
-        )
-        .persist()
-    )
-    nd.count()  # fence: nd feeds the one-row totals build AND the chain
-    tot = nd.agg(
-        F.sum("keeps").alias("tk"), F.count(F.lit(1)).alias("n")
-    )
-    p0 = (
-        nd.crossJoin(F.broadcast(tot))
-        .select(
-            "host_id",
-            "wsum",
-            "keeps",
-            (
-                (F.col("keeps") + F.lit(1)).cast("double")
-                / (F.col("tk") + F.col("n"))
-            ).alias("p"),
-        )
-        .withColumn("pr0", F.col("p"))
-        .persist()
-    )
-    p0.count()  # fence: p0 feeds the contrib join AND the one-row dang build
+    spark = nodes.sparkSession
+    ns = sorted(int(r["host_id"]) for r in nodes.collect())
+    es = [
+        (int(r["src"]), int(r["dst"]), int(r["w"])) for r in edges.collect()
+    ]
+    keeps = {int(r["host_id"]): int(r["keeps"]) for r in pers.collect()}
+    wsum: dict = {}
+    for s, _t, w in es:
+        wsum[s] = wsum.get(s, 0) + w
+    n = len(ns)
+    tk = sum(keeps.get(v, 0) for v in ns)
+    # p is an exact-integer ratio: (keeps+1)/(tk+n), bigints cast to
+    # double exactly (all « 2^53)
+    p = {v: float(keeps.get(v, 0) + 1) / float(tk + n) for v in ns}
+    pr0 = p
 
-    def _iter(rel, pr_col):
-        contrib = (
-            edges.join(
-                rel.select(
-                    F.col("host_id").alias("src"), pr_col, "wsum"
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(
-                (
-                    F.sum(
-                        _q12(F.col(pr_col) * F.col("w") / F.col("wsum"))
-                    ).cast("double")
-                    / _Q
-                ).alias("contrib")
-            )
-            .select(F.col("dst").alias("host_id"), "contrib")
-        )
-        dang = rel.agg(
-            (
-                F.sum(
-                    F.when(F.col("wsum").isNull(), _q12(F.col(pr_col)))
-                    .otherwise(F.lit(0))
-                ).cast("double")
-                / _Q
-            ).alias("dang")
-        )
-        return contrib, dang
+    def _iter_py(pr: dict) -> tuple[dict, float]:
+        contrib: dict = {}
+        for s, t, w in es:
+            contrib[t] = contrib.get(t, 0) + _q12_py(pr[s] * w / wsum[s])
+        dang = 0
+        for v in ns:
+            if v not in wsum:
+                dang += _q12_py(pr[v])
+        return contrib, float(dang) / _Q
 
-    c1, dang0 = _iter(p0, "pr0")
-    pr1 = (
-        p0.join(c1, "host_id", "left")
-        .crossJoin(F.broadcast(dang0))
-        .select(
-            "host_id",
-            "wsum",
-            "keeps",
-            "p",
-            (
-                F.lit(1.0 - d) * F.col("p")
-                + F.lit(d)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dang") * F.col("p")
-                )
-            ).alias("pr1"),
+    c1, dang0 = _iter_py(pr0)
+    pr1 = {
+        v: (1.0 - d) * p[v]
+        + d * ((float(c1[v]) / _Q if v in c1 else 0.0) + dang0 * p[v])
+        for v in ns
+    }
+    c2, dang1 = _iter_py(pr1)
+    rows = [
+        (
+            v,
+            wsum.get(v, 0),
+            keeps.get(v, 0),
+            p[v],
+            pr1[v],
+            (1.0 - d) * p[v]
+            + d * ((float(c2[v]) / _Q if v in c2 else 0.0) + dang1 * p[v]),
         )
-        .persist()
-    )
-    pr1.count()  # fence: pr1 feeds the contrib join AND the one-row dang build
-    c2, dang1 = _iter(pr1, "pr1")
-    return (
-        pr1.join(c2, "host_id", "left")
-        .crossJoin(F.broadcast(dang1))
-        .select(
-            "host_id",
-            F.coalesce("wsum", F.lit(0)).cast("bigint").alias("out_w"),
-            "keeps",
-            "p",
-            "pr1",
-            (
-                F.lit(1.0 - d) * F.col("p")
-                + F.lit(d)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dang") * F.col("p")
-                )
-            ).alias("pr2"),
-        )
+        for v in ns
+    ]
+    return literal_df(
+        spark,
+        rows,
+        "host_id long, out_w bigint, keeps bigint, p double, "
+        "pr1 double, pr2 double",
     )
 
 
@@ -857,51 +783,40 @@ def community_labelprop(
     the relation oracle-able (the same fixed-iteration discipline as
     pagerank2/hits2).
 
-    Scale: per round ONE co-keyed edge join + one (node, label) count
-    groupBy + one per-node argmax window (partitioned by host_id —
-    never global); the undirected edge relation materializes once.
-    Exact integer counts; no floats anywhere."""
-    from pyspark.sql import Window
-
-    und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .persist()  # fence: returned plan reads this cache (every round joins it)
-    )
-    und.count()
-    lab = nodes.select("host_id", F.col("host_id").alias("label"))
-    w = Window.partitionBy("host_id").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
-    for _ in range(rounds):
-        neigh = (
-            und.join(
-                lab.select(F.col("host_id").alias("dst"), "label"), "dst"
-            )
-            .groupBy(F.col("src").alias("host_id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = (
-            neigh.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("host_id", F.col("label").alias("nlabel"))
-        )
-        lab = (
-            nodes.join(lab, "host_id")
-            .join(best, "host_id", "left")
-            .select(
-                "host_id",
-                F.coalesce("nlabel", "label").alias("label"),
-            )
-        )
-    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("comm_size"))
-    return lab.join(sizes, "label").select(
-        F.col("host_id").cast("bigint").alias("host_id"),
-        F.col("label").cast("bigint").alias("label"),
-        F.col("comm_size").cast("bigint").alias("comm_size"),
+    Shape (optimization round 12): the host domain is bounded by
+    HOST_MOD=97 (structural constant), so nodes/edges are bounded
+    collects and the rounds run as exact-integer driver dict algebra
+    — most-frequent neighbor label with ties to the SMALLEST label,
+    identical to the old per-node row_number window (cnt DESC, label
+    ASC). No floats anywhere, so equality with the old plan (and the
+    oracle) is literal. The old shape paid a fenced undirected-edge
+    persist + per-round join/groupBy/window jobs on ≤97-row
+    relations — driver scheduling overhead only."""
+    spark = nodes.sparkSession
+    ns = sorted(int(r["host_id"]) for r in nodes.collect())
+    dir_edges = {
+        (int(r["src"]), int(r["dst"])) for r in edges.select("src", "dst").collect()
+    }
+    und = dir_edges | {(t, s) for s, t in dir_edges}
+    lab = {v: v for v in ns}
+    for _ in range(int(rounds)):
+        cnt: dict = {}
+        for s, t in und:
+            key = (s, lab[t])
+            cnt[key] = cnt.get(key, 0) + 1
+        best: dict = {}
+        for (v, label), c in cnt.items():
+            cur = best.get(v)
+            # max count, ties to the smallest label
+            if cur is None or (c, -label) > (cur[0], -cur[1]):
+                best[v] = (c, label)
+        lab = {v: (best[v][1] if v in best else lab[v]) for v in ns}
+    sizes: dict = {}
+    for v in ns:
+        sizes[lab[v]] = sizes.get(lab[v], 0) + 1
+    rows = [(v, lab[v], sizes[lab[v]]) for v in ns]
+    return literal_df(
+        spark, rows, "host_id bigint, label bigint, comm_size bigint"
     )
 
 

@@ -874,29 +874,39 @@ def _sq_dists(cents_col):
 def _lloyd_cents(a: DataFrame, keys: tuple = ("cell",)) -> DataFrame:
     """The centroid half of a Lloyd update: per-key micro6 BIGINT
     member sums (map-side combined), mean = (int64/1e6)/cnt with the
-    op order the oracle mirrors. Returns (*keys, centroid)."""
-    dim = EMB_DIM
-    sums = a.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.sum(
-                F.floor(
-                    F.col("embedding")[i].cast("double") * 1000000.0 + F.lit(0.5)
-                )
-            ).alias(f"s{i}")
-            for i in range(dim)
-        ],
+    op order the oracle mirrors. Returns (*keys, centroid).
+
+    Shape (optimization round 12): position explodes to rows + two
+    tiny-expression groupBys instead of one 65-expression agg + a
+    64-expression array select — the same integer sums (BIGINT
+    addition is order-free) and the identical (int64/1e6)/cnt means
+    in index order, but the wide form paid ~1.4 s of per-evaluation
+    planning/codegen on k-row data (A/B'd 1.8 s vs 0.55 s warm,
+    bit-equal — the simhash sign-sum lesson applied to the centroid
+    update). cnt folds per (key, pos) — every member emits one row
+    per position, so it equals the member count."""
+    pos_sums = (
+        a.select(
+            *keys,
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        .groupBy(*keys, "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1000000.0 + F.lit(0.5))).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
     )
-    return sums.select(
-        *keys,
-        F.array(
-            *[
-                (F.col(f"s{i}").cast("double") / 1000000.0 / F.col("cnt")).alias(
-                    f"c{i}"
-                )
-                for i in range(dim)
-            ]
-        ).alias("centroid"),
+    return (
+        pos_sums.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s", "cnt"))).alias("ps"))
+        .select(
+            *keys,
+            F.transform(
+                "ps", lambda t: t["s"].cast("double") / 1000000.0 / t["cnt"]
+            ).alias("centroid"),
+        )
     )
 
 
@@ -4209,11 +4219,31 @@ def ann_ivf_refit_warm(
         .persist()  # fence: returned plan reads this cache
     )
     a0.count()
-    a1 = _lloyd_reassign(a0, _lloyd_cents(a0)).persist()  # fence: returned plan reads this cache
+    # collect each k-row centroid relation and re-inject it as a
+    # literal (optimization round 12): the warm re-fit's cost was pure
+    # driver planning/scheduling — every consumer of a _lloyd_cents
+    # relation re-planned the 64-wide agg subtree, and c2 needed its
+    # own persist fence (it fed the a2 broadcast build AND the moved
+    # join). Collected doubles round-trip py4j bit-exactly, so every
+    # downstream value is unchanged; c2's fence job disappears and the
+    # moved distances become driver IEEE arithmetic in the same fold
+    # order (zip_with index order; math.sqrt == java sqrt, both
+    # correctly rounded; floor/1e6 identical).
+    c1_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in _lloyd_cents(a0).collect()
+    )
+    a1 = _lloyd_reassign(
+        a0, literal_df(spark, c1_rows, "cell long, centroid array<double>")
+    ).persist()  # fence: returned plan reads this cache
     a1.count()
-    c2 = _lloyd_cents(a1).persist()  # fence: returned plan reads this cache
-    c2.count()
-    a2 = _lloyd_reassign(a1, c2)
+    c2_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in _lloyd_cents(a1).collect()
+    )
+    a2 = _lloyd_reassign(
+        a1, literal_df(spark, c2_rows, "cell long, centroid array<double>")
+    )
     ob = a0.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_before"),
         F.sum(micro6(F.col("dist"))).alias("ob6"),
@@ -4222,29 +4252,21 @@ def ann_ivf_refit_warm(
         F.count(F.lit(1)).cast("bigint").alias("n_after"),
         F.sum(micro6(F.col("dist"))).alias("oa6"),
     )
-    c0df = literal_df(spark,
-        [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell long, c0 array<double>",
-    )
-    moved = c2.join(F.broadcast(c0df), "cell").select(
-        "cell",
-        (
-            F.floor(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            "centroid", "c0", lambda x, y: (x - y) * (x - y)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-                * 1000000.0
-                + F.lit(0.5)
-            )
-            / 1000000.0
-        ).alias("moved_dist"),
-    )
+    import math as _math
+
+    c0 = {i + 1: [float(x) for x in c] for i, c in enumerate(cents)}
+    moved_rows = []
+    for cell, cent in c2_rows:
+        if cell not in c0:
+            continue
+        acc = 0.0
+        for x, y in zip(cent, c0[cell]):
+            d2 = (x - y) * (x - y)
+            acc = acc + d2
+        moved_rows.append(
+            (cell, _math.floor(_math.sqrt(acc) * 1000000.0 + 0.5) / 1000000.0)
+        )
+    moved = literal_df(spark, moved_rows, "cell long, moved_dist double")
     return (
         moved.join(ob, "cell", "left")
         .join(oa, "cell", "left")
@@ -4748,11 +4770,14 @@ def ann_ivf_split_cells(
     cb = _ivf_codebook_rows(spark, index_dir)
     kk = len(cb)
     live = ann_ivf_index_live(spark, index_dir, mod).persist()
-    n = live.count()  # fence: live feeds the counts AND the member scan
+    # the per-cell count collect evaluates every partition of live into
+    # the cache, so it doubles as the fence (live feeds the member
+    # scan) — one job instead of a count job plus a collect job
     per = {
         int(r["cell"]): int(r["cnt"])
         for r in live.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    n = sum(per.values())
     hot = sorted(c for c, _ in cb if per.get(c, 0) > factor * n / kk)
     if not hot:
         live.unpersist()
@@ -4764,7 +4789,9 @@ def ann_ivf_split_cells(
         .withColumn("p", (F.col("vec_id") % 2).cast("bigint"))
         .persist()
     )
-    mem.count()  # fence: mem feeds the sub-centroid build AND the re-assign
+    # no explicit fence count: the sc.collect() below scans every mem
+    # partition (posexplode over the whole relation) and so populates
+    # the cache before the re-assign join reads it
     sc = _lloyd_cents(mem, keys=("cell", "p"))
     # <=2*|hot| rows — the new codebook entries (bounded collect);
     # taken BEFORE the partition overwrite invalidates the source
@@ -4772,12 +4799,23 @@ def ann_ivf_split_cells(
         (int(r["cell"]), int(r["p"]), [float(x) for x in r["centroid"]])
         for r in sc.collect()
     ]
-    sc1 = (
-        sc.groupBy("cell")
-        .agg(F.sort_array(F.collect_list(F.struct("p", "centroid"))).alias("cs"))
-        .select(
-            "cell", F.col("cs.p").alias("ps"), F.col("cs.centroid").alias("cents2")
-        )
+    # re-inject the COLLECTED rows as a literal instead of re-using the
+    # 64-wide _lloyd_cents plan as the join's build side (optimization
+    # round 12): the values are the same doubles (py4j round-trips IEEE
+    # bit-exactly), but the join subtree no longer carries the wide-agg
+    # plan — the split step was pure driver planning/scheduling
+    # overhead on <=2|hot| rows (5.1 s -> see OPTIMIZATION_r12.md).
+    # Grouping mirrors sort_array(collect_list(struct(p, centroid))):
+    # per cell, ps ascending with centroids aligned.
+    by_cell: dict = {}
+    for c, pp, v in sorted(sc_rows):
+        by_cell.setdefault(c, []).append((pp, v))
+    sc1 = literal_df(spark,
+        [
+            (c, [pp for pp, _ in pv], [v for _, v in pv])
+            for c, pv in sorted(by_cell.items())
+        ],
+        "cell long, ps array<bigint>, cents2 array<array<double>>",
     )
     j = mem.join(F.broadcast(sc1), "cell").select(
         "cell", "vec_id", "embedding", "ps",
@@ -4802,7 +4840,12 @@ def ann_ivf_split_cells(
         )
         .persist()
     )
-    out.count()  # materialize before overwriting the partitions it reads
+    # the distinct-collect doubles as the materialization fence (it
+    # evaluates every partition into the cache BEFORE the overwrite
+    # reads them) — one job instead of a count job plus a collect job
+    written = {
+        int(r["cell"]) for r in out.select("cell").distinct().collect()
+    }
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -4813,9 +4856,6 @@ def ann_ivf_split_cells(
     # under its old id: dynamic overwrite never cleared that partition,
     # so retire the stale directory explicitly (same discipline as the
     # compaction's zero-live branch)
-    written = {
-        int(r["cell"]) for r in out.select("cell").distinct().collect()
-    }
     stale = [c for c in hot if c not in written]
     if stale:
         from ..streaming.catalog import _fs
@@ -4861,23 +4901,26 @@ def ann_ivf_merge_cells(
     kk = len(cb)
     idx = spark.read.parquet(cells_dir)
     live = idx.where(F.col("vec_id") % mod != 0).persist()
-    n = live.count()  # fence: live feeds counts, the member scan, dest rows
+    # the per-cell count collect evaluates every partition of live into
+    # the cache, so it doubles as the fence (live feeds the member scan
+    # and the dest rows) — one job instead of a count job plus a
+    # collect job; n is the sum of the per-cell counts
     per = {
         int(r["cell"]): int(r["cnt"])
         for r in live.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    n = sum(per.values())
     cold = sorted(c for c, _ in cb if per.get(c, 0) < frac * n / kk)
     if not cold:
         live.unpersist()
         return []
     surv_rows = [(c, v) for c, v in cb if c not in set(cold)]
-    surv = (
-        literal_df(spark, surv_rows, "cell long, centroid array<double>")
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs"))
-        .select(
-            F.col("cs.cell").alias("cells"), F.col("cs.centroid").alias("cents2")
-        )
+    # one-row broadcast side built as a DRIVER literal: cb is already
+    # cell-sorted, so the (cells, cents2) row equals the old
+    # sort_array(collect_list(struct)) agg without paying a job for it
+    surv = literal_df(spark,
+        [([c for c, _ in surv_rows], [v for _, v in surv_rows])],
+        "cells array<bigint>, cents2 array<array<double>>",
     )
     moved = (
         live.where(F.col("cell").isin(cold))
@@ -4973,53 +5016,42 @@ def ann_ivf_search_index_q(
     (streaming/ivfsearch.py)."""
     from pyspark.sql import Window
 
-    cbdf = spark.read.parquet(f"{index_dir}/codebook")
-    onerow = (
-        cbdf.groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("cs"))
-        .select(
-            F.col("cs.cell").alias("cells"), F.col("cs.centroid").alias("cents2")
-        )
+    # probe routing runs on the DRIVER (optimization round 12): the
+    # query relation is n_queries rows and the codebook <=k rows — both
+    # bounded collects — and the old shape paid a broadcast-build job
+    # for the codebook one-row agg, a window job for the probe ranks, a
+    # persist fence, and a distinct collect, all on tiny relations.
+    # The Python arithmetic replicates the Catalyst fold bit-exactly:
+    # per element t=(x-y)*(x-y) then acc=acc+t in index order (qv
+    # floats widen exactly to double on collect; centroids are already
+    # double; py4j round-trips IEEE doubles exactly), and the probe
+    # pick sorts by (dist, pos) exactly as the old row_number window.
+    # The final candidate distances stay in Spark, unchanged.
+    cb = _ivf_codebook_rows(spark, index_dir)  # cell-sorted, like the old sort_array
+    q_rows = sorted(
+        (int(r["query_id"]), [float(x) for x in r["qv"]]) for r in q.collect()
     )
+    probe_rows = []
+    probed_set = set()
+    for qid, qv in q_rows:
+        dists = []
+        for pos, (cell, cent) in enumerate(cb):
+            acc = 0.0
+            for x, y in zip(qv, cent):
+                t = (x - y) * (x - y)
+                acc = acc + t
+            dists.append((acc, pos, cell))
+        dists.sort(key=lambda t3: (t3[0], t3[1]))
+        for _, _, cell in dists[:nprobe]:
+            probe_rows.append((qid, qv, cell))
+            probed_set.add(cell)
     live = ann_ivf_index_live(spark, index_dir, mod)
-    qdists = F.transform(
-        F.col("cents2"),
-        lambda c: F.aggregate(
-            F.zip_with(
-                F.col("qv"), c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    probes = literal_df(spark,
+        probe_rows, "query_id long, qv array<double>, cell long"
     )
-    qd = (
-        q.crossJoin(F.broadcast(onerow))
-        .select("query_id", "qv", "cells", qdists.alias("dists"))
-        .select(
-            "query_id", "qv", "cells", F.posexplode("dists").alias("pos", "dist")
-        )
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("pos").asc()
-    )
-    probes = (
-        qd.withColumn("prank", F.row_number().over(wp))
-        .where(F.col("prank") <= nprobe)
-        .select(
-            "query_id",
-            "qv",
-            F.element_at(F.col("cells"), (F.col("pos") + 1).cast("int"))
-            .cast("bigint")
-            .alias("cell"),
-        )
-        .persist()  # fence: returned plan reads this cache
-    )
-    # bounded collect (n_queries x nprobe): the probed-cell set becomes
-    # a static partition filter so only those inverted lists are read
-    probed = sorted(
-        int(r["cell"]) for r in probes.select("cell").distinct().collect()
-    )
+    # the probed-cell set becomes a static partition filter so only
+    # those inverted lists are read
+    probed = sorted(probed_set)
     cand = (
         F.broadcast(probes)
         .join(
