@@ -188,6 +188,23 @@ def main() -> None:
     except OSError:
         n_pids = None
 
+    # hypervisor-steal provenance (round 12): this box measures ~0%
+    # steal idle but ~9% (and varying) under full 32-core load — a
+    # noisy-neighbor effect that inflates random per-key timings
+    # 1.3-3x between otherwise idle runs (measured: two back-to-back
+    # idle benches flagged DISJOINT violation sets). Sampling
+    # /proc/stat at start and end turns that into data: steal_pct is
+    # the steal share of non-idle CPU over the WHOLE bench window, so
+    # a consumer can tell host contention from regression.
+    def _cpu_sample():
+        try:
+            f = open("/proc/stat").readline().split()
+            return [int(x) for x in f[1:]]
+        except (OSError, ValueError):
+            return None
+
+    cpu0 = _cpu_sample()
+
     spark = get_spark("tgres_spark_bench")
     qs = e.queries()
 
@@ -328,6 +345,13 @@ def main() -> None:
             }
     except (OSError, json.JSONDecodeError):
         pass
+    cpu1 = _cpu_sample()
+    steal_pct = None
+    if cpu0 and cpu1:
+        d = [y - x for x, y in zip(cpu0, cpu1)]
+        busy = sum(d) - d[3]  # total minus idle; steal is field 8
+        if busy > 0 and len(d) > 7:
+            steal_pct = round(100.0 * d[7] / busy, 2)
     print(
         json.dumps(
             {
@@ -338,6 +362,7 @@ def main() -> None:
                 "sf": sf_num if sf_num is not None else sf,
                 "loadavg_1m": load1,
                 "n_pids": n_pids,
+                "cpu_steal_pct": steal_pct,
                 # estimator provenance: per-query timings are the MIN
                 # of `runs` executions (cache cleared between runs) —
                 # consumers comparing to single-shot rounds (r1/r2)

@@ -2050,19 +2050,21 @@ FROM sums JOIN means m1 ON sums.i = m1.mi JOIN means m2 ON sums.j = m2.mi
 """
 
 
-def emb_covariance_np(emb: DataFrame) -> DataFrame:
-    """The Arrow fast path for emb_covariance: per-partition numpy
-    outer products replace the 2080x row explode — each Arrow batch
-    contributes ONE (64x64 int64, count, 64 int64) partial, so the
-    shuffle carries a few thousand rows total and the JVM never
-    materializes the pair relation. BIT-EQUAL to the declarative
-    baseline (pinned in tests/test_pipeline_similarity equality test)
+def _cov_tot(emb: DataFrame) -> DataFrame:
+    """The Arrow partial-sum relation under emb_covariance: per-
+    partition numpy outer products replace the 2080x row explode —
+    each Arrow batch contributes ONE (64x64 int64, count, 64 int64)
+    partial, so the shuffle carries a few thousand rows total and the
+    JVM never materializes the pair relation. Returns the aggregated
+    (i, j, sd, n) sums — j = -1 rows are the per-dimension mean
+    markers — BIT-EQUAL inputs to the declarative baseline's sums
+    (pinned via emb_covariance_np in tests/test_pipeline_similarity)
     because both paths sum the identical per-row quantized integers
     floor(xi*xj*1e6+0.5) — int64 partials here, dec6 rows there —
     and exact sums are associative; the final /1e6 happens in decimal
-    so the double cast rounds once, identically. Shares the same
-    DuckDB oracle. This is the documented trade: leave codegen ONLY
-    when the constant factor wins, and prove equality when you do."""
+    so the double cast rounds once, identically. This is the
+    documented trade: leave codegen ONLY when the constant factor
+    wins, and prove equality when you do."""
     import pandas as pd  # noqa: F401
 
     from pyspark.sql.types import (
@@ -2118,6 +2120,14 @@ def emb_covariance_np(emb: DataFrame) -> DataFrame:
         ).alias("sd"),
         F.sum("n").alias("n"),
     )
+    return tot
+
+
+def emb_covariance_np(emb: DataFrame) -> DataFrame:
+    """See _cov_tot — this keeps the registered relational output
+    (i, j, cov upper triangle) by joining the mean rows back in, the
+    exact plan shape the bit-equality pytest pins."""
+    tot = _cov_tot(emb)
     means = tot.where(F.col("j") == -1).select(
         F.col("i").alias("mi"),
         (F.col("sd").cast("double") / F.col("n")).alias("m"),
@@ -2689,19 +2699,35 @@ def _power_iter2_from_cov(cov: DataFrame) -> DataFrame:
     )
 
 
-def _cov_rows_py(cov: DataFrame) -> dict:
-    """The (i, j, cov) upper triangle collected and mirrored into a
-    full-matrix dict — a BOUNDED collect: d² = 4096 rows by
-    construction (EMB_DIM is a compile-time constant), the same
-    bounded-collect class as the ≤k-row codebook audits. Doubles cross
-    py4j bit-exactly (IEEE-754 survives the pickle round trip)."""
+def _cov_full_mu_py(emb: DataFrame) -> tuple[dict, list]:
+    """One collect of the Arrow partial-sum relation (_cov_tot —
+    bounded: d(d+1)/2 + d rows by construction), then the mean and
+    mean-product-subtraction arithmetic replicated in driver IEEE
+    doubles (optimization round 12). Replaces, per consumer, the two
+    tiny broadcast-build joins of emb_covariance_np AND any separate
+    corpus-scale mean aggregation (emb_abtt's posexplode mu job) with
+    ONE job: the corpus is touched exactly once for all of mu, cov
+    and (downstream) pc1. Bit-equal to the relational path: py4j
+    returns sd as decimal.Decimal and float() is the correctly-
+    rounded decimal→double cast; m = double(sd)/double(n) and
+    cov = double(sd)/double(n) − m_i·m_j are the identical single
+    IEEE ops in the identical order as the joined projection they
+    replace. Returns (full covariance dict, mu list indexed 0..d-1)."""
+    rows = _cov_tot(emb).collect()
+    means: dict = {}
+    for r in rows:
+        if int(r["j"]) == -1:
+            means[int(r["i"])] = float(r["sd"]) / float(r["n"])
     full: dict = {}
-    for r in cov.collect():
-        i, j, c = int(r["i"]), int(r["j"]), r["cov"]
-        full[(i, j)] = c
-        if i != j:
-            full[(j, i)] = c
-    return full
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        if j > 0:
+            c = float(r["sd"]) / float(r["n"]) - means[i] * means[j]
+            full[(i, j)] = c
+            if i != j:
+                full[(j, i)] = c
+    mu = [means[i] for i in range(1, EMB_DIM + 1) if i in means]
+    return full, mu
 
 
 def _power_iter2_py(full: dict):
@@ -3553,7 +3579,7 @@ def emb_pca2_deflate(emb: DataFrame) -> DataFrame:
     old shape at 18.9 s driver / 18.1 s idle and adjudicated it
     'fine' only for lack of a cheaper equivalent — this is that
     cheaper equivalent, same hashes at all three SFs)."""
-    full = _cov_rows_py(emb_covariance_np(emb))
+    full, _ = _cov_full_mu_py(emb)
     pc1, _, lam1 = _power_iter2_py(full)
     d = EMB_DIM
     if lam1 is None or any(v is None for v in pc1):
@@ -5421,31 +5447,19 @@ def emb_abtt(emb: DataFrame) -> DataFrame:
     emb_power_iter2 oracles (deterministic by construction, no
     convergence loop). Centered arrays are MATERIALIZED before any
     fold (the CSE rule); all folds are index-ordered left folds."""
-    from ..model import dec6
-
-    # optimization round 12: pc1 via the shared d²-bounded collect +
-    # driver-IEEE iterate (bit-equal, see _power_iter2_py); mu stays a
-    # Spark aggregation (corpus-scale) but collapses to ONE collected
-    # row re-entering as a 64-double literal array instead of a
-    # broadcast crossJoin — the corpus is touched exactly twice (the
-    # Arrow covariance pass + the output scan) with zero tiny
-    # broadcast-build stages in between (6.6 s → ~2 s at sf0.1).
-    pc1v, _, _ = _power_iter2_py(_cov_rows_py(emb_covariance_np(emb)))
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mu_row = (
-        emb.select(F.posexplode(vd).alias("pos", "x"))
-        .groupBy((F.col("pos") + 1).cast("int").alias("i"))
-        .agg(
-            (F.sum(dec6(F.col("x"))).cast("double") / F.count("*")).alias("m")
-        )
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))),
-                lambda s: s["m"],
-            ).alias("mu")
-        )
-        .collect()[0]["mu"]
-    )
+    # optimization round 12 (second pass): mu AND pc1 both derive from
+    # the ONE Arrow partial-sum collect (_cov_full_mu_py) — the mean
+    # markers the covariance pass already sums are the identical
+    # dec6-quantized per-dimension sums the old posexplode mu job
+    # re-aggregated from scratch, so that whole corpus-scale job
+    # drops: the corpus is touched exactly twice (the Arrow covariance
+    # pass + the output scan), mu/pc1 re-enter as 64-double literal
+    # arrays. Bit-equal: sum(dec6(x)) as decimal == Σfloor(x·1e6+0.5)
+    # / 1e6 exactly (both quantize with the same double arithmetic,
+    # both sum exactly), and double(sum)/double(n) is the same single
+    # IEEE division the old agg projected.
+    full_cov, mu_row = _cov_full_mu_py(emb)
+    pc1v, _, _ = _power_iter2_py(full_cov)
     dnull = F.lit(None).cast("double")
     mu_lit = F.array(
         *[F.lit(v) if v is not None else dnull for v in mu_row]
@@ -5674,7 +5688,7 @@ def emb_isotropy(emb: DataFrame) -> DataFrame:
     then the d²-bounded collect + driver-IEEE power iterate shared
     with emb_pca2_deflate (same fold orders, same bits; 6.3 s → ~1.5 s
     at sf0.1 by dropping the ~15 tiny broadcast-build stages)."""
-    full = _cov_rows_py(emb_covariance_np(emb))
+    full, _ = _cov_full_mu_py(emb)
     trace = 0.0
     for i in range(1, EMB_DIM + 1):
         trace = trace + full[(i, i)]

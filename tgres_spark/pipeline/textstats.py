@@ -207,7 +207,11 @@ def text_signals(docs: DataFrame) -> DataFrame:
     joining them scans (and re-splits) the corpus twice; this computes
     both families in one pass. Returns (doc_id, pred_lang, score)."""
     w = words(F.col("text"))
-    prep = docs.select(
+    # optimization round 12: the words split + marker counts + length
+    # folds are per-row-heavy interpreted work — spread the single-task
+    # local scan first (no-op once the scan itself supplies
+    # parallelism; see model.spread_small)
+    prep = spread_small(docs).select(
         "doc_id", "text", w.alias("w"), F.size(w).alias("n")
     )
     wc = F.col("w")
@@ -265,7 +269,15 @@ def corpus_clean(
     input is already pruned."""
     from .dedup import dedup_exact
 
-    sig = text_signals(docs).where(
+    # optimization round 12: filtering on pred_lang/score pushes the
+    # predicate THROUGH text_signals' projection, re-inlining the
+    # words() split and the marker counts into the Filter — every row
+    # paid the signal chain twice (measured: corpus_clean 3.7 s vs
+    # 1.0 s for text_signals + 0.3 s for dedup_exact). The persist
+    # fences the 3-column signal relation (narrow: doc_id, lang,
+    # score) so the filter runs on computed values.
+    sig_all = text_signals(docs).persist()  # fence: returned plan reads this cache
+    sig = sig_all.where(
         F.col("pred_lang").isin(*langs) & (F.col("score") >= min_score)
     )
     keep = dedup_exact(docs).select(
@@ -506,6 +518,12 @@ def perplexity_filter(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
     the same int, never a float); per-bucket means re-fold the same
     ints; lo/hi are min/max (order-free)."""
     lm = text_bigram_lm(docs, backoff)
+    # optimization round 12, examined and left alone: scored feeds the
+    # cutoff broadcast build AND the final probe join, but a persist
+    # fence A/B-measured SLOWER (2.86 vs 2.75 s at sf0.1, interleaved
+    # same-session) — the two consumers shuffle compatibly and
+    # ReuseExchange already shares the materialized scored exchange,
+    # so the cache only added write overhead.
     scored = (
         lm.where(F.col("doc_id") % 2 == 1)
         .join(docs.select("doc_id", "lang"), "doc_id")
@@ -3953,6 +3971,13 @@ def nb_quality(docs: DataFrame, n_buckets_chars: int = 3) -> DataFrame:
     from ..model import micro6
     from .dedup import words
 
+    # optimization round 12, examined and left alone: g and wb each
+    # feed several consumers (three broadcast builds + the test join),
+    # but persist fences A/B-measured SLOWER (3.22 vs 2.27 s at sf0.1,
+    # interleaved same-session) — both subtrees end in an exchange
+    # (wb's distinct, g's consumers' shuffles) that ReuseExchange
+    # already shares across the consumers, so the cache only added
+    # materialization overhead.
     g = gopher_filter(docs).select(
         "doc_id", F.col("keep").cast("int").alias("label")
     )
