@@ -30,7 +30,7 @@ MEDIA_SCHEMA = (
 )
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
+def synthesize_media(docs: DataFrame, spread: bool = True) -> DataFrame:
     """Deterministic fake media: payload bytes derived from the text
     hash; metadata typed per kind. Stands in for reading a real
     (id, bytes, metadata) parquet/table."""
@@ -42,7 +42,17 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     # spread_small: the single-file documents scan is ONE task locally,
     # which would serialize the payload hashing AND every downstream
     # mapInPandas featurize into one Python worker (no-op at scale).
-    return spread_small(docs).select(
+    # Round-12 second pass, measured per consumer: the spread WINS for
+    # mm_text_image_pairs (2.38 -> ~1.6 s, the multiprobe + rescore
+    # composition) but LOSES for the dedup bridges whose downstream is
+    # one cheap vectorized kernel + a chunk groupBy (mm_phash_dedup
+    # 1.06 -> ~1.5 s, mm_audio_dedup 1.37 -> ~1.8 s, mm_video_keyframes
+    # 1.65 -> ~1.9 s across four final-tree runs): the extra
+    # stage + sort-before-repartition + 32 Python-worker launches cost
+    # more than the single-task kernel. Those callers pass
+    # spread=False; everything is a no-op at cluster scale either way.
+    base = spread_small(docs) if spread else docs
+    return base.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         payload.alias("payload"),
@@ -361,7 +371,7 @@ def mm_phash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     (media_a, media_b, hamming)."""
     from .dedup import chunk_hamming_pairs
 
-    media = synthesize_media(docs)
+    media = synthesize_media(docs, spread=False)
     imgs = media.where(F.col("kind") == "image")
     twins = imgs.where(F.col("media_id") % 10 == 0).withColumn(
         "media_id", F.col("media_id") + _TWIN_OFFSET
@@ -456,7 +466,7 @@ def mm_audio_dedup(
     with the pair derivation. No all-pairs join at any level."""
     from .dedup import chunk_hamming_pairs
 
-    media = synthesize_media(docs)
+    media = synthesize_media(docs, spread=False)
     auds = media.where(F.col("kind") == "audio")
     twins = auds.where(F.col("media_id") % 10 == 0).withColumn(
         "media_id", F.col("media_id") + _TWIN_OFFSET
@@ -572,7 +582,7 @@ def mm_video_keyframes(
     the image path."""
     from .dedup import chunk_hamming_pairs
 
-    media = synthesize_media(docs)
+    media = synthesize_media(docs, spread=False)
     vids = media.where(F.col("kind") == "video")
     twins = vids.where(F.col("media_id") % 10 == 0).withColumn(
         "media_id", F.col("media_id") + _TWIN_OFFSET
@@ -674,7 +684,7 @@ def mm_scene_cuts(
     keyframes per video (≤ 10 here, bounded by footage length, never
     corpus-scale). No pair join at all: consecutive-frame comparison
     is a window, not a self-join."""
-    media = synthesize_media(docs)
+    media = synthesize_media(docs, spread=False)
     vids = media.where(F.col("kind") == "video")
     kf = vids.select(
         "media_id",
