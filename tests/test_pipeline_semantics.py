@@ -1010,6 +1010,39 @@ def test_covariance_np_bit_equals_declarative(spark):
     assert a == b  # exact float equality, any partitioning
 
 
+def test_cov_full_mu_py_bit_equals_relational(spark):
+    """Optimization round 12: _cov_full_mu_py reconstructs the
+    covariance AND the per-dimension mean driver-side from ONE collect
+    of the partial-sum relation. Both must be bit-equal to the
+    relational paths they replaced: cov to emb_covariance_np's joined
+    projection (same decimal→double cast, same m_i·m_j subtraction
+    order), mu to the dec6 posexplode mean aggregation emb_abtt used
+    to run (sum(dec6(x)) as decimal == Σfloor(x·1e6+0.5)/1e6 exactly,
+    then the same double(sum)/double(n) division)."""
+    from pyspark.sql import functions as F
+
+    from tgres_spark.model import dec6, load_table
+    from tgres_spark.pipeline.similarity import (
+        _cov_full_mu_py,
+        emb_covariance_np,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(5)
+    full, mu = _cov_full_mu_py(emb)
+    rel = {(r.i, r.j): r.cov for r in emb_covariance_np(emb).collect()}
+    upper = {(i, j): c for (i, j), c in full.items() if i <= j}
+    assert upper == rel  # exact float equality
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mu_rel = (
+        emb.select(F.posexplode(vd).alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("i"))
+        .agg((F.sum(dec6(F.col("x"))).cast("double") / F.count("*")).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    assert mu == [r.m for r in mu_rel]  # exact float equality
+
+
 def test_mix_unimax_water_filling_invariants(spark):
     """The closed form must behave exactly like the greedy UniMax
     loop: low-resource langs are capped at epochs x capacity, the
