@@ -203,6 +203,20 @@ def main() -> None:
         except (OSError, ValueError):
             return None
 
+    def _steal_pct(c0, c1):
+        # ADVICE r12: busy excludes idle (d[3]) AND iowait (d[4]), and
+        # stops before the guest fields (already folded into user/nice
+        # on Linux, so summing them double-counts); the length guard
+        # runs BEFORE any indexing so a truncated /proc/stat line can't
+        # IndexError outside _cpu_sample's try/except.
+        if not (c0 and c1) or min(len(c0), len(c1)) < 8:
+            return None
+        d = [y - x for x, y in zip(c0[:8], c1[:8])]
+        busy = sum(d) - d[3] - d[4]
+        if busy <= 0:
+            return None
+        return round(100.0 * d[7] / busy, 2)
+
     cpu0 = _cpu_sample()
 
     spark = get_spark("tgres_spark_bench")
@@ -345,37 +359,77 @@ def main() -> None:
             }
     except (OSError, json.JSONDecodeError):
         pass
+    # quiet-retry adjudication (optimization round 13, VERDICT r12 Next
+    # 6): steal on this box lands on RANDOM key subsets mid-bench, so a
+    # violation flagged during a stolen window often vanishes when the
+    # key runs alone minutes later. Re-profile each violated key in
+    # isolation (bench protocol: clearCache + best-of-RUNS) with its own
+    # steal sample, and emit BOTH numbers — the run self-adjudicates
+    # without a full re-bench. Purely additive: timings/queries keep the
+    # main-loop numbers; the retry is extra evidence, never a substitute.
+    violations_retry: dict[str, dict] = {}
+    # cap the retry pass (worst offenders first) so a heavily-stolen
+    # window can't stretch the bench by an unbounded retry tail
+    def _viol_ratio(k: str) -> float:
+        try:  # "13.066s > 1.25x budget 5.847s" -> 13.066 / 5.847
+            s = budget_violations[k]
+            return float(s.split("s >")[0]) / float(s.rsplit("budget ", 1)[1].rstrip("s"))
+        except (ValueError, IndexError):
+            return 0.0
+
+    _retry_keys = sorted(budget_violations, key=_viol_ratio, reverse=True)[:8]
+    for name in _retry_keys:
+        r0 = _cpu_sample()
+        best = float("inf")
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        violations_retry[name] = {
+            "sec": round(best, 3),
+            "cpu_steal_pct": _steal_pct(r0, _cpu_sample()),
+        }
+        print(f"# RETRY {name}: {best:.2f}s "
+              f"(steal {violations_retry[name]['cpu_steal_pct']})",
+              file=sys.stderr)
     cpu1 = _cpu_sample()
-    steal_pct = None
-    if cpu0 and cpu1:
-        d = [y - x for x, y in zip(cpu0, cpu1)]
-        busy = sum(d) - d[3]  # total minus idle; steal is field 8
-        if busy > 0 and len(d) > 7:
-            steal_pct = round(100.0 * d[7] / busy, 2)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num if sf_num is not None else sf,
-                "loadavg_1m": load1,
-                "n_pids": n_pids,
-                "cpu_steal_pct": steal_pct,
-                # estimator provenance: per-query timings are the MIN
-                # of `runs` executions (cache cleared between runs) —
-                # consumers comparing to single-shot rounds (r1/r2)
-                # or a single-shot baseline can see the difference.
-                "runs": RUNS,
-                "estimator": "min",
-                "vs_baseline": vs_baseline,
-                "budget_violations": budget_violations,
-                "budget_median_ratio": budget_median_ratio,
-                "inputs": inputs,
-            }
-        )
+    steal_pct = _steal_pct(cpu0, cpu1)
+    out_json = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_num if sf_num is not None else sf,
+            "loadavg_1m": load1,
+            "n_pids": n_pids,
+            "cpu_steal_pct": steal_pct,
+            # estimator provenance: per-query timings are the MIN
+            # of `runs` executions (cache cleared between runs) —
+            # consumers comparing to single-shot rounds (r1/r2)
+            # or a single-shot baseline can see the difference.
+            "runs": RUNS,
+            "estimator": "min",
+            "vs_baseline": vs_baseline,
+            "budget_violations": budget_violations,
+            "violations_retry": violations_retry,
+            "budget_median_ratio": budget_median_ratio,
+            "inputs": inputs,
+        }
     )
+    # VERDICT r12 Next 7: round 11's one-line JSON was truncated in the
+    # driver's output capture, nulling the whole round-over-round
+    # comparison. Persist the identical JSON to BENCH_SELF.json BEFORE
+    # printing (so a capture failure can never lose it) and flush the
+    # stdout line explicitly.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_SELF.json").write_text(
+            out_json + "\n"
+        )
+    except OSError:
+        pass
+    print(out_json, flush=True)
 
 
 if __name__ == "__main__":

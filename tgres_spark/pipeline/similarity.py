@@ -2726,7 +2726,11 @@ def _cov_full_mu_py(emb: DataFrame) -> tuple[dict, list]:
             full[(i, j)] = c
             if i != j:
                 full[(j, i)] = c
-    mu = [means[i] for i in range(1, EMB_DIM + 1) if i in means]
+    # ADVICE r12: index means[i] directly — a missing dimension (data
+    # drift losing a mean-marker row) must KeyError loudly here, not
+    # silently shift every later index of the positional mu literal
+    # emb_abtt builds from this list.
+    mu = [means[i] for i in range(1, EMB_DIM + 1)]
     return full, mu
 
 

@@ -34,6 +34,14 @@ def main() -> int:
     bud = json.loads(bud_p.read_text())
     qa, qb = a["queries"], b["queries"]
     assert set(qa) == set(qb), "run key sets differ"
+    # ADVICE r12: a pair of runs from the wrong SF would silently
+    # re-freeze every budget in the wrong measurement context, and
+    # silently-dropped budget keys would stop gating.
+    assert a["sf"] == b["sf"], f"run SFs differ: {a['sf']} vs {b['sf']}"
+    dropped = sorted(set(bud.get("queries") or {}) - set(qa))
+    if dropped:
+        print(f"!! {len(dropped)} budget keys absent from the runs "
+              f"(will be DROPPED): {', '.join(dropped)}", file=sys.stderr)
     new_q = {k: round((qa[k] + qb[k]) / 2, 3) for k in qa}
     spread = {
         k: round(max(qa[k], qb[k]) / max(min(qa[k], qb[k]), 1e-9), 2)
@@ -60,7 +68,7 @@ def main() -> int:
         ],
         "note": note,
     }
-    bud["note_r12_refreeze"] = prov
+    bud["note_r13_refreeze"] = prov
     bud_p.write_text(json.dumps(bud, indent=1))
     print(f"re-froze {len(new_q)} budgets; totals "
           f"{a['value']} / {b['value']}")
