@@ -4199,6 +4199,52 @@ def test_dedup_semdedup_cell_locality(spark):
     assert got[1]["is_keeper"] and got[2]["is_keeper"]
 
 
+def test_dedup_semdedup_hot_cell_subbuckets(spark):
+    """The within-cell pair join sub-buckets each cell by a hash salt
+    (round-13 skew fix): the pair SET must be unchanged by the salt —
+    a dense hot cell of mutually-near-duplicate vectors still
+    collapses to ONE component with the min-id root and the farthest-
+    from-centroid keeper, even though its members scatter across
+    several salt buckets and every near-dup pair must be recovered
+    across bucket boundaries."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tgres_spark.pipeline.similarity import (
+        IVF_CODEBOOK_K,
+        SEMDEDUP_SUBBUCKETS,
+        _ivf_codebook,
+        dedup_semdedup,
+    )
+
+    cents = np.array(_ivf_codebook(IVF_CODEBOOK_K, seed=7))
+    c0, c1 = cents[0], cents[1]
+    w = c1 - (c1 @ c0) / (c0 @ c0) * c0
+    w = w / np.linalg.norm(w) * np.linalg.norm(c0)
+    n = 24
+    rows = [
+        (i, [float(x) for x in c0 + (0.001 * i) * w]) for i in range(1, n + 1)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # fixture sanity: the members land in >= 2 distinct salt buckets,
+    # so the test genuinely exercises cross-bucket pair recovery
+    salts = {
+        r[0]
+        for r in emb.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(SEMDEDUP_SUBBUCKETS))
+        ).collect()
+    }
+    assert len(salts) >= 2, salts
+    got = {r["vec_id"]: r for r in dedup_semdedup(emb, threshold=0.9).collect()}
+    assert len(got) == n
+    assert {r["cell"] for r in got.values()} == {got[1]["cell"]}
+    assert {r["root_id"] for r in got.values()} == {1}
+    sims = {i: got[i]["cent_sim"] for i in got}
+    outlier = min(sims, key=lambda i: (sims[i], i))
+    assert [i for i in sorted(got) if got[i]["is_keeper"]] == [outlier]
+
+
 def test_emb_abtt_removes_the_dominant_direction(spark):
     """All-But-The-Top's two pins: (a) Pythagoras — pc1 is unit, so
     norm_before^2 = proj1^2 + norm_after^2 for every vector (up to

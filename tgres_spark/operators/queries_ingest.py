@@ -847,8 +847,8 @@ def streaming_ivf_search(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     sim.ann_ivf_index_write_full(spark, f"{work}/index", emb)
     sim.ann_ivf_compact_cells(spark, f"{work}/index")
-    sim.ann_ivf_split_cells(spark, f"{work}/index")
-    sim.ann_ivf_merge_cells(spark, f"{work}/index")
+    # one codebook read + one final publish for the chained pair (r13)
+    sim.ann_ivf_split_merge_cells(spark, f"{work}/index")
     q = (
         sim.ann_ivf_index_live(spark, f"{work}/index")
         .where(F.col("vec_id") < 10)

@@ -204,8 +204,10 @@ def _ann_ivf_search_maintained(s, d):
     work = tempfile.mkdtemp(prefix="tgres_ivfm_")
     sim.ann_ivf_index_write_full(s, work, _emb(s, d))
     sim.ann_ivf_compact_cells(s, work)
-    sim.ann_ivf_split_cells(s, work)
-    sim.ann_ivf_merge_cells(s, work)
+    # split+merge as one maintenance transaction (r13): one codebook
+    # read, one final codebook publish — cells still rewrite per phase
+    # and the final artifact state is identical to the sequential pair
+    sim.ann_ivf_split_merge_cells(s, work)
     return sim.ann_ivf_search_index(s, work)
 
 
@@ -719,8 +721,16 @@ def pipeline_sample_weighted(spark, sf_dir):
     # crossJoin(broadcast(tot)) one-row totals build would otherwise
     # re-evaluate the whole prep_weights subtree a second time (the
     # same broadcast-fence rule pack_weighted applies).
-    pw = pipeline_prep_weights(_docs(spark, sf_dir)).persist()
-    pw.count()
+    # Optimization round 13 (r12 VERDICT Next 2): the fence is a
+    # localCheckpoint, not a persist — persist keeps the full lineage
+    # under every InMemoryTableScan, and with prep_weights' composed
+    # subtree the returned plan exploded to 89k formatted lines /
+    # 3,886 cache-scan nodes (planning itself the bottleneck, guide
+    # §3.3). localCheckpoint materializes the same rows once inside
+    # the timed region but TRUNCATES the lineage, so the consumer
+    # plans against a leaf scan. Values are byte-identical (same
+    # computed rows, re-read instead of re-derived).
+    pw = pipeline_prep_weights(_docs(spark, sf_dir)).localCheckpoint()
     return pp.sample_by_weight(pw)
 
 

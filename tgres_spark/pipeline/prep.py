@@ -990,11 +990,15 @@ def pack_weighted(
     # build AND the sampler output feeds this function's join's
     # broadcast build — unfenced, the concurrent builds re-ran the
     # whole prep_weights subtree serially (~6x: measured 92 s warm at
-    # sf0.1; 5.7 s with the fences)
-    pw = pipeline_prep_weights(docs).persist()
-    pw.count()
-    w = sample_by_weight(pw, seed=seed).persist()  # fence: returned plan reads this cache
-    w.count()
+    # sf0.1; 5.7 s with the fences).
+    # Optimization round 13 (r12 VERDICT Next 2): both fences are
+    # localCheckpoints — persist kept prep_weights' full composed
+    # lineage under every cache-scan node and the downstream plan
+    # exploded to ~89k formatted lines (planning cost, guide §3.3);
+    # the checkpoint materializes the same rows once and truncates
+    # the lineage to a leaf scan. Values byte-identical.
+    pw = pipeline_prep_weights(docs).localCheckpoint()
+    w = sample_by_weight(pw, seed=seed).localCheckpoint()
     toks = docs.select(
         "doc_id",
         "lang",

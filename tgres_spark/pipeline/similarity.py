@@ -2266,7 +2266,13 @@ def emb_int8_quantize(emb: DataFrame) -> DataFrame:
         lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
     )
     return (
-        _spread(emb).select("vec_id", "embedding")
+        # NO scan spread (r13, fix-9 per-consumer rule): alternating
+        # quiet-window A/B showed the spread flat-to-losing here
+        # (spread 1.073-1.126 s vs no-spread 1.025-1.050 s at <4%
+        # steal; the r12 checklist had it ~1.05-1.1x slower too) —
+        # the scales_row broadcast build already materializes a pass
+        # and the extra exchange buys nothing.
+        emb.select("vec_id", "embedding")
         .join(F.broadcast(scales_row))
         .select("vec_id", "embedding", "scales", codes.alias("codes"))
         .select("vec_id", "embedding", "codes", recon.alias("recon"))
@@ -4779,6 +4785,24 @@ def ann_ivf_split_cells(
     factor: float = SPLIT_FACTOR,
     mod: int = TOMB_MOD,
 ) -> list[tuple[int, int]]:
+    """The standalone phase-complete split: consult the artifact's
+    codebook, split, re-publish the codebook (see _split_cells_core
+    for the mechanics). Chained callers use ann_ivf_split_merge_cells
+    to share the read and fuse the two codebook rewrites into one."""
+    cb = _ivf_codebook_rows(spark, index_dir)
+    pairs, new_cb = _split_cells_core(spark, index_dir, cb, factor, mod)
+    if pairs:
+        _ivf_codebook_write(spark, index_dir, sorted(new_cb))
+    return pairs
+
+
+def _split_cells_core(
+    spark,
+    index_dir: str,
+    cb: list,
+    factor: float = SPLIT_FACTOR,
+    mod: int = TOMB_MOD,
+) -> tuple[list[tuple[int, int]], list]:
     """PHYSICAL hot-cell split: ann_ivf_split's bisecting-2-means
     executed against the index directory. Cells whose LIVE member
     count exceeds factor x the even share (n_live / |codebook|) are
@@ -4788,8 +4812,9 @@ def ann_ivf_split_cells(
     rank of the hot cell). The affected partitions are rewritten in
     ONE dynamic-partition-overwrite job (hot cells' tombstones drop
     with the rewrite — a free compaction); untouched cells' files are
-    never touched; the codebook is rewritten to match. Returns the
-    (old_cell, new_cell) pairs.
+    never touched; the codebook is rewritten to match (by the public
+    wrapper, or ONCE for the whole chain by split_merge — round 13).
+    Returns ((old_cell, new_cell) pairs, the post-split codebook rows).
 
     Scale: counts/codebook are <=k-row bounded collects; the member
     scan touches hot cells' partitions only (partition-pruned isin);
@@ -4797,7 +4822,6 @@ def ann_ivf_split_cells(
     source partitions. Determinism: micro6 sub-centroid means,
     left-fold distances, argmin ties to the lower parity."""
     cells_dir = f"{index_dir}/cells"
-    cb = _ivf_codebook_rows(spark, index_dir)
     kk = len(cb)
     live = ann_ivf_index_live(spark, index_dir, mod).persist()
     # the per-cell count collect evaluates every partition of live into
@@ -4811,7 +4835,7 @@ def ann_ivf_split_cells(
     hot = sorted(c for c, _ in cb if per.get(c, 0) > factor * n / kk)
     if not hot:
         live.unpersist()
-        return []
+        return [], list(cb)
     maxc = max(c for c, _ in cb)
     newid = {c: maxc + i + 1 for i, c in enumerate(hot)}
     mem = (
@@ -4897,11 +4921,10 @@ def ann_ivf_split_cells(
     new_cb = [(c, v) for c, v in cb if c not in set(hot)] + [
         (c if p == 0 else newid[c], v) for c, p, v in sc_rows
     ]
-    _ivf_codebook_write(spark, index_dir, sorted(new_cb))
     out.unpersist()
     mem.unpersist()
     live.unpersist()
-    return [(c, newid[c]) for c in hot]
+    return [(c, newid[c]) for c in hot], new_cb
 
 
 def ann_ivf_merge_cells(
@@ -4910,6 +4933,50 @@ def ann_ivf_merge_cells(
     frac: float = MERGE_FRAC,
     mod: int = TOMB_MOD,
 ) -> list[int]:
+    """The standalone phase-complete merge: consult the artifact's
+    codebook, merge, re-publish the codebook (see _merge_cells_core)."""
+    cb = _ivf_codebook_rows(spark, index_dir)
+    cold, surv_rows = _merge_cells_core(spark, index_dir, cb, frac, mod)
+    if cold:
+        _ivf_codebook_write(spark, index_dir, surv_rows)
+    return cold
+
+
+def ann_ivf_split_merge_cells(
+    spark,
+    index_dir: str,
+    factor: float = SPLIT_FACTOR,
+    frac: float = MERGE_FRAC,
+    mod: int = TOMB_MOD,
+) -> tuple[list[tuple[int, int]], list[int]]:
+    """Split then merge as ONE maintenance transaction (optimization
+    round 13, r12 VERDICT Next 4): the chained lifecycle paid four
+    codebook parquet round-trips back-to-back — split read + write,
+    then merge read + write of the SAME rows — and each read/write is
+    a driver job plus a commit. Here the codebook is read once, the
+    post-split rows flow to the merge phase in memory, and the FINAL
+    codebook is published once; the CELLS rewrites still execute
+    per phase against the artifact directory (merge's live counts
+    consult the post-split physical cells), and the final on-disk
+    state — cells and codebook — is byte-identical to running the two
+    standalone phases sequentially."""
+    cb = _ivf_codebook_rows(spark, index_dir)
+    pairs, cb1 = _split_cells_core(spark, index_dir, cb, factor, mod)
+    cb1 = sorted(cb1)
+    cold, surv_rows = _merge_cells_core(spark, index_dir, cb1, frac, mod)
+    final = surv_rows if cold else cb1
+    if pairs or cold:
+        _ivf_codebook_write(spark, index_dir, final)
+    return pairs, cold
+
+
+def _merge_cells_core(
+    spark,
+    index_dir: str,
+    cb: list,
+    frac: float = MERGE_FRAC,
+    mod: int = TOMB_MOD,
+) -> tuple[list[int], list]:
     """PHYSICAL cold-cell merge: ann_ivf_merge's retirement executed
     against the index directory. Every codebook cell whose LIVE
     member count is under frac x the even share (cells with zero
@@ -4925,9 +4992,11 @@ def ann_ivf_merge_cells(
     Scale: bounded collects only (<=k codebook rows, <=k per-cell
     counts, <=k distinct destinations); the adopted-member re-assign
     is cold-partition-pruned and argmins against ONE broadcast
-    survivor row; the rewrite touches destination partitions only."""
+    survivor row; the rewrite touches destination partitions only.
+    Returns (retired cell ids sorted, surviving codebook rows) — the
+    public wrapper (or split_merge, once per chain) publishes the
+    codebook."""
     cells_dir = f"{index_dir}/cells"
-    cb = _ivf_codebook_rows(spark, index_dir)
     kk = len(cb)
     idx = spark.read.parquet(cells_dir)
     live = idx.where(F.col("vec_id") % mod != 0).persist()
@@ -4943,7 +5012,7 @@ def ann_ivf_merge_cells(
     cold = sorted(c for c, _ in cb if per.get(c, 0) < frac * n / kk)
     if not cold:
         live.unpersist()
-        return []
+        return [], list(cb)
     surv_rows = [(c, v) for c, v in cb if c not in set(cold)]
     # one-row broadcast side built as a DRIVER literal: cb is already
     # cell-sorted, so the (cells, cents2) row equals the old
@@ -4994,11 +5063,10 @@ def ann_ivf_merge_cells(
         fs, p, _ = _fs(spark, f"{cells_dir}/cell={c}")
         if fs.exists(p):
             fs.delete(p, True)
-    _ivf_codebook_write(spark, index_dir, surv_rows)
     out.unpersist()
     moved.unpersist()
     live.unpersist()
-    return cold
+    return cold, surv_rows
 
 
 def ann_ivf_search_index(
@@ -5233,6 +5301,32 @@ SELECT query_id, neighbor_id, CAST(dist AS DOUBLE) AS dist,
 
 SEMDEDUP_THRESHOLD = 0.4
 
+# Within-cell pair joins are Σ|cell|² work keyed by cell alone — one
+# hot cell is one straggler task at corpus scale (guide §2.5; AQE's
+# skew split cannot divide a single key). The joins below therefore
+# sub-bucket the LEFT side by a deterministic hash salt and replicate
+# the right side SEMDEDUP_SUBBUCKETS ways, so a hot cell's pairwise
+# work spreads over SUBBUCKETS tasks. Every (a, b) pair still meets
+# exactly once (b's replica s joins a's rows with salt(a) = s), so the
+# pair SET — and everything downstream — is unchanged at any bucket
+# count; the constant trades right-side duplication (k× shuffle rows)
+# for an S× smaller worst task, independent of local core count.
+SEMDEDUP_SUBBUCKETS = 8
+
+
+def _salted(id_col: str, n: int = None) -> "F.Column":
+    """Sub-bucket id for the LEFT side of a within-cell pair join:
+    pmod(xxhash64(id), SUBBUCKETS) — deterministic under retries
+    (derived from the row's own id, never rand())."""
+    n = SEMDEDUP_SUBBUCKETS if n is None else n
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)).cast("int")
+
+
+def _replicas(n: int = None) -> "F.Column":
+    """The RIGHT side's replica ids: explode([0..SUBBUCKETS-1])."""
+    n = SEMDEDUP_SUBBUCKETS if n is None else n
+    return F.explode(F.array(*[F.lit(i) for i in range(n)]))
+
 
 def dedup_semdedup(
     emb: DataFrame,
@@ -5327,21 +5421,31 @@ def dedup_semdedup(
         .persist()  # fence: returned plan reads this cache (pairs + labels + output join)
     )
     v.count()
+    # hot-cell sub-bucketing (optimization round 13): the equi-key is
+    # (cell, salt) instead of cell alone, so one dense cell's |cell|²
+    # pair work splits across SEMDEDUP_SUBBUCKETS tasks; the pair set
+    # is provably identical (see _salted/_replicas).
     a = v.select(
         F.col("cell").alias("ca"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
+        _salted("vec_id").alias("sa"),
     )
     b = v.select(
         F.col("cell").alias("cb"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
-    )
+    ).select("*", _replicas().alias("sb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", cos.alias("cos"))
         .where(F.col("cos") >= float(threshold))
     )
@@ -5591,15 +5695,25 @@ def dedup_semdedup_increment(
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
     )
+    # hot-cell sub-bucketing (optimization round 13) — the same
+    # (cell, salt) equi-key as dedup_semdedup's pair join: the
+    # increment side carries its own salt, the corpus side replicates
+    # SUBBUCKETS ways, every (q, p) pair still meets exactly once.
     p = a.select(
         F.col("cell").alias("cp"),
         F.col("vec_id").alias("pid"),
         F.col("embedding").alias("pv"),
         F.col("nrm").alias("pn"),
-    )
+    ).select("*", _replicas().alias("sp"))
     cos = _dot(F.col("qv"), F.col("pv")) / (F.col("qn") * F.col("pn"))
     hits = (
-        q.join(p, (F.col("cq") == F.col("cp")) & (F.col("qid") != F.col("pid")))
+        q.select("*", _salted("qid").alias("sq"))
+        .join(
+            p,
+            (F.col("cq") == F.col("cp"))
+            & (F.col("sq") == F.col("sp"))
+            & (F.col("qid") != F.col("pid")),
+        )
         .where(cos >= float(threshold))
         .select(
             "qid",

@@ -401,7 +401,14 @@ def text_bigram_lm(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
     int/int double divisions for the fractions."""
     from ..model import micro6
 
-    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
+    # NO scan spread (optimization round 13, the fix-9 per-consumer
+    # rule): this base feeds explode+AGGREGATE passes whose groupBy
+    # exchanges already spread the work across cores, and the r12
+    # blanket spread_small measured this key 1.2x SLOWER with the
+    # spread (idle A/B 0.75 -> 0.91 s; perplexity_filter, which rides
+    # this LM, 1.43 -> 1.73 s) — the extra round-robin exchange of the
+    # full ws arrays cost more than the parallelism it bought.
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
     train_tok = (
         base.where(F.col("doc_id") % 2 == 0)
         .select(F.explode("ws").alias("w"))
@@ -654,7 +661,10 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     Docs with < 2 words are dropped (repetition undefined) — mirrored
     in the oracle. All counts are integers; each ratio is a single
     int/int double division, identical in both engines."""
-    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws")).where(
+    # NO scan spread (r13): identical base + per-row HOF shape as
+    # gopher_filter, whose quiet-window A/B measured the spread
+    # losing (0.571 vs 0.464 s) — same treatment.
+    base = docs.select("doc_id", words(F.col("text")).alias("ws")).where(
         F.size("ws") >= 2
     )
     n = F.size("ws")
@@ -720,7 +730,12 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     text_repetition). The keep flag is pure integer/boolean algebra
     over signals that are themselves cross-engine exact."""
     r = GOPHER_RULES
-    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws")).where(
+    # NO scan spread (r13, fix-9 per-consumer rule): alternating
+    # quiet-window A/B at <3% steal measured spread 0.571 s vs
+    # no-spread 0.464 s — the per-doc HOF work is too cheap at this
+    # row width to pay for the round-robin exchange of the full ws
+    # arrays (the r12 checklist already had it ~1.05-1.1x slower).
+    base = docs.select("doc_id", words(F.col("text")).alias("ws")).where(
         F.size("ws") >= 2
     )
     n = F.size("ws")
@@ -2172,7 +2187,10 @@ def text_trigram_lm(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
     be NULL/0."""
     from ..model import micro6
 
-    base = spread_small(docs).select("doc_id", words(F.col("text")).alias("ws"))
+    # NO scan spread (r13): same explode+aggregate profile as
+    # text_bigram_lm; alternating quiet-window A/B at <9% steal
+    # measured spread 1.083 s vs no-spread 0.929 s.
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
     train_tok = (
         base.where(F.col("doc_id") % 2 == 0)
         .select(F.explode("ws").alias("w"))
@@ -3603,8 +3621,13 @@ def corpus_bpe_encode(
     CLAUDE.md rule even though n_words >= 1 by construction."""
     from .dedup import words
 
+    # NO scan spread (optimization round 13, the fix-9 per-consumer
+    # rule): the explode feeds straight into a groupBy whose exchange
+    # already spreads the work, and the r12 blanket spread_small
+    # measured this key 1.1x SLOWER with the spread (idle A/B
+    # 2.89 -> 3.12 s) — the added exchange only delayed the aggregate.
     dw = (
-        spread_small(docs).select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
         .persist()  # fence: returned plan reads this cache

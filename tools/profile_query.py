@@ -68,21 +68,37 @@ def main() -> int:
             spark.catalog.clearCache()
             qs[k](spark, SF_DIR).count()
 
-    out = {}
+    def _cpu():
+        try:
+            f = open("/proc/stat").readline().split()
+            return [int(x) for x in f[1:9]]
+        except (OSError, ValueError):
+            return None
+
+    def _steal(c0, c1):
+        if not (c0 and c1) or min(len(c0), len(c1)) < 8:
+            return None
+        d = [y - x for x, y in zip(c0, c1)]
+        busy = sum(d) - d[3] - d[4]
+        return round(100.0 * d[7] / busy, 2) if busy > 0 else None
+
+    out, steals = {}, {}
     for k in keys:
         best, n = float("inf"), 0
+        c0 = _cpu()
         for _ in range(args.runs):
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"profile:{k}")
             t0 = time.time()
             n = qs[k](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
+        steals[k] = _steal(c0, _cpu())
         out[k] = round(best, 3)
-        print(f"{k}: {best:.3f}s ({n} rows)")
+        print(f"{k}: {best:.3f}s ({n} rows, steal {steals[k]})")
     import json
 
     print(json.dumps({"loadavg": round(os.getloadavg()[0], 2),
-                      "timings": out}))
+                      "timings": out, "steal_pct": steals}))
     return 0
 
 
