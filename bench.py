@@ -165,6 +165,15 @@ BENCH_QUERIES = [
     "emb_isotropy",
     "graph_community_labelprop",
     "pipeline_nb_quality",
+    # round-13 additions (VERDICT r12 Next 8: the unbenched sweep's
+    # worst offenders, optimized this round and now held to budget):
+    # the exact O(N²) pair baseline (interpreted HOF fold → Arrow/
+    # NumPy exact left-fold, 21.7 → 1.7 s), the 2-iteration HITS
+    # (bounded-domain driver algebra like pagerank2), and the 3-family
+    # statsd flush union (shared-parse fence)
+    "dedup_embedding",
+    "graph_hits2_fixed",
+    "statsd_flush_all",
 ]
 
 

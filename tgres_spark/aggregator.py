@@ -45,6 +45,13 @@ def statsd_flush(
     timer (count/lower/upper/sum/mean + upper_p/sum_p/mean_p per
     configured percentile, mirroring aggregator.State.Thresholds).
     """
+    # fence the shared parse (optimization round 13, guide §7.2): the
+    # parsed relation feeds FOUR branches (counters, gauge sets, gauge
+    # deltas, timers) and each union branch re-evaluated the whole
+    # regex-parse projection from the packets scan; one cache pass
+    # computes it once. Both callers are batch queries (the streaming
+    # flush path has its own window engine in streaming/ingest.py).
+    parsed = parsed.persist()  # fence: returned plan reads this cache
     counters = _flush_counters(parsed, flush_s, prefix)
     gauges = _flush_gauges(parsed, flush_s, prefix)
     timers = _flush_timers(parsed, flush_s, prefix, thresholds)

@@ -222,65 +222,68 @@ def hits2(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     A page linked by good hubs is an authority; a page linking to
     good authorities is a hub — the complementary centrality to
     PageRank's random surfer (PageRank finds well-endorsed hosts,
-    HITS separates directories/aggregators from content). Composed in
-    one Catalyst tree: 4 edge joins all co-keyed on host ids, 4
-    1e12-quantized groupBy sums, normalizers as one-row broadcasts,
-    shared relations persist()+count()-fenced per the broadcast-fence
-    rule."""
-    nodes = nodes.persist()
-    edges = edges.persist()  # fence: returned plan reads this cache
-    ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
-    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    nn = nodes.agg(F.count("*").alias("n"))
+    HITS separates directories/aggregators from content).
 
-    def half_step(rel, score, side_from, side_to, out_name):
-        # rel: (host_id, <score>); sum score over edges incident via
-        # side_from, grouped by side_to; L1-normalize with a one-row
-        # broadcast of the quantized total
-        raw = (
-            edges.join(
-                rel.select(F.col("host_id").alias(side_from), score),
-                side_from,
-            )
-            .groupBy(side_to)
-            .agg(
-                (F.sum(_q12(F.col(score))).cast("double") / _Q).alias("raw")
-            )
-            .select(F.col(side_to).alias("host_id"), "raw")
-        ).persist()
-        raw.count()  # fence: feeds the one-row total AND the join below
-        tot = raw.agg(
-            (F.sum(_q12(F.col("raw"))).cast("double") / _Q).alias("tot")
-        )
-        return (
-            raw.crossJoin(F.broadcast(tot))
-            .select(
-                "host_id",
-                F.when(
-                    F.col("tot") > 0, F.col("raw") / F.col("tot")
-                ).alias(out_name),
-            )
-        )
+    Shape (optimization round 13 — the pagerank2 treatment from r12
+    pass 3): the host domain is bounded by HOST_MOD=97, so nodes and
+    edges are bounded collects and all four half-steps run as driver
+    arithmetic replicating the old Catalyst plan bit-exactly —
+    per-edge _q12 quantization before order-free int sums, the same
+    bigint→double /1e12 casts, raw/tot in the identical op order,
+    NULL-score edges contributing nothing (the old sum skipped
+    nulls), coalesce(·, 0/0.0) as dict-miss. The old shape paid 4
+    persist-fenced ≤97-row groupBy jobs + 4 one-row broadcast builds
+    + 4 co-keyed joins — pure driver planning/scheduling overhead.
+    Corpus-scale graph synthesis stays distributed in the callers."""
+    spark = nodes.sparkSession
+    ns = sorted(int(r["host_id"]) for r in nodes.collect())
+    es = [(int(r["src"]), int(r["dst"])) for r in edges.collect()]
+    ind: dict = {}
+    outd: dict = {}
+    for s, d in es:
+        ind[d] = ind.get(d, 0) + 1
+        outd[s] = outd.get(s, 0) + 1
+    n = len(ns)
 
-    h0 = nodes.crossJoin(F.broadcast(nn)).select(
-        "host_id", (F.lit(1.0) / F.col("n")).alias("h")
-    )
-    a1 = half_step(h0, "h", "src", "dst", "a")
-    h1 = half_step(a1, "a", "dst", "src", "h")
-    a2 = half_step(h1, "h", "src", "dst", "auth")
-    h2 = half_step(a2, "auth", "dst", "src", "hub")
-    return (
-        nodes.join(ind.withColumnRenamed("dst", "host_id"), "host_id", "left")
-        .join(outd.withColumnRenamed("src", "host_id"), "host_id", "left")
-        .join(a2, "host_id", "left")
-        .join(h2, "host_id", "left")
-        .select(
-            "host_id",
-            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
-            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
-            F.coalesce("auth", F.lit(0.0)).alias("auth"),
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+    def half_step(rel: dict, frm_is_dst: bool) -> dict:
+        # Σ q12(score(frm)) per `to` (int sum — order-free, exact),
+        # cast /1e12, then L1-normalize by the re-quantized total:
+        # the exact expression sequence of the old relational plan.
+        raw: dict = {}
+        for s, d in es:
+            frm, to = (d, s) if frm_is_dst else (s, d)
+            sc = rel.get(frm)
+            if sc is None:
+                continue
+            raw[to] = raw.get(to, 0) + _q12_py(sc)
+        rawd = {k: float(v) / _Q for k, v in raw.items()}
+        tot = 0
+        for v in rawd.values():
+            tot += _q12_py(v)
+        totd = float(tot) / _Q
+        return {
+            k: (v / totd if totd > 0 else None) for k, v in rawd.items()
+        }
+
+    h0 = {v: 1.0 / n for v in ns}
+    a1 = half_step(h0, frm_is_dst=False)
+    h1 = half_step(a1, frm_is_dst=True)
+    a2 = half_step(h1, frm_is_dst=False)
+    h2 = half_step(a2, frm_is_dst=True)
+    rows = [
+        (
+            v,
+            ind.get(v, 0),
+            outd.get(v, 0),
+            a2[v] if a2.get(v) is not None else 0.0,
+            h2[v] if h2.get(v) is not None else 0.0,
         )
+        for v in ns
+    ]
+    return literal_df(
+        spark,
+        rows,
+        "host_id long, in_deg bigint, out_deg bigint, auth double, hub double",
     )
 
 

@@ -399,32 +399,91 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Exact embedding near-dup pairs: (vec_a, vec_b, cos) for every
     pair with cosine >= threshold. O(N²) by construction — this is the
     declared correctness baseline the LSH variant is judged against;
-    at 100 TB use dedup_embedding_lsh. Norms are computed once per
-    vector BEFORE the pair join (N sqrt calls, not N²); dots are
-    left-folds so DuckDB agrees bit-for-bit (an explicit 64-term
-    codegen sum was tried and is ~2× slower: the generated method
-    blows past JIT limits and falls back row-by-row). Default
-    threshold 0.4 suits the synthetic corpus (max pair cos ≈ 0.51);
-    real near-dup dedup runs at ≥ 0.9."""
-    v = emb.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    at 100 TB use dedup_embedding_lsh.
+
+    Optimization round 13 (guide §4.2, the _cov_tot precedent): the
+    old shape was a BroadcastNestedLoopJoin whose per-pair cosine ran
+    the 64-wide zip_with/aggregate fold INTERPRETED (higher-order
+    lambdas get no codegen) for every ordered pair — 21.7 s warm at
+    sf0.1 for ~2M pair evaluations, the most expensive registered
+    non-streaming path. It is now the same broadcast shape through
+    Arrow: the full (vec_id, embedding) relation — exactly what the
+    old plan shipped as the NLJ build side — rides a task broadcast,
+    and each Arrow batch of the scan scores against it in NumPy.
+    BIT-EQUALITY is preserved by construction: the dot and the norm
+    accumulate dimension-SEQUENTIALLY (one elementwise multiply and
+    one elementwise add per dimension, vectorized over the PAIR axis)
+    — the identical IEEE op sequence as the old left fold and the
+    DuckDB list_reduce — and cos divides dot by (na*nb) in the same
+    order. float32 inputs widen exactly; sqrt is correctly rounded in
+    both engines. (An explicit 64-term codegen sum was tried in an
+    earlier round and is ~2× slower than even the interpreted fold:
+    the generated method blows past JIT limits.) Default threshold
+    0.4 suits the synthetic corpus (max pair cos ≈ 0.51); real
+    near-dup dedup runs at ≥ 0.9."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
     )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
+
+    spark = emb.sparkSession
+    dim = EMB_DIM
+    rows = emb.select("vec_id", "embedding").collect()
+    if not rows:
+        return literal_df(spark, [], "vec_a long, vec_b long, cos double")
+    import numpy as np
+
+    ids_a = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    A = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
+
+    def _fold_norm(x):
+        # sqrt of the dimension-sequential sum of squares — the exact
+        # _norm / _NORM_SQL fold order, vectorized over rows
+        acc = np.zeros(len(x))
+        for i in range(dim):
+            acc = acc + x[:, i] * x[:, i]
+        return np.sqrt(acc)
+
+    na = _fold_norm(A)
+    bsc = spark.sparkContext.broadcast((ids_a, A, na))
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        F.broadcast(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos"))
-        .where(F.col("cos") >= threshold)
+    thr = float(threshold)
+
+    def pair_cos(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        aid, av, an = bsc.value
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            bid = pdf["vec_id"].to_numpy().astype(np.int64)
+            bv = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            accb = np.zeros(len(bid))
+            dot = np.zeros((len(aid), len(bid)))
+            for i in range(dim):
+                accb = accb + bv[:, i] * bv[:, i]
+                dot = dot + np.outer(av[:, i], bv[:, i])
+            bn = np.sqrt(accb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / np.outer(an, bn)
+                mask = (aid[:, None] < bid[None, :]) & (cos >= thr)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": aid[ai], "vec_b": bid[bi], "cos": cos[ai, bi]}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        pair_cos, out_schema
     )
 
 
