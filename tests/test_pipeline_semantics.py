@@ -4382,3 +4382,52 @@ def test_nb_quality_learns_separable_vocab(spark):
         assert r["predicted"] == want, (i, r)
         assert r["correct"] == 1, (i, r)
         assert (r["score"] >= 0) == (want == 1)
+
+
+def test_sized_shingle_arrays_matches_inline_explode(spark):
+    """The round-13 shared shingle fence (_sized_shingle_arrays +
+    _shd_sizes) must reproduce the inline explode+groupBy it replaced
+    EXACTLY — including the edge the groupBy created implicitly: a doc
+    with fewer than k words has an empty shingle array, so it appears
+    in neither shd nor sizes (the old count-by-doc only saw docs with
+    >= 1 exploded row)."""
+    from tgres_spark.pipeline.dedup import (
+        _shd_sizes,
+        _sized_shingle_arrays,
+        shingles_of,
+        words,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma"),  # dup shingle
+        (2, "one two"),                                   # < k words: NO shingles
+        (3, "x1 x2 x3"),                                  # exactly one shingle
+        (4, ""),                                          # empty text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sha = _sized_shingle_arrays(docs)
+    try:
+        shd, sizes = _shd_sizes(sha)
+        got_shd = {(r["doc_id"], r["sh"]) for r in shd.collect()}
+        got_sizes = {(r["doc_id"], r["nsh"]) for r in sizes.collect()}
+        ref = docs.select(
+            "doc_id", words(F.col("text")).alias("w")
+        ).select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
+        )
+        want_shd = {(r["doc_id"], r["sh"]) for r in ref.collect()}
+        want_sizes = {
+            (r["doc_id"], r["nsh"])
+            for r in ref.groupBy("doc_id")
+            .agg(F.count("*").alias("nsh"))
+            .collect()
+        }
+        assert got_shd == want_shd
+        assert got_sizes == want_sizes
+        assert {d for d, _ in got_sizes} == {1, 3}  # 2 and 4 excluded
+        assert dict(got_sizes)[1] == 4  # 4 DISTINCT of 5 shingles (one dup)
+        assert sizes.schema["nsh"].dataType.typeName() == "long"
+    finally:
+        sha.unpersist()

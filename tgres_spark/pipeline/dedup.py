@@ -65,6 +65,41 @@ def shingles(col, k: int = 3):
     return shingles_of(words(col), k)
 
 
+def _sized_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs): each doc's DISTINCT shingle ARRAY — the shared
+    base of every exact-Jaccard verification join, persisted as ONE
+    1x-text-sized row per doc (the span_dedup2 words-array rule).
+    Without the fence each of the three consumers (the doc-size
+    relation and both explode sides of the intersection join) re-ran
+    the tokenize + shingle + array_distinct chain from the raw corpus
+    scan. Callers derive, via _shd_sizes: shd = explode(shs)
+    (identical rows) and sizes = size(shs) filtered to > 0 (identical
+    to count-by-doc of shd, which only saw docs with >= 1 shingle) —
+    the groupBy exchange the old sizes paid comes free from the array.
+    The persist must outlive the caller's action (returned plans read
+    it); the sweep harnesses clearCache() between queries."""
+    return (
+        spread_small(docs)
+        .select("doc_id", words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_of(F.col("w"))).alias("shs"),
+        )
+        .persist()  # fence: returned plan reads this cache
+    )
+
+
+def _shd_sizes(sha: DataFrame):
+    """(shd, sizes) derived from a _sized_shingle_arrays relation:
+    the exploded (doc_id, sh) rows and the (doc_id, nsh) doc sizes,
+    both reading the one cached array column."""
+    shd = sha.select("doc_id", F.explode("shs").alias("sh"))
+    sizes = sha.where(F.size("shs") > 0).select(
+        "doc_id", F.size("shs").cast("bigint").alias("nsh")
+    )
+    return shd, sizes
+
+
 def shingles_sql(c: str, k: int = 3) -> str:
     w = WORDS_SQL.format(c=c)
     joined = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
@@ -252,10 +287,7 @@ def dedup_minhash_est(docs: DataFrame) -> DataFrame:
     set sizes, one double division with identical op order, ABS of
     identical doubles."""
     pairs = dedup_minhash_lsh(docs)
-    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
-        "doc_id", F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh")
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    shd, sizes = _shd_sizes(_sized_shingle_arrays(docs))
     a = shd.select(F.col("doc_id").alias("doc_a"), "sh")
     b = shd.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -950,6 +982,13 @@ def dedup_minhash_band_sweep(
     base_pairs = (
         cand.where(F.col("cfg") == "16x1").select("doc_a", "doc_b")
     )
+    # NO _sized_shingle_arrays fence here (round-13 A/B, the fix-9
+    # per-consumer rule): band_sweep's three shd passes run
+    # CONCURRENTLY inside the one truth job and the persist only
+    # serialized a materialization barrier in front of them — quiet
+    # interleaved A/B measured 3.87 s inline vs 4.90 s fenced. The
+    # sibling sweeps (k_sweep, simhash_sweep, est, containment) keep
+    # the fence, where it measures flat-to-better.
     shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
@@ -1252,11 +1291,7 @@ def dedup_containment(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         )
         .distinct()
     )
-    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    shd, sizes = _shd_sizes(_sized_shingle_arrays(docs))
     a = shd.select(F.col("doc_id").alias("doc_a"), "sh")
     b = shd.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -1668,11 +1703,7 @@ def dedup_simhash_sweep(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     from ..model import dsum
 
     pairs = chunk_hamming_pairs(simhash(docs), max_hamming)
-    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    shd, sizes = _shd_sizes(_sized_shingle_arrays(docs))
     a = shd.select(F.col("doc_id").alias("doc_a"), "sh")
     b = shd.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -1808,11 +1839,7 @@ def dedup_minhash_k_sweep(docs: DataFrame) -> DataFrame:
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    shd = spread_small(docs).select("doc_id", words(F.col("text")).alias("w")).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("w")))).alias("sh"),
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    shd, sizes = _shd_sizes(_sized_shingle_arrays(docs))
     inter = (
         cand.join(shd.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
         .join(shd.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
