@@ -270,6 +270,15 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    # per-key steal provenance (resumed round 13): steal on this box is
+    # partly SELF-INDUCED — a 32-thread sustained spin measures 5-15%
+    # steal while 8/16/24/30 threads measure ~0% in the same window
+    # (hypervisor entitlement ~30-31 of 32 vCPUs), and co-tenant storms
+    # land on top of that floor. Whole-run steal can't say WHICH keys a
+    # storm hit and the retry pass is capped, so each key's timed window
+    # (all RUNS, sampled outside the timers) records its own steal share:
+    # every violation self-adjudicates even past the retry cap.
+    queries_steal: dict[str, float | None] = {}
     total = 0.0
     RUNS = 3  # best-of-N: single-shot timings swing 20-40% run-to-run
     # on this shared box (measured on UNCHANGED queries; round-5 saw
@@ -278,6 +287,7 @@ def main() -> None:
     # for compute-bound work, and the JSON records runs/estimator.
     for name in BENCH_QUERIES:
         best, n = float("inf"), 0
+        k0 = _cpu_sample()
         for _ in range(RUNS):
             # persisted intermediates (minhash signatures, multi-RRA
             # pts) must not shadow the next run's plan: CacheManager
@@ -289,9 +299,11 @@ def main() -> None:
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
+        queries_steal[name] = _steal_pct(k0, _cpu_sample())
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {best:.2f}s ({n} rows, steal "
+              f"{queries_steal[name]})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_num = float(sf) if sf.replace(".", "").isdigit() else None
@@ -426,6 +438,10 @@ def main() -> None:
             "vs_baseline": vs_baseline,
             "budget_violations": budget_violations,
             "violations_retry": violations_retry,
+            # per-key steal share over each key's whole timed window
+            # (additive provenance: lets any consumer adjudicate a
+            # violation the retry cap didn't reach)
+            "queries_steal": queries_steal,
             "budget_median_ratio": budget_median_ratio,
             "inputs": inputs,
         }
